@@ -1,0 +1,128 @@
+package graft.claims
+
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+/** End-to-end run result (reference `pipeline()` returns
+  * `{output_path, candidates, metrics_path}`, claim_pipeline.py:233; we
+  * additionally expose the metrics struct — SURVEY §3.2).
+  */
+final case class PipelineResult(
+    outputPath: String,
+    candidates: Seq[Row],
+    metricsPath: String,
+    metrics: PipelineMetrics,
+)
+
+/** The full resubmission pipeline: dispatch → normalize → union → eligibility
+  * → enrich → sinks + metrics, in ONE Spark job (metrics ride the candidate
+  * scan via `Dataset.observe`). Mirrors reference claim_pipeline.py:155-233.
+  */
+object ClaimPipeline {
+  private val logger = LoggerFactory.getLogger(getClass)
+
+  /** Read + normalize one input file, dispatched by extension
+    * (claim_pipeline.py:177-183): `.csv` → alpha, `.json` → beta, anything
+    * else warns and is skipped with no metrics effect (SURVEY §2.3 S10).
+    *
+    * Returns the normalized frame with bookkeeping columns `_corrupt`,
+    * `_file_seq`, `_row_seq` (the latter two restore the reference's
+    * input-order output determinism — SURVEY §7.4 item 2; claim-file inputs
+    * are small config-like extracts, so the single-partition read that makes
+    * `monotonically_increasing_id` sequential is acceptable; the large-scale
+    * path sets preserveInputOrder=false and skips it).
+    */
+  private def loadFile(spark: SparkSession, path: String, fileSeq: Int,
+      preserveOrder: Boolean): Option[DataFrame] = {
+    val normalized =
+      if (path.endsWith(".csv"))
+        Some(Normalize.normalizeAlpha(
+          spark.read.option("header", "true").option("mode", "PERMISSIVE")
+            .csv(path).coalesce(1)))
+      else if (path.endsWith(".json"))
+        Some(Normalize.normalizeBeta(
+          spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema(Schemas.betaRaw).json(path).coalesce(1)))
+      else {
+        logger.warn(s"Unsupported file type: $path")
+        None
+      }
+    normalized.map { df =>
+      val seq =
+        if (preserveOrder) monotonically_increasing_id()
+        else lit(0L)
+      df.withColumn("_file_seq", lit(fileSeq)).withColumn("_row_seq", seq)
+    }
+  }
+
+  /** Run the pipeline over `files`, writing the pretty-JSON candidates array
+    * and the metrics text file, and returning both materialized results.
+    */
+  def run(
+      spark: SparkSession,
+      files: Seq[String],
+      config: PipelineConfig = PipelineConfig(),
+      outputPath: String = "resubmission_candidates.json",
+      metricsPath: String = "pipeline_metrics.log",
+      preserveInputOrder: Boolean = true,
+  ): PipelineResult = {
+    var fileMalformed = 0L
+    val frames = files.zipWithIndex.flatMap { case (path, i) =>
+      // File-level error isolation (claim_pipeline.py:213-215): an unreadable
+      // / missing file logs, counts one malformed, and is skipped.
+      try loadFile(spark, path, i, preserveInputOrder)
+      catch {
+        case e: Exception =>
+          logger.warn(s"Failed to process file $path: ${e.getMessage}")
+          fileMalformed += 1
+          None
+      }
+    }
+
+    val claims: DataFrame = frames match {
+      case Seq() =>
+        import org.apache.spark.sql.types._
+        val schema = Schemas.claim
+          .add("_corrupt", BooleanType)
+          .add("_file_seq", IntegerType)
+          .add("_row_seq", LongType)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case fs => fs.reduce(_.unionByName(_))
+    }
+
+    val eligible = Eligibility.isEligible(claims, config)
+    val exclusion = Eligibility.exclusionReason(claims, config)
+
+    val obs = Observation()
+    val metricExprs = PipelineMetrics.aggExprs(
+      eligible, exclusion, claims("source_system"), claims("_corrupt"))
+    val observed = claims.observe(obs, metricExprs.head, metricExprs.tail: _*)
+
+    val candidateCols = Seq(
+      col("claim_id"),
+      col("denial_reason").as("resubmission_reason"),
+      col("source_system"),
+      Eligibility.recommendedChanges(col("denial_reason"))
+        .as("recommended_changes"),
+    )
+    val projected = observed
+      .filter(eligible && !claims("_corrupt"))
+      .select(candidateCols ++ Seq(col("_file_seq"), col("_row_seq")): _*)
+    val ordered =
+      if (preserveInputOrder) projected.orderBy(col("_file_seq"), col("_row_seq"))
+      else projected
+    val candidatesDf = ordered.drop("_file_seq", "_row_seq")
+
+    // Single action: collect (bounded) candidates; the observe node sees every
+    // input row because the filter sits downstream of it.
+    val candidateRows = Sinks.writeCandidatesPretty(candidatesDf, outputPath)
+
+    val metrics = PipelineMetrics.fromObserved(
+      obs.get, fileMalformed, config.bugCompatMetrics)
+    Sinks.writeMetrics(metrics, metricsPath)
+
+    PipelineResult(outputPath, candidateRows, metricsPath, metrics)
+  }
+}
