@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (each with a DuckDB oracle unless noted):
+  *  - c1..c7: the reference's claim-pipeline operators (SURVEY §2.1)
+  *  - q1..q13: relational analytics surface (SURVEY §2.2 engine stance)
+  *  - d,s,t,m prefixes: LLM-data-pipeline extensions (SURVEY §2.4)
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q4_nation_revenue")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.ClaimOps.queries ++
+      graft.queries.Analytics.queries ++
+      graft.queries.TextOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (d4_minhash_pairs uses xxhash64 banding) → driver records a weaker
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.ClaimOps.oracleSql ++
+      graft.queries.Analytics.oracleSql ++
+      graft.queries.TextOps.oracleSql
 }

@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.4 / north-star):
+  * dedup (exact, token-Jaccard, MinHash+LSH), similarity search over
+  * embeddings, text analysis (language scoring, quality, token stats,
+  * fingerprinting) and multimodal binary plumbing.
+  *
+  * Hashing is md5-based (identical in Spark and DuckDB) so even sketch
+  * computations are oracle-checkable; xxhash64-based variants (faster,
+  * Spark-only) back the non-oracle LSH pair query. All ratio arithmetic is
+  * int/int → IEEE double division, bit-identical across engines.
+  */
+object TextOps {
+  import Tables.t
+
+  /** Distinct word tokens of a document (texts are single-space separated). */
+  private def toks(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, seeded by prefix.
+    * Reproducible in DuckDB as CAST('0x'||substr(md5(...),1,15) AS BIGINT).
+    */
+  private def mdHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  private val NumHashes = 8
+
+  /** Distinct 3-word shingles. MinHash over unigrams is degenerate on a
+    * small vocabulary (every band collides, candidate pairs explode
+    * quadratically — measured 100x slowdown at sf0.1); word 3-grams give
+    * the diversity the sketch needs, at any corpus size.
+    */
+  private def shingles(text: Column): Column = {
+    val tk = split(text, " ")
+    array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+  }
+
+  /** doc_id + minhash signature columns mh0..mh7 over distinct shingles. */
+  private def minhashSignature(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("tok"))
+    val aggs = (0 until NumHashes).map(i => min(mdHash(i, col("tok"))).as(s"mh$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * with sequential fold order (matches DuckDB list_dot_product).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val (da, db) = (d(a), d(b))
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy, keep min doc_id per group. At scale
+    // this is one shuffle on the hash — never a pairwise compare.
+    "d1_exact_dedup" -> ((spark, dir) =>
+      t(spark, dir, "documents")
+        .groupBy(md5(lower(col("text"))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("keeper_doc_id")),
+
+    // N-gram/token Jaccard near-dup on a bounded id range (the exact
+    // baseline; d4 is the LSH scale path that avoids the pairwise join).
+    "d2_token_jaccard" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("tk").as("a_tk"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("tk").as("b_tk"))
+      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_tk"), col("b_tk"))) /
+            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash signatures (md5-based, oracle-checkable): the sketch that
+    // replaces pairwise comparison at 100 TB.
+    "d3_minhash_sig" -> ((spark, dir) =>
+      minhashSignature(t(spark, dir, "documents")).orderBy("doc_id")),
+
+    // MinHash + LSH banding: 4 bands × 2 rows; candidate pairs from band
+    // collisions (groupBy-join on band hash — shuffle, no cross join), then
+    // true-Jaccard verification of candidates only. No SQL oracle (banding
+    // uses xxhash64); driver records rows-only, semantics unit-tested.
+    "d4_minhash_pairs" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val sig = minhashSignature(docs)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumHashes / 2).map(bnd =>
+          struct(lit(bnd).as("band"),
+            xxhash64(col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("bh"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      // Skew guard: a band bucket with B docs yields B²/2 candidate pairs;
+      // oversized buckets are non-discriminative, so cap them (standard LSH
+      // practice — at 100 TB this is what keeps the self-join bounded).
+      val bounded = bands.join(
+        bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= 100),
+        Seq("band", "bh"))
+      val cand = bounded.as("x").join(bounded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val tk = docs.select(col("doc_id"), shingles(col("text")).as("tk"))
+      cand
+        .join(tk.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("tk", "a_tk"), "a_id")
+        .join(tk.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("tk", "b_tk"), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_tk"), col("b_tk"))) /
+            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding near-dup: same-label blocking + cosine threshold (the
+    // blocked exact variant; s1 is ranked top-k).
+    "d6_embedding_neardup" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("b_emb"))
+      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Brute-force cosine top-k (the ANN baseline): 10 probes ranked against
+    // the full collection with deterministic tie-break.
+    "s1_cosine_topk" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val cands = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"))
+      val scored = probes.join(cands, col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(cosine(col("p_emb"), col("c_emb")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Language scoring: stopword-hit ratio heuristic (n-gram-free language
+    // ID baseline; real corpora would extend the profile table).
+    "t1_lang_profile" -> ((spark, dir) => {
+      val tk = split(col("text"), " ")
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tk).as("n_tokens"),
+          size(filter(tk, x => x.isin(Stopwords: _*))).as("n_stop"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("pred_en", col("stop_ratio") >= 0.15)
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / type-token ratio / token shape features.
+    "t2_quality_score" -> ((spark, dir) => {
+      val tk = split(col("text"), " ")
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(tk).as("n_tokens"),
+          size(array_distinct(tk)).as("n_distinct"))
+        .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+        .withColumn("avg_token_len",
+          (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
+        .withColumn("quality",
+          round(col("ttr") * 0.6 +
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.4, 6))
+        .orderBy("doc_id")
+    }),
+
+    // Token statistics: corpus-wide top-20 tokens (explode → count → top-k).
+    "t3_token_topk" -> ((spark, dir) =>
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    // Document fingerprint: content hash over the sorted distinct-token set
+    // (whitespace/order-insensitive near-identity).
+    "t4_fingerprint" -> ((spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(toks(lower(col("text"))))))
+            .as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: text → binary column + typed metadata (the
+    // decode/feature steps live in graft.mm with stubbed codecs).
+    "m1_binary_meta" -> ((spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")),
+  )
+
+  private def duckToks(expr: String) = s"list_distinct(string_split($expr, ' '))"
+  private def duckHash(seed: Int, expr: String) =
+    s"CAST(concat('0x', substr(md5('$seed:' || $expr), 1, 15)) AS BIGINT)"
+  private val DuckCos =
+    """list_dot_product(da, db) /
+      |  (sqrt(list_dot_product(da, da)) * sqrt(list_dot_product(db, db)))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(text)) AS content_hash,
+        |  min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+
+    "d2_token_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, ${duckToks("text")} AS tk
+         |           FROM documents WHERE doc_id < 200)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.tk, b.tk)) /
+         |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.tk, b.tk)) /
+         |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d3_minhash_sig" -> {
+      val mins = (0 until NumHashes)
+        .map(i => s"  min(${duckHash(i, "tok")}) AS mh$i").mkString(",\n")
+      s"""SELECT doc_id,
+         |$mins
+         |FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk)-2),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d6_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id < 300)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(p.emb, c.emb) /
+        |      (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos
+        |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, cand_id, cos, rank FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "t1_lang_profile" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS INTEGER) AS n_stop,
+        |  len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) / len(tk) AS stop_ratio,
+        |  len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) / len(tk) >= 0.15 AS pred_en
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """SELECT doc_id, n_chars, n_tokens, n_distinct,
+        |  n_distinct / n_tokens AS ttr,
+        |  (n_chars - (n_tokens - 1)) / n_tokens AS avg_token_len,
+        |  round((n_distinct / n_tokens) * 0.6 +
+        |    least(n_tokens / 100.0, 1.0) * 0.4, 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t3_token_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(${duckToks("lower(text)")}), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+For each query dumped by `graft.Verify` (parquet under <out>/<name>/),
+runs the matching SQL from <out>/oracle_sql.json in DuckDB against the
+sf parquet tables, then compares: columns sorted by name, rows sorted,
+values compared exactly (floats to 9 significant digits first, exact
+diff reported). Dev tool only — not part of the shipped library.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not parts:
+            print(f"[MISS ] {name}: no spark result dumped")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                "SELECT * FROM read_parquet(?)", [parts]).fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"[ERROR] {name}: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"[FAIL ] {name}: columns {gcols} vs oracle {wcols}")
+            n_fail += 1
+            continue
+        g = [tuple(norm_cell(v) for v in row)
+             for row in got[gcols].itertuples(index=False)]
+        w = [tuple(norm_cell(v) for v in row)
+             for row in want[wcols].itertuples(index=False)]
+        g.sort()
+        w.sort()
+        if g == w:
+            print(f"[MATCH] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"[FAIL ] {name}: {len(g)} spark rows vs {len(w)} oracle rows")
+            diffs = [(a, b) for a, b in zip(g, w) if a != b]
+            for a, b in diffs[:3]:
+                print(f"    spark:  {a}\n    oracle: {b}")
+            if len(g) != len(w):
+                only_g = set(g) - set(w)
+                only_w = set(w) - set(g)
+                for r in list(only_g)[:2]:
+                    print(f"    only-spark:  {r}")
+                for r in list(only_w)[:2]:
+                    print(f"    only-oracle: {r}")
+    print(f"== {n_pass} match, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
