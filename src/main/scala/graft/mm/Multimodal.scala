@@ -1,0 +1,124 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators (SURVEY.md §2.4).
+  *
+  * The Spark-side machinery — schemas, binaryFile-style records, partition
+  * batching via mapPartitions, feature vectors — is real and tested; the
+  * actual codec is STUBBED behind [[Codec]] with a deterministic fake,
+  * because no image/audio libraries exist in this container. Swapping in a
+  * real decoder is a one-function change with no plan changes.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + source metadata (mirrors the schema of
+    * Spark's built-in `binaryFile` source so real file ingestion is a
+    * drop-in: spark.read.format("binaryFile").load(...)).
+    */
+  final case class MediaRecord(media_id: Long, media_type: String,
+      n_bytes: Long, content: Array[Byte])
+
+  /** Typed decode result: dimensions + a fixed-width feature vector. */
+  final case class DecodedMedia(media_id: Long, media_type: String,
+      width: Int, height: Int, channels: Int, features: Array[Float])
+
+  /** A pluggable decoder working on one payload at a time; implementations
+    * must be serializable (shipped to executors).
+    */
+  trait Codec extends Serializable {
+    def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial
+  }
+  object DecodedMedia {
+    final case class Partial(width: Int, height: Int, channels: Int,
+        features: Array[Float])
+  }
+
+  /** Real codecs would go here (JPEG/PNG/WAV...). Unavailable in this
+    * container — any call fails loudly rather than fabricating data.
+    */
+  object RealCodec extends Codec {
+    def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial =
+      throw new UnsupportedOperationException(
+        "real media codecs are not available in this environment; " +
+          "use DeterministicFakeCodec or plug a codec jar in")
+  }
+
+  /** Deterministic fake: "dimensions" derived from payload length, features
+    * = normalized 16-bin byte histogram. Stable across runs/partitionings,
+    * so tests can assert exact values.
+    */
+  object DeterministicFakeCodec extends Codec {
+    def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial = {
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toFloat
+      DecodedMedia.Partial(
+        width = (bytes.length % 640) + 1,
+        height = (bytes.length % 480) + 1,
+        channels = 3,
+        features = hist.map(_ / n))
+    }
+  }
+
+  /** Build a media table from the documents testdata: the text payload
+    * stands in for an opaque media blob (real ingestion would use the
+    * binaryFile source with the same downstream schema).
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("image/fake-"), col("source")).as("media_type"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("content"),
+    ).as[MediaRecord]
+  }
+
+  /** Distributed decode: batch-per-partition iteration (no per-row task
+    * overhead, codec initialized once per partition — the Scala analogue of
+    * a pandas-batched UDF). Partitioning of the input is preserved.
+    */
+  def decodeAll(media: Dataset[MediaRecord],
+      codec: Codec = DeterministicFakeCodec): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = codec.decode(r.media_type, r.content)
+        DecodedMedia(r.media_id, r.media_type, p.width, p.height, p.channels,
+          p.features)
+      }
+    }
+  }
+
+  /** Frame sampling: split a payload into n equal byte-range "frames" —
+    * pure Column expressions (binary substring), no decode needed. Output:
+    * one row per (media_id, frame_idx, frame_bytes).
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val frameLen = (col("n_bytes") / nFrames).cast("int")
+    media
+      .select(col("media_id"), col("content"), col("n_bytes"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        col("content").substr(
+          (col("frame_idx") * frameLen + 1).cast("int"),
+          greatest(frameLen, lit(1))).as("frame_bytes"))
+  }
+
+  /** End-to-end: documents → media table → decoded features, as a DataFrame
+    * for downstream SQL (e.g. similarity over the histogram features).
+    */
+  def decodedFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaFromDocuments(
+      graft.queries.Tables.t(spark, dir, "documents"))).toDF()
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate nearest neighbor over embedding columns via random-hyperplane
+  * LSH (sign-random-projection — the hash family whose collision probability
+  * is monotone in cosine similarity).
+  *
+  * Scale path vs the brute-force baseline (s1_cosine_topk): instead of
+  * probes × corpus cosine evaluations, vectors hash to 2^numPlanes buckets
+  * (one narrow shuffle) and ranking runs only within the probe's bucket.
+  * Hyperplane weights are derived from xxhash64 — fully deterministic, no
+  * driver-side randomness, and the plane table (numPlanes × dim rows) is
+  * broadcast.
+  */
+object AnnLsh {
+
+  /** Deterministic pseudo-random hyperplanes: weight(plane, pos) uniform in
+    * [-1, 1], derived from a hash of the coordinates.
+    */
+  def planes(spark: SparkSession, numPlanes: Int, dim: Int): DataFrame =
+    spark.range(numPlanes).toDF("plane")
+      .crossJoin(spark.range(dim).toDF("pos"))
+      .select(col("plane"), col("pos"),
+        ((pmod(xxhash64(concat_ws("_", col("plane"), col("pos"))), lit(2001))
+          - 1000) / 1000.0).as("w"))
+
+  /** (id, bucket) assignment: bucket = sign pattern of the numPlanes
+    * projections, packed into a long.
+    */
+  def bucketize(vecs: DataFrame, idCol: String, embCol: String,
+      numPlanes: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val dim = vecs.select(size(col(embCol))).first().getInt(0)
+    val comp = vecs.select(col(idCol),
+      posexplode(VectorOps.toDouble(col(embCol))).as(Seq("pos", "x")))
+    comp.join(broadcast(planes(spark, numPlanes, dim)), "pos")
+      .groupBy(col(idCol), col("plane"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** Top-k neighbors per probe, searching only the probe's LSH bucket.
+    *
+    * @param probes subset of `vecs` rows to query (must share idCol/embCol)
+    */
+  def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
+      k: Int = 5, numPlanes: Int = 6): DataFrame = {
+    val buckets = bucketize(vecs, idCol, embCol, numPlanes)
+    val withB = vecs.join(buckets, idCol)
+    val cand = withB.select(col(idCol).as("cand_id"),
+      col(embCol).as("c_emb"), col("bucket"))
+    val prob = probes.join(buckets, idCol)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("bucket"))
+    val scored = prob.join(cand,
+        prob("bucket") === cand("bucket") && col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(VectorOps.cosine(col("p_emb"), col("c_emb")), 6).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (Charikar's 64-bit sketch).
+  *
+  * Pipeline: token → xxhash64 → per-bit ±1 votes summed per document (one
+  * groupBy, map-side combinable) → 64-bit signature assembled from vote
+  * signs → candidate pairs via 16-bit band chunks (documents sharing any
+  * chunk value — a shuffle join, never a cross join) → verified by exact
+  * Hamming distance (`bit_count(a XOR b)`).
+  *
+  * Everything is Column expressions inside whole-stage codegen; the per-bit
+  * vote aggregation is 64 `sum(CASE…)` aggregates computed in a single pass.
+  */
+object SimHash {
+
+  private val Bits = 64
+  private val ChunkBits = 16
+  private val NumChunks = Bits / ChunkBits
+
+  /** (id, simhash) signature per document from a token-array column. */
+  def signatures(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val ex = docs.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
+    val h = xxhash64(col("tok"))
+    val voteAggs = (0 until Bits).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val votes = ex.groupBy(idCol).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until Bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Near-duplicate pairs with Hamming distance <= maxHamming.
+    *
+    * Chunk banding guarantees FULL recall only for maxHamming < NumChunks
+    * (pigeonhole: a pair within distance 3 shares at least one of 4 chunks
+    * intact); larger thresholds are best-effort over band collisions.
+    * `maxBucket` caps degenerate chunk buckets — the skew guard that keeps
+    * the self-join bounded at scale.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, tokens: Column,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sig = signatures(docs, idCol, tokens)
+    val chunks = sig.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until NumChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * ChunkBits)
+            .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))): _*)).as("ch"))
+      .select(col("id"), col("simhash"),
+        col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val bounded = chunks.join(
+      chunks.groupBy("chunk", "cv").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket),
+      Seq("chunk", "cv"))
+    bounded.as("x").join(bounded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

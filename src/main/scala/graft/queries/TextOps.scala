@@ -49,16 +49,8 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Cosine similarity between two float-array columns, computed in double
-    * with sequential fold order (matches DuckDB list_dot_product).
-    */
-  private def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val (da, db) = (d(a), d(b))
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
-  }
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosine(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep min doc_id per group. At scale
@@ -129,6 +121,32 @@ object TextOps {
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
+
+    // SimHash near-dup pairs (Charikar sketch + 16-bit chunk banding).
+    // No SQL oracle (xxhash64 bit votes); rows-only + unit-tested semantics.
+    "d5_simhash_pairs" -> ((spark, dir) =>
+      graft.operators.SimHash.nearDuplicates(
+          t(spark, dir, "documents"), "doc_id",
+          split(col("text"), " "), maxHamming = 16)
+        .orderBy("a_id", "b_id")),
+
+    // ANN via random-hyperplane LSH buckets — the scale path that replaces
+    // s1's probes×corpus scan. Rows-only; recall property unit-tested.
+    "s2_ann_lsh" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      graft.operators.AnnLsh.topK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numPlanes = 6)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Multimodal decode: binary payloads → typed metadata + histogram
+    // features via partition-batched stub codec. Rows-only (mapPartitions
+    // codec is not SQL-expressible); determinism unit-tested.
+    "m2_decoded_features" -> ((spark, dir) =>
+      graft.mm.Multimodal.decodedFeatures(spark, dir)
+        .select(col("media_id"), col("media_type"), col("width"),
+          col("height"), col("channels"))
+        .orderBy("media_id")),
 
     // Embedding near-dup: same-label blocking + cosine threshold (the
     // blocked exact variant; s1 is ranked top-k).
@@ -321,5 +339,14 @@ object TextOps {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The stub codec's metadata is a pure function of payload length, so
+    // even the mapPartitions decode path gets an oracle.
+    "m2_decoded_features" ->
+      """SELECT doc_id AS media_id, 'image/fake-' || source AS media_type,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.mm.Multimodal
+
+/** Property tests for the non-SQL-expressible operators (SimHash, ANN-LSH,
+  * multimodal decode) — these back the rows-only driver checks.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("SimHash: identical docs distance 0; near docs close; disjoint docs far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = docsDF(Seq((1L, base), (2L, base), (3L, near), (4L, far)))
+    val sigs = SimHash.signatures(df, "doc_id", split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 3L) < 12, s"near doc too far: ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > 16, s"disjoint doc too close: ${ham(1L, 4L)}")
+
+    val pairs = SimHash.nearDuplicates(df, "doc_id", split(col("text"), " "),
+        maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ANN-LSH: planted near-duplicates are found as top-1 neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 20).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    // id+100 = tiny perturbation of id → should be its top neighbor.
+    val dups = bases.map { case (id, v) =>
+      (id + 100, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val vecs = (bases ++ dups).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 20)
+    val top = AnnLsh.topK(vecs, probes, "vec_id", "embedding",
+        k = 1, numPlanes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = (0 until 20).count(i =>
+      top.get(i.toLong).contains(i + 100L)) / 20.0
+    assert(recall >= 0.8, s"planted-duplicate recall too low: $recall")
+  }
+
+  test("ANN-LSH bucketize is deterministic and stable across repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val b1 = AnnLsh.bucketize(vecs, "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = AnnLsh.bucketize(vecs.repartition(7), "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+  }
+
+  test("VectorOps: cosine(v, v) = 1, cosine orthogonal = 0") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("same"),
+      VectorOps.cosine(col("a"), col("c")).as("orth")).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("Multimodal: decode is deterministic, partition-independent; frames cover payload") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val d1 = Multimodal.decodeAll(media).collect()
+      .map(d => d.media_id -> (d.width, d.height, d.features.toSeq)).toMap
+    val d2 = Multimodal.decodeAll(media.repartition(11)).collect()
+      .map(d => d.media_id -> (d.width, d.height, d.features.toSeq)).toMap
+    assert(d1 === d2)
+    assert(d1.values.forall { case (_, _, f) =>
+      f.length == 16 && math.abs(f.sum - 1.0) < 1e-3 })
+
+    val frames = Multimodal.sampleFrames(media.toDF(), 4)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .select("n").distinct().collect().map(_.getLong(0)).toSeq
+    assert(counts === Seq(4L))
+
+    intercept[UnsupportedOperationException] {
+      Multimodal.RealCodec.decode("image/png", Array[Byte](1, 2))
+    }
+  }
+}
