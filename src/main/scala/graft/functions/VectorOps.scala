@@ -20,8 +20,14 @@ object VectorOps {
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 
-  /** Cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns — the codegen'd one-pass
+    * [[CosineSim]] expression (same sequential accumulation order as the
+    * HOF formulation [[cosineHof]], so results are bit-identical).
+    */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosineSim(a, b)
+
+  /** Higher-order-function formulation, kept as the reference semantics. */
+  def cosineHof(a: Column, b: Column): Column = {
     val (da, db) = (toDouble(a), toDouble(b))
     dot(da, db) / (norm(da) * norm(db))
   }

@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths the built-in function set
+  * can't express efficiently (SURVEY.md §4.3 preference order: native
+  * Expression with doGenCode > UDF). Both are whole-stage-codegen'd — no
+  * boxing, no lambda dispatch per element.
+  */
+
+/** One-pass cosine similarity over two array<float|double> columns.
+  *
+  * Replaces the transform+zip_with+aggregate chain (3 array walks with
+  * per-element HOF lambda dispatch) with a single fused loop. Accumulation
+  * is sequential in index order — bit-identical to the HOF formulation and
+  * to DuckDB's list_dot_product, so oracle parity is preserved.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      def get(arr: String, e: Expression, idx: String) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
+        else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${get(a, left, i)};
+         |  double $yv = ${get(b, right, i)};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Karp-Rabin rolling polynomial fingerprint of a string: fold over UTF-8
+  * bytes, h = (h * 256 + byte) mod (2^31 - 1). The content-defined-chunking
+  * primitive for document fingerprinting at scale; deterministic and cheap
+  * (single pass, no allocation).
+  */
+case class KarpRabin(child: Expression) extends UnaryExpression {
+  private val P = 2147483647L
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kr_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 256 + (bytes(i) & 0xff)) % P
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 256 + ($bytes[$i] & 0xff)) % ${P}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): KarpRabin =
+    copy(child = c)
+}
+
+/** Column-level and SQL-level exposure of the custom expressions. */
+object GraftFunctions {
+
+  def cosineSim(a: Column, b: Column): Column =
+    graftbridge.column(
+      CosineSim(graftbridge.expression(a), graftbridge.expression(b)))
+
+  def krFingerprint(c: Column): Column =
+    graftbridge.column(KarpRabin(graftbridge.expression(c)))
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "kr_fingerprint" -> (exprs => KarpRabin(exprs.head)),
+  )
+
+  /** Retrofit the functions onto an existing session (SQL-callable). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** SparkSessionExtensions entry point:
+  * SparkSession.builder().withExtensions(new GraftExtensions)... or
+  * spark.sql.extensions=graft.functions.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
+}

@@ -19,13 +19,23 @@ object TextOps {
   /** Distinct word tokens of a document (texts are single-space separated). */
   private def toks(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Portable 60-bit hash: first 15 hex digits of md5, seeded by prefix.
-    * Reproducible in DuckDB as CAST('0x'||substr(md5(...),1,15) AS BIGINT).
-    */
-  private def mdHash(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
-
   private val NumHashes = 8
+
+  /** Mersenne prime 2^31-1 for the universal-hash family. */
+  private val HashP = 2147483647L
+
+  /** All NumHashes minhash functions from ONE md5 per token: split the
+    * 32-hex digest into two 60-bit halves h1,h2, reduce mod p, and take
+    * h_i = (h1 + (i+1)·h2) mod p — the standard two-hash construction
+    * (Kirsch-Mitzenmacher). 8× cheaper than seeded md5 per function, and
+    * still bit-reproducible in DuckDB SQL.
+    */
+  private def mdHashes(c: Column): Seq[Column] = {
+    val digest = md5(c)
+    val h1 = conv(substring(digest, 1, 15), 16, 10).cast("long") % HashP
+    val h2 = conv(substring(digest, 16, 15), 16, 10).cast("long") % HashP
+    (0 until NumHashes).map(i => (h1 + lit(i + 1) * h2) % HashP)
+  }
 
   /** Distinct 3-word shingles. MinHash over unigrams is degenerate on a
     * small vocabulary (every band collides, candidate pairs explode
@@ -43,7 +53,8 @@ object TextOps {
   private def minhashSignature(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("tok"))
-    val aggs = (0 until NumHashes).map(i => min(mdHash(i, col("tok"))).as(s"mh$i"))
+    val aggs = mdHashes(col("tok")).zipWithIndex
+      .map { case (h, i) => min(h).as(s"mh$i") }
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -240,8 +251,6 @@ object TextOps {
   )
 
   private def duckToks(expr: String) = s"list_distinct(string_split($expr, ' '))"
-  private def duckHash(seed: Int, expr: String) =
-    s"CAST(concat('0x', substr(md5('$seed:' || $expr), 1, 15)) AS BIGINT)"
   private val DuckCos =
     """list_dot_product(da, db) /
       |  (sqrt(list_dot_product(da, da)) * sqrt(list_dot_product(db, db)))""".stripMargin
@@ -265,13 +274,17 @@ object TextOps {
 
     "d3_minhash_sig" -> {
       val mins = (0 until NumHashes)
-        .map(i => s"  min(${duckHash(i, "tok")}) AS mh$i").mkString(",\n")
+        .map(i => s"  min((h1 + ${i + 1} * h2) % $HashP) AS mh$i").mkString(",\n")
       s"""SELECT doc_id,
          |$mins
          |FROM (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk)-2),
-         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS tok
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $HashP AS h1,
+         |    CAST(concat('0x', substr(md5(tok), 16, 15)) AS BIGINT) % $HashP AS h2
+         |  FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk)-2),
+         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS tok
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

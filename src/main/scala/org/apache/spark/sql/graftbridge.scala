@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the private[sql] Column<->Expression converters — the
+  * supported way to expose custom Catalyst expressions as Columns changed
+  * to ColumnNodes in Spark 4; this keeps the shim surface to two calls.
+  */
+object graftbridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

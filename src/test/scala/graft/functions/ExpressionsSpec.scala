@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("CosineSim expression is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(_ =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("a", "b")
+    val diffs = df.select(
+        VectorOps.cosine(col("a"), col("b")).as("fast"),
+        VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("CosineSim handles double arrays and null inputs") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .union(Seq((null: Array[Double], Array(1.0, 2.0))).toDF("a", "b"))
+    val rows = df.select(VectorOps.cosine(col("a"), col("b"))).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("KarpRabin matches a reference fold and is SQL-callable") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 256 + (b & 0xff)) % 2147483647L)
+    GraftFunctions.register(spark)
+    val df = Seq("hello world", "", "the quick brown fox", "héllo ünïcode")
+      .toDF("s")
+    df.createOrReplaceTempView("kr_input")
+    val viaCol = df.select(GraftFunctions.krFingerprint(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val viaSql = spark.sql("SELECT kr_fingerprint(s) FROM kr_input")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = Seq("hello world", "", "the quick brown fox", "héllo ünïcode").map(ref)
+    assert(viaCol === expected)
+    assert(viaSql === expected)
+  }
+
+  test("cosine_sim is SQL-callable after register(); extensions inject both fns") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").first().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // registers without throwing
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    import spark.implicits._
+    val df = Seq(("x", 1)).toDF("s", "i")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.cosineSim(col("s"), col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+}
