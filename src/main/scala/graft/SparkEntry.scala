@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ClaimOps.queries ++
       graft.queries.Analytics.queries ++
+      graft.queries.Analytics2.queries ++
       graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.ClaimOps.oracleSql ++
       graft.queries.Analytics.oracleSql ++
+      graft.queries.Analytics2.oracleSql ++
       graft.queries.TextOps.oracleSql
 }

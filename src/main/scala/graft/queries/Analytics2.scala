@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second analytics tranche: multi-dimensional aggregation (cube / grouping
+  * sets), set operators, exact percentiles, pivot, correlated subqueries,
+  * scalar function sweeps (string / date / conditional), approximate
+  * sketches, and sliding event-time windows.
+  */
+object Analytics2 {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE: all 4 grouping combinations in one pass.
+    "q14_cube" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // GROUPING SETS through the SQL layer (temp view + spark.sql — the
+    // catalog/SQL entry point of the engine).
+    "q15_grouping_sets" -> ((spark, dir) => {
+      t(spark, dir, "lineitem").createOrReplaceTempView("li_gs")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    // INTERSECT: customers holding both an urgent and a low-priority order.
+    "q16_intersect" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(
+          o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // EXCEPT: customers with urgent orders but no low-priority ones.
+    "q17_except" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .except(
+          o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Exact percentiles (linear interpolation) per group — integer-valued
+    // quantity keeps the interpolation arithmetic exact across engines.
+    "q18_percentiles" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")),
+
+    // Approximate sketches (HLL++ distinct count, approx quantiles) — the
+    // 100 TB substitutes for exact distinct/percentile. No oracle (sketch
+    // internals are engine-specific); rows-only + bounds checked in tests.
+    "q19_approx_sketches" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy("l_returnflag")),
+
+    // PIVOT: returnflag values to columns (explicit value list so the plan
+    // needs no extra distinct-scan pass).
+    "q20_pivot" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    // Correlated "top order per customer" — expressed as a window max
+    // (idiomatic Spark; the oracle uses a correlated scalar subquery —
+    // same semantics, exact comparison on raw doubles).
+    "q21_corr_max_order" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      t(spark, dir, "orders")
+        .withColumn("cmax", max(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") === col("cmax"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // String-function sweep over part names.
+    "q22_string_funcs" -> ((spark, dir) =>
+      t(spark, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          length(col("p_name")).as("len"),
+          replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+          lpad(col("p_brand"), 12, "0").as("padded"),
+          reverse(col("p_type")).as("rev"),
+          regexp_extract(col("p_brand"), "#(\\d+)$", 1).cast("int").as("brand_num"),
+          concat_ws("|", col("p_type"), col("p_brand")).as("joined"))
+        .orderBy("p_partkey")),
+
+    // Date/time-function sweep over order dates (weekday aligned to
+    // ISO 1=Mon..7=Sun on both engines).
+    "q23_date_funcs" -> ((spark, dir) =>
+      t(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          (weekday(col("o_orderdate")) + 1).as("isodow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("1999-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_1999"))
+        .orderBy("o_orderkey")),
+
+    // Conditional-function sweep.
+    "q24_conditionals" -> ((spark, dir) =>
+      t(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_norm"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("floored"),
+          least(col("o_custkey") % 10, col("o_orderkey") % 7).as("least_mod"))
+        .orderBy("o_orderkey")),
+
+    // Sliding event-time windows (1h window, 30min slide — each event lands
+    // in two windows).
+    "q27_sliding_windows" -> ((spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("win_start")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q14_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q16_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q17_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q20_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS "A",
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS "N",
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q21_corr_max_order" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  substr(p_name, 1, 5) AS pre5,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  lpad(p_brand, 12, '0') AS padded,
+        |  reverse(p_type) AS rev,
+        |  CAST(regexp_extract(p_brand, '#(\d+)$', 1) AS INTEGER) AS brand_num,
+        |  concat_ws('|', p_type, p_brand) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q23_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(DATE '1999-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS days_to_1999
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q24_conditionals" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+        |  greatest(o_totalprice, 50000.0) AS floored,
+        |  least(o_custkey % 10, o_orderkey % 7) AS least_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q27_sliding_windows" ->
+      """SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+  )
+}
