@@ -35,16 +35,20 @@ object ClaimPipeline {
     */
   private def loadFile(spark: SparkSession, path: String, fileSeq: Int,
       preserveOrder: Boolean): Option[DataFrame] = {
+    // Order preservation forces a single-partition read (the only way
+    // monotonically_increasing_id is sequential); the scale path
+    // (preserveOrder=false) keeps the parallel multi-split scan.
+    def shaped(df: DataFrame) = if (preserveOrder) df.coalesce(1) else df
     val normalized =
       if (path.endsWith(".csv"))
-        Some(Normalize.normalizeAlpha(
+        Some(Normalize.normalizeAlpha(shaped(
           spark.read.option("header", "true").option("mode", "PERMISSIVE")
-            .csv(path).coalesce(1)))
+            .csv(path))))
       else if (path.endsWith(".json"))
-        Some(Normalize.normalizeBeta(
+        Some(Normalize.normalizeBeta(shaped(
           spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .schema(Schemas.betaRaw).json(path).coalesce(1)))
+            .schema(Schemas.betaRaw).json(path))))
       else {
         logger.warn(s"Unsupported file type: $path")
         None

@@ -39,13 +39,17 @@ object Eligibility {
   }
 
   /** Eligibility conjunction (claim_pipeline.py:134-145): denied status ∧
-    * patient present ∧ old enough ∧ classifier says retryable.
+    * patient present ∧ old enough ∧ classifier says retryable. Coalesced to
+    * false so a null status yields false like the Python predicate, not
+    * SQL-null.
     */
   def isEligible(df: DataFrame, config: PipelineConfig): Column =
-    df("status") === "denied" &&
-      df("patient_id").isNotNull &&
-      olderThan(df("submitted_at"), config) &&
-      classifyDenial(df("denial_reason")) === "retryable"
+    coalesce(
+      df("status") === "denied" &&
+        df("patient_id").isNotNull &&
+        olderThan(df("submitted_at"), config) &&
+        classifyDenial(df("denial_reason")) === "retryable",
+      lit(false))
 
   /** Exclusion attribution = FIRST failing rule in the reference's order
     * (claim_pipeline.py:203-210; SURVEY §2.3 S8): not-denied →

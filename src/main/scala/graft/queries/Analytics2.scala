@@ -145,6 +145,20 @@ object Analytics2 {
           least(col("o_custkey") % 10, col("o_orderkey") % 7).as("least_mod"))
         .orderBy("o_orderkey")),
 
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it (point-in-time lookup; merge-based operator, one shuffle).
+    "q28_asof_join" -> ((spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asofBackward(
+          purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+          rightTiebreak = Some("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Sliding event-time windows (1h window, 30min slide — each event lands
     // in two windows).
     "q27_sliding_windows" -> ((spark, dir) =>
@@ -236,6 +250,14 @@ object Analytics2 {
         |  greatest(o_totalprice, 50000.0) AS floored,
         |  least(o_custkey % 10, o_orderkey % 7) AS least_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q28_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  c.event_id AS asof_click_id, c.ts AS asof_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q27_sliding_windows" ->
       """SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (

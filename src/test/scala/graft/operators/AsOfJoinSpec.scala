@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("asofBackward: inclusive <=, deterministic ties, nulls when no match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(0)),  // before any click → null
+      (2L, "u1", ts(3)),  // tie at t=3 → inclusive, highest tiebreak (11)
+      (3L, "u1", ts(5)),  // latest click <= 5 is t=3 → 11
+      (4L, "u1", ts(8)),  // latest click <= 8 is t=7 → 12
+      (5L, "u2", ts(9)),  // user with no clicks at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, "u1", ts(1)),
+      (10L, "u1", ts(3)),
+      (11L, "u1", ts(3)),
+      (12L, "u1", ts(7)),
+    ).toDF("click_id", "user_id", "ts")
+
+    val out = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), rightTiebreak = Some("click_id"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+
+    assert(out === Array(
+      (1L, None), (2L, Some(11L)), (3L, Some(11L)), (4L, Some(12L)),
+      (5L, None)))
+  }
+}
