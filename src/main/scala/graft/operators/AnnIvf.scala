@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVF-style approximate nearest neighbor: partition the corpus into
+  * centroid-owned inverted lists, then search only the probe's nProbe
+  * nearest lists — the second scale path next to [[AnnLsh]] (hyperplane
+  * buckets). IVF trades a build-time corpus×k assignment scan for
+  * query-time candidate lists ~nProbe/k of the corpus.
+  *
+  * Centroids are a deterministic pseudo-random sample (smallest
+  * xxhash64(id)) rather than Lloyd-iterated k-means: assignment, inverted
+  * lists, and multi-probe — the parts that matter for the distributed
+  * shape — are identical, and determinism keeps results reproducible
+  * across runs and partitionings. A k-means refinement would slot in as a
+  * loop over [[assign]] + centroid re-averaging on the same frames.
+  */
+object AnnIvf {
+
+  /** nCentroids deterministic sample rows: (centroid_id, c_emb). */
+  def centroids(vecs: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int): DataFrame =
+    vecs.select(col(idCol).as("centroid_id"), col(embCol).as("c_emb"),
+        xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(nCentroids).drop("_h")
+
+  /** Assign every vector to its `nearest` centroids by cosine (nearest=1
+    * builds the inverted lists; nearest=nProbe routes probes).
+    * Corpus ⨯ broadcast(centroids) — linear in rows×k, no shuffle of the
+    * corpus beyond the ranking window.
+    */
+  def assign(vecs: DataFrame, cent: DataFrame, idCol: String, embCol: String,
+      nearest: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_c_cos").desc, col("centroid_id"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("_c_cos", VectorOps.cosine(col(embCol), col("c_emb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nearest)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Top-k neighbors per probe over the nProbe nearest inverted lists. */
+  def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cent = centroids(vecs, idCol, embCol, nCentroids)
+    val lists = assign(vecs, cent, idCol, embCol, nearest = 1)
+      .withColumnRenamed(idCol, "cand_id")
+      .join(vecs.select(col(idCol).as("cand_id"), col(embCol).as("c_vec")),
+        "cand_id")
+    val routed = assign(probes, cent, idCol, embCol, nearest = nProbe)
+      .withColumnRenamed(idCol, "probe_id")
+      .join(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_vec")),
+        "probe_id")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    routed.join(lists, Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(VectorOps.cosine(col("p_vec"), col("c_vec")), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -150,6 +150,16 @@ object TextOps {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF ANN: inverted-list search over deterministic centroids — the
+    // second scale path (vs s2's hyperplane buckets). Rows-only; recall
+    // property unit-tested.
+    "s3_ann_ivf" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      graft.operators.AnnIvf.topK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Multimodal decode: binary payloads → typed metadata + histogram
     // features via partition-batched stub codec. Rows-only (mapPartitions
     // codec is not SQL-expressible); determinism unit-tested.
@@ -230,6 +240,29 @@ object TextOps {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
+
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation as separate tokens (the pre-tokenizer shape BPE uses),
+    // vs plain whitespace tokens.
+    "t5_regex_tokens" -> ((spark, dir) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("bpe_tokens"),
+          size(array_distinct(regexp_extract_all(col("text"), lit(pat), lit(0))))
+            .as("bpe_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash fingerprint via the custom codegen'd KarpRabin
+    // expression — oracle replicates the byte fold with list_reduce.
+    "t6_kr_fingerprint" -> ((spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.krFingerprint(col("text")).as("kr"))
+        .orderBy("doc_id")),
 
     // Document fingerprint: content hash over the sorted distinct-token set
     // (whitespace/order-insensitive near-identity).
@@ -341,6 +374,22 @@ object TextOps {
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "t5_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS bpe_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ASCII corpus: byte fold == codepoint fold, so list_reduce over
+    // ascii() reproduces the KarpRabin UTF-8 byte fold exactly.
+    "t6_kr_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 256 + b) % 2147483647) AS kr
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

@@ -56,6 +56,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"planted-duplicate recall too low: $recall")
   }
 
+  test("ANN-IVF: planted near-duplicates found; deterministic across runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 20).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    val dups = bases.map { case (id, v) =>
+      (id + 100, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val vecs = (bases ++ dups).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 20)
+    def run() = AnnIvf.topK(vecs, probes, "vec_id", "embedding",
+        k = 1, nCentroids = 8, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top = run()
+    val recall = (0 until 20).count(i =>
+      top.get(i.toLong).contains(i + 100L)) / 20.0
+    assert(recall >= 0.8, s"planted-duplicate recall too low: $recall")
+    assert(run() === top)
+  }
+
   test("ANN-LSH bucketize is deterministic and stable across repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
