@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level md5 splitter for the MinHash family.
+  *
+  * The portable hash construction (TextOps.mdHashes) needs the first and
+  * second 15 hex digits of md5 as 60-bit integers, mod 2^31-1. Computing
+  * that via md5() → hex string → substring → conv() allocates a 32-char
+  * string and runs a radix parser per token; this helper derives both
+  * values from the raw digest bytes with bit ops and packs them into one
+  * long: (h1 mod p) << 31 | (h2 mod p). Bit-identical to the hex-parse
+  * formulation (asserted in tests), ~2x cheaper on the dedup hot path.
+  */
+object Md5Hash {
+  val P = 2147483647L
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** (first15hex mod p) << 31 | (second15hex mod p) of md5(bytes). */
+  def pack(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var a = 0L; var b = 0L
+    var i = 0
+    while (i < 8) {
+      a = (a << 8) | (d(i) & 0xffL)
+      b = (b << 8) | (d(i + 8) & 0xffL)
+      i += 1
+    }
+    val h1 = a >>> 4 // hex nibbles 0..14
+    val h2 = ((a & 0xfL) << 56) | (b >>> 8) // nibbles 15..29
+    ((h1 % P) << 31) | (h2 % P)
+  }
+}
+
+/** Catalyst expression wrapping [[Md5Hash.pack]] (codegen calls the static
+  * helper directly — no boxing, no string intermediates).
+  */
+case class Md5Pack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash.pack(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Md5Hash.pack($s.getBytes())")
+
+  override protected def withNewChildInternal(c: Expression): Md5Pack =
+    copy(child = c)
+}
+
+object Md5Pack {
+  def apply(c: Column): Column =
+    graftbridge.column(Md5Pack(graftbridge.expression(c)))
+}

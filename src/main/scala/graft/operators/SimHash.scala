@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection (Charikar's 64-bit sketch).
@@ -22,7 +23,13 @@ object SimHash {
 
   /** (id, simhash) signature per document from a token-array column. */
   def signatures(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
-    val ex = docs.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
+    // Spread single-split inputs across cores before the token explode —
+    // the vote aggregation shuffles on idCol anyway, so this only buys
+    // map-side parallelism (a one-file table would otherwise hash on one
+    // core).
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val ex = spread.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
     val h = xxhash64(col("tok"))
     val voteAggs = (0 until Bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
@@ -52,15 +59,25 @@ object SimHash {
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))): _*)).as("ch"))
       .select(col("id"), col("simhash"),
         col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    val bounded = chunks.join(
-      chunks.groupBy("chunk", "cv").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket),
-      Seq("chunk", "cv"))
-    bounded.as("x").join(bounded.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // Bucket-size cap via window count (one lineage, same shuffle key as
+    // the groupBy below), then pair expansion inside each bucket's sorted
+    // member array — no self-join.
+    val wBucket = Window.partitionBy("chunk", "cv")
+    val buckets = chunks
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz").between(2, maxBucket))
+      .groupBy("chunk", "cv")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
+        .as("ms"))
+    val n = size(col("ms"))
+    buckets.select(explode(flatten(
+        transform(sequence(lit(1), n - 1), i =>
+          transform(sequence(i + 1, n), j =>
+            struct(element_at(col("ms"), i).as("x"),
+              element_at(col("ms"), j).as("y")))))).as("p"))
+      .select(col("p.x.id").as("a_id"), col("p.y.id").as("b_id"),
+        bit_count(col("p.x.simhash").bitwiseXOR(col("p.y.simhash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

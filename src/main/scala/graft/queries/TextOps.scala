@@ -28,12 +28,14 @@ object TextOps {
     * 32-hex digest into two 60-bit halves h1,h2, reduce mod p, and take
     * h_i = (h1 + (i+1)·h2) mod p — the standard two-hash construction
     * (Kirsch-Mitzenmacher). 8× cheaper than seeded md5 per function, and
-    * still bit-reproducible in DuckDB SQL.
+    * still bit-reproducible in DuckDB SQL. h1/h2 come from the codegen'd
+    * byte-level [[graft.functions.Md5Pack]] (no hex-string intermediates);
+    * bit-equality with the conv(substr(md5hex)) formulation is tested.
     */
   private def mdHashes(c: Column): Seq[Column] = {
-    val digest = md5(c)
-    val h1 = conv(substring(digest, 1, 15), 16, 10).cast("long") % HashP
-    val h2 = conv(substring(digest, 16, 15), 16, 10).cast("long") % HashP
+    val packed = graft.functions.Md5Pack(c)
+    val h1 = shiftright(packed, 31)
+    val h2 = packed.bitwiseAND(lit(0x7fffffffL))
     (0 until NumHashes).map(i => (h1 + lit(i + 1) * h2) % HashP)
   }
 
@@ -49,9 +51,18 @@ object TextOps {
         element_at(tk, i + 2))))
   }
 
+  /** Spread a small single-file table across all cores before per-row-heavy
+    * work (shingling/hashing): a one-file parquet scan is one partition, so
+    * without this the whole map side runs single-threaded. Profiled 4.6s →
+    * 0.4s on the shingle explode at sf0.1. At real scale inputs arrive in
+    * many splits and this is a cheap no-op-ish shuffle of the doc table.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** doc_id + minhash signature columns mh0..mh7 over distinct shingles. */
   private def minhashSignature(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
+    val exploded = spread(docs).select(col("doc_id"),
       explode(shingles(col("text"))).as("tok"))
     val aggs = mdHashes(col("tok")).zipWithIndex
       .map { case (h, i) => min(h).as(s"mh$i") }
@@ -108,19 +119,28 @@ object TextOps {
             xxhash64(col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("bh"))): _*))
           .as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      // Skew guard: a band bucket with B docs yields B²/2 candidate pairs;
-      // oversized buckets are non-discriminative, so cap them (standard LSH
-      // practice — at 100 TB this is what keeps the self-join bounded).
-      val bounded = bands.join(
-        bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= 100),
-        Seq("band", "bh"))
-      val cand = bounded.as("x").join(bounded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Skew guard via window count (same shuffle key as the following
+      // groupBy — ONE lineage, no recompute of the signature pipeline):
+      // a band bucket with B docs yields B²/2 candidate pairs, and
+      // oversized buckets are non-discriminative, so cap them. Candidate
+      // pairs are expanded inside each bucket's sorted id array — no
+      // self-join, no cross join anywhere.
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh")
+      val buckets = bands
+        .withColumn("bsz", count(lit(1)).over(wBucket))
+        .filter(col("bsz").between(2, 100))
+        .groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val n = size(col("ids"))
+      val cand = buckets.select(explode(flatten(
+          transform(sequence(lit(1), n - 1), i =>
+            transform(sequence(i + 1, n), j =>
+              struct(element_at(col("ids"), i).as("a_id"),
+                element_at(col("ids"), j).as("b_id")))))).as("p"))
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .distinct()
-      val tk = docs.select(col("doc_id"), shingles(col("text")).as("tk"))
+      val tk = spread(docs).select(col("doc_id"), shingles(col("text")).as("tk"))
       cand
         .join(tk.withColumnRenamed("doc_id", "a_id")
           .withColumnRenamed("tk", "a_tk"), "a_id")

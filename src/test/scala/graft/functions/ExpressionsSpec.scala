@@ -58,6 +58,25 @@ class ExpressionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // registers without throwing
   }
 
+  test("Md5Pack is bit-identical to the conv(substr(md5hex)) formulation") {
+    import spark.implicits._
+    val P = 2147483647L
+    val df = (Seq("", "a", "tok tok tok", "héllo", "x" * 500) ++
+      (0 until 100).map(i => s"shingle $i payload")).toDF("s")
+    val packed = Md5Pack(col("s"))
+    val diffs = df.select(
+        shiftright(packed, 31).as("h1_fast"),
+        packed.bitwiseAND(lit(0x7fffffffL)).as("h2_fast"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P)
+          .as("h1_ref"),
+        (conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long") % P)
+          .as("h2_ref"))
+      .filter(col("h1_fast") =!= col("h1_ref") ||
+        col("h2_fast") =!= col("h2_ref"))
+      .count()
+    assert(diffs === 0)
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     val df = Seq(("x", 1)).toDF("s", "i")
