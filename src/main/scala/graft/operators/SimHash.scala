@@ -21,7 +21,11 @@ object SimHash {
   private val ChunkBits = 16
   private val NumChunks = Bits / ChunkBits
 
-  /** (id, simhash) signature per document from a token-array column. */
+  /** (id, simhash) signature per document from a token-array column —
+    * votes folded by the custom [[graft.functions.SimHashAgg]] imperative
+    * aggregate (map-side combinable; one JVM loop per row instead of 64
+    * CASE aggregates).
+    */
   def signatures(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
     // Spread single-split inputs across cores before the token explode —
     // the vote aggregation shuffles on idCol anyway, so this only buys
@@ -30,6 +34,16 @@ object SimHash {
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
     val ex = spread.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
+    ex.groupBy(idCol)
+      .agg(graft.functions.SimHashAgg(xxhash64(col("tok"))).as("simhash"))
+  }
+
+  /** Declarative reference formulation (64 sum(CASE) aggregates) — kept as
+    * the semantics oracle for [[signatures]] in tests.
+    */
+  def signaturesDeclarative(docs: DataFrame, idCol: String,
+      tokens: Column): DataFrame = {
+    val ex = docs.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
     val h = xxhash64(col("tok"))
     val voteAggs = (0 until Bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")

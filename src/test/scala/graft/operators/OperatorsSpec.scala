@@ -36,6 +36,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("SimHashAgg imperative aggregate equals the declarative formulation") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val fast = SimHash.signatures(docs, "doc_id", split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = SimHash.signaturesDeclarative(docs, "doc_id", split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === ref)
+    assert(fast.size === 500)
+  }
+
   test("ANN-LSH: planted near-duplicates are found as top-1 neighbors") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
