@@ -148,6 +148,24 @@ object GraftFunctions {
   def krFingerprint(c: Column): Column =
     graftbridge.column(KarpRabin(graftbridge.expression(c)))
 
+  /** Spark's internal runtime-filter bloom machinery, surfaced as user
+    * columns: build a bloom filter over xxhash64 values of the build side
+    * (binary sketch, mergeable partial agg) and probe it on the stream
+    * side — the semi-join reduction pattern: a cheap prefilter drops most
+    * non-matching rows before the exact join (bloom false positives are
+    * then removed by the join, so results stay exact).
+    */
+  def bloomAgg(hash: Column, expectedItems: Long = 100000L): Column =
+    graftbridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(graftbridge.expression(hash), expectedItems)
+        .toAggregateExpression())
+
+  def mightContain(bloom: Column, hash: Column): Column =
+    graftbridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        graftbridge.expression(bloom), graftbridge.expression(hash)))
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
     "kr_fingerprint" -> (exprs => KarpRabin(exprs.head)),

@@ -145,6 +145,38 @@ object Analytics2 {
           least(col("o_custkey") % 10, col("o_orderkey") % 7).as("least_mod"))
         .orderBy("o_orderkey")),
 
+    // Bloom semi-join reduction: build a bloom over the (filtered) build
+    // side's keys, prefilter the probe scan with might_contain, then the
+    // exact semi join removes false positives — result is exact, but at
+    // scale the probe side is filtered before it ever reaches the shuffle.
+    "q29_bloom_semi" -> ((spark, dir) => {
+      import graft.functions.GraftFunctions.{bloomAgg, mightContain}
+      val o = t(spark, dir, "orders").filter(col("o_totalprice") > 250000)
+      val c = t(spark, dir, "customer")
+      // might_contain requires a constant/scalar-subquery bloom: collect
+      // the sketch (bounded size — it's what a broadcast runtime filter
+      // ships anyway) and inline it as a binary literal.
+      val bf = o.agg(bloomAgg(xxhash64(col("o_custkey"))).as("bf"))
+        .first().getAs[Array[Byte]]("bf")
+      val pre = c
+        .filter(mightContain(lit(bf), xxhash64(col("c_custkey"))))
+        .select("c_custkey", "c_name")
+      pre.join(o, pre("c_custkey") === o("o_custkey"), "left_semi")
+        .orderBy("c_custkey")
+    }),
+
+    // Window dedup: latest event per user (the keep-newest pattern that
+    // replaces dropDuplicates when "which duplicate" matters).
+    "q30_latest_event" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    }),
+
     // As-of join: each purchase matched to the user's latest click at or
     // before it (point-in-time lookup; merge-based operator, one shuffle).
     "q28_asof_join" -> ((spark, dir) => {
@@ -250,6 +282,20 @@ object Analytics2 {
         |  greatest(o_totalprice, 50000.0) AS floored,
         |  least(o_custkey % 10, o_orderkey % 7) AS least_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q29_bloom_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q30_latest_event" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q28_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
