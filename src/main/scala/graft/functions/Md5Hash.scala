@@ -50,6 +50,7 @@ object Md5Hash {
 case class Md5Pack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_pack"
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

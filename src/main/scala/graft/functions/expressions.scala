@@ -30,6 +30,9 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Deterministic pure function → ConstantFolding may evaluate literal
+  // inputs at plan time.
+  override def foldable: Boolean = left.foldable && right.foldable
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -101,6 +104,7 @@ case class KarpRabin(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "kr_fingerprint"
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -191,6 +191,25 @@ object Analytics2 {
         .orderBy("event_id")
     }),
 
+    // Bounded top-k per key via the custom TopKAgg aggregate: ships at
+    // most k rows per (group, map partition) into the shuffle, unlike the
+    // window+filter pattern which shuffles and sorts every row (q6 shows
+    // that formulation; both are checked against the same oracle shape).
+    "q31_topk_per_key" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val s = struct(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      li.groupBy("l_suppkey")
+        .agg(graft.functions.TopKAgg(s, 3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("r.l_shipdate").as("l_shipdate"),
+          col("r.l_orderkey").as("l_orderkey"),
+          col("r.l_linenumber").as("l_linenumber"),
+          col("r.l_quantity").as("l_quantity"))
+        .orderBy("l_suppkey", "rank")
+    }),
+
     // Sliding event-time windows (1h window, 30min slide — each event lands
     // in two windows).
     "q27_sliding_windows" -> ((spark, dir) =>
@@ -304,6 +323,16 @@ object Analytics2 {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q31_topk_per_key" ->
+      """SELECT l_suppkey, CAST(rn AS INTEGER) AS rank,
+        |  l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |FROM (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rank""".stripMargin,
 
     "q27_sliding_windows" ->
       """SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (

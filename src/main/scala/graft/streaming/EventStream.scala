@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape — the
@@ -11,6 +12,12 @@ import org.apache.spark.sql.types._
   * same transform functions serve both batch DataFrames and streams
   * (unifying the two is the idiomatic Spark pattern).
   */
+final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, value: Double)
+
+final case class UserRunningTotal(user_id: Long, total_events: Long,
+    total_value: Double, batches_seen: Int)
+
 object EventStream {
 
   /** Raw file schema: ts arrives as TIMESTAMP(NANOS) parquet, which Spark 4
@@ -48,6 +55,44 @@ object EventStream {
           .as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Running per-user counters with custom state (flatMapGroupsWithState):
+    * emits an updated (user_id, total_events, total_value, batches_seen)
+    * row per user per trigger. The state survives across micro-batches —
+    * the arbitrary-state tier below windowed/session aggregation, for
+    * logic the built-in aggregates can't express (here: batch arrival
+    * counting; in production: ML feature decay, CDC upserts, rule engines).
+    */
+  def runningUserTotals(events: Dataset[UserEvent])
+      : Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningTotal, UserRunningTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent],
+            state: GroupState[UserRunningTotal]) =>
+          val evs = batch.toSeq
+          val prev = state.getOption
+            .getOrElse(UserRunningTotal(userId, 0L, 0.0, 0))
+          val next = UserRunningTotal(
+            userId,
+            prev.total_events + evs.size,
+            prev.total_value + evs.map(_.value).sum,
+            prev.batches_seen + 1)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * state (the seen-id set) is bounded by the watermark, the standard
+    * at-least-once → effectively-once repair step.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
 
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.

@@ -77,6 +77,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diffs === 0)
   }
 
+  test("TopKAgg equals the window top-k and survives repartitioned partial merges") {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.queries.Tables
+      .t(spark, "/root/testdata/sf0.001", "lineitem")
+    val s = struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_suppkey").agg(TopKAgg(s, 3).as("top"))
+      .select(col("l_suppkey"), explode(col("top")).as("r"))
+      .select(col("l_suppkey"), col("r.l_orderkey"), col("r.l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+    val viaWindow = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg(li) === viaWindow)
+    // Forced multi-partition input exercises serialize/merge of partials.
+    assert(viaAgg(li.repartition(13)) === viaWindow)
+  }
+
+  test("custom expressions constant-fold under the optimizer") {
+    val df = spark.range(1)
+      .select(GraftFunctions.krFingerprint(lit("abc")).as("kr"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("6382179"),
+      s"kr_fingerprint(lit) not folded:\n$optimized")
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     val df = Seq(("x", 1)).toDF("s", "i")

@@ -62,6 +62,45 @@ class EventStreamSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 1L), (1L, 2L), (2L, 2L)))
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[UserEvent](spark)
+    val q = EventStream.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    try {
+      input.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 7, 1.5),
+        UserEvent(2, ts("2024-01-01 00:01:00"), 7, 2.5))
+      q.processAllAvailable()
+      input.addData(UserEvent(3, ts("2024-01-01 00:02:00"), 7, 4.0),
+        UserEvent(4, ts("2024-01-01 00:03:00"), 9, 10.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("running")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      // user 7: batch 1 state (2 events, 4.0), then batch 2 state carries on
+      // (3 events, 8.0, 2 batches); user 9 appears only in batch 2.
+      assert(rows === Set((7L, 2L, 4.0, 1), (7L, 3L, 8.0, 2), (9L, 1L, 10.0, 1)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      input.addData(batch.take(3): _*) // replay
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === batch.size)
+    } finally q.stop()
+  }
+
   test("file-based streaming read of the harness events table works end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
