@@ -153,12 +153,15 @@ object TextOps {
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash near-dup pairs (Charikar sketch + 16-bit chunk banding).
-    // No SQL oracle (xxhash64 bit votes); rows-only + unit-tested semantics.
+    // SimHash near-dup pairs (Charikar sketch + 16-bit chunk banding) over
+    // 3-word shingles — unigram features degenerate on a small shared
+    // vocabulary (every signature lands within a few bits of every other;
+    // measured 1.2M "near-dup" pairs at sf0.1). No SQL oracle (xxhash64
+    // bit votes); rows-only + unit-tested semantics.
     "d5_simhash_pairs" -> ((spark, dir) =>
       graft.operators.SimHash.nearDuplicates(
           t(spark, dir, "documents"), "doc_id",
-          split(col("text"), " "), maxHamming = 16)
+          shingles(col("text")), maxHamming = 8)
         .orderBy("a_id", "b_id")),
 
     // ANN via random-hyperplane LSH buckets — the scale path that replaces
