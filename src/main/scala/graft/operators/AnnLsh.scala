@@ -47,20 +47,31 @@ object AnnLsh {
         .otherwise(0L)).as("bucket"))
   }
 
-  /** Top-k neighbors per probe, searching only the probe's LSH bucket.
+  /** Top-k neighbors per probe, searching the probe's LSH bucket plus all
+    * buckets within `probeBits` sign flips (multi-probe LSH: each flipped
+    * hyperplane is a neighboring region a true neighbor may have landed
+    * in — recall multiplies at the cost of probeBits× more candidate
+    * lists, still an equi-join on bucket codes, never a scan).
     *
     * @param probes subset of `vecs` rows to query (must share idCol/embCol)
     */
   def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
-      k: Int = 5, numPlanes: Int = 6): DataFrame = {
+      k: Int = 5, numPlanes: Int = 6, probeBits: Int = 1): DataFrame = {
     val buckets = bucketize(vecs, idCol, embCol, numPlanes)
     val withB = vecs.join(buckets, idCol)
     val cand = withB.select(col(idCol).as("cand_id"),
       col(embCol).as("c_emb"), col("bucket"))
+    val neighborCodes: Seq[org.apache.spark.sql.Column] =
+      if (probeBits >= 1)
+        col("bucket") +: (0 until numPlanes)
+          .map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      else Seq(col("bucket"))
     val prob = probes.join(buckets, idCol)
-      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("bucket"))
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        explode(array(neighborCodes: _*)).as("search_bucket"))
     val scored = prob.join(cand,
-        prob("bucket") === cand("bucket") && col("probe_id") =!= col("cand_id"))
+        col("search_bucket") === cand("bucket") &&
+          col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(VectorOps.cosine(col("p_emb"), col("c_emb")), 6).as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))

@@ -183,6 +183,26 @@ object TextOps {
         .orderBy("probe_id", "rank")
     }),
 
+    // ANN self-evaluation: recall@5 of the LSH and IVF scale paths against
+    // the exact brute-force ranking — the quality metric that justifies
+    // the approximate paths. One row: (method, hits, possible, recall).
+    "s4_ann_recall" -> ((spark, dir) => {
+      val exact = queries("s1_cosine_topk")(spark, dir)
+        .select(col("probe_id"), col("cand_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame = {
+        val hits = approx.select(col("probe_id"), col("cand_id"))
+          .intersect(exact)
+        approx.agg(count(lit(1)).as("possible"))
+          .crossJoin(hits.agg(count(lit(1)).as("hits")))
+          .select(lit(method).as("method"), col("hits"),
+            lit(50L).as("exact_pairs"),
+            (col("hits") / lit(50.0)).as("recall"))
+      }
+      recallOf("lsh", queries("s2_ann_lsh")(spark, dir))
+        .unionByName(recallOf("ivf", queries("s3_ann_ivf")(spark, dir)))
+        .orderBy("method")
+    }),
+
     // Multimodal decode: binary payloads → typed metadata + histogram
     // features via partition-batched stub codec. Rows-only (mapPartitions
     // codec is not SQL-expressible); determinism unit-tested.
