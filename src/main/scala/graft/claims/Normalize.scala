@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  /** Whitespace set matching Python `str.strip()` for ASCII inputs. */
-  private val Whitespace = " \t\n\r\f"
+  /** Whitespace set matching Python `str.strip()` for Latin-1 inputs:
+    * ASCII whitespace incl. vertical tab, the C1 separators FS/GS/RS/US,
+    * NEL and NBSP (all isspace() in Python). Unicode space codepoints
+    * beyond Latin-1 are a documented divergence.
+    */
+  private val Whitespace =
+    " \t\n\r\f\u000b\u001c\u001d\u001e\u001f\u0085\u00a0"
 
   /** null→null; strip; empty-after-strip→null (reference `remove_whitespaces`,
     * claim_pipeline.py:60-65). `btrim` with an explicit trim-set (codegen'd)

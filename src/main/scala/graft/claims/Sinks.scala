@@ -18,13 +18,19 @@ object Sinks {
   /** Max rows the pretty sink will collect to the driver. */
   val DriverCollectGuard: Int = 1000000
 
+  /** Python json.dump escape semantics (the byte-parity contract): the
+    * shorthand escapes incl. \b and \f, and ensure_ascii=True — every
+    * non-ASCII UTF-16 code unit (incl. each surrogate half) as \uXXXX.
+    */
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
 

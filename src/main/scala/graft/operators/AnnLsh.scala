@@ -35,7 +35,12 @@ object AnnLsh {
   def bucketize(vecs: DataFrame, idCol: String, embCol: String,
       numPlanes: Int): DataFrame = {
     val spark = vecs.sparkSession
-    val dim = vecs.select(size(col(embCol))).first().getInt(0)
+    // Dimensionality sniff: one tiny job; empty corpus → empty result
+    // rather than NoSuchElementException.
+    val head = vecs.select(size(col(embCol)).as("d")).head(1)
+    if (head.isEmpty)
+      return vecs.select(col(idCol), lit(0L).as("bucket")).limit(0)
+    val dim = head(0).getInt(0)
     val comp = vecs.select(col(idCol),
       posexplode(VectorOps.toDouble(col(embCol))).as(Seq("pos", "x")))
     comp.join(broadcast(planes(spark, numPlanes, dim)), "pos")
@@ -47,22 +52,23 @@ object AnnLsh {
         .otherwise(0L)).as("bucket"))
   }
 
-  /** Top-k neighbors per probe, searching the probe's LSH bucket plus all
-    * buckets within `probeBits` sign flips (multi-probe LSH: each flipped
-    * hyperplane is a neighboring region a true neighbor may have landed
-    * in — recall multiplies at the cost of probeBits× more candidate
-    * lists, still an equi-join on bucket codes, never a scan).
+  /** Top-k neighbors per probe, searching the probe's LSH bucket plus
+    * (when multiProbe) all buckets one sign flip away (multi-probe LSH:
+    * each flipped hyperplane is a neighboring region a true neighbor may
+    * have landed in — recall multiplies at the cost of numPlanes+1
+    * candidate lists per probe, still an equi-join on bucket codes, never
+    * a scan).
     *
     * @param probes subset of `vecs` rows to query (must share idCol/embCol)
     */
   def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
-      k: Int = 5, numPlanes: Int = 6, probeBits: Int = 1): DataFrame = {
+      k: Int = 5, numPlanes: Int = 6, multiProbe: Boolean = true): DataFrame = {
     val buckets = bucketize(vecs, idCol, embCol, numPlanes)
     val withB = vecs.join(buckets, idCol)
     val cand = withB.select(col(idCol).as("cand_id"),
       col(embCol).as("c_emb"), col("bucket"))
     val neighborCodes: Seq[org.apache.spark.sql.Column] =
-      if (probeBits >= 1)
+      if (multiProbe)
         col("bucket") +: (0 until numPlanes)
           .map(i => col("bucket").bitwiseXOR(lit(1L << i)))
       else Seq(col("bucket"))

@@ -73,24 +73,10 @@ object SimHash {
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))): _*)).as("ch"))
       .select(col("id"), col("simhash"),
         col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    // Bucket-size cap via window count (one lineage, same shuffle key as
-    // the groupBy below), then pair expansion inside each bucket's sorted
-    // member array — no self-join.
-    val wBucket = Window.partitionBy("chunk", "cv")
-    val buckets = chunks
-      .withColumn("bsz", count(lit(1)).over(wBucket))
-      .filter(col("bsz").between(2, maxBucket))
-      .groupBy("chunk", "cv")
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
-        .as("ms"))
-    val n = size(col("ms"))
-    buckets.select(explode(flatten(
-        transform(sequence(lit(1), n - 1), i =>
-          transform(sequence(i + 1, n), j =>
-            struct(element_at(col("ms"), i).as("x"),
-              element_at(col("ms"), j).as("y")))))).as("p"))
-      .select(col("p.x.id").as("a_id"), col("p.y.id").as("b_id"),
-        bit_count(col("p.x.simhash").bitwiseXOR(col("p.y.simhash")))
+    BucketedPairs.pairs(chunks, Seq("chunk", "cv"),
+        struct(col("id"), col("simhash")), maxBucket)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

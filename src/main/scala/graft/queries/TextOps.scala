@@ -44,11 +44,17 @@ object TextOps {
     * quadratically — measured 100x slowdown at sf0.1); word 3-grams give
     * the diversity the sketch needs, at any corpus size.
     */
-  private def shingles(text: Column): Column = {
+  private[queries] def shingles(text: Column): Column = {
     val tk = split(text, " ")
-    array_distinct(transform(sequence(lit(1), size(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2))))
+    val n = size(tk)
+    // Guard: sequence(1, n-2) auto-DESCENDS when n < 3 and element_at then
+    // throws under ANSI — short docs must yield an empty shingle set (the
+    // DuckDB range() equivalent is naturally empty).
+    array_distinct(
+      when(n >= 3, transform(sequence(lit(1), n - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Spread a small single-file table across all cores before per-row-heavy
@@ -119,26 +125,12 @@ object TextOps {
             xxhash64(col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("bh"))): _*))
           .as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      // Skew guard via window count (same shuffle key as the following
-      // groupBy — ONE lineage, no recompute of the signature pipeline):
-      // a band bucket with B docs yields B²/2 candidate pairs, and
-      // oversized buckets are non-discriminative, so cap them. Candidate
-      // pairs are expanded inside each bucket's sorted id array — no
-      // self-join, no cross join anywhere.
-      val wBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bh")
-      val buckets = bands
-        .withColumn("bsz", count(lit(1)).over(wBucket))
-        .filter(col("bsz").between(2, 100))
-        .groupBy("band", "bh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      val n = size(col("ids"))
-      val cand = buckets.select(explode(flatten(
-          transform(sequence(lit(1), n - 1), i =>
-            transform(sequence(i + 1, n), j =>
-              struct(element_at(col("ids"), i).as("a_id"),
-                element_at(col("ids"), j).as("b_id")))))).as("p"))
-        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      // Skew guard + pair expansion via the shared BucketedPairs helper:
+      // capped band buckets, pairs expanded inside each bucket's sorted id
+      // array — one lineage, no self-join, no cross join anywhere.
+      val cand = graft.operators.BucketedPairs
+        .pairs(bands, Seq("band", "bh"), col("doc_id"), maxBucket = 100)
+        .select(col("x").as("a_id"), col("y").as("b_id"))
         .distinct()
       val tk = spread(docs).select(col("doc_id"), shingles(col("text")).as("tk"))
       cand
@@ -192,11 +184,12 @@ object TextOps {
       def recallOf(method: String, approx: DataFrame): DataFrame = {
         val hits = approx.select(col("probe_id"), col("cand_id"))
           .intersect(exact)
-        approx.agg(count(lit(1)).as("possible"))
-          .crossJoin(hits.agg(count(lit(1)).as("hits")))
-          .select(lit(method).as("method"), col("hits"),
-            lit(50L).as("exact_pairs"),
-            (col("hits") / lit(50.0)).as("recall"))
+        // Denominator derived from the exact result, not hardcoded — stays
+        // correct if s1's k/probe set changes.
+        hits.agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
+          .select(lit(method).as("method"), col("hits"), col("exact_pairs"),
+            (col("hits") / col("exact_pairs")).as("recall"))
       }
       recallOf("lsh", queries("s2_ann_lsh")(spark, dir))
         .unionByName(recallOf("ivf", queries("s3_ann_ivf")(spark, dir)))

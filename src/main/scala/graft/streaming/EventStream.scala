@@ -87,12 +87,14 @@ object EventStream {
   }
 
   /** Streaming exact dedup on event_id within the watermark horizon —
-    * state (the seen-id set) is bounded by the watermark, the standard
+    * dropDuplicatesWithinWatermark is the variant whose seen-id state is
+    * actually purged as the watermark advances (plain dropDuplicates with
+    * only non-event-time keys grows state forever); the standard
     * at-least-once → effectively-once repair step.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
