@@ -210,6 +210,35 @@ object Analytics2 {
         .orderBy("l_suppkey", "rank")
     }),
 
+    // Relational division: customers ALL of whose orders are high-priority
+    // (1-URGENT or 2-HIGH) — the "for all" query shape, expressed as
+    // conditional-count equality (one aggregation, no anti-join chain).
+    "q32_relational_division" -> ((spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          count_if(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .as("n_high"))
+        .filter(col("n_orders") === col("n_high"))
+        .select("o_custkey", "n_orders")
+        .orderBy("o_custkey")),
+
+    // Analytic-window sweep: percent_rank / ntile / lead / lag in one pass
+    // over a single window definition.
+    "q33_window_ranks" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(spark, dir, "lineitem")
+        .filter(col("l_suppkey") === 1)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          percent_rank().over(w).as("pr"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("l_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("l_orderkey"), 1).over(w).as("next_key"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
     // Sliding event-time windows (1h window, 30min slide — each event lands
     // in two windows).
     "q27_sliding_windows" -> ((spark, dir) =>
@@ -333,6 +362,25 @@ object Analytics2 {
         |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+
+    "q32_relational_division" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) = count(*) FILTER
+        |  (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q33_window_ranks" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  percent_rank() OVER w AS pr,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(l_orderkey, 1) OVER w AS prev_key,
+        |  lead(l_orderkey, 1) OVER w AS next_key
+        |FROM lineitem
+        |WHERE l_suppkey = 1
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
     "q27_sliding_windows" ->
       """SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM (

@@ -54,6 +54,22 @@ class ClaimStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("normalized claims register as a temp view and answer SQL") {
+    val dir = Files.createTempDirectory("sqlview")
+    val p = dir.resolve("a.csv")
+    Files.write(p,
+      """claim_id,patient_id,procedure_code,denial_reason,submitted_at,status
+        |A1,P1,99213,Missing modifier,2025-07-01,denied
+        |A2,P2,99213,None,2025-07-01,approved
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Normalize.readAlpha(spark, p.toString).createOrReplaceTempView("claims")
+    val got = spark.sql(
+      """SELECT status, count(*) AS n, count(denial_reason) AS with_reason
+        |FROM claims GROUP BY status ORDER BY status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("approved", 1L, 0L), ("denied", 1L, 1L)))
+  }
+
   test("typed Dataset API round-trips claims and candidates") {
     val dir = Files.createTempDirectory("typed")
     val p = dir.resolve("a.csv")
