@@ -210,6 +210,20 @@ object Analytics2 {
         .orderBy("l_suppkey", "rank")
     }),
 
+    // Multiset (bag) set operators: EXCEPT ALL / INTERSECT ALL preserve
+    // duplicate cardinalities, unlike their DISTINCT cousins (q16/q17).
+    "q34_multiset_ops" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select("o_custkey")
+      urgent.exceptAll(low).withColumn("op", lit("except_all"))
+        .unionByName(
+          urgent.intersectAll(low).withColumn("op", lit("intersect_all")))
+        .orderBy("op", "o_custkey")
+    }),
+
     // Relational division: customers ALL of whose orders are high-priority
     // (1-URGENT or 2-HIGH) — the "for all" query shape, expressed as
     // conditional-count equality (one aggregation, no anti-join chain).
@@ -362,6 +376,18 @@ object Analytics2 {
         |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+
+    "q34_multiset_ops" ->
+      """SELECT o_custkey, 'except_all' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |UNION ALL
+        |SELECT o_custkey, 'intersect_all' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY op, o_custkey""".stripMargin,
 
     "q32_relational_division" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

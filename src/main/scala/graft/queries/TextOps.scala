@@ -300,6 +300,29 @@ object TextOps {
           graft.functions.GraftFunctions.krFingerprint(col("text")).as("kr"))
         .orderBy("doc_id")),
 
+    // TF-IDF: corpus document frequencies → per-doc top-5 terms by
+    // tf·ln(N/df), rounded for cross-engine FP parity, term tie-break.
+    "t7_tfidf" -> ((spark, dir) => {
+      val docs = spread(t(spark, dir, "documents"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df_, "term").crossJoin(n)
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+          col("term"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Document fingerprint: content hash over the sorted distinct-token set
     // (whitespace/order-insensitive near-identity).
     "t4_fingerprint" -> ((spark, dir) =>
@@ -426,6 +449,25 @@ object TextOps {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 256 + b) % 2147483647) AS kr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC,
+        |               tf.term) AS rnk
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,
