@@ -210,6 +210,22 @@ object Analytics2 {
         .orderBy("l_suppkey", "rank")
     }),
 
+    // Range join: clicks within the hour after each purchase — bucketed
+    // equi-join formulation (no nested loop; see operators.RangeJoin).
+    "q35_range_join" -> ((spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      graft.operators.RangeJoin
+        .rangeJoin(p, c, Seq("user_id"), "p_ts", "c_ts", 3600L)
+        .select("p_id", "c_id", "user_id", "p_ts", "c_ts")
+        .orderBy("p_id", "c_id")
+    }),
+
     // Multiset (bag) set operators: EXCEPT ALL / INTERSECT ALL preserve
     // duplicate cardinalities, unlike their DISTINCT cousins (q16/q17).
     "q34_multiset_ops" -> ((spark, dir) => {
@@ -376,6 +392,15 @@ object Analytics2 {
         |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+
+    "q35_range_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  p.ts AS p_ts, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL '1 hour'
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "q34_multiset_ops" ->
       """SELECT o_custkey, 'except_all' AS op FROM (

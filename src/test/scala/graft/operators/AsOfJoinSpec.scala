@@ -36,4 +36,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, None), (2L, Some(11L)), (3L, Some(11L)), (4L, Some(12L)),
       (5L, None)))
   }
+
+  test("rangeJoin: inclusive start, exclusive end, cross-bucket matches") {
+    import spark.implicits._
+    def m(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    val left = Seq((1L, "u1", m(10)), (2L, "u1", m(50)), (3L, "u2", m(0)))
+      .toDF("p_id", "user_id", "p_ts")
+    val right = Seq(
+      (100L, "u1", m(10)),     // equal ts → included (inclusive start)
+      (101L, "u1", m(35)),     // in left@10's window, next 30-min bucket
+      (102L, "u1", m(9, 59)),  // just before left@10 → excluded
+      (104L, "u1", m(55)),     // in left@50's window only (55 >= 10+30)
+      (103L, "u2", m(30)),     // exactly +window for left@0 → excluded
+    ).toDF("c_id", "user_id", "c_ts")
+    val out = RangeJoin.rangeJoin(left, right, Seq("user_id"),
+        "p_ts", "c_ts", windowSeconds = 1800)
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 100L), (1L, 101L), (2L, 104L)))
+  }
 }
