@@ -12,16 +12,10 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
-  /** Raw "alpha" EMR extract: CSV with header (reference emr_alpha.csv:1). */
-  val alphaRaw: StructType = StructType(Seq(
-    StructField("claim_id", StringType),
-    StructField("patient_id", StringType),
-    StructField("procedure_code", StringType),
-    StructField("denial_reason", StringType),
-    StructField("submitted_at", StringType),
-    StructField("status", StringType),
-    StructField("_corrupt_record", StringType),
-  ))
+  // Note: the alpha CSV has no declared schema here on purpose — it is
+  // read header-driven (all strings) and projected by name, mirroring
+  // csv.DictReader; a positional StructType would break column-order
+  // independence (SURVEY.md §1.2).
 
   /** Raw "beta" EMR extract: top-level JSON array (reference emr_beta.json). */
   val betaRaw: StructType = StructType(Seq(

@@ -43,7 +43,11 @@ object Sinks {
           if (r.isNullAt(i)) "null"
           else r.get(i) match {
             case s: String => "\"" + jsonEscape(s) + "\""
-            case other => other.toString
+            case n: java.lang.Number => n.toString
+            case b: java.lang.Boolean => b.toString
+            // Dates/timestamps/anything else: render as a JSON string —
+            // bare toString would be invalid JSON.
+            case other => "\"" + jsonEscape(other.toString) + "\""
           }
         s"""    "${jsonEscape(f.name)}": $v"""
       }

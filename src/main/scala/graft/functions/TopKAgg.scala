@@ -53,25 +53,32 @@ case class TopKAgg(
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty[InternalRow](heapOrd)
 
+  /** copyOnInsert: update() hands in a row backed by the scan's reusable
+    * buffer, so it must be copied — but only when it actually survives the
+    * heap test (copying up front would allocate once per input row; the
+    * whole point of the bounded heap is to avoid that). merge() rows are
+    * already owned.
+    */
   private def insert(buf: mutable.PriorityQueue[InternalRow],
-      row: InternalRow): Unit = {
-    if (buf.size < k) buf.enqueue(row)
+      row: InternalRow, copyOnInsert: Boolean): Unit = {
+    def owned = if (copyOnInsert) row.copy() else row
+    if (buf.size < k) buf.enqueue(owned)
     else if (ordering.compare(row, buf.head) > 0) {
       buf.dequeue()
-      buf.enqueue(row)
+      buf.enqueue(owned)
     }
   }
 
   override def update(buf: mutable.PriorityQueue[InternalRow],
       input: InternalRow): mutable.PriorityQueue[InternalRow] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow], copyOnInsert = true)
     buf
   }
 
   override def merge(b1: mutable.PriorityQueue[InternalRow],
       b2: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
-    b2.foreach(insert(b1, _))
+    b2.foreach(insert(b1, _, copyOnInsert = false))
     b1
   }
 

@@ -100,19 +100,22 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split a payload into n equal byte-range "frames" —
-    * pure Column expressions (binary substring), no decode needed. Output:
-    * one row per (media_id, frame_idx, frame_bytes).
+  /** Frame sampling: split a payload into n byte-range "frames" — pure
+    * Column expressions (binary substring), no decode needed. The last
+    * frame takes the division remainder so the frames exactly cover the
+    * payload. Output: one row per (media_id, frame_idx, frame_bytes).
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val frameLen = (col("n_bytes") / nFrames).cast("int")
+    val lastLen = (col("n_bytes") - frameLen * (nFrames - 1)).cast("int")
     media
       .select(col("media_id"), col("content"), col("n_bytes"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         col("content").substr(
           (col("frame_idx") * frameLen + 1).cast("int"),
-          greatest(frameLen, lit(1))).as("frame_bytes"))
+          when(col("frame_idx") === nFrames - 1, lastLen)
+            .otherwise(frameLen)).as("frame_bytes"))
   }
 
   /** End-to-end: documents → media table → decoded features, as a DataFrame

@@ -31,9 +31,21 @@ object AsOfJoin {
   ): DataFrame = {
     val rPayloadCols = (rightPayload :+ rightTime).distinct
     val lPayloadCols = left.columns.toSeq
+    rightTiebreak.foreach { tb =>
+      val dt = right.schema(tb).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+        s"rightTiebreak '$tb' must be numeric/timestamp for deterministic " +
+          s"ordering, got ${dt.catalogString}")
+    }
     val tiebreak: Column = rightTiebreak.map(col).getOrElse(lit(0))
 
-    val rSide = right.select(
+    // A right row with a null time has no defined position on the as-of
+    // axis; it must not become anyone's match (nulls sort first and
+    // last(ignoreNulls) would otherwise carry its payload forward).
+    val rightValid = right.filter(col(rightTime).isNotNull)
+
+    val rSide = rightValid.select(
       keys.map(col) ++ Seq(
         col(rightTime).cast("timestamp").as("_t"),
         lit(0).as("_side"),

@@ -170,8 +170,11 @@ object Analytics {
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
       val gapMin = 30L * 60
+      // Fractional epoch seconds (cast to double), matching DuckDB's
+      // epoch(ts): whole-second truncation would disagree with the oracle
+      // for any gap in (1800, 1801) seconds.
       val newSession =
-        when(col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+        when(col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
           > gapMin, 1).otherwise(0)
       t(spark, dir, "events")
         .withColumn("new_s", newSession)

@@ -179,8 +179,12 @@ object TextOps {
     // the exact brute-force ranking — the quality metric that justifies
     // the approximate paths. One row: (method, hits, possible, recall).
     "s4_ann_recall" -> ((spark, dir) => {
+      // Persisted: referenced by two intersects and the denominator agg —
+      // without it the full brute-force scan re-executes per reference.
+      // Tiny (probes × k rows); lives for the session.
       val exact = queries("s1_cosine_topk")(spark, dir)
         .select(col("probe_id"), col("cand_id"))
+        .persist()
       def recallOf(method: String, approx: DataFrame): DataFrame = {
         val hits = approx.select(col("probe_id"), col("cand_id"))
           .intersect(exact)
@@ -239,16 +243,25 @@ object TextOps {
         .orderBy("probe_id", "rank")
     }),
 
-    // Language scoring: stopword-hit ratio heuristic (n-gram-free language
-    // ID baseline; real corpora would extend the profile table).
+    // Language scoring: stopword-hit ratio + character-bigram profile hits
+    // (the n-gram language-ID heuristic; real corpora would swap in per-
+    // language bigram profile tables, the plumbing is identical).
     "t1_lang_profile" -> ((spark, dir) => {
       val tk = split(col("text"), " ")
+      val EnBigrams = Seq("th", "he", "in", "er", "an")
+      val bigramHits = EnBigrams
+        .map(b => (length(col("text")) -
+          length(replace(col("text"), lit(b), lit("")))) / 2)
+        .reduce(_ + _)
       t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(tk).as("n_tokens"),
-          size(filter(tk, x => x.isin(Stopwords: _*))).as("n_stop"))
+          size(filter(tk, x => x.isin(Stopwords: _*))).as("n_stop"),
+          bigramHits.cast("long").as("n_en_bigrams"))
         .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
-        .withColumn("pred_en", col("stop_ratio") >= 0.15)
+        .withColumn("bigram_rate", col("n_en_bigrams") / col("n_tokens"))
+        .withColumn("pred_en",
+          col("stop_ratio") >= 0.15 || col("bigram_rate") >= 1.0)
         .orderBy("doc_id")
     }),
 
@@ -407,12 +420,20 @@ object TextOps {
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "t1_lang_profile" ->
-      """SELECT doc_id, lang,
-        |  CAST(len(tk) AS INTEGER) AS n_tokens,
-        |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS INTEGER) AS n_stop,
-        |  len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) / len(tk) AS stop_ratio,
-        |  len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) / len(tk) >= 0.15 AS pred_en
-        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+      """SELECT doc_id, lang, n_tokens, n_stop, n_en_bigrams,
+        |  n_stop / n_tokens AS stop_ratio,
+        |  n_en_bigrams / n_tokens AS bigram_rate,
+        |  (n_stop / n_tokens >= 0.15 OR n_en_bigrams / n_tokens >= 1.0) AS pred_en
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(tk) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS INTEGER) AS n_stop,
+        |    CAST((length(text) - length(replace(text, 'th', ''))) / 2
+        |       + (length(text) - length(replace(text, 'he', ''))) / 2
+        |       + (length(text) - length(replace(text, 'in', ''))) / 2
+        |       + (length(text) - length(replace(text, 'er', ''))) / 2
+        |       + (length(text) - length(replace(text, 'an', ''))) / 2 AS BIGINT) AS n_en_bigrams
+        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
     "t2_quality_score" ->

@@ -23,6 +23,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, "u1", ts(3)),
       (11L, "u1", ts(3)),
       (12L, "u1", ts(7)),
+      (13L, "u2", null.asInstanceOf[Timestamp]), // null time: never a match
     ).toDF("click_id", "user_id", "ts")
 
     val out = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",

@@ -125,6 +125,14 @@ class OperatorsSpec extends AnyFunSuite {
     val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
       .select("n").distinct().collect().map(_.getLong(0)).toSeq
     assert(counts === Seq(4L))
+    // Frames exactly reassemble each payload (last frame takes remainder).
+    val reassembled = frames.orderBy("media_id", "frame_idx")
+      .groupBy("media_id")
+      .agg(sum(octet_length(col("frame_bytes"))).as("total"))
+    val mismatch = reassembled
+      .join(media.toDF().select(col("media_id"), col("n_bytes")), "media_id")
+      .filter(col("total") =!= col("n_bytes")).count()
+    assert(mismatch === 0)
 
     intercept[UnsupportedOperationException] {
       Multimodal.RealCodec.decode("image/png", Array[Byte](1, 2))
