@@ -210,6 +210,33 @@ object Analytics2 {
         .orderBy("l_suppkey", "rank")
     }),
 
+    // Array-function sweep over tokenized documents (slice, sort, contains,
+    // position, reverse — the collection-manipulation surface).
+    "q36_array_funcs" -> ((spark, dir) => {
+      val tk = split(col("text"), " ")
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          slice(tk, 1, 3).as("first3"),
+          reverse(slice(tk, 1, 3)).as("first3_rev"),
+          array_sort(array_distinct(slice(tk, 1, 5))).as("first5_sorted"),
+          array_contains(tk, "spark").as("has_spark"),
+          array_position(tk, "the").cast("long").as("first_the"),
+          element_at(tk, -1).as("last_token"))
+        .orderBy("doc_id")
+    }),
+
+    // Scalar + IN subqueries through the SQL layer.
+    "q37_scalar_subquery" -> ((spark, dir) => {
+      t(spark, dir, "orders").createOrReplaceTempView("orders_sq")
+      spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_sq
+          |WHERE o_totalprice > 0.98 * (SELECT max(o_totalprice) FROM orders_sq)
+          |  AND o_custkey IN (SELECT o_custkey FROM orders_sq
+          |                    GROUP BY o_custkey HAVING count(*) >= 5)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Range join: clicks within the hour after each purchase — bucketed
     // equi-join formulation (no nested loop; see operators.RangeJoin).
     "q35_range_join" -> ((spark, dir) => {
@@ -392,6 +419,25 @@ object Analytics2 {
         |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+
+    "q36_array_funcs" ->
+      """SELECT doc_id,
+        |  tk[1:3] AS first3,
+        |  list_reverse(tk[1:3]) AS first3_rev,
+        |  list_sort(list_distinct(tk[1:5])) AS first5_sorted,
+        |  list_contains(tk, 'spark') AS has_spark,
+        |  CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) AS first_the,
+        |  tk[-1] AS last_token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q37_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 0.98 * (SELECT max(o_totalprice) FROM orders)
+        |  AND o_custkey IN (SELECT o_custkey FROM orders
+        |                    GROUP BY o_custkey HAVING count(*) >= 5)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q35_range_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
