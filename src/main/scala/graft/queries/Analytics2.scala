@@ -426,7 +426,8 @@ object Analytics2 {
         |  list_reverse(tk[1:3]) AS first3_rev,
         |  list_sort(list_distinct(tk[1:5])) AS first5_sorted,
         |  list_contains(tk, 'spark') AS has_spark,
-        |  CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT) AS first_the,
+        |  CAST(CASE WHEN tk IS NULL THEN NULL
+        |       ELSE coalesce(list_position(tk, 'the'), 0) END AS BIGINT) AS first_the,
         |  tk[-1] AS last_token
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         |ORDER BY doc_id""".stripMargin,
