@@ -75,7 +75,9 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    // A NULL payload has no media semantics and would NPE the codec batch;
+    // rows without content are dropped at the boundary.
+    docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       concat(lit("image/fake-"), col("source")).as("media_type"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),

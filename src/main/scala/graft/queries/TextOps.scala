@@ -341,7 +341,11 @@ object TextOps {
     "t4_fingerprint" -> ((spark, dir) =>
       t(spark, dir, "documents")
         .select(col("doc_id"),
-          md5(concat_ws(" ", array_sort(toks(lower(col("text"))))))
+          // NULL text → NULL fingerprint: concat_ws would silently turn a
+          // NULL token array into "" (md5 of empty), diverging from the
+          // oracle's NULL propagation.
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(md5(concat_ws(" ", array_sort(toks(lower(col("text")))))))
             .as("fingerprint"))
         .orderBy("doc_id")),
 
@@ -508,6 +512,6 @@ object TextOps {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin,
   )
 }

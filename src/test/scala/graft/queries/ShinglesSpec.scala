@@ -18,4 +18,27 @@ class ShinglesSpec extends AnyFunSuite {
     assert(got(3) === List("one two three"))
     assert(got(4) === List("a b c", "b c d"))
   }
+
+  test("NULL document text flows safely through text/multimodal operators") {
+    import spark.implicits._
+    val docs = Seq((1L, "real text here words", "src0", "en"),
+        (2L, null.asInstanceOf[String], "src1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+
+    // Shingles: NULL → empty set (no ANSI error, no phantom rows).
+    val sh = docs.select(TextOps.shingles(col("text")).as("s")).collect()
+    assert(sh(1).getSeq[String](0).isEmpty)
+
+    // Fingerprint-style guard: NULL stays NULL, never md5("").
+    val fp = docs.select(
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", array_sort(split(lower(col("text")), " ")))))
+          .as("f")).collect()
+    assert(!fp(0).isNullAt(0) && fp(1).isNullAt(0))
+
+    // Multimodal: NULL payload dropped at the boundary, codec never NPEs.
+    val media = graft.mm.Multimodal.mediaFromDocuments(docs)
+    assert(media.count() === 1)
+    assert(graft.mm.Multimodal.decodeAll(media).count() === 1)
+  }
 }
