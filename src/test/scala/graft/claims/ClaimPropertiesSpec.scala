@@ -129,4 +129,34 @@ class ClaimPropertiesSpec extends AnyFunSuite {
       cases.zipWithIndex.count { case ((s, p, d, r), _) =>
         model(s, p, d, r).eligible })
   }
+
+  test("beta normalizer agrees with the model (no None-scrub on error_msg)") {
+    val cases = Gen.listOfN(200, genClaim)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("member", StringType),
+      StructField("code", StringType), StructField("error_msg", StringType),
+      StructField("date", StringType), StructField("status", StringType)))
+    val rows = cases.zipWithIndex.map { case ((s, p, d, r), i) =>
+      Row(i.toString, p, "99213", r, d, s)
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Normalize.normalizeBeta(raw)
+      .select("claim_id", "patient_id", "denial_reason", "status", "submitted_at")
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3)),
+        Option(r.getDate(4)).map(_.toLocalDate)))
+      .toMap
+
+    cases.zipWithIndex.foreach { case ((s, p, d, r), i) =>
+      val (gp, gr, gs, gd) = got(i.toString)
+      assert(gp === mTrim(p), s"beta patient mismatch case $i")
+      // S4 asymmetry: beta error_msg is only trimmed — "None" survives.
+      assert(gr === mTrim(r), s"beta reason mismatch case $i: $r")
+      assert(gs === mTrim(s).map(_.toLowerCase), s"beta status mismatch case $i")
+      assert(gd === mDate(d), s"beta date mismatch case $i: $d")
+    }
+  }
 }
