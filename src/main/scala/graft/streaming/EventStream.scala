@@ -86,6 +86,29 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can prove when
+    * buffered state is safe to evict — the stateful join pattern that
+    * stays bounded on an infinite stream.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * dropDuplicatesWithinWatermark is the variant whose seen-id state is
     * actually purged as the watermark advances (plain dropDuplicates with

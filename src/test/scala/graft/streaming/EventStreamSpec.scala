@@ -101,6 +101,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    import spark.implicits._
+    val purchases = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val q = EventStream.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, ts("2024-01-01 01:00:00"), 1, "click", 0),
+        Ev(11, ts("2024-01-01 02:30:00"), 1, "click", 0),
+        Ev(12, ts("2024-01-01 01:00:00"), 2, "click", 0))
+      purchases.addData(
+        Ev(1, ts("2024-01-01 01:30:00"), 1, "purchase", 0), // ← click 10
+        Ev(2, ts("2024-01-01 03:00:00"), 1, "purchase", 0), // ← click 11
+        Ev(3, ts("2024-01-01 05:00:00"), 2, "purchase", 0)) // none in range
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   test("file-based streaming read of the harness events table works end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
