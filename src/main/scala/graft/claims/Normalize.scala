@@ -33,14 +33,16 @@ object Normalize {
   def lowerNorm(c: Column): Column = lower(trimToNull(c))
 
   /** Try `yyyy-MM-dd`, then ISO date-time; unparseable/blank → null
-    * (reference `to_iso_date`, claim_pipeline.py:48-58). `try_to_date`
+    * (reference `to_iso_date`, claim_pipeline.py:47-57). `try_to_date`
     * returns null on mismatch (ANSI-safe), mirroring the try/except chain.
+    *
+    * Parses the RAW value, not a trimmed one: strptime rejects
+    * whitespace-padded dates (' 2025-07-10' → ValueError → None in the
+    * reference), so trimming first would flip older_than for such rows.
     */
-  def parseDate(c: Column): Column = {
-    val t = trimToNull(c)
-    coalesce(try_to_date(t, "yyyy-MM-dd"),
-      try_to_date(t, "yyyy-MM-dd'T'HH:mm:ss"))
-  }
+  def parseDate(c: Column): Column =
+    coalesce(try_to_date(c, "yyyy-MM-dd"),
+      try_to_date(c, "yyyy-MM-dd'T'HH:mm:ss"))
 
   /** Alpha-only "None"-literal scrub: after trim, a value whose lowercase is
     * "none" becomes null (claim_pipeline.py:86-89). Beta error_msg is only

@@ -22,14 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Replaces the transform+zip_with+aggregate chain (3 array walks with
   * per-element HOF lambda dispatch) with a single fused loop. Accumulation
-  * is sequential in index order — bit-identical to the HOF formulation and
-  * to DuckDB's list_dot_product, so oracle parity is preserved.
+  * is sequential in index order — for equal-length inputs, bit-identical
+  * to the HOF formulation and to DuckDB's list_dot_product, so oracle
+  * parity is preserved. Mismatched lengths (malformed embeddings) return
+  * NULL, matching what zip_with-pads-with-null + aggregate yields.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // NULL on length mismatch, independent of child nullability.
+  override def nullable: Boolean = true
   // Deterministic pure function → ConstantFolding may evaluate literal
   // inputs at plan time.
   override def foldable: Boolean = left.foldable && right.foldable
@@ -51,18 +55,21 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      val lf = elemType(left) == FloatType
+      val rf = elemType(right) == FloatType
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -78,14 +85,18 @@ case class CosineSim(left: Expression, right: Expression)
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
         else s"$arr.getDouble($idx)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${get(a, left, i)};
-         |  double $yv = ${get(b, right, i)};
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${get(a, left, i)};
+         |    double $yv = ${get(b, right, i)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -35,9 +35,10 @@ object AnnLsh {
   def bucketize(vecs: DataFrame, idCol: String, embCol: String,
       numPlanes: Int): DataFrame = {
     val spark = vecs.sparkSession
-    // Dimensionality sniff: one tiny job; empty corpus → empty result
-    // rather than NoSuchElementException.
-    val head = vecs.select(size(col(embCol)).as("d")).head(1)
+    // Dimensionality sniff: one tiny job; empty or all-NULL-embedding
+    // corpus → empty result rather than NoSuchElementException/NPE.
+    val head = vecs.filter(col(embCol).isNotNull)
+      .select(size(col(embCol)).as("d")).head(1)
     if (head.isEmpty)
       return vecs.select(col(idCol), lit(0L).as("bucket")).limit(0)
     val dim = head(0).getInt(0)

@@ -32,13 +32,24 @@ object AsOfJoin {
     val rPayloadCols = (rightPayload :+ rightTime).distinct
     val lPayloadCols = left.columns.toSeq
     rightTiebreak.foreach { tb =>
-      val dt = right.schema(tb).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
-        s"rightTiebreak '$tb' must be numeric/timestamp for deterministic " +
-          s"ordering, got ${dt.catalogString}")
+      import org.apache.spark.sql.types._
+      val ok = right.schema(tb).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+        case _ => false
+      }
+      require(ok,
+        s"rightTiebreak '$tb' must be integral/timestamp for deterministic " +
+          s"ordering, got ${right.schema(tb).dataType.catalogString}")
     }
-    val tiebreak: Column = rightTiebreak.map(col).getOrElse(lit(0))
+    // Timestamp tiebreaks order by unix_micros, not cast("long"): the cast
+    // truncates to whole seconds, which would collide sub-second-distinct
+    // right rows and break the 'highest wins' determinism guarantee.
+    val tiebreak: Column = rightTiebreak.map { tb =>
+      right.schema(tb).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(tb))
+        case _ => col(tb).cast("long")
+      }
+    }.getOrElse(lit(0L))
 
     // A right row with a null time has no defined position on the as-of
     // axis; it must not become anyone's match (nulls sort first and
@@ -49,7 +60,7 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTime).cast("timestamp").as("_t"),
         lit(0).as("_side"),
-        tiebreak.cast("long").as("_tb"),
+        tiebreak.as("_tb"),
         struct(rPayloadCols.map(col): _*).as("_r_payload")): _*)
     val lSide = left.select(
       keys.map(col) ++ Seq(

@@ -25,8 +25,11 @@ object RangeJoin {
       windowSeconds: Long,
   ): DataFrame = {
     require(windowSeconds > 0, "windowSeconds must be positive")
-    val lBucket = (col(leftTime).cast("long") / windowSeconds).cast("long")
-    val rBucket = (col(rightTime).cast("long") / windowSeconds).cast("long")
+    // floor-division, not double-div + cast: cast truncates toward zero,
+    // which would misbucket pre-1970 (negative-epoch) timestamps and
+    // silently drop boundary matches.
+    val lBucket = floor(col(leftTime).cast("long") / windowSeconds).cast("long")
+    val rBucket = floor(col(rightTime).cast("long") / windowSeconds).cast("long")
     val l = left.withColumn("_bucket",
       explode(array(lBucket, lBucket + 1)))
     val r = right.withColumn("_bucket", rBucket)

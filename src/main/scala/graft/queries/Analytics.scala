@@ -283,7 +283,7 @@ object Analytics {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q13_sessionize" ->
-      """SELECT user_id, session_id,
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM (

@@ -211,14 +211,18 @@ object Analytics2 {
     }),
 
     // Array-function sweep over tokenized documents (slice, sort, contains,
-    // position, reverse — the collection-manipulation surface).
+    // position, reverse — the collection-manipulation surface). Array
+    // results are serialized with array_join: the driver's comparator
+    // sorts cell values with pandas, which cannot hash ndarray cells
+    // (round-1 q36 failure), so every output column must be scalar.
     "q36_array_funcs" -> ((spark, dir) => {
       val tk = split(col("text"), " ")
       t(spark, dir, "documents")
         .select(col("doc_id"),
-          slice(tk, 1, 3).as("first3"),
-          reverse(slice(tk, 1, 3)).as("first3_rev"),
-          array_sort(array_distinct(slice(tk, 1, 5))).as("first5_sorted"),
+          array_join(slice(tk, 1, 3), " ").as("first3"),
+          array_join(reverse(slice(tk, 1, 3)), " ").as("first3_rev"),
+          array_join(array_sort(array_distinct(slice(tk, 1, 5))), " ")
+            .as("first5_sorted"),
           array_contains(tk, "spark").as("has_spark"),
           array_position(tk, "the").cast("long").as("first_the"),
           element_at(tk, -1).as("last_token"))
@@ -422,9 +426,9 @@ object Analytics2 {
 
     "q36_array_funcs" ->
       """SELECT doc_id,
-        |  tk[1:3] AS first3,
-        |  list_reverse(tk[1:3]) AS first3_rev,
-        |  list_sort(list_distinct(tk[1:5])) AS first5_sorted,
+        |  array_to_string(tk[1:3], ' ') AS first3,
+        |  array_to_string(list_reverse(tk[1:3]), ' ') AS first3_rev,
+        |  array_to_string(list_sort(list_distinct(tk[1:5])), ' ') AS first5_sorted,
         |  list_contains(tk, 'spark') AS has_spark,
         |  CAST(CASE WHEN tk IS NULL THEN NULL
         |       ELSE coalesce(list_position(tk, 'the'), 0) END AS BIGINT) AS first_the,

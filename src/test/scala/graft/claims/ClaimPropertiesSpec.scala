@@ -44,12 +44,16 @@ class ClaimPropertiesSpec extends AnyFunSuite {
   private def mTrim(s: String): Option[String] =
     Option(s).map(_.trim).filter(_.nonEmpty)
 
-  private def mDate(s: String): Option[LocalDate] = mTrim(s).flatMap { t =>
-    def p(fmt: String) =
-      try Some(LocalDate.parse(t, DateTimeFormatter.ofPattern(fmt)))
-      catch { case _: Exception => None }
-    p("yyyy-MM-dd").orElse(p("yyyy-MM-dd'T'HH:mm:ss"))
-  }
+  // Models reference to_iso_date (claim_pipeline.py:47-57): the RAW value
+  // goes to strptime, which rejects whitespace padding — ' 2025-07-10 '
+  // parses to None there, so no trim here either.
+  private def mDate(s: String): Option[LocalDate] =
+    Option(s).filter(_.nonEmpty).flatMap { t =>
+      def p(fmt: String) =
+        try Some(LocalDate.parse(t, DateTimeFormatter.ofPattern(fmt)))
+        catch { case _: Exception => None }
+      p("yyyy-MM-dd").orElse(p("yyyy-MM-dd'T'HH:mm:ss"))
+    }
 
   private def mReason(s: String): Option[String] =
     mTrim(s).filter(_.toLowerCase != "none")

@@ -30,6 +30,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("CosineSim returns NULL on mismatched-length arrays (interpreted + codegen)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    // codegen path
+    assert(df.select(VectorOps.cosine(col("a"), col("b"))).first().isNullAt(0))
+    // matches the zip_with+aggregate HOF semantics (null-padded -> NULL)
+    assert(df.select(VectorOps.cosineHof(col("a"), col("b"))).first().isNullAt(0))
+    // interpreted path (direct eval over literal children, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = CosineSim(
+      Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType)),
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)))
+    assert(e.eval(null) == null)
+    // equal-length literals still compute
+    val ok = CosineSim(
+      Literal.create(Seq(1.0, 0.0), ArrayType(DoubleType)),
+      Literal.create(Seq(1.0, 0.0), ArrayType(DoubleType)))
+    assert(math.abs(ok.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
   test("KarpRabin matches a reference fold and is SQL-callable") {
     import spark.implicits._
     def ref(s: String): Long =

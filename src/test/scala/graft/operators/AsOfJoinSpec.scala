@@ -38,6 +38,53 @@ class AsOfJoinSpec extends AnyFunSuite {
       (5L, None)))
   }
 
+  test("asofBackward: sub-second timestamp tiebreaks order by unix_micros") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", ts(5))).toDF("event_id", "user_id", "ts")
+    // Two right rows tied at the same (key, time); the tiebreak column is a
+    // timestamp whose values differ only below the second — cast("long")
+    // would collide them, unix_micros must pick the later one (21).
+    val right = Seq(
+      (20L, "u1", ts(3), Timestamp.valueOf("2024-01-01 00:00:00.100")),
+      (21L, "u1", ts(3), Timestamp.valueOf("2024-01-01 00:00:00.900")),
+    ).toDF("click_id", "user_id", "ts", "seen_at")
+    val out = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), rightTiebreak = Some("seen_at"))
+      .select("asof_click_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(21L))
+  }
+
+  test("asofBackward rejects a non-integral, non-timestamp tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", ts(5))).toDF("event_id", "user_id", "ts")
+    val right = Seq((20L, "u1", ts(3), 0.5))
+      .toDF("click_id", "user_id", "ts", "w")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), rightTiebreak = Some("w"))
+    }
+    assert(e.getMessage.contains("integral/timestamp"))
+  }
+
+  test("rangeJoin: pre-1970 timestamps bucket by floor division") {
+    import spark.implicits._
+    // epoch -30s and +15s: double-div + cast truncation would put -30s in
+    // bucket 0 (same as +15s) instead of bucket -1, and a boundary match
+    // at exactly the window edge across buckets would be dropped.
+    val left = Seq((1L, "u1", Timestamp.from(java.time.Instant.ofEpochSecond(-30L))))
+      .toDF("p_id", "user_id", "p_ts")
+    val right = Seq(
+      (100L, "u1", Timestamp.from(java.time.Instant.ofEpochSecond(-30L))),
+      (101L, "u1", Timestamp.from(java.time.Instant.ofEpochSecond(25L))),
+      (102L, "u1", Timestamp.from(java.time.Instant.ofEpochSecond(30L))),
+    ).toDF("c_id", "user_id", "c_ts")
+    val out = RangeJoin.rangeJoin(left, right, Seq("user_id"),
+        "p_ts", "c_ts", windowSeconds = 60)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    // window [-30, 30): -30 and 25 match, 30 is the exclusive edge
+    assert(out === Set(100L, 101L))
+  }
+
   test("rangeJoin: inclusive start, exclusive end, cross-bucket matches") {
     import spark.implicits._
     def m(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")

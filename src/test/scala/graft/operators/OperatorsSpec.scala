@@ -99,6 +99,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1 === b2)
   }
 
+  test("ANN-LSH bucketize tolerates a NULL embedding in the first row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (null.asInstanceOf[Array[Float]] +:
+      Seq.fill(5)(Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    // single partition keeps the NULL row first for the head(1) sniff
+    val vecs = rows.toDF("vec_id", "embedding").coalesce(1)
+    val b = AnnLsh.bucketize(vecs, "vec_id", "embedding", 4).collect()
+    assert(b.nonEmpty) // no NPE; non-null rows bucketized
+  }
+
+  test("ANN-LSH bucketize of an all-NULL-embedding corpus is empty, not a crash") {
+    import spark.implicits._
+    val vecs = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(AnnLsh.bucketize(vecs, "vec_id", "embedding", 4).count() === 0L)
+  }
+
   test("VectorOps: cosine(v, v) = 1, cosine orthogonal = 0") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))

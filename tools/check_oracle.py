@@ -57,6 +57,30 @@ def main(out_dir, sf_dir):
             print(f"[FAIL ] {name}: columns {gcols} vs oracle {wcols}")
             n_fail += 1
             continue
+        # The driver's hash is sensitive to dtype skew (e.g. DuckDB HUGEINT
+        # sums -> float64 "1.0" vs Spark int "1"), which norm_cell's %.9g
+        # would mask — so int-vs-float kind mismatch is a hard FAIL here.
+        kind_skew = [c for c in gcols
+                     if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}]
+        if kind_skew:
+            print(f"[FAIL ] {name}: int-vs-float dtype skew on {kind_skew} "
+                  f"(driver hashes these differently)")
+            n_fail += 1
+            continue
+        # Object-dtype cells containing numpy arrays crash the driver's
+        # sort (q36 round-1): flag any array-like cell as a hard FAIL.
+        arr_cols = [c for c in gcols
+                    if (got[c].dtype.kind == "O" and len(got)
+                        and not isinstance(got[c].iloc[0],
+                                           (str, bytes, type(None))))
+                    or (want[c].dtype.kind == "O" and len(want)
+                        and not isinstance(want[c].iloc[0],
+                                           (str, bytes, type(None))))]
+        if arr_cols:
+            print(f"[FAIL ] {name}: non-scalar cells in {arr_cols} "
+                  f"(driver's pandas sort crashes on these)")
+            n_fail += 1
+            continue
         g = [tuple(norm_cell(v) for v in row)
              for row in got[gcols].itertuples(index=False)]
         w = [tuple(norm_cell(v) for v in row)
