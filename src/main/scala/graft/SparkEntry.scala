@@ -23,9 +23,10 @@ object SparkEntry {
       graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (d4_minhash_pairs uses xxhash64 banding) → driver records a weaker
-    * rows-only check.
+    * the same parquet tables. Omitted only for genuinely non-replayable
+    * ops (q19 engine-specific HLL/quantile sketches; s2/s3/s4 LSH/IVF
+    * whose float projection sums are summation-order-sensitive) → driver
+    * records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] =
     graft.queries.ClaimOps.oracleSql ++

@@ -25,8 +25,15 @@ object SimHash {
     * votes folded by the custom [[graft.functions.SimHashAgg]] imperative
     * aggregate (map-side combinable; one JVM loop per row instead of 64
     * CASE aggregates).
+    *
+    * @param tokenHash 64-bit hash of a token column. Default xxhash64
+    *                  (fastest); pass [[graft.functions.Md5Pack]] for a
+    *                  62-bit hash reproducible in DuckDB SQL (oracle
+    *                  parity — integer vote sums are order-independent,
+    *                  so the signature is exactly reproducible).
     */
-  def signatures(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+  def signatures(docs: DataFrame, idCol: String, tokens: Column,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // Spread single-split inputs across cores before the token explode —
     // the vote aggregation shuffles on idCol anyway, so this only buys
     // map-side parallelism (a one-file table would otherwise hash on one
@@ -35,16 +42,16 @@ object SimHash {
       docs.sparkSession.sparkContext.defaultParallelism)
     val ex = spread.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
     ex.groupBy(idCol)
-      .agg(graft.functions.SimHashAgg(xxhash64(col("tok"))).as("simhash"))
+      .agg(graft.functions.SimHashAgg(tokenHash(col("tok"))).as("simhash"))
   }
 
   /** Declarative reference formulation (64 sum(CASE) aggregates) — kept as
     * the semantics oracle for [[signatures]] in tests.
     */
   def signaturesDeclarative(docs: DataFrame, idCol: String,
-      tokens: Column): DataFrame = {
+      tokens: Column, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val ex = docs.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h = tokenHash(col("tok"))
     val voteAggs = (0 until Bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
@@ -64,8 +71,9 @@ object SimHash {
     * the self-join bounded at scale.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, tokens: Column,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = signatures(docs, idCol, tokens)
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sig = signatures(docs, idCol, tokens, tokenHash)
     val chunks = sig.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until NumChunks).map(c =>
         struct(lit(c).as("chunk"),

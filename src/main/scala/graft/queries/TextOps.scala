@@ -113,23 +113,27 @@ object TextOps {
       minhashSignature(t(spark, dir, "documents")).orderBy("doc_id")),
 
     // MinHash + LSH banding: 4 bands × 2 rows; candidate pairs from band
-    // collisions (groupBy-join on band hash — shuffle, no cross join), then
-    // true-Jaccard verification of candidates only. No SQL oracle (banding
-    // uses xxhash64); driver records rows-only, semantics unit-tested.
+    // collisions (groupBy-join on the band's minhash pair — shuffle, no
+    // cross join), then true-Jaccard verification of candidates only. A
+    // band collision IS equality of its two minhash values, so the bucket
+    // key is the raw (band, mh_a, mh_b) triple — no band hash needed, and
+    // the whole pipeline replays in DuckDB SQL (full oracle).
     "d4_minhash_pairs" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
       val sig = minhashSignature(docs)
       val bands = sig.select(col("doc_id"),
         explode(array((0 until NumHashes / 2).map(bnd =>
           struct(lit(bnd).as("band"),
-            xxhash64(col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("bh"))): _*))
+            col(s"mh${2 * bnd}").as("ba"),
+            col(s"mh${2 * bnd + 1}").as("bb"))): _*))
           .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.ba").as("ba"), col("b.bb").as("bb"))
       // Skew guard + pair expansion via the shared BucketedPairs helper:
       // capped band buckets, pairs expanded inside each bucket's sorted id
       // array — one lineage, no self-join, no cross join anywhere.
       val cand = graft.operators.BucketedPairs
-        .pairs(bands, Seq("band", "bh"), col("doc_id"), maxBucket = 100)
+        .pairs(bands, Seq("band", "ba", "bb"), col("doc_id"), maxBucket = 100)
         .select(col("x").as("a_id"), col("y").as("b_id"))
         .distinct()
       val tk = spread(docs).select(col("doc_id"), shingles(col("text")).as("tk"))
@@ -148,12 +152,15 @@ object TextOps {
     // SimHash near-dup pairs (Charikar sketch + 16-bit chunk banding) over
     // 3-word shingles — unigram features degenerate on a small shared
     // vocabulary (every signature lands within a few bits of every other;
-    // measured 1.2M "near-dup" pairs at sf0.1). No SQL oracle (xxhash64
-    // bit votes); rows-only + unit-tested semantics.
+    // measured 1.2M "near-dup" pairs at sf0.1). Token hash is the 62-bit
+    // md5 pack: integer bit votes are summation-order-independent, so the
+    // signatures — and therefore the pairs — replay exactly in DuckDB SQL
+    // (full oracle). xxhash64 stays the default for non-oracle use.
     "d5_simhash_pairs" -> ((spark, dir) =>
       graft.operators.SimHash.nearDuplicates(
           t(spark, dir, "documents"), "doc_id",
-          shingles(col("text")), maxHamming = 8)
+          shingles(col("text")), maxHamming = 8,
+          tokenHash = graft.functions.Md5Pack(_))
         .orderBy("a_id", "b_id")),
 
     // ANN via random-hyperplane LSH buckets — the scale path that replaces
@@ -395,6 +402,96 @@ object TextOps {
          |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS tok
          |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Full replay of the MinHash+LSH pipeline: signatures (as d3), band
+    // buckets on the raw (band, mh, mh) triple with the same 2..100 size
+    // cap, distinct candidate pairs, exact-Jaccard verification.
+    "d4_minhash_pairs" -> {
+      val mins = (0 until NumHashes)
+        .map(i => s"    min((h1 + ${i + 1} * h2) % $HashP) AS mh$i")
+        .mkString(",\n")
+      val bandSelects = (0 until NumHashes / 2)
+        .map(b => s"  SELECT doc_id, $b AS band, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH shing AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $HashP AS h1,
+         |      CAST(concat('0x', substr(md5(tok), 16, 15)) AS BIGINT) % $HashP AS h2
+         |    FROM (SELECT doc_id, unnest(sh) AS tok FROM shing))
+         |  GROUP BY doc_id),
+         |bands AS (
+         |$bandSelects),
+         |buck AS (SELECT band, ba, bb FROM bands
+         |         GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 100),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb
+         |              AND a.doc_id < b.doc_id
+         |  JOIN buck ON a.band = buck.band AND a.ba = buck.ba AND a.bb = buck.bb)
+         |SELECT a_id, b_id,
+         |  len(list_intersect(sa.sh, sb.sh)) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |FROM cand JOIN shing sa ON cand.a_id = sa.doc_id
+         |          JOIN shing sb ON cand.b_id = sb.doc_id
+         |WHERE len(list_intersect(sa.sh, sb.sh)) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // Full replay of the SimHash pipeline with the md5-pack token hash:
+    // per-bit integer votes (order-independent sums), signature assembly,
+    // 16-bit chunk buckets with the 2..1000 cap, Hamming verification.
+    // Bits 62-63 of the 62-bit pack are always 0 -> omitted from votes.
+    "d5_simhash_pairs" -> {
+      val votes = (0 until 62)
+        .map(j => s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n")
+      val sigBits = (0 until 62)
+        .map(j => s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString("\n    + ")
+      val chunkSelects = (0 until 4)
+        .map(c => s"  SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 16}) & 65535 AS cv FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH shing AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+         |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    (CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $HashP) * 2147483648
+         |      + (CAST(concat('0x', substr(md5(tok), 16, 15)) AS BIGINT) % $HashP) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM shing)),
+         |votes AS (
+         |  SELECT doc_id,
+         |$votes
+         |  FROM hashes GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, $sigBits AS sig FROM votes),
+         |chunks AS (
+         |$chunkSelects),
+         |buck AS (SELECT chunk, cv FROM chunks GROUP BY 1, 2
+         |         HAVING count(*) BETWEEN 2 AND 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.sig AS a_sig, b.sig AS b_sig
+         |  FROM chunks a
+         |  JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+         |               AND a.doc_id < b.doc_id
+         |  JOIN buck ON a.chunk = buck.chunk AND a.cv = buck.cv)
+         |SELECT a_id, b_id,
+         |  CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a_sig, b_sig)) <= 8
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "d6_embedding_neardup" ->
