@@ -24,30 +24,44 @@ object AnnIvf {
   /** nCentroids deterministic sample rows: (centroid_id, c_emb). */
   def centroids(vecs: DataFrame, idCol: String, embCol: String,
       nCentroids: Int): DataFrame =
-    vecs.select(col(idCol).as("centroid_id"), col(embCol).as("c_emb"),
+    vecs.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("c_emb"),
         xxhash64(col(idCol)).as("_h"))
       .orderBy("_h").limit(nCentroids).drop("_h")
 
   /** Assign every vector to its `nearest` centroids by cosine (nearest=1
     * builds the inverted lists; nearest=nProbe routes probes).
-    * Corpus ⨯ broadcast(centroids) — linear in rows×k, no shuffle of the
-    * corpus beyond the ranking window.
+    *
+    * Map-only: the centroid table (k rows, a few KB) is collected once and
+    * inlined as literal embedding arrays, so each row scores all k
+    * centroids in-place and sorts the tiny score array — no crossJoin row
+    * expansion, no per-id ranking window, no shuffle at all. Ordering
+    * matches the previous window formulation (cos desc, centroid_id asc).
+    * Rows with NULL embeddings are dropped.
     */
-  def assign(vecs: DataFrame, cent: DataFrame, idCol: String, embCol: String,
-      nearest: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_c_cos").desc, col("centroid_id"))
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("_c_cos", VectorOps.cosine(col(embCol), col("c_emb")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nearest)
-      .select(col(idCol), col("centroid_id"))
+  def assign(vecs: DataFrame, cent: Array[(Any, Array[Float])], idCol: String,
+      embCol: String, nearest: Int): DataFrame = {
+    val scoredArr = array(cent.map { case (cid, ce) =>
+      val ceLit = array(ce.map(lit(_)): _*)
+      // negated cosine: array_sort's natural struct order (asc, asc) then
+      // yields (cos desc, centroid_id asc)
+      struct((-VectorOps.cosine(col(embCol), ceLit)).as("nc"),
+        lit(cid).as("centroid_id"))
+    }: _*)
+    vecs.filter(col(embCol).isNotNull)
+      .select(col(idCol),
+        explode(slice(array_sort(scoredArr), 1, nearest)).as("a"))
+      .select(col(idCol), col("a.centroid_id").as("centroid_id"))
   }
 
   /** Top-k neighbors per probe over the nProbe nearest inverted lists. */
   def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
       k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cent = centroids(vecs, idCol, embCol, nCentroids)
+    val cent = centroids(vecs, idCol, embCol, nCentroids).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    if (cent.isEmpty)
+      return probes.select(col(idCol).as("probe_id"), col(idCol).as("cand_id"),
+        lit(0.0).as("cos"), lit(1).as("rank")).limit(0)
     val lists = assign(vecs, cent, idCol, embCol, nearest = 1)
       .withColumnRenamed(idCol, "cand_id")
       .join(vecs.select(col(idCol).as("cand_id"), col(embCol).as("c_vec")),

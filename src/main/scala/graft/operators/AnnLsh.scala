@@ -31,6 +31,15 @@ object AnnLsh {
 
   /** (id, bucket) assignment: bucket = sign pattern of the numPlanes
     * projections, packed into a long.
+    *
+    * Map-only: the plane matrix (numPlanes × dim, a few KB) is collected
+    * once and inlined as literal weight rows, so each row computes its
+    * projections in a fused per-row dot product — no component explode, no
+    * shuffle, no aggregation. The previous explode→join→2×groupBy shape
+    * paid two shuffles of corpus×dim×numPlanes rows for the same result;
+    * at cluster scale this version broadcasts nothing but the literals in
+    * the task closure. Rows with NULL embeddings are dropped (they have no
+    * position in hash space).
     */
   def bucketize(vecs: DataFrame, idCol: String, embCol: String,
       numPlanes: Int): DataFrame = {
@@ -42,15 +51,15 @@ object AnnLsh {
     if (head.isEmpty)
       return vecs.select(col(idCol), lit(0L).as("bucket")).limit(0)
     val dim = head(0).getInt(0)
-    val comp = vecs.select(col(idCol),
-      posexplode(VectorOps.toDouble(col(embCol))).as(Seq("pos", "x")))
-    comp.join(broadcast(planes(spark, numPlanes, dim)), "pos")
-      .groupBy(col(idCol), col("plane"))
-      .agg(sum(col("x") * col("w")).as("proj"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
-        .otherwise(0L)).as("bucket"))
+    val w = planes(spark, numPlanes, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val emb = VectorOps.toDouble(col(embCol))
+    val bucket = (0 until numPlanes).map { p =>
+      val wRow = array((0 until dim).map(i => lit(w((p.toLong, i.toLong)))): _*)
+      when(VectorOps.dot(emb, wRow) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs.filter(col(embCol).isNotNull)
+      .select(col(idCol), bucket.as("bucket"))
   }
 
   /** Top-k neighbors per probe, searching the probe's LSH bucket plus

@@ -66,14 +66,28 @@ object TextOps {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** doc_id + minhash signature columns mh0..mh7 over distinct shingles. */
-  private def minhashSignature(docs: DataFrame): DataFrame = {
-    val exploded = spread(docs).select(col("doc_id"),
+  /** Exploded (doc_id, tok) shingle stream. The explode stays INLINE over
+    * the shingle expression: pre-projecting the array into a column and
+    * exploding that is ~10x slower (the Project materializes every
+    * per-doc shingle array as an UnsafeArrayData before Generate reads
+    * it back; inline, Generate pipelines the rows).
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
       explode(shingles(col("text"))).as("tok"))
+
+  /** doc_id + minhash signature columns mh0..mh7 from an exploded
+    * (doc_id, tok) frame.
+    */
+  private def minhashFromExploded(ex: DataFrame): DataFrame = {
     val aggs = mdHashes(col("tok")).zipWithIndex
       .map { case (h, i) => min(h).as(s"mh$i") }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** doc_id + minhash signature columns mh0..mh7 over distinct shingles. */
+  private def minhashSignature(docs: DataFrame): DataFrame =
+    minhashFromExploded(explodedShingles(docs))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -132,16 +146,28 @@ object TextOps {
       // Skew guard + pair expansion via the shared BucketedPairs helper:
       // capped band buckets, pairs expanded inside each bucket's sorted id
       // array — one lineage, no self-join, no cross join anywhere.
+      // Candidate pairs are tiny by construction (band-bucket caps bound
+      // them); persist + eager collect of the id set so the signature
+      // pipeline runs exactly ONCE. A lazy broadcast-subquery formulation
+      // was measured 2x slower: under AQE the broadcast stage and the main
+      // probe stage race to materialize the same cached frame.
       val cand = graft.operators.BucketedPairs
         .pairs(bands, Seq("band", "ba", "bb"), col("doc_id"), maxBucket = 100)
         .select(col("x").as("a_id"), col("y").as("b_id"))
         .distinct()
-      val tk = spread(docs).select(col("doc_id"), shingles(col("text")).as("tk"))
+        .persist()
+      val candIds = cand.select(col("a_id")).union(cand.select(col("b_id")))
+        .distinct().collect().map(_.getLong(0))
+      // Verification: shingle ONLY candidate docs — the id filter pushes
+      // into the parquet scan, so the exact-Jaccard step is
+      // O(candidates), not O(corpus).
+      val candToks = docs.filter(col("doc_id").isin(candIds: _*))
+        .select(col("doc_id"), shingles(col("text")).as("tk"))
       cand
-        .join(tk.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("tk", "a_tk"), "a_id")
-        .join(tk.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("tk", "b_tk"), "b_id")
+        .join(candToks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")),
+          "a_id")
+        .join(candToks.select(col("doc_id").as("b_id"), col("tk").as("b_tk")),
+          "b_id")
         .select(col("a_id"), col("b_id"),
           (size(array_intersect(col("a_tk"), col("b_tk"))) /
             size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
@@ -324,9 +350,12 @@ object TextOps {
     // tf·ln(N/df), rounded for cross-engine FP parity, term tie-break.
     "t7_tfidf" -> ((spark, dir) => {
       val docs = spread(t(spark, dir, "documents"))
+      // tf feeds both the document-frequency aggregation and the final
+      // join — cache it so the explode+groupBy runs once.
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = tf.groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
