@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
 object Analytics2 {
   import Tables.t
 
+  /** Md5Pack hash range (P·2^31) as a double — KMV normalization constant. */
+  private val KmvRange = 2147483647.0 * 2147483648.0
+
+  /** DuckDB replica of the Md5Pack 62-bit hash over expression `e`. */
+  private def duckMd5Pack(e: String): String =
+    s"""(CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647) * 2147483648
+       |      + (CAST(concat('0x', substr(md5($e), 16, 15)) AS BIGINT) % 2147483647)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE: all 4 grouping combinations in one pass.
     "q14_cube" -> ((spark, dir) =>
@@ -66,6 +74,43 @@ object Analytics2 {
           min(col("l_quantity")).as("qmin"),
           max(col("l_quantity")).as("qmax"))
         .orderBy("l_returnflag")),
+
+    // FULL OUTER join with exclusive keys on both sides: high-balance
+    // customers vs per-customer order spend — null columns surface from
+    // both inputs, coalesced key, shuffle join on the key.
+    "q25_outer_join" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("spend"))
+        .filter(col("n_orders") >= 8)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"), col("spend"))
+        .orderBy("custkey")
+    }),
+
+    // Correlated EXISTS / NOT EXISTS through the SQL layer (rewritten by
+    // Catalyst to semi/anti joins — never a per-row subquery execution).
+    "q26_exists_subquery" -> ((spark, dir) => {
+      t(spark, dir, "customer").createOrReplaceTempView("cust_ex")
+      t(spark, dir, "orders").createOrReplaceTempView("orders_ex")
+      spark.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM cust_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
 
     // Approximate sketches (HLL++ distinct count, approx quantiles) — the
     // 100 TB substitutes for exact distinct/percentile. No oracle (sketch
@@ -229,6 +274,45 @@ object Analytics2 {
         .orderBy("doc_id")
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch: the deterministic
+    // counterpart to q19's HLL — built from md5-derived hashes and min-k,
+    // both order-independent, so the estimate replays exactly in DuckDB
+    // (an approximate sketch with a full oracle). Output carries the exact
+    // distinct count beside the estimate as its own accuracy witness.
+    "q38_kmv_distinct" -> ((spark, dir) => {
+      val k = 64
+      // (k-1) * hash-range, precomputed so both engines divide by the SAME
+      // double literal (re-deriving it as a product could round differently)
+      val scaleC = (k - 1).toDouble * KmvRange
+      val li = t(spark, dir, "lineitem")
+      val h = graft.functions.Md5Pack(col("l_partkey").cast("string"))
+      val dh = li.select(col("l_returnflag"), h.as("h")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("h")
+      val kth = dh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"), col("h").as("hk"))
+      li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        .join(kth, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          round(lit(scaleC) / col("hk").cast("double"), 3).as("kmv_estimate"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic hash sampling: md5-keyed bucket assignment for
+    // reproducible train/holdout splits — survives reruns, repartitioning
+    // and engine swaps, unlike rand()-based sampling. The filter is a pure
+    // row-local predicate (no shuffle, no state).
+    "q39_hash_sample" -> ((spark, dir) => {
+      val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val bucket = pmod(graft.functions.Md5Pack(key), lit(100))
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), bucket.as("bucket"))
+        .filter(col("bucket") < 10)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Scalar + IN subqueries through the SQL layer.
     "q37_scalar_subquery" -> ((spark, dir) => {
       t(spark, dir, "orders").createOrReplaceTempView("orders_sq")
@@ -311,6 +395,55 @@ object Analytics2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q25_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_acctbal, o.n_orders, o.spend
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 8) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q26_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q38_kmv_distinct" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ${duckMd5Pack("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |kth AS (
+         |  SELECT l_returnflag, h AS hk FROM (
+         |    SELECT l_returnflag, h,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |    FROM dh)
+         |  WHERE rn = 64),
+         |exact AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT e.l_returnflag, e.exact_distinct,
+         |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
+         |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
+         |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q39_hash_sample" ->
+      s"""SELECT l_orderkey, l_linenumber, bucket FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 AS bucket
+         |  FROM lineitem)
+         |WHERE bucket < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q14_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
