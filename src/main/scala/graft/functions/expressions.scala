@@ -105,6 +105,78 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH bucket of an embedding column: for each
+  * hyperplane row of `planes`, the sign of the dot product contributes one
+  * bit; the packed bit pattern is the bucket id.
+  *
+  * One fused loop over planes×dim per row (codegen'd, matrix shipped once
+  * per task via a reference object) — replaces numPlanes separate
+  * zip_with+aggregate HOF dots, whose generated code grows with dim
+  * (64 array literals per plane) and whose lambda dispatch runs per
+  * element. Accumulation is index-order, matching the HOF formulation.
+  */
+case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val f = isFloat
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val m = math.min(w.length, x.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < m) {
+        dot += w(j) * (if (f) x.getFloat(j).toDouble else x.getDouble(j))
+        j += 1
+      }
+      if (dot > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val mat = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val w = ctx.freshName("w")
+      val dot = ctx.freshName("dot")
+      val get = if (isFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
+      s"""
+         |${ev.value} = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $w = $mat[$p];
+         |  int $m = java.lang.Math.min($w.length, $x.numElements());
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $dot += $w[$j] * $get;
+         |  }
+         |  if ($dot > 0) ${ev.value} |= 1L << $p;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+}
+
 /** Karp-Rabin rolling polynomial fingerprint of a string: fold over UTF-8
   * bytes, h = (h * 256 + byte) mod (2^31 - 1). The content-defined-chunking
   * primitive for document fingerprinting at scale; deterministic and cheap

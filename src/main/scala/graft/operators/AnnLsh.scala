@@ -42,6 +42,14 @@ object AnnLsh {
     * position in hash space).
     */
   def bucketize(vecs: DataFrame, idCol: String, embCol: String,
+      numPlanes: Int): DataFrame =
+    withBuckets(vecs, idCol, embCol, numPlanes).select(col(idCol), col("bucket"))
+
+  /** All of `vecs`' columns plus the `bucket` assignment — map-only, so
+    * callers that need the embedding alongside the bucket (topK) never
+    * join the bucket table back on id.
+    */
+  private def withBuckets(vecs: DataFrame, idCol: String, embCol: String,
       numPlanes: Int): DataFrame = {
     val spark = vecs.sparkSession
     // Dimensionality sniff: one tiny job; empty or all-NULL-embedding
@@ -49,17 +57,16 @@ object AnnLsh {
     val head = vecs.filter(col(embCol).isNotNull)
       .select(size(col(embCol)).as("d")).head(1)
     if (head.isEmpty)
-      return vecs.select(col(idCol), lit(0L).as("bucket")).limit(0)
+      return vecs.withColumn("bucket", lit(0L)).limit(0)
     val dim = head(0).getInt(0)
     val w = planes(spark, numPlanes, dim).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val emb = VectorOps.toDouble(col(embCol))
-    val bucket = (0 until numPlanes).map { p =>
-      val wRow = array((0 until dim).map(i => lit(w((p.toLong, i.toLong)))): _*)
-      when(VectorOps.dot(emb, wRow) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val mat = Array.tabulate(numPlanes, dim)((p, i) => w((p.toLong, i.toLong)))
+    val bucket = org.apache.spark.sql.graftbridge.column(
+      graft.functions.SrpBucket(
+        org.apache.spark.sql.graftbridge.expression(col(embCol)), mat))
     vecs.filter(col(embCol).isNotNull)
-      .select(col(idCol), bucket.as("bucket"))
+      .withColumn("bucket", bucket)
   }
 
   /** Top-k neighbors per probe, searching the probe's LSH bucket plus
@@ -73,16 +80,16 @@ object AnnLsh {
     */
   def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
       k: Int = 5, numPlanes: Int = 6, multiProbe: Boolean = true): DataFrame = {
-    val buckets = bucketize(vecs, idCol, embCol, numPlanes)
-    val withB = vecs.join(buckets, idCol)
-    val cand = withB.select(col(idCol).as("cand_id"),
-      col(embCol).as("c_emb"), col("bucket"))
+    // Buckets are computed in-row on each side (map-only) — no join of a
+    // bucket table back onto the vectors.
+    val cand = withBuckets(vecs, idCol, embCol, numPlanes)
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("bucket"))
     val neighborCodes: Seq[org.apache.spark.sql.Column] =
       if (multiProbe)
         col("bucket") +: (0 until numPlanes)
           .map(i => col("bucket").bitwiseXOR(lit(1L << i)))
       else Seq(col("bucket"))
-    val prob = probes.join(buckets, idCol)
+    val prob = withBuckets(probes, idCol, embCol, numPlanes)
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
         explode(array(neighborCodes: _*)).as("search_bucket"))
     val scored = prob.join(cand,

@@ -51,6 +51,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(ok.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("SrpBucket matches the per-plane HOF dot-product signs bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val planes = Array.fill(6, 16)(rnd.nextGaussian())
+    val df = (0 until 100).map(_ =>
+      Tuple1(Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("emb")
+    val fused = org.apache.spark.sql.graftbridge.column(
+      SrpBucket(org.apache.spark.sql.graftbridge.expression(col("emb")), planes))
+    val hof = (0 until 6).map { p =>
+      val wRow = array(planes(p).map(lit(_)): _*)
+      when(VectorOps.dot(VectorOps.toDouble(col("emb")), wRow) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    assert(df.select(fused.as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count() === 0)
+  }
+
   test("KarpRabin matches a reference fold and is SQL-callable") {
     import spark.implicits._
     def ref(s: String): Long =
