@@ -124,6 +124,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from finalized windows") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    // append mode: a window only emits once the watermark passes its end,
+    // and late rows for finalized windows must not resurrect them.
+    val q = EventStream.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("late_hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough that watermark (1h) passes hour 0
+      input.addData(Ev(3, ts("2024-01-01 03:30:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterFinalize = spark.table("late_hourly")
+        .filter(col("hour_start") === ts("2024-01-01 00:00:00"))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(afterFinalize === Set(("click", 2L))) // hour 0 finalized at n=2
+      // a straggler into the finalized hour: must be ignored
+      input.addData(Ev(4, ts("2024-01-01 00:30:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_hourly")
+        .filter(col("hour_start") === ts("2024-01-01 00:00:00"))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(afterLate === afterFinalize,
+        "late event past the watermark changed a finalized window")
+    } finally q.stop()
+  }
+
   test("file-based streaming read of the harness events table works end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
