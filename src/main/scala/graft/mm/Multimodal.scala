@@ -120,6 +120,27 @@ object Multimodal {
             .otherwise(frameLen)).as("frame_bytes"))
   }
 
+  /** Deterministic "resize": integer-divide dimensions by `factor`
+    * (floored at 1) and average-pool the feature vector in factor-sized
+    * chunks — the metadata/feature side of a resize without a codec. A
+    * real pixel resize plugs into [[Codec]]; every downstream schema stays
+    * the same.
+    */
+  def resizeMeta(decoded: Dataset[DecodedMedia],
+      factor: Int = 2): Dataset[DecodedMedia] = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val pooled = d.features.grouped(factor)
+        .map(g => g.sum / g.length).toArray
+      d.copy(
+        width = math.max(1, d.width / factor),
+        height = math.max(1, d.height / factor),
+        features = pooled)
+    }
+  }
+
   /** End-to-end: documents → media table → decoded features, as a DataFrame
     * for downstream SQL (e.g. similarity over the histogram features).
     */

@@ -242,6 +242,31 @@ object TextOps {
           col("height"), col("channels"))
         .orderBy("media_id")),
 
+    // Frame sampling: payload → n byte-range frames via binary substring
+    // (pure Column expressions, no decode). Frame content is verified by
+    // md5 over the hex encoding (DuckDB cannot slice BLOBs, so the oracle
+    // slices the hex string — 2 chars per byte — to the same bytes).
+    "m3_frame_sample" -> ((spark, dir) => {
+      val media = graft.mm.Multimodal
+        .mediaFromDocuments(t(spark, dir, "documents")).toDF()
+      graft.mm.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"),
+          col("frame_idx").cast("int").as("frame_idx"),
+          octet_length(col("frame_bytes")).as("frame_len"),
+          md5(hex(col("frame_bytes"))).as("frame_hex_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Resize: halved dimensions + pooled features through the typed
+    // Dataset path; the oracle replays the integer dimension arithmetic.
+    "m4_resized_meta" -> ((spark, dir) => {
+      val dec = graft.mm.Multimodal.decodeAll(
+        graft.mm.Multimodal.mediaFromDocuments(t(spark, dir, "documents")))
+      graft.mm.Multimodal.resizeMeta(dec, factor = 2).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+        .orderBy("media_id")
+    }),
+
     // Embedding near-dup: same-label blocking + cosine threshold (the
     // blocked exact variant; s1 is ranked top-k).
     "d6_embedding_neardup" -> ((spark, dir) => {
@@ -630,6 +655,31 @@ object TextOps {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT media_id, n_bytes, hx,
+        |    CAST(floor(n_bytes / 4) AS INTEGER) AS flen,
+        |    unnest(range(4)) AS fi
+        |  FROM m)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(CASE WHEN fi = 3 THEN n_bytes - flen * 3 ELSE flen END AS INTEGER)
+        |    AS frame_len,
+        |  md5(substr(hx, CAST(fi * flen * 2 + 1 AS BIGINT),
+        |    CAST(2 * (CASE WHEN fi = 3 THEN n_bytes - flen * 3 ELSE flen END) AS BIGINT)))
+        |    AS frame_hex_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m4_resized_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(greatest(1, (octet_length(encode(text)) % 640 + 1) // 2) AS INTEGER) AS width,
+        |  CAST(greatest(1, (octet_length(encode(text)) % 480 + 1) // 2) AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin,
 
     // The stub codec's metadata is a pure function of payload length, so
     // even the mapPartitions decode path gets an oracle.

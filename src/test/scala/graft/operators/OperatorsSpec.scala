@@ -157,4 +157,21 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.RealCodec.decode("image/png", Array[Byte](1, 2))
     }
   }
+
+  test("Multimodal: resizeMeta halves dims (floored at 1) and average-pools features") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val dec = Multimodal.decodeAll(Multimodal.mediaFromDocuments(docs))
+    val orig = dec.collect().map(d => d.media_id -> d).toMap
+    val resized = Multimodal.resizeMeta(dec, factor = 2).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.width === math.max(1, o.width / 2))
+      assert(r.height === math.max(1, o.height / 2))
+      assert(r.features.length === o.features.length / 2)
+      r.features.zipWithIndex.foreach { case (f, i) =>
+        assert(math.abs(f - (o.features(2 * i) + o.features(2 * i + 1)) / 2) < 1e-6f)
+      }
+    }
+  }
 }
