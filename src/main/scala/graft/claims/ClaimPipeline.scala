@@ -96,13 +96,17 @@ object ClaimPipeline {
       case fs => fs.reduce(_.unionByName(_))
     }
 
-    val eligible = Eligibility.isEligible(claims, config)
-    val exclusion = Eligibility.exclusionReason(claims, config)
+    // Derived columns share the classifier/age subtrees (see
+    // Eligibility.withDerived) — inlining eligible+exclusion expressions
+    // here doubled whole-stage-codegen compile time.
+    val derived = Eligibility.withDerived(claims, config)
+    val eligible = col("eligible")
+    val exclusion = col("exclusion_reason")
 
     val obs = Observation()
     val metricExprs = PipelineMetrics.aggExprs(
-      eligible, exclusion, claims("source_system"), claims("_corrupt"))
-    val observed = claims.observe(obs, metricExprs.head, metricExprs.tail: _*)
+      eligible, exclusion, col("source_system"), col("_corrupt"))
+    val observed = derived.observe(obs, metricExprs.head, metricExprs.tail: _*)
 
     val candidateCols = Seq(
       col("claim_id"),

@@ -74,12 +74,35 @@ object Eligibility {
       lit(Rules.DefaultRecommendation))
   }
 
-  /** Attach `classification`, `eligible`, `exclusion_reason` derived columns. */
+  /** Attach `classification`, `eligible`, `exclusion_reason` derived columns.
+    *
+    * The classifier and age predicate are computed ONCE as intermediate
+    * columns and referenced by the downstream expressions — inlining them
+    * (isEligible + exclusionReason each embed classifyDenial) quadruples
+    * the expression tree and was measured to cost ~3s of whole-stage
+    * codegen compilation alone. CollapseProject keeps non-cheap
+    * multiply-referenced aliases in their own projection, so the shared
+    * subtrees stay shared in the generated code.
+    */
   def withDerived(claims: DataFrame, config: PipelineConfig): DataFrame =
     claims
       .withColumn("classification", classifyDenial(claims("denial_reason")))
-      .withColumn("eligible", isEligible(claims, config))
-      .withColumn("exclusion_reason", exclusionReason(claims, config))
+      .withColumn("_old", olderThan(claims("submitted_at"), config))
+      .withColumn("eligible",
+        coalesce(
+          col("status") === "denied" &&
+            col("patient_id").isNotNull &&
+            col("_old") &&
+            col("classification") === "retryable",
+          lit(false)))
+      .withColumn("exclusion_reason",
+        when(col("eligible"), lit(null).cast("string"))
+          .when(col("status").isNull || col("status") =!= "denied",
+            "not_denied_status")
+          .when(col("patient_id").isNull, "patient_id_missing")
+          .when(!col("_old"), "too_recent")
+          .otherwise("non-retryable_or_ambiguous"))
+      .drop("_old")
 
   /** Candidate output projection (claim_pipeline.py:194-199): the reason keeps
     * its original (trimmed) casing — SURVEY §2.3 S6.

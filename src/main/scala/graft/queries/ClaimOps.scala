@@ -118,10 +118,12 @@ object ClaimOps {
 
     // O12+O13+O15: eligibility conjunction + first-failing-rule attribution.
     "c4_eligibility" -> ((spark, dir) => {
-      val claims = synthClaims(spark, dir)
-      val bucket = coalesce(
-        Eligibility.exclusionReason(claims, PipelineConfig()), lit("eligible"))
-      claims.groupBy(bucket.as("bucket"))
+      // withDerived shares the classifier/age subtrees across the derived
+      // columns — inlining exclusionReason directly was ~3s of codegen.
+      val derived = Eligibility.withDerived(
+        synthClaims(spark, dir), PipelineConfig())
+      derived
+        .groupBy(coalesce(col("exclusion_reason"), lit("eligible")).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
@@ -150,12 +152,12 @@ object ClaimOps {
 
     // O16: single-pass metrics aggregation (count_if counters).
     "c7_metrics" -> ((spark, dir) => {
-      val claims = synthClaims(spark, dir)
-      val eligible = Eligibility.isEligible(claims, PipelineConfig())
-      val excl = Eligibility.exclusionReason(claims, PipelineConfig())
-      claims.agg(
+      val derived = Eligibility.withDerived(
+        synthClaims(spark, dir), PipelineConfig())
+      val excl = col("exclusion_reason")
+      derived.agg(
         count(lit(1)).as("total_processed"),
-        count_if(eligible).as("flagged_for_resubmission"),
+        count_if(col("eligible")).as("flagged_for_resubmission"),
         count_if(excl === "not_denied_status").as("not_denied_status"),
         count_if(excl === "patient_id_missing").as("patient_id_missing"),
         count_if(excl === "too_recent").as("too_recent"),
@@ -245,3 +247,4 @@ object ClaimOps {
          |  FROM claims)""".stripMargin,
   )
 }
+
