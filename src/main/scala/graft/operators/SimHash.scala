@@ -37,9 +37,12 @@ object SimHash {
     // Spread single-split inputs across cores before the token explode —
     // the vote aggregation shuffles on idCol anyway, so this only buys
     // map-side parallelism (a one-file table would otherwise hash on one
-    // core).
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    // core). Identity when the input already has enough splits: at
+    // cluster scale the repartition would be a pointless corpus shuffle.
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
     val ex = spread.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
     ex.groupBy(idCol)
       .agg(graft.functions.SimHashAgg(tokenHash(col("tok"))).as("simhash"))

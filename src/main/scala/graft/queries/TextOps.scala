@@ -60,11 +60,15 @@ object TextOps {
   /** Spread a small single-file table across all cores before per-row-heavy
     * work (shingling/hashing): a one-file parquet scan is one partition, so
     * without this the whole map side runs single-threaded. Profiled 4.6s →
-    * 0.4s on the shingle explode at sf0.1. At real scale inputs arrive in
-    * many splits and this is a cheap no-op-ish shuffle of the doc table.
+    * 0.4s on the shingle explode at sf0.1. CONDITIONAL: when the input
+    * already has enough splits (the 100 TB case), this is the identity —
+    * an unconditional repartition would be a full shuffle of the corpus
+    * for nothing.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exploded (doc_id, tok) shingle stream. The explode stays INLINE over
     * the shingle expression: pre-projecting the array into a column and
