@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape invariants for the whole query inventory — the properties
+  * that keep the engine viable at 100 TB, asserted so a refactor cannot
+  * silently regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, Sf)
+      .queryExecution.executedPlan.toString
+
+  test("no query in the inventory plans a CartesianProduct") {
+    // s1 deliberately broadcasts its 10-row probe set (a
+    // BroadcastNestedLoopJoin, fine); an unpartitioned CartesianProduct
+    // anywhere is a scale bug.
+    graft.SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("q2 pushes its lineitem filters into the parquet scan") {
+    val p = plan("q2_revenue_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("q4 broadcasts the dimension tables; at most one shuffle join") {
+    // At tiny SF the planner may broadcast the orders side of
+    // lineitem⋈orders too (4 broadcasts, 0 shuffles) — also correct. The
+    // invariant: the three dims are never shuffle-joined, and only the
+    // fact⋈orders join may shuffle.
+    val p = plan("q4_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    val shuffles = ("SortMergeJoin".r.findAllIn(p).length
+      + "ShuffledHashJoin".r.findAllIn(p).length)
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(shuffles <= 1, s"expected <=1 shuffle join, got $shuffles")
+  }
+
+  test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
+    val p = plan("q5_topk_orders")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n${p.take(1500)}"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols === Set("o_orderkey", "o_custkey", "o_totalprice"),
+      s"scan reads $cols")
+  }
+}
