@@ -313,6 +313,23 @@ object Analytics2 {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Value-based RANGE window frame (vs q6's ROWS frames): 7-day trailing
+    // quantity per supplier, ordered by ship-day number. Peers at the same
+    // day share the frame, so the result is deterministic; quantities are
+    // integer-valued doubles, so the windowed sum is order-exact.
+    "q40_range_frame" -> ((spark, dir) => {
+      val dayn = datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1992-01-01")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy("dayn").rangeBetween(-6, 0)
+      t(spark, dir, "lineitem")
+        .withColumn("dayn", dayn.cast("long"))
+        .withColumn("trail7_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "dayn", "trail7_qty")
+        .distinct()
+        .orderBy("l_suppkey", "dayn")
+    }),
+
     // Scalar + IN subqueries through the SQL layer.
     "q37_scalar_subquery" -> ((spark, dir) => {
       t(spark, dir, "orders").createOrReplaceTempView("orders_sq")
@@ -443,6 +460,16 @@ object Analytics2 {
          |    (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 AS bucket
          |  FROM lineitem)
          |WHERE bucket < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q40_range_frame" ->
+      """SELECT DISTINCT l_suppkey, dayn,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY dayn
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_qty
+        |FROM (
+        |  SELECT l_suppkey, l_quantity,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS dayn
+        |  FROM lineitem)
+        |ORDER BY l_suppkey, dayn""".stripMargin,
 
     "q14_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
