@@ -22,6 +22,28 @@ class Analytics2Spec extends AnyFunSuite {
     }
   }
 
+  test("q19: approx sketches land within bounds of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, Sf, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = graft.SparkEntry.queries("q19_approx_sketches")(spark, Sf)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (exOrders, exMedian) = exact(r.getString(0))
+      // HLL++ at default rsd (5%): allow 3x the nominal error
+      assert(math.abs(r.getLong(1) - exOrders).toDouble / exOrders < 0.15,
+        s"approx distinct ${r.getLong(1)} vs exact $exOrders")
+      // quantities are integers 1..50: the approx median must sit within
+      // one unit of the exact interpolated median
+      assert(math.abs(r.getDouble(2) - exMedian) <= 1.0,
+        s"approx median ${r.getDouble(2)} vs exact $exMedian")
+    }
+  }
+
   test("q39: hash sample is ~10% with buckets in [0, 10) and is deterministic") {
     val q = graft.SparkEntry.queries("q39_hash_sample")
     val sampled = q(spark, Sf).collect()
