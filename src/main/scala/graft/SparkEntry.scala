@@ -23,10 +23,9 @@ object SparkEntry {
       graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for genuinely non-replayable
-    * ops (q19 engine-specific HLL/quantile sketches; s2/s3/s4 LSH/IVF
-    * whose float projection sums are summation-order-sensitive) → driver
-    * records a weaker rows-only check for those.
+    * the same parquet tables. Omitted only for the genuinely
+    * non-replayable q19 (engine-specific HLL/quantile sketch internals)
+    * → driver records a weaker rows-only check for it.
     */
   def oracleSql: Map[String, String] =
     graft.queries.ClaimOps.oracleSql ++

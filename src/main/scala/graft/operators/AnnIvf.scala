@@ -21,12 +21,15 @@ import graft.functions.VectorOps
   */
 object AnnIvf {
 
-  /** nCentroids deterministic sample rows: (centroid_id, c_emb). */
+  /** nCentroids deterministic sample rows: (centroid_id, c_emb). The
+    * sample key is the md5 pack of the id (not xxhash64) so the centroid
+    * set — and with it the whole IVF pipeline — replays in DuckDB SQL.
+    */
   def centroids(vecs: DataFrame, idCol: String, embCol: String,
       nCentroids: Int): DataFrame =
     vecs.filter(col(embCol).isNotNull)
       .select(col(idCol).as("centroid_id"), col(embCol).as("c_emb"),
-        xxhash64(col(idCol)).as("_h"))
+        graft.functions.Md5Pack(col(idCol).cast("string")).as("_h"))
       .orderBy("_h").limit(nCentroids).drop("_h")
 
   /** Assign every vector to its `nearest` centroids by cosine (nearest=1

@@ -20,13 +20,18 @@ import graft.functions.VectorOps
 object AnnLsh {
 
   /** Deterministic pseudo-random hyperplanes: weight(plane, pos) uniform in
-    * [-1, 1], derived from a hash of the coordinates.
+    * [-1, 1], derived from an md5 hash of the coordinates. md5 (not
+    * xxhash64) so the full plane table — and with it the bucket
+    * assignment and the whole topK pipeline — replays bit-exactly in
+    * DuckDB SQL: the weight is an exact thousandth, the per-row dot
+    * products accumulate in index order on both engines.
     */
   def planes(spark: SparkSession, numPlanes: Int, dim: Int): DataFrame =
     spark.range(numPlanes).toDF("plane")
       .crossJoin(spark.range(dim).toDF("pos"))
       .select(col("plane"), col("pos"),
-        ((pmod(xxhash64(concat_ws("_", col("plane"), col("pos"))), lit(2001))
+        ((pmod(graft.functions.Md5Pack(
+          concat_ws("_", lit("plane"), col("plane"), col("pos"))), lit(2001))
           - 1000) / 1000.0).as("w"))
 
   /** (id, bucket) assignment: bucket = sign pattern of the numPlanes

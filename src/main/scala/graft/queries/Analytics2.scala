@@ -15,9 +15,7 @@ object Analytics2 {
   private val KmvRange = 2147483647.0 * 2147483648.0
 
   /** DuckDB replica of the Md5Pack 62-bit hash over expression `e`. */
-  private def duckMd5Pack(e: String): String =
-    s"""(CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647) * 2147483648
-       |      + (CAST(concat('0x', substr(md5($e), 16, 15)) AS BIGINT) % 2147483647)""".stripMargin
+  private def duckMd5Pack(e: String): String = Tables.duckMd5Pack(e)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE: all 4 grouping combinations in one pass.

@@ -19,4 +19,11 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** DuckDB replica of the graft.functions.Md5Pack 62-bit hash over SQL
+    * expression `e` — shared by every md5-anchored oracle.
+    */
+  private[queries] def duckMd5Pack(e: String): String =
+    s"""((CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647) * 2147483648
+       | + (CAST(concat('0x', substr(md5($e), 16, 15)) AS BIGINT) % 2147483647))""".stripMargin
 }

@@ -194,7 +194,10 @@ object TextOps {
         .orderBy("a_id", "b_id")),
 
     // ANN via random-hyperplane LSH buckets — the scale path that replaces
-    // s1's probes×corpus scan. Rows-only; recall property unit-tested.
+    // s1's probes×corpus scan. Fully oracle-checked: plane weights are
+    // md5-derived exact thousandths and both engines accumulate the
+    // projections in index order (SrpBucket loop ≡ list_dot_product), so
+    // buckets, candidates and ranks replay bit-exactly in DuckDB.
     "s2_ann_lsh" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
       graft.operators.AnnLsh.topK(e, e.filter(col("vec_id") < 10),
@@ -203,8 +206,9 @@ object TextOps {
     }),
 
     // IVF ANN: inverted-list search over deterministic centroids — the
-    // second scale path (vs s2's hyperplane buckets). Rows-only; recall
-    // property unit-tested.
+    // second scale path (vs s2's hyperplane buckets). Fully
+    // oracle-checked: md5-sampled centroids + index-order cosine scoring
+    // replay the assignment, routing and ranking in DuckDB.
     "s3_ann_ivf" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
       graft.operators.AnnIvf.topK(e, e.filter(col("vec_id") < 10),
@@ -214,7 +218,9 @@ object TextOps {
 
     // ANN self-evaluation: recall@5 of the LSH and IVF scale paths against
     // the exact brute-force ranking — the quality metric that justifies
-    // the approximate paths. One row: (method, hits, possible, recall).
+    // the approximate paths. Oracle-checked end-to-end now that s1/s2/s3
+    // all replay in DuckDB. One row per method: (method, hits, possible,
+    // recall).
     "s4_ann_recall" -> ((spark, dir) => {
       // Persisted: referenced by two intersects and the denominator agg —
       // without it the full brute-force scan re-executes per reference.
@@ -429,7 +435,9 @@ object TextOps {
     """list_dot_product(da, db) /
       |  (sqrt(list_dot_product(da, da)) * sqrt(list_dot_product(db, db)))""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleSqlBase ++ recallOracle
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(lower(text)) AS content_hash,
         |  min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_dups
@@ -563,6 +571,94 @@ object TextOps {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.2 ORDER BY a_id, b_id""".stripMargin,
 
+    // Full replay of the LSH ANN pipeline: md5-derived plane table,
+    // index-order projections via list_dot_product, sign-bit bucket
+    // packing (integer sum, order-free), multi-probe XOR neighbor codes,
+    // candidate equi-join, cosine ranking.
+    "s2_ann_lsh" -> {
+      val w = s"(((${Tables.duckMd5Pack("'plane_' || pp.p || '_' || dd.i")}) % 2001) - 1000) / 1000.0"
+      s"""WITH dims AS (
+         |  SELECT unnest(range(len(embedding))) AS i
+         |  FROM (SELECT embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL LIMIT 1)),
+         |pl AS (
+         |  SELECT p, list(w ORDER BY i) AS wl FROM (
+         |    SELECT pp.p, dd.i, $w AS w
+         |    FROM (SELECT unnest(range(6)) AS p) pp CROSS JOIN dims dd)
+         |  GROUP BY p),
+         |vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |bucket AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(v.emb, pl.wl) > 0
+         |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM vecs v CROSS JOIN pl GROUP BY v.vec_id),
+         |cand AS (
+         |  SELECT v.vec_id AS cand_id, v.emb AS c_emb, b.bucket
+         |  FROM vecs v JOIN bucket b ON v.vec_id = b.vec_id),
+         |probes AS (
+         |  SELECT v.vec_id AS probe_id, v.emb AS p_emb, code.sb AS search_bucket
+         |  FROM vecs v JOIN bucket b ON v.vec_id = b.vec_id
+         |  CROSS JOIN LATERAL (SELECT unnest([b.bucket,
+         |    xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4),
+         |    xor(b.bucket, 8), xor(b.bucket, 16), xor(b.bucket, 32)]) AS sb) code
+         |  WHERE v.vec_id < 10),
+         |scored AS (
+         |  SELECT p.probe_id, c.cand_id,
+         |    round(list_dot_product(p.p_emb, c.c_emb) /
+         |      (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |       sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cos
+         |  FROM probes p JOIN cand c
+         |    ON p.search_bucket = c.bucket AND p.probe_id <> c.cand_id)
+         |SELECT probe_id, cand_id, cos, rank FROM (
+         |  SELECT probe_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
+
+    // Full replay of the IVF pipeline: 16 md5-sampled centroids, cosine
+    // assignment (nearest 1 builds inverted lists, nearest 2 routes
+    // probes), list join, distinct pairs, cosine ranking.
+    "s3_ann_ivf" -> {
+      val cosOf = (a: String, b: String) =>
+        s"""list_dot_product($a, $b) /
+           |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS c_emb
+         |  FROM vecs
+         |  ORDER BY ${Tables.duckMd5Pack("CAST(vec_id AS VARCHAR)")} LIMIT 16),
+         |assigned AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosOf("v.emb", "c.c_emb")} DESC, c.centroid_id) AS rn
+         |  FROM vecs v CROSS JOIN cent c),
+         |lists AS (
+         |  SELECT a.vec_id AS cand_id, a.centroid_id, v.emb AS c_vec
+         |  FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
+         |  WHERE a.rn = 1),
+         |routed AS (
+         |  SELECT a.vec_id AS probe_id, a.centroid_id, v.emb AS p_vec
+         |  FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
+         |  WHERE a.rn <= 2 AND a.vec_id < 10),
+         |scored AS (
+         |  SELECT DISTINCT r.probe_id, l.cand_id,
+         |    round(${cosOf("r.p_vec", "l.c_vec")}, 6) AS cos
+         |  FROM routed r JOIN lists l ON r.centroid_id = l.centroid_id
+         |  WHERE r.probe_id <> l.cand_id)
+         |SELECT probe_id, cand_id, cos, rank FROM (
+         |  SELECT probe_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
+
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -694,4 +790,26 @@ object TextOps {
         |  CAST(3 AS INTEGER) AS channels
         |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin,
   )
+
+  /** s4's oracle composes the s1/s2/s3 replays: recall = |approx ∩ exact|
+    * / |exact| per method, all three pipelines nested as subqueries.
+    * Built after the base map so it can splice those SQL bodies verbatim.
+    */
+  private def recallOracle: Map[String, String] = {
+    def pairs(name: String) = oracleSqlBase(name)
+    Map("s4_ann_recall" ->
+      s"""WITH exact AS (SELECT probe_id, cand_id FROM (${pairs("s1_cosine_topk")}) t),
+         |lsh AS (SELECT probe_id, cand_id FROM (${pairs("s2_ann_lsh")}) t),
+         |ivf AS (SELECT probe_id, cand_id FROM (${pairs("s3_ann_ivf")}) t),
+         |ex_n AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
+         |SELECT method, hits, exact_pairs, hits / exact_pairs AS recall FROM (
+         |  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ivf JOIN exact ON ivf.probe_id = exact.probe_id
+         |                     AND ivf.cand_id = exact.cand_id
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(count(*) AS BIGINT)
+         |  FROM lsh JOIN exact ON lsh.probe_id = exact.probe_id
+         |                     AND lsh.cand_id = exact.cand_id)
+         |CROSS JOIN ex_n ORDER BY method""".stripMargin)
+  }
 }
