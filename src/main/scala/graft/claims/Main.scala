@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point, same contract as the reference script
   * (claim_pipeline.py:235-242): `Main <file> [<file> …]`, usage + exit 1
   * when no inputs are given. `spark-submit`-able.
+  *
+  * `GRAFT_PRESERVE_ORDER=false` switches to the scale path: inputs read
+  * with parallel multi-split scans (16 MB splits so even one large file
+  * fans out) and candidate order is not the reference's input order.
+  * Default preserves byte-level reference parity.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -13,7 +18,9 @@ object Main {
         "Usage error: graft.claims.Main <emr_alpha.csv> [emr_beta.json ...]")
       sys.exit(1)
     }
-    val spark = SparkSession.builder()
+    val preserveOrder =
+      sys.env.getOrElse("GRAFT_PRESERVE_ORDER", "true").toBoolean
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-claim-pipeline")
       .config("spark.sql.shuffle.partitions",
@@ -21,10 +28,13 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (!preserveOrder)
+      builder.config("spark.sql.files.maxPartitionBytes", 16L * 1024 * 1024)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val result = ClaimPipeline.run(spark, args.toSeq)
+      val result = ClaimPipeline.run(spark, args.toSeq,
+        preserveInputOrder = preserveOrder)
       println(s"Output saved to ${result.outputPath}")
       println(result.metrics.render)
     } finally spark.stop()

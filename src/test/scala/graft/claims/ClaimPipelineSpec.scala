@@ -73,6 +73,27 @@ class ClaimPipelineSpec extends AnyFunSuite {
       "non-retryable_or_ambiguous" -> 1, "malformed" -> 0))
   }
 
+  test("scale path (preserveInputOrder=false) yields the same candidate set and metrics") {
+    val dir = tmpDir()
+    val files = Seq(
+      write(dir, "emr_alpha.csv", alphaCsv), write(dir, "emr_beta.json", betaJson))
+    val out = tmpDir()
+    val result = ClaimPipeline.run(spark, files, PipelineConfig(),
+      outputPath = out.resolve("cands.json").toString,
+      metricsPath = out.resolve("metrics.log").toString,
+      preserveInputOrder = false)
+    val got = result.candidates
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      ("A123", "Missing modifier", "alpha", "Add correct CPT modifier, resubmit"),
+      ("A124", "Incorrect NPI", "alpha", "Review provider NPI, correct and resubmit"),
+      ("A127", "Prior auth required", "alpha", "Obtain/attach prior authorization and resubmit"),
+      ("B988", "Missing modifier", "beta", "Add correct CPT modifier, resubmit")))
+    assert(result.metrics.totalProcessed === 9)
+    assert(result.metrics.flaggedForResubmission === 4)
+  }
+
   test("combined run with bugCompatMetrics reproduces as-implemented routing (S9)") {
     val dir = tmpDir()
     val result = runPipeline(
