@@ -21,39 +21,61 @@ object Sinks {
   /** Python json.dump escape semantics (the byte-parity contract): the
     * shorthand escapes incl. \b and \f, and ensure_ascii=True — every
     * non-ASCII UTF-16 code unit (incl. each surrogate half) as \uXXXX.
+    * Appends into `sb`: the per-char string-returning formulation this
+    * replaces dominated the sink at 300k+ candidates.
     */
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case '\b' => "\\b"
-    case '\f' => "\\f"
-    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  private def jsonEscapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
   }
 
   /** Render rows as a Python-json.dump(indent=2)-style JSON array. */
   def renderJsonArray(rows: Seq[Row]): String = {
     if (rows.isEmpty) return "[]"
-    val items = rows.map { r =>
-      val fields = r.schema.fields.zipWithIndex.map { case (f, i) =>
-        val v =
-          if (r.isNullAt(i)) "null"
-          else r.get(i) match {
-            case s: String => "\"" + jsonEscape(s) + "\""
-            case n: java.lang.Number => n.toString
-            case b: java.lang.Boolean => b.toString
-            // Dates/timestamps/anything else: render as a JSON string —
-            // bare toString would be invalid JSON.
-            case other => "\"" + jsonEscape(other.toString) + "\""
-          }
-        s"""    "${jsonEscape(f.name)}": $v"""
+    val sb = new java.lang.StringBuilder(math.min(rows.size, 1 << 20) * 64)
+    sb.append("[\n")
+    var first = true
+    rows.foreach { r =>
+      if (!first) sb.append(",\n")
+      first = false
+      sb.append("  {\n")
+      val fields = r.schema.fields
+      var i = 0
+      while (i < fields.length) {
+        if (i > 0) sb.append(",\n")
+        sb.append("    \"")
+        jsonEscapeInto(sb, fields(i).name)
+        sb.append("\": ")
+        if (r.isNullAt(i)) sb.append("null")
+        else r.get(i) match {
+          case s: String =>
+            sb.append('"'); jsonEscapeInto(sb, s); sb.append('"')
+          case n: java.lang.Number => sb.append(n.toString)
+          case b: java.lang.Boolean => sb.append(b.toString)
+          // Dates/timestamps/anything else: render as a JSON string —
+          // bare toString would be invalid JSON.
+          case other =>
+            sb.append('"'); jsonEscapeInto(sb, other.toString); sb.append('"')
+        }
+        i += 1
       }
-      "  {\n" + fields.mkString(",\n") + "\n  }"
+      sb.append("\n  }")
     }
-    "[\n" + items.mkString(",\n") + "\n]"
+    sb.append("\n]")
+    sb.toString
   }
 
   /** Pretty-JSON candidates sink (byte-parity path). Returns collected rows
