@@ -68,6 +68,26 @@ object Multimodal {
     }
   }
 
+  /** Real file ingestion: Spark's `binaryFile` source over a directory →
+    * the same MediaRecord schema every downstream operator consumes.
+    * media_id is the xxhash64 of the file path (stable across reruns);
+    * media_type derives from the file extension. `pathGlobFilter` can
+    * restrict to e.g. `*.png` at scan time.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      globFilter: Option[String] = None): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir).select(
+      xxhash64(col("path")).as("media_id"),
+      concat(lit("file/"),
+        element_at(split(col("path"), "\\."), -1)).as("media_type"),
+      col("length").as("n_bytes"),
+      col("content"),
+    ).as[MediaRecord]
+  }
+
   /** Build a media table from the documents testdata: the text payload
     * stands in for an opaque media blob (real ingestion would use the
     * binaryFile source with the same downstream schema).

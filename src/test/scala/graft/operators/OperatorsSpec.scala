@@ -158,6 +158,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: binaryFile source ingests real files into the media schema") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.wav"), Array[Byte](9, 8, 7))
+    Files.write(dir.resolve("skip.txt"), Array[Byte](0))
+    val all = Multimodal.readBinaryDir(spark, dir.toString).collect()
+      .map(m => m.media_type -> m.n_bytes).toSet
+    assert(all === Set("file/png" -> 4L, "file/wav" -> 3L, "file/txt" -> 1L))
+    val pngOnly = Multimodal
+      .readBinaryDir(spark, dir.toString, globFilter = Some("*.png"))
+    assert(pngOnly.collect().map(_.media_type).toSeq === Seq("file/png"))
+    // downstream decode runs unchanged on the real-file records
+    val dec = Multimodal.decodeAll(pngOnly).collect()
+    assert(dec.head.features.length === 16)
+  }
+
   test("Multimodal: resizeMeta halves dims (floored at 1) and average-pools features") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val dec = Multimodal.decodeAll(Multimodal.mediaFromDocuments(docs))
