@@ -111,8 +111,10 @@ object Analytics2 {
     }),
 
     // Approximate sketches (HLL++ distinct count, approx quantiles) — the
-    // 100 TB substitutes for exact distinct/percentile. No oracle (sketch
-    // internals are engine-specific); rows-only + bounds checked in tests.
+    // 100 TB substitutes for exact distinct/percentile. The one remaining
+    // rows-only query: sketch internals are engine-specific, so accuracy
+    // is bounds-tested (Analytics2Spec) instead; q38 is the
+    // oracle-checkable deterministic counterpart.
     "q19_approx_sketches" -> ((spark, dir) =>
       t(spark, dir, "lineitem")
         .groupBy("l_returnflag")

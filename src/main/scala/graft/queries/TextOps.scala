@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * embeddings, text analysis (language scoring, quality, token stats,
   * fingerprinting) and multimodal binary plumbing.
   *
-  * Hashing is md5-based (identical in Spark and DuckDB) so even sketch
-  * computations are oracle-checkable; xxhash64-based variants (faster,
-  * Spark-only) back the non-oracle LSH pair query. All ratio arithmetic is
-  * int/int → IEEE double division, bit-identical across engines.
+  * Hashing is md5-based (identical in Spark and DuckDB) so every sketch,
+  * LSH and ANN computation here is oracle-checkable; xxhash64 remains the
+  * faster default in the operator APIs for non-oracle use. All ratio
+  * arithmetic is int/int → IEEE double division, bit-identical across
+  * engines.
   */
 object TextOps {
   import Tables.t
