@@ -165,8 +165,11 @@ object TextOps {
         .distinct().collect().map(_.getLong(0))
       // Verification: shingle ONLY candidate docs — the id filter pushes
       // into the parquet scan, so the exact-Jaccard step is
-      // O(candidates), not O(corpus).
-      val candToks = docs.filter(col("doc_id").isin(candIds: _*))
+      // O(candidates), not O(corpus). (Guard: isin() with zero values is
+      // ill-defined; an empty candidate set short-circuits to false.)
+      val idFilter =
+        if (candIds.isEmpty) lit(false) else col("doc_id").isin(candIds: _*)
+      val candToks = docs.filter(idFilter)
         .select(col("doc_id"), shingles(col("text")).as("tk"))
       cand
         .join(candToks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")),
