@@ -43,6 +43,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"expected <=1 shuffle join, got $shuffles")
   }
 
+  test("LSH pair expansion runs on aggregates alone - no Window operator") {
+    // BucketedPairs gathers members with the bounded TopKAgg: a Window in
+    // these plans would mean the two-shuffle window-count formulation
+    // regressed back in.
+    Seq("d4_minhash_pairs", "d5_simhash_pairs").foreach { name =>
+      assert(!plan(name).contains("Window"), s"$name plans a Window")
+    }
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
