@@ -330,6 +330,24 @@ object Analytics2 {
         .orderBy("l_suppkey", "dayn")
     }),
 
+    // MapType surface: construction, lookup, cardinality, entries
+    // (serialized sorted so the comparator sees scalars), key-membership.
+    "q41_map_funcs" -> ((spark, dir) => {
+      val m = map(
+        lit("flag"), col("l_returnflag"),
+        lit("status"), col("l_linestatus"),
+        lit("qty"), col("l_quantity").cast("string"))
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(m, "flag").as("flag_v"),
+          size(m).as("m_size"),
+          array_join(array_sort(transform(map_entries(m),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ",").as("m_repr"),
+          map_contains_key(m, "status").as("has_status"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Scalar + IN subqueries through the SQL layer.
     "q37_scalar_subquery" -> ((spark, dir) => {
       t(spark, dir, "orders").createOrReplaceTempView("orders_sq")
@@ -460,6 +478,20 @@ object Analytics2 {
          |    (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 AS bucket
          |  FROM lineitem)
          |WHERE bucket < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q41_map_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  m['flag'][1] AS flag_v,
+        |  CAST(cardinality(m) AS INTEGER) AS m_size,
+        |  array_to_string(list_sort(list_transform(map_entries(m),
+        |    e -> e.key || '=' || e.value)), ',') AS m_repr,
+        |  len(map_extract(m, 'status')) > 0 AS has_status
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    map(['flag', 'status', 'qty'],
+        |        [l_returnflag, l_linestatus, CAST(l_quantity AS VARCHAR)]) AS m
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q40_range_frame" ->
       """SELECT DISTINCT l_suppkey, dayn,
