@@ -25,11 +25,15 @@ import org.apache.spark.sql.types._
   *
   * The child must be a struct; rows are compared field-by-field in struct
   * order (make the tuple unique for deterministic results). Result: the
-  * group's top-k structs, descending.
+  * group's top-k structs, descending — or, with `smallest = true`, the
+  * k SMALLEST structs ascending (min-k: e.g. the KMV sketch's k minimum
+  * hashes, where a window-rank formulation would sort every distinct
+  * value inside one task per group).
   */
 case class TopKAgg(
     child: Expression,
     k: Int,
+    smallest: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
 ) extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
@@ -38,17 +42,21 @@ case class TopKAgg(
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
-  @transient private lazy val ordering: Ordering[InternalRow] =
+  @transient private lazy val fieldOrd: Ordering[InternalRow] =
     TypeUtils.getInterpretedOrdering(structType)
       .asInstanceOf[Ordering[InternalRow]]
 
-  // Min-heap: head is the SMALLEST of the kept k, evicted first.
+  // "better" = kept preferentially: larger for top-k, smaller for min-k.
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    if (smallest) fieldOrd.reverse else fieldOrd
+
+  // Heap head is the WORST of the kept k, evicted first.
   @transient private lazy val heapOrd: Ordering[InternalRow] = ordering.reverse
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
-  override def prettyName: String = "top_k"
+  override def prettyName: String = if (smallest) "min_k" else "top_k"
 
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty[InternalRow](heapOrd)
@@ -129,4 +137,12 @@ object TopKAgg {
   def apply(struct: Column, k: Int): Column =
     graftbridge.column(
       TopKAgg(graftbridge.expression(struct), k).toAggregateExpression())
+
+  /** Aggregate Column: the k smallest struct values, ascending — ships at
+    * most k values per map partition (one bounded shuffle, no sort).
+    */
+  def minK(struct: Column, k: Int): Column =
+    graftbridge.column(
+      TopKAgg(graftbridge.expression(struct), k, smallest = true)
+        .toAggregateExpression())
 }

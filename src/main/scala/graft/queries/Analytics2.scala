@@ -287,11 +287,17 @@ object Analytics2 {
       val li = t(spark, dir, "lineitem")
       val h = graft.functions.Md5Pack(col("l_partkey").cast("string"))
       val dh = li.select(col("l_returnflag"), h.as("h")).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag").orderBy("h")
-      val kth = dh.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-        .select(col("l_returnflag"), col("h").as("hk"))
+      // k-th-smallest hash via the bounded min-k aggregate: at most k
+      // values per (group, map partition) enter the shuffle. A
+      // row_number window here would sort ALL distinct hashes of each
+      // flag inside ~3 tasks (the partition key has 3 values) — a
+      // single-task full sort at 100x scale. get() is null on
+      // out-of-bounds, matching the old filter(rn = k) + left-join
+      // behavior when a group holds fewer than k hashes.
+      val kth = dh.groupBy("l_returnflag")
+        .agg(graft.functions.TopKAgg.minK(struct(col("h")), k).as("mins"))
+        .select(col("l_returnflag"),
+          get(col("mins"), lit(k - 1)).getField("h").as("hk"))
       li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
         .join(kth, Seq("l_returnflag"), "left")

@@ -151,25 +151,26 @@ object TextOps {
       // Skew guard + pair expansion via the shared BucketedPairs helper:
       // capped band buckets, pairs expanded inside each bucket's sorted id
       // array — one lineage, no self-join, no cross join anywhere.
-      // Candidate pairs are tiny by construction (band-bucket caps bound
-      // them); persist + eager collect of the id set so the signature
-      // pipeline runs exactly ONCE. A lazy broadcast-subquery formulation
-      // was measured 2x slower: under AQE the broadcast stage and the main
-      // probe stage race to materialize the same cached frame.
+      // Persist + an eager count() so the signature pipeline runs exactly
+      // ONCE: without it, under AQE the branches below race to materialize
+      // the same cached frame (measured 2x slower). Only a single long
+      // crosses to the driver — the candidate IDS stay distributed and
+      // reach the verification scan through a left_semi join (at real
+      // scale AQE broadcasts the tiny id frame, giving the same scan-side
+      // filtering as a runtime filter; a collect()+isin here would grow
+      // the driver heap and the literal tree linearly with the corpus).
       val cand = graft.operators.BucketedPairs
         .pairs(bands, Seq("band", "ba", "bb"), col("doc_id"), maxBucket = 100)
         .select(col("x").as("a_id"), col("y").as("b_id"))
         .distinct()
         .persist()
-      val candIds = cand.select(col("a_id")).union(cand.select(col("b_id")))
-        .distinct().collect().map(_.getLong(0))
-      // Verification: shingle ONLY candidate docs — the id filter pushes
-      // into the parquet scan, so the exact-Jaccard step is
-      // O(candidates), not O(corpus). (Guard: isin() with zero values is
-      // ill-defined; an empty candidate set short-circuits to false.)
-      val idFilter =
-        if (candIds.isEmpty) lit(false) else col("doc_id").isin(candIds: _*)
-      val candToks = docs.filter(idFilter)
+      cand.count()
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id")))
+        .distinct()
+      // Verification: shingle ONLY candidate docs — the semi-join keeps
+      // the exact-Jaccard step O(candidates), not O(corpus).
+      val candToks = docs.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), shingles(col("text")).as("tk"))
       cand
         .join(candToks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")),

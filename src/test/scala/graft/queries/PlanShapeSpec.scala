@@ -52,6 +52,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d4 filters candidates via a distributed semi-join, not a driver isin") {
+    // The round-2 formulation collect()ed every candidate doc-id to the
+    // driver and re-injected it as an isin(...) literal — unbounded driver
+    // heap + a literal tree growing with the corpus. The fix keeps the ids
+    // distributed: the plan must carry a LeftSemi join and no IN-list.
+    val p = plan("d4_minhash_pairs")
+    assert(p.contains("LeftSemi"), "d4 lost its semi-join candidate filter")
+    assert(!p.contains(" IN ("), "d4 regressed to a driver-side IN literal")
+  }
+
+  test("q38 finds the k-th min hash with a bounded aggregate, not a window") {
+    // A row_number window partitioned by l_returnflag (3 values) sorts all
+    // distinct hashes in ~3 tasks; the min-k aggregate ships at most k
+    // values per map partition.
+    val p = plan("q38_kmv_distinct")
+    assert(!p.contains("Window"), "q38 plans a Window over a 3-value key")
+    assert(p.contains("min_k"), "q38 no longer uses the min-k aggregate")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
