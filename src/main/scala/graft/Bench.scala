@@ -18,14 +18,24 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
+    // Each query runs ITERS times and reports the MIN: single-iteration
+    // timing under 32-core GC pressure produced order-of-magnitude
+    // outliers (r02 recorded c4 at 20.6s; an isolated re-run measured
+    // 2.1s). The min is the stable estimator of a query's actual cost —
+    // the noise is strictly additive (GC pauses, compilation stalls).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that persist() intermediates would otherwise leak cache
-      // blocks into every later measurement (GC pressure skews timings).
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries that persist() intermediates would otherwise leak cache
+        // blocks into the next iteration/measurement (and the cache would
+        // flatter iterations 2+ into measuring only the cached tail).
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
