@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row sketch kernels shared by the interpreted and codegen'd paths of
+  * [[MinHashOf]] / [[SimHashOf]] (a standalone object gets static
+  * forwarders, so generated Java calls them directly, like
+  * [[Md5Hash.pack]]).
+  *
+  * These hash every token of a document and fold the hashes into the
+  * doc's sketch in ONE fused loop inside the row — the scale-shape
+  * alternative to explode + groupBy: the exploded formulation shuffles
+  * one row per (doc, token) into an aggregation, i.e. the whole
+  * tokenized corpus crosses the wire to compute a per-doc constant-size
+  * value. Per-row folding makes the signature stage a pure map — zero
+  * shuffles, pipelined into whatever consumes it. (A transform() HOF +
+  * fold-expression split was measured 3x slower: higher-order functions
+  * are CodegenFallback, so the per-token hash ran interpreted.) Both
+  * kernels are order-independent (min / integer vote sums), so results
+  * are bit-identical to the aggregate formulation, and the md5 hash kind
+  * replays exactly in DuckDB SQL.
+  */
+object SketchOps {
+  private val P = 2147483647L
+
+  /** Token-hash kinds: xxhash64 (Spark-native, fastest — matches
+    * xxhash64(col) with its default seed 42, asserted in OperatorsSpec)
+    * and the packed-md5 62-bit hash (oracle-reproducible in DuckDB).
+    */
+  final val HashXx64 = 0
+  final val HashMd5Pack = 1
+
+  def hashToken(s: UTF8String, kind: Int): Long =
+    if (kind == HashMd5Pack) Md5Hash.pack(s.getBytes)
+    else XxHash64Function.hash(s, StringType, 42L)
+
+  private val Space = UTF8String.fromString(" ")
+  private val EmptyArr: ArrayData = new GenericArrayData(new Array[Any](0))
+
+  /** Distinct width-w word shingles in first-occurrence order — one JVM
+    * loop with an insertion-ordered set. Replaces the
+    * transform(sequence(...)) + concat_ws + array_distinct formulation,
+    * whose higher-order functions are CodegenFallback: three interpreted
+    * element_at calls per shingle dominated the whole dedup pipeline
+    * (measured ~70% of d5). Windows shorter than w (and null word
+    * arrays) yield an empty set, byte-identical to the declarative form.
+    */
+  def shingleArr(words: ArrayData, w: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < w) return EmptyArr
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](w)
+    var i = 0
+    while (i <= n - w) {
+      var j = 0
+      var ok = true
+      while (j < w) {
+        if (words.isNullAt(i + j)) ok = false
+        else parts(j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) set.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(
+      set.toArray(new Array[UTF8String](set.size())).asInstanceOf[Array[Any]])
+  }
+
+  /** k Kirsch–Mitzenmacher minhash values h_i = (h1 + (i+1)·h2) mod p
+    * over the [[Md5Hash.pack]]-packed hashes (h1 = top 31 bits, h2 = low
+    * 31) of a token array. Null when the array holds no non-null token —
+    * mirroring the exploded formulation, where an empty doc produced no
+    * group. (md5-only: the KM split is defined on the packed format.)
+    */
+  def minhash(arr: ArrayData, k: Int): Array[Long] = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val p = Md5Hash.pack(arr.getUTF8String(i).getBytes)
+        val h1 = p >>> 31
+        val h2 = p & 0x7fffffffL
+        var j = 0
+        while (j < k) {
+          val h = (h1 + (j + 1) * h2) % P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen) mins else null
+  }
+
+  /** Charikar simhash: per-bit ±1 votes summed over the token hashes,
+    * sign bits packed into the 64-bit signature. Null on an empty array
+    * (the exploded formulation produced no group for an empty doc).
+    */
+  def simhash(arr: ArrayData, hashKind: Int): java.lang.Long = {
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = hashToken(arr.getUTF8String(i), hashKind)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (((h >>> j) & 1L) * 2) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) return null
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+/** Distinct width-w word shingles of a word array, first-occurrence
+  * order (see [[SketchOps.shingleArr]]). A NULL word array yields an
+  * EMPTY shingle set, not null — mirroring the declarative
+  * when(n >= 3, ...).otherwise(array()) guard this replaces, so the
+  * expression itself is never null.
+  */
+case class ShinglesOf(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, "width must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_of"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) SketchOps.shingleArr(new GenericArrayData(new Array[Any](0)), width)
+    else SketchOps.shingleArr(v.asInstanceOf[ArrayData], width)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val empty =
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])"
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $empty :
+            graft.functions.SketchOps.shingleArr(${c.value}, $width);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesOf =
+    copy(child = c)
+}
+
+object ShinglesOf {
+  def apply(words: Column, width: Int): Column =
+    graftbridge.column(ShinglesOf(graftbridge.expression(words), width))
+}
+
+/** array<long> of a row's k minhash values over its token array (packed
+  * md5 + Kirsch–Mitzenmacher, see [[SketchOps.minhash]]). NULL for rows
+  * with no tokens.
+  *
+  * NOTE for callers: filter empty-token rows out with a CHEAP predicate
+  * (e.g. on the word count) BEFORE this projection, not with
+  * isNotNull(minhash_of(...)) after it — predicate pushdown substitutes
+  * the alias and evaluates the whole sketch twice (measured 2-3x).
+  */
+case class MinHashOf(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_of"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val mins = SketchOps.minhash(v.asInstanceOf[ArrayData], k)
+    if (mins == null) null else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("mins")
+      s"""
+         |long[] $tmp = graft.functions.SketchOps.minhash($a, $k);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashOf =
+    copy(child = c)
+}
+
+object MinHashOf {
+  def apply(tokens: Column, k: Int): Column =
+    graftbridge.column(MinHashOf(graftbridge.expression(tokens), k))
+}
+
+/** 64-bit simhash signature of a row's token array (see
+  * [[SketchOps.simhash]]; hashKind selects xxhash64 or packed md5). NULL
+  * for rows with no tokens. Same caller note as [[MinHashOf]]: pre-filter
+  * empties cheaply, don't isNotNull the sketch.
+  */
+case class SimHashOf(child: Expression, hashKind: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_of"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.simhash(v.asInstanceOf[ArrayData], hashKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $tmp =
+         |  graft.functions.SketchOps.simhash($a, $hashKind);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHashOf =
+    copy(child = c)
+}
+
+object SimHashOf {
+  def apply(tokens: Column, hashKind: Int): Column =
+    graftbridge.column(SimHashOf(graftbridge.expression(tokens), hashKind))
+}

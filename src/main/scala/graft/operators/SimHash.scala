@@ -5,14 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection (Charikar's 64-bit sketch).
   *
-  * Pipeline: token → xxhash64 → per-bit ±1 votes summed per document (one
-  * groupBy, map-side combinable) → 64-bit signature assembled from vote
-  * signs → candidate pairs via 16-bit band chunks (documents sharing any
-  * chunk value — a shuffle join, never a cross join) → verified by exact
-  * Hamming distance (`bit_count(a XOR b)`).
-  *
-  * Everything is Column expressions inside whole-stage codegen; the per-bit
-  * vote aggregation is 64 `sum(CASE…)` aggregates computed in a single pass.
+  * Pipeline: token array → per-token 64-bit hash → per-row vote fold into
+  * the 64-bit signature ([[graft.functions.SimHashOf]] — a pure map, zero
+  * shuffles) → candidate pairs via 16-bit band chunks (documents sharing
+  * any chunk value — a shuffle join, never a cross join) → verified by
+  * exact Hamming distance (`bit_count(a XOR b)`).
   */
 object SimHash {
 
@@ -21,30 +18,37 @@ object SimHash {
   private val NumChunks = Bits / ChunkBits
 
   /** (id, simhash) signature per document from a token-array column —
-    * votes folded by the custom [[graft.functions.SimHashAgg]] imperative
-    * aggregate (map-side combinable; one JVM loop per row instead of 64
-    * CASE aggregates).
+    * tokens hashed and votes folded per ROW by the codegen'd
+    * [[graft.functions.SimHashOf]] expression. A pure map: the former
+    * explode + groupBy formulation shuffled one row per (doc, token) into
+    * the vote aggregation — the whole tokenized corpus crossing the wire
+    * to compute a per-doc constant. Empty-token docs yield no signature
+    * (same as the exploded form, where they produced no group); the
+    * emptiness filter runs on the cheap token array, NOT on
+    * isNotNull(simhash) — pushdown would substitute the alias and run
+    * the whole hash pass twice.
     *
-    * @param tokenHash 64-bit hash of a token column. Default xxhash64
-    *                  (fastest); pass [[graft.functions.Md5Pack]] for a
-    *                  62-bit hash reproducible in DuckDB SQL (oracle
-    *                  parity — integer vote sums are order-independent,
-    *                  so the signature is exactly reproducible).
+    * @param hashKind [[graft.functions.SketchOps.HashXx64]] (default,
+    *                 fastest) or HashMd5Pack for a 62-bit hash
+    *                 reproducible in DuckDB SQL (oracle parity — integer
+    *                 vote sums are order-independent, so the signature is
+    *                 exactly reproducible).
     */
   def signatures(docs: DataFrame, idCol: String, tokens: Column,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    // Spread single-split inputs across cores before the token explode —
-    // the vote aggregation shuffles on idCol anyway, so this only buys
-    // map-side parallelism (a one-file table would otherwise hash on one
-    // core). Identity when the input already has enough splits: at
-    // cluster scale the repartition would be a pointless corpus shuffle.
+      hashKind: Int = graft.functions.SketchOps.HashXx64): DataFrame = {
+    // Spread single-split inputs across cores before the per-row hashing
+    // pass (with no shuffle left in this stage, a one-file table would
+    // otherwise hash on one core). Identity when the input already has
+    // enough splits: at cluster scale the repartition would be a
+    // pointless corpus shuffle.
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
-    val ex = spread.select(col(idCol), explode(array_distinct(tokens)).as("tok"))
-    ex.groupBy(idCol)
-      .agg(graft.functions.SimHashAgg(tokenHash(col("tok"))).as("simhash"))
+    spread
+      .filter(size(tokens) > 0)
+      .select(col(idCol), graft.functions.SimHashOf(
+        array_distinct(tokens), hashKind).as("simhash"))
   }
 
   /** Declarative reference formulation (64 sum(CASE) aggregates) — kept as
@@ -74,8 +78,8 @@ object SimHash {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, tokens: Column,
       maxHamming: Int = 3, maxBucket: Int = 1000,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sig = signatures(docs, idCol, tokens, tokenHash)
+      hashKind: Int = graft.functions.SketchOps.HashXx64): DataFrame = {
+    val sig = signatures(docs, idCol, tokens, hashKind)
     val chunks = sig.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until NumChunks).map(c =>
         struct(lit(c).as("chunk"),

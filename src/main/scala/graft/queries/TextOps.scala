@@ -33,7 +33,7 @@ object TextOps {
     * byte-level [[graft.functions.Md5Pack]] (no hex-string intermediates);
     * bit-equality with the conv(substr(md5hex)) formulation is tested.
     */
-  private def mdHashes(c: Column): Seq[Column] = {
+  private[queries] def mdHashes(c: Column): Seq[Column] = {
     val packed = graft.functions.Md5Pack(c)
     val h1 = shiftright(packed, 31)
     val h2 = packed.bitwiseAND(lit(0x7fffffffL))
@@ -43,20 +43,14 @@ object TextOps {
   /** Distinct 3-word shingles. MinHash over unigrams is degenerate on a
     * small vocabulary (every band collides, candidate pairs explode
     * quadratically — measured 100x slowdown at sf0.1); word 3-grams give
-    * the diversity the sketch needs, at any corpus size.
+    * the diversity the sketch needs, at any corpus size. Built by the
+    * codegen'd [[graft.functions.ShinglesOf]] kernel — the declarative
+    * transform(sequence)+concat_ws+array_distinct formulation it
+    * replaces ran interpreted (HOFs are CodegenFallback) and dominated
+    * the dedup pipeline. Short/NULL docs yield an empty set.
     */
-  private[queries] def shingles(text: Column): Column = {
-    val tk = split(text, " ")
-    val n = size(tk)
-    // Guard: sequence(1, n-2) auto-DESCENDS when n < 3 and element_at then
-    // throws under ANSI — short docs must yield an empty shingle set (the
-    // DuckDB range() equivalent is naturally empty).
-    array_distinct(
-      when(n >= 3, transform(sequence(lit(1), n - 2),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
-        .otherwise(array().cast("array<string>")))
-  }
+  private[queries] def shingles(text: Column): Column =
+    graft.functions.ShinglesOf(split(text, " "), 3)
 
   /** Spread a small single-file table across all cores before per-row-heavy
     * work (shingling/hashing): a one-file parquet scan is one partition, so
@@ -71,28 +65,32 @@ object TextOps {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Exploded (doc_id, tok) shingle stream. The explode stays INLINE over
-    * the shingle expression: pre-projecting the array into a column and
-    * exploding that is ~10x slower (the Project materializes every
-    * per-doc shingle array as an UnsafeArrayData before Generate reads
-    * it back; inline, Generate pipelines the rows).
+  /** doc_id + minhash signature columns mh0..mh7 over distinct shingles.
+    *
+    * One pure-map pass: per row, the shingle array is md5-packed
+    * ([[graft.functions.Md5Pack]]) and folded into all 8 minima by the
+    * codegen'd [[graft.functions.MinHashOf]] kernel — zero shuffles. The
+    * former explode + groupBy-min formulation shuffled one row per
+    * (doc, shingle) into the aggregation, i.e. the whole shingled corpus
+    * crossed the wire to compute 8 longs per doc. Minima are
+    * order-independent, so the signature is bit-identical (and still
+    * replays in DuckDB SQL). Shingle-less docs (< 3 words) yield no row,
+    * matching the exploded form where they produced no group.
     */
-  private def explodedShingles(docs: DataFrame): DataFrame =
-    spread(docs).select(col("doc_id"),
-      explode(shingles(col("text"))).as("tok"))
-
-  /** doc_id + minhash signature columns mh0..mh7 from an exploded
-    * (doc_id, tok) frame.
-    */
-  private def minhashFromExploded(ex: DataFrame): DataFrame = {
-    val aggs = mdHashes(col("tok")).zipWithIndex
-      .map { case (h, i) => min(h).as(s"mh$i") }
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  private def minhashSignature(docs: DataFrame): DataFrame = {
+    // Shingle-less docs (< 3 words) yield no row, matching the exploded
+    // form where they produced no group. The filter runs on the CHEAP
+    // word count, before the sketch projection: filtering on
+    // isNotNull(_mh) instead lets predicate pushdown substitute the
+    // alias and evaluate the whole shingle+md5+minhash pass twice
+    // (measured 3x slower).
+    spread(docs)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashOf(shingles(col("text")), NumHashes).as("_mh"))
+      .select(col("doc_id") +: (0 until NumHashes)
+        .map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
   }
-
-  /** doc_id + minhash signature columns mh0..mh7 over distinct shingles. */
-  private def minhashSignature(docs: DataFrame): DataFrame =
-    minhashFromExploded(explodedShingles(docs))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -195,7 +193,7 @@ object TextOps {
       graft.operators.SimHash.nearDuplicates(
           t(spark, dir, "documents"), "doc_id",
           shingles(col("text")), maxHamming = 8,
-          tokenHash = graft.functions.Md5Pack(_))
+          hashKind = graft.functions.SketchOps.HashMd5Pack)
         .orderBy("a_id", "b_id")),
 
     // ANN via random-hyperplane LSH buckets — the scale path that replaces

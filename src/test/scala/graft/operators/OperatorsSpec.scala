@@ -36,7 +36,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("SimHashAgg imperative aggregate equals the declarative formulation") {
+  test("SimHashOf per-row fold equals the declarative aggregate formulation") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val fast = SimHash.signatures(docs, "doc_id", split(col("text"), " "))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

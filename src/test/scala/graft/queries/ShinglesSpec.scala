@@ -19,6 +19,23 @@ class ShinglesSpec extends AnyFunSuite {
     assert(got(4) === List("a b c", "b c d"))
   }
 
+  test("MinHashOf per-row fold equals the declarative min(mdHashes) aggregate") {
+    // The d3/d4 signature stage folds all 8 minima per row (zero
+    // shuffles); this pins it to the exploded groupBy-min reference
+    // formulation it replaced — minima are order-independent, so the two
+    // must be bit-identical.
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val ex = docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"))).as("tok"))
+    val aggs = TextOps.mdHashes(col("tok")).zipWithIndex
+      .map { case (h, i) => min(h).as(s"mh$i") }
+    val ref = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val fast = graft.SparkEntry.queries("d3_minhash_sig")(spark, "/root/testdata/sf0.001")
+    assert(fast.collect().toSeq.map(_.toSeq).toSet
+      === ref.orderBy("doc_id").collect().toSeq.map(_.toSeq).toSet)
+    assert(fast.count() === 500)
+  }
+
   test("NULL document text flows safely through text/multimodal operators") {
     import spark.implicits._
     val docs = Seq((1L, "real text here words", "src0", "en"),
