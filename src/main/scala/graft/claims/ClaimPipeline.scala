@@ -34,7 +34,7 @@ object ClaimPipeline {
     * path sets preserveInputOrder=false and skips it).
     */
   private def loadFile(spark: SparkSession, path: String, fileSeq: Int,
-      preserveOrder: Boolean): Option[DataFrame] = {
+      preserveOrder: Boolean, loaderParity: Boolean): Option[DataFrame] = {
     // Order preservation forces a single-partition read (the only way
     // monotonically_increasing_id is sequential); the scale path
     // (preserveOrder=false) keeps the parallel multi-split scan.
@@ -45,8 +45,11 @@ object ClaimPipeline {
           spark.read.option("header", "true").option("mode", "PERMISSIVE")
             .csv(path))))
       else if (path.endsWith(".json"))
+        // loaderParity (S11): the VARIANT re-parse additionally flags
+        // records the reference loader would raise on as corrupt.
         Some(Normalize.normalizeBeta(shaped(
-          spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
+          if (loaderParity) Normalize.betaRawLoaderParity(spark, path)
+          else spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .schema(Schemas.betaRaw).json(path))))
       else {
@@ -72,11 +75,13 @@ object ClaimPipeline {
       metricsPath: String = "pipeline_metrics.log",
       preserveInputOrder: Boolean = true,
   ): PipelineResult = {
+    require(!config.bugCompatFileAbort || preserveInputOrder,
+      "bugCompatFileAbort needs per-file row order (preserveInputOrder)")
     var fileMalformed = 0L
     val frames = files.zipWithIndex.flatMap { case (path, i) =>
       // File-level error isolation (claim_pipeline.py:213-215): an unreadable
       // / missing file logs, counts one malformed, and is skipped.
-      try loadFile(spark, path, i, preserveInputOrder)
+      try loadFile(spark, path, i, preserveInputOrder, config.bugCompatFileAbort)
       catch {
         case e: Exception =>
           logger.warn(s"Failed to process file $path: ${e.getMessage}")
@@ -85,7 +90,7 @@ object ClaimPipeline {
       }
     }
 
-    val claims: DataFrame = frames match {
+    val unioned: DataFrame = frames match {
       case Seq() =>
         import org.apache.spark.sql.types._
         val schema = Schemas.claim
@@ -95,6 +100,24 @@ object ClaimPipeline {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case fs => fs.reduce(_.unionByName(_))
     }
+
+    // S11 file-abort bug-compat (claim_pipeline.py:213-215): the first
+    // corrupt record of a file keeps the file's prior rows, counts
+    // malformed ONCE, and drops the rest. Keeping rows up to AND INCLUDING
+    // the first corrupt one reproduces exactly that: the retained corrupt
+    // row contributes the single malformed count via the observe pass
+    // (it is excluded from total_processed and from candidates already),
+    // and everything after it vanishes. The per-file first-corrupt frame
+    // is at most one row per input file — broadcast by size.
+    val claims: DataFrame =
+      if (!config.bugCompatFileAbort) unioned
+      else {
+        val firstBad = unioned.filter(col("_corrupt"))
+          .groupBy(col("_file_seq")).agg(min(col("_row_seq")).as("_abort_seq"))
+        unioned.join(broadcast(firstBad), Seq("_file_seq"), "left")
+          .filter(col("_abort_seq").isNull || col("_row_seq") <= col("_abort_seq"))
+          .drop("_abort_seq")
+      }
 
     // Derived columns share the classifier/age subtrees (see
     // Eligibility.withDerived) — inlining eligible+exclusion expressions

@@ -112,6 +112,64 @@ object Normalize {
         .option("mode", "PERMISSIVE")
         .csv(path)).drop("_corrupt")
 
+  /** Raw beta frame re-parsed through Spark 4 VARIANT so that records the
+    * reference loader would RAISE on are detectable (S11 bug-compat
+    * support; reference claim_pipeline.py:101-114, 213-215).
+    *
+    * The reference's `load_beta` generator raises mid-iteration when a
+    * field's JSON type is not a string: `remove_whitespaces` calls
+    * `.strip()` (AttributeError on int/bool/list/dict) for
+    * id/member/code/error_msg/status, and `to_iso_date` calls `strptime`
+    * (TypeError) on a TRUTHY non-string date — falsy values (0, false)
+    * short-circuit to None first. Spark's PERMISSIVE string-schema read
+    * silently coerces those values, so this path re-derives the raise
+    * predicate from each field's variant type and marks such records via
+    * `_corrupt_record`. Structural failures — invalid JSON, or a
+    * top-level value that is not an array (both of which abort the
+    * reference before/at the first record) — collapse to a single
+    * corrupt row, like `json.load` yielding zero records + one
+    * malformed. Documented divergence: Python treats empty containers
+    * ([] / {}) as falsy dates; here any container date raises.
+    */
+  def betaRawLoaderParity(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+      .select(col("value").as("_raw"))
+    val fileArr = try_parse_json(col("_raw")).try_cast("array<variant>")
+    val withArr = raw.select(
+      when(fileArr.isNotNull, fileArr)
+        .otherwise(array(lit(null).cast("variant"))).as("_arr"))
+    val elems = withArr.select(explode(col("_arr")).as("_elem"))
+    val elem = col("_elem")
+    def vg(f: String) = variant_get(elem, "$." + f, "variant")
+    def strField(f: String) = try_variant_get(elem, "$." + f, "string")
+    def fieldRaises(f: String) = {
+      val v = vg(f)
+      v.isNotNull && !is_variant_null(v) && schema_of_variant(v) =!= "STRING"
+    }
+    val dv = vg("date")
+    val dt = schema_of_variant(dv)
+    val dateTruthy = when(dt === "BOOLEAN",
+        coalesce(try_variant_get(elem, "$.date", "boolean"), lit(true)))
+      .when(dt.isin("BIGINT", "DOUBLE") || dt.startsWith("DECIMAL"),
+        coalesce(try_variant_get(elem, "$.date", "double") =!= 0.0, lit(true)))
+      .otherwise(lit(true))
+    val dateRaises = dv.isNotNull && !is_variant_null(dv) &&
+      dt =!= "STRING" && dateTruthy
+    val raises = elem.isNull ||
+      !schema_of_variant(elem).startsWith("OBJECT") ||
+      Seq("id", "member", "code", "error_msg", "status")
+        .map(fieldRaises).reduce(_ || _) ||
+      dateRaises
+    elems.select(
+      strField("id").as("id"),
+      strField("member").as("member"),
+      strField("code").as("code"),
+      strField("error_msg").as("error_msg"),
+      strField("date").as("date"),
+      strField("status").as("status"),
+      when(raises, lit("_loader_raise_")).cast("string").as("_corrupt_record"))
+  }
+
   /** Read + normalize a beta JSON file: a top-level JSON *array* of flat
     * objects, hence `multiLine` (reference claim_pipeline.py:104).
     * PERMISSIVE + corrupt-record column: Spark degrades per *record* where

@@ -53,9 +53,21 @@ object Rules {
   *                         patient-missing / non-retryable exclusion buckets
   *                         are rerouted into `malformed`, as the reference's
   *                         swallowed KeyError actually does.
+  * @param bugCompatFileAbort reproduce the reference's file-abort behavior
+  *                         (S11, claim_pipeline.py:213-215): a record the
+  *                         loader raises on keeps the file's PRIOR rows,
+  *                         counts `malformed` once, and silently drops the
+  *                         rest of the file — instead of the default
+  *                         per-record recovery. Beta type-error raises are
+  *                         re-derived via a VARIANT re-parse
+  *                         (Normalize.betaRawLoaderParity); alpha CSV has
+  *                         no Spark-detectable mid-file raise (csv-module
+  *                         errors such as NUL bytes — documented
+  *                         divergence). Requires preserveInputOrder.
   */
 final case class PipelineConfig(
     today: LocalDate = Rules.DefaultToday,
     minAgeDays: Int = Rules.DefaultMinAgeDays,
     bugCompatMetrics: Boolean = false,
+    bugCompatFileAbort: Boolean = false,
 )

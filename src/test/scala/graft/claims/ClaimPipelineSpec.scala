@@ -202,6 +202,37 @@ class ClaimPipelineSpec extends AnyFunSuite {
     assert(result.metrics.excludedByReason("malformed") === 1)
   }
 
+  test("S11 bugCompatFileAbort: first raising record aborts the rest of the file") {
+    // Verified by executing the reference on this exact probe: the
+    // non-string "id": 123 makes load_beta's .strip() raise mid-iteration,
+    // so row 1 is processed+flagged, malformed counts once, and row 3 is
+    // never seen (total 1 / beta 1 / flagged 1 / malformed 1, candidates
+    // = [B1]).
+    val probe =
+      """[
+        |  {"id": "B1", "member": "P1", "code": "99213", "error_msg": "Missing modifier", "date": "2025-07-09T00:00:00", "status": "denied"},
+        |  {"id": 123, "member": "P2", "code": "99214", "error_msg": "Missing modifier", "date": "2025-07-09T00:00:00", "status": "denied"},
+        |  {"id": "B3", "member": "P3", "code": "99215", "error_msg": "Missing modifier", "date": "2025-07-09T00:00:00", "status": "denied"}
+        |]""".stripMargin
+    val dir = tmpDir()
+    val file = write(dir, "probe.json", probe)
+
+    val result = runPipeline(Seq(file), PipelineConfig(bugCompatFileAbort = true))
+    assert(result.candidates.map(_.getString(0)) === Seq("B1"))
+    val m = result.metrics
+    assert(m.totalProcessed === 1)
+    assert(m.bySource === Map("alpha" -> 0, "beta" -> 1))
+    assert(m.flaggedForResubmission === 1)
+    assert(m.excludedByReason("malformed") === 1)
+
+    // Default mode (per-record recovery): the same file yields all 3 rows
+    // — the coerced "123" id round-trips as a string, nothing is corrupt.
+    val recovered = runPipeline(Seq(file))
+    assert(recovered.candidates.map(_.getString(0)) === Seq("B1", "123", "B3"))
+    assert(recovered.metrics.totalProcessed === 3)
+    assert(recovered.metrics.excludedByReason("malformed") === 0)
+  }
+
   test("empty input list yields empty outputs") {
     val result = runPipeline(Seq.empty)
     assert(result.candidates.isEmpty)
