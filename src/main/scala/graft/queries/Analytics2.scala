@@ -354,6 +354,24 @@ object Analytics2 {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Skew-safe join (operators.ScaleJoins.saltedJoin): every event joins
+    // its per-type stats on event_type — a 5-value key, so EVERY key is a
+    // hot key and a plain shuffle join would land each one on a single
+    // reducer. The salt spreads each hot key over 8 reducers (right side
+    // replicated 8x); inner-join semantics are unchanged, so the DuckDB
+    // oracle is the plain join. Exact columns only (count + max replay
+    // bit-identically; a float sum would not).
+    "q42_salted_skew_join" -> ((spark, dir) => {
+      val ev = t(spark, dir, "events")
+        .select("event_id", "event_type", "value")
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_events"), max(col("value")).as("type_max"))
+      graft.operators.ScaleJoins.saltedJoin(ev, stats, Seq("event_type"), 8)
+        .select(col("event_id"), col("event_type"),
+          col("type_events"), col("type_max"))
+        .orderBy("event_id")
+    }),
+
     // Scalar + IN subqueries through the SQL layer.
     "q37_scalar_subquery" -> ((spark, dir) => {
       t(spark, dir, "orders").createOrReplaceTempView("orders_sq")
@@ -484,6 +502,15 @@ object Analytics2 {
          |    (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 AS bucket
          |  FROM lineitem)
          |WHERE bucket < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q42_salted_skew_join" ->
+      """WITH ts AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_events,
+        |    max(value) AS type_max
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, ts.type_events, ts.type_max
+        |FROM events e JOIN ts USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q41_map_funcs" ->
       """SELECT l_orderkey, l_linenumber,

@@ -71,6 +71,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("min_k"), "q38 no longer uses the min-k aggregate")
   }
 
+  test("q42 joins on a salted key (skew spread), right side replicated") {
+    val p = plan("q42_salted_skew_join")
+    assert(p.contains("_salt"), "q42 lost its salt column")
+    // The salt sequence constant-folds to an array literal; the Generate
+    // over it is the 8x right-side replication.
+    assert(p.contains("Generate explode("),
+      "q42's right side is no longer salt-replicated")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
