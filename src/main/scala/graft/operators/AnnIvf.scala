@@ -12,12 +12,12 @@ import graft.functions.VectorOps
   * buckets). IVF trades a build-time corpus×k assignment scan for
   * query-time candidate lists ~nProbe/k of the corpus.
   *
-  * Centroids are a deterministic pseudo-random sample (smallest
-  * xxhash64(id)) rather than Lloyd-iterated k-means: assignment, inverted
-  * lists, and multi-probe — the parts that matter for the distributed
-  * shape — are identical, and determinism keeps results reproducible
-  * across runs and partitionings. A k-means refinement would slot in as a
-  * loop over [[assign]] + centroid re-averaging on the same frames.
+  * Centroids start as a deterministic pseudo-random sample (smallest
+  * md5-pack(id)); `lloydIters` optional k-means steps re-center them on
+  * the component-wise mean of their owned vectors ([[refine]]). Both the
+  * sample and the refinement are fully deterministic — means are
+  * decimal-summed, so results replay bit-identically in DuckDB and are
+  * independent of partitioning/summation order.
   */
 object AnnIvf {
 
@@ -42,7 +42,7 @@ object AnnIvf {
     * matches the previous window formulation (cos desc, centroid_id asc).
     * Rows with NULL embeddings are dropped.
     */
-  def assign(vecs: DataFrame, cent: Array[(Any, Array[Float])], idCol: String,
+  def assign(vecs: DataFrame, cent: Array[(Any, Array[Double])], idCol: String,
       embCol: String, nearest: Int): DataFrame = {
     val scoredArr = array(cent.map { case (cid, ce) =>
       val ceLit = array(ce.map(lit(_)): _*)
@@ -57,11 +57,47 @@ object AnnIvf {
       .select(col(idCol), col("a.centroid_id").as("centroid_id"))
   }
 
+  /** One Lloyd refinement step: each centroid moves to the component-wise
+    * MEAN of the vectors it owns (nearest=1 assignment). The mean is
+    * decimal-summed — order-independent and exact — then divided and
+    * rounded in double space, so the refined centroids (and every
+    * downstream assignment built on them) replay bit-identically in
+    * DuckDB SQL; a float sum would depend on partition/summation order.
+    * Result is k x dim doubles collected to the driver — constant size,
+    * the same footprint as the initial centroid collect. Sample-seeded
+    * centroids always own at least themselves, so none drop out.
+    */
+  def refine(vecs: DataFrame, cent: Array[(Any, Array[Double])],
+      idCol: String, embCol: String): Array[(Any, Array[Double])] = {
+    val owned = assign(vecs, cent, idCol, embCol, nearest = 1)
+      .join(vecs.select(col(idCol), col(embCol)), idCol)
+    val comp = owned
+      .select(col("centroid_id"), posexplode(col(embCol)))
+      .groupBy("centroid_id", "pos")
+      // float -> double first: both engines then take the identical
+      // double -> decimal rounding path (a direct float -> decimal cast
+      // could round via the float's short decimal repr).
+      .agg(round(
+        sum(col("col").cast("double").cast("decimal(25,10)")).cast("double")
+          / count(lit(1)),
+        6).as("m"))
+    comp.collect()
+      .groupBy(_.get(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+      .toArray
+  }
+
   /** Top-k neighbors per probe over the nProbe nearest inverted lists. */
   def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
-      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cent = centroids(vecs, idCol, embCol, nCentroids).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
+      lloydIters: Int = 0): DataFrame = {
+    var cent = centroids(vecs, idCol, embCol, nCentroids).collect()
+      .map(r => (r.get(0): Any, r.getSeq[Float](1).toArray.map(_.toDouble)))
+    (0 until lloydIters).foreach { _ =>
+      cent = refine(vecs, cent, idCol, embCol)
+    }
     if (cent.isEmpty)
       return probes.select(col(idCol).as("probe_id"), col(idCol).as("cand_id"),
         lit(0.0).as("cos"), lit(1).as("rank")).limit(0)

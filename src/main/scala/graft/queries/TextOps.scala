@@ -209,13 +209,16 @@ object TextOps {
     }),
 
     // IVF ANN: inverted-list search over deterministic centroids — the
-    // second scale path (vs s2's hyperplane buckets). Fully
-    // oracle-checked: md5-sampled centroids + index-order cosine scoring
-    // replay the assignment, routing and ranking in DuckDB.
+    // second scale path (vs s2's hyperplane buckets). One Lloyd
+    // refinement re-centers the md5-sampled centroids on their owned
+    // vectors' decimal-summed means (recall 0.32 -> 0.42 at sf0.01,
+    // measured by s4). Fully oracle-checked: sampling, refinement,
+    // assignment, routing and ranking all replay in DuckDB.
     "s3_ann_ivf" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
       graft.operators.AnnIvf.topK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 2)
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 2,
+          lloydIters = 1)
         .orderBy("probe_id", "rank")
     }),
 
@@ -622,9 +625,11 @@ object TextOps {
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
 
-    // Full replay of the IVF pipeline: 16 md5-sampled centroids, cosine
-    // assignment (nearest 1 builds inverted lists, nearest 2 routes
-    // probes), list join, distinct pairs, cosine ranking.
+    // Full replay of the IVF pipeline: 16 md5-sampled centroids, one
+    // Lloyd refinement (decimal-summed component means — exact and
+    // order-independent, so they replay), cosine assignment (nearest 1
+    // builds inverted lists, nearest 2 routes probes), list join,
+    // distinct pairs, cosine ranking.
     "s3_ann_ivf" -> {
       val cosOf = (a: String, b: String) =>
         s"""list_dot_product($a, $b) /
@@ -636,11 +641,30 @@ object TextOps {
          |  SELECT vec_id AS centroid_id, emb AS c_emb
          |  FROM vecs
          |  ORDER BY ${Tables.duckMd5Pack("CAST(vec_id AS VARCHAR)")} LIMIT 16),
-         |assigned AS (
+         |assigned0 AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${cosOf("v.emb", "c.c_emb")} DESC, c.centroid_id) AS rn
          |  FROM vecs v CROSS JOIN cent c),
+         |memc AS (
+         |  SELECT a.centroid_id,
+         |    unnest(range(1, len(v.emb) + 1)) AS pos,
+         |    unnest(v.emb) AS comp
+         |  FROM assigned0 a JOIN vecs v ON a.vec_id = v.vec_id
+         |  WHERE a.rn = 1),
+         |refined AS (
+         |  SELECT centroid_id, pos,
+         |    round(CAST(sum(CAST(comp AS DECIMAL(25,10))) AS DOUBLE)
+         |      / count(*), 6) AS m
+         |  FROM memc GROUP BY centroid_id, pos),
+         |rcent AS (
+         |  SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+         |  FROM refined GROUP BY centroid_id),
+         |assigned AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosOf("v.emb", "c.c_emb")} DESC, c.centroid_id) AS rn
+         |  FROM vecs v CROSS JOIN rcent c),
          |lists AS (
          |  SELECT a.vec_id AS cand_id, a.centroid_id, v.emb AS c_vec
          |  FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
