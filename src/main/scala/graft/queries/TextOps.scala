@@ -434,6 +434,37 @@ object TextOps {
           octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
           md5(col("text")).as("content_hash"))
         .orderBy("doc_id")),
+
+    // Real binaryFile ingestion, oracle-checked end to end: the query
+    // writes one .bin file per doc_id < 50 (payload = UTF-8 text) into a
+    // per-SF scratch dir, re-reads them through Multimodal.readBinaryDir
+    // (Spark's binaryFile source + pathGlobFilter), and emits
+    // path-independent facts — type, size, content md5 — that DuckDB
+    // recomputes straight from `documents`. The fixture write is a
+    // bounded driver-side loop (50 docs) that exists only to give the
+    // binaryFile scan something real to ingest; the scratch dir is wiped
+    // first so stale files can't pollute the scan.
+    "m5_binary_ingest" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m5", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        Files.list(base).forEach(p => Files.deleteIfExists(p))
+      }
+      Files.createDirectories(base)
+      t(spark, dir, "documents")
+        .filter(col("doc_id") < 50 && col("text").isNotNull)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          Files.write(base.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.mm.Multimodal.readBinaryDir(spark, base.toString, Some("*.bin"))
+        .toDF()
+        .select(col("media_type"), col("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("content_md5")
+    }),
   )
 
   private def duckToks(expr: String) = s"list_distinct(string_split($expr, ' '))"
@@ -448,6 +479,13 @@ object TextOps {
       """SELECT md5(lower(text)) AS content_hash,
         |  min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+
+    "m5_binary_ingest" ->
+      """SELECT 'file/bin' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+        |ORDER BY content_md5""".stripMargin,
 
     "d2_token_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, ${duckToks("text")} AS tk
