@@ -253,9 +253,33 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         graftbridge.expression(bloom), graftbridge.expression(hash)))
 
+  /** Evaluate a foldable int argument at registration time (sketch widths
+    * and k's are structural parameters, not per-row data).
+    */
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
     "kr_fingerprint" -> (exprs => KarpRabin(exprs.head)),
+    "md5_pack" -> (exprs => Md5Pack(exprs.head)),
+    "shingles_of" -> (exprs =>
+      ShinglesOf(exprs(0), intArg(exprs(1), "shingles_of width"))),
+    "minhash_of" -> (exprs =>
+      MinHashOf(exprs(0), intArg(exprs(1), "minhash_of k"))),
+    // simhash_of(tokens) hashes with xxhash64; simhash_of(tokens, 1)
+    // selects the md5-pack oracle hash (SketchOps.HashMd5Pack).
+    "simhash_of" -> (exprs =>
+      SimHashOf(exprs(0),
+        if (exprs.length > 1) intArg(exprs(1), "simhash_of hash kind")
+        else SketchOps.HashXx64)),
   )
 
   /** Retrofit the functions onto an existing session (SQL-callable). */
