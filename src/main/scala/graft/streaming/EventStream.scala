@@ -119,6 +119,25 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming content dedup for a document stream: each doc folds to its
+    * 64-bit simhash in one per-row pass (the ShinglesOf + SimHashOf
+    * kernels are pure map expressions, so they compose with Structured
+    * Streaming unchanged — no aggregation state for the signature), and
+    * later docs with the SAME signature inside the watermark horizon are
+    * dropped. Catches exact re-posts and edits small enough to leave the
+    * vote signs unchanged; full Hamming-distance near-dup stays a batch
+    * concern (SimHash.nearDuplicates) — any-chunk matching would need
+    * per-bucket custom state. Seen-signature state is purged as the
+    * watermark advances, like [[dedupEvents]].
+    */
+  def dedupDocsBySignature(docs: DataFrame, tsCol: String = "ts"): DataFrame =
+    docs.withColumn("simhash",
+        graft.functions.SimHashOf(
+          graft.functions.ShinglesOf(split(col("text"), " "), 3),
+          graft.functions.SketchOps.HashXx64))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

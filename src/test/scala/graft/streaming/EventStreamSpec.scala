@@ -10,6 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
@@ -98,6 +100,28 @@ class EventStreamSpec extends AnyFunSuite {
       input.addData(batch.take(3): _*) // replay
       q.processAllAvailable()
       assert(spark.table("dedup").count() === batch.size)
+    } finally q.stop()
+  }
+
+  test("streaming signature dedup drops same-simhash re-posts, keeps distinct docs") {
+    import spark.implicits._
+    val input = MemoryStream[Doc](spark)
+    val q = EventStream.dedupDocsBySignature(input.toDF())
+      .writeStream.format("memory").queryName("sig_dedup")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val b = "completely different content about spark engines and shuffles"
+      input.addData(
+        Doc(1, ts("2024-01-01 00:00:00"), a),
+        Doc(2, ts("2024-01-01 00:10:00"), b))
+      q.processAllAvailable()
+      // Exact re-post of a (new doc_id, later ts) → same signature → dropped.
+      input.addData(Doc(3, ts("2024-01-01 00:20:00"), a))
+      q.processAllAvailable()
+      val kept = spark.table("sig_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L))
     } finally q.stop()
   }
 
