@@ -354,6 +354,20 @@ object Analytics2 {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Statistical moments: sample/population variance + stddev and exact
+    // median. Moments are float aggregates whose partial-merge order
+    // differs across engines (last-bit drift), so they are rounded to 6
+    // places — l_quantity is integer-valued (sums exact in double) and
+    // the true values sit far from rounding boundaries.
+    "q43_stat_moments" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"),
+          median(col("l_quantity")).as("qty_median"),
+          round(stddev_pop(col("l_discount")), 6).as("disc_stddev_pop"))
+        .orderBy("l_returnflag")),
+
     // Skew-safe join (operators.ScaleJoins.saltedJoin): every event joins
     // its per-type stats on event_type — a 5-value key, so EVERY key is a
     // hot key and a plain shuffle join would land each one on a single
@@ -502,6 +516,15 @@ object Analytics2 {
          |    (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 AS bucket
          |  FROM lineitem)
          |WHERE bucket < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q43_stat_moments" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  median(l_quantity) AS qty_median,
+        |  round(stddev_pop(l_discount), 6) AS disc_stddev_pop
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q42_salted_skew_join" ->
       """WITH ts AS (

@@ -182,6 +182,28 @@ object TextOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // Edit-distance near-dup verification (the third fuzzy-dedup
+    // primitive next to set-similarity d2/d4 and bit-similarity d5):
+    // id-range-blocked candidate pairs scored by levenshtein over an
+    // 80-char prefix. Full-text edit distance is O(|a|*|b|) per pair —
+    // the prefix bound keeps the verify step constant-cost per pair, the
+    // blocking keeps the pair count bounded; at scale the candidates
+    // would come from d4's LSH instead of the id block.
+    "d7_edit_distance" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 80).as("head"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("head").as("a_head"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("head").as("b_head"))
+      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_head"), col("b_head")).as("edit_dist"))
+        .filter(col("edit_dist") <= 55)
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash near-dup pairs (Charikar sketch + 16-bit chunk banding) over
     // 3-word shingles — unigram features degenerate on a small shared
     // vocabulary (every signature lands within a few bits of every other;
@@ -479,6 +501,16 @@ object TextOps {
       """SELECT md5(lower(text)) AS content_hash,
         |  min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+
+    "d7_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 80) AS head
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 55
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "m5_binary_ingest" ->
       """SELECT 'file/bin' AS media_type,
