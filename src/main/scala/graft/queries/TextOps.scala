@@ -471,7 +471,9 @@ object TextOps {
       val base = Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_m5", Paths.get(dir).getFileName.toString)
       if (Files.exists(base)) {
-        Files.list(base).forEach(p => Files.deleteIfExists(p))
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
       }
       Files.createDirectories(base)
       t(spark, dir, "documents")
