@@ -112,9 +112,14 @@ object ClaimPipeline {
     val claims: DataFrame =
       if (!config.bugCompatFileAbort) unioned
       else {
-        val firstBad = unioned.filter(col("_corrupt"))
+        // Persisted: firstBad and the main pass both consume the load
+        // lineage; without the cache every file would be wholetext-read
+        // and VARIANT-re-parsed twice. Claim files are small config-like
+        // extracts, so caching the normalized union is cheap.
+        val loaded = unioned.persist()
+        val firstBad = loaded.filter(col("_corrupt"))
           .groupBy(col("_file_seq")).agg(min(col("_row_seq")).as("_abort_seq"))
-        unioned.join(broadcast(firstBad), Seq("_file_seq"), "left")
+        loaded.join(broadcast(firstBad), Seq("_file_seq"), "left")
           .filter(col("_abort_seq").isNull || col("_row_seq") <= col("_abort_seq"))
           .drop("_abort_seq")
       }
@@ -153,6 +158,9 @@ object ClaimPipeline {
     val metrics = PipelineMetrics.fromObserved(
       obs.get, fileMalformed, config.bugCompatMetrics)
     Sinks.writeMetrics(metrics, metricsPath)
+
+    // The bug-compat cache is only needed for this run's single action.
+    if (config.bugCompatFileAbort) unioned.unpersist(blocking = false)
 
     PipelineResult(outputPath, candidateRows, metricsPath, metrics)
   }

@@ -278,8 +278,13 @@ object GraftFunctions {
     // selects the md5-pack oracle hash (SketchOps.HashMd5Pack).
     "simhash_of" -> (exprs =>
       SimHashOf(exprs(0),
-        if (exprs.length > 1) intArg(exprs(1), "simhash_of hash kind")
-        else SketchOps.HashXx64)),
+        if (exprs.length > 1) {
+          val kind = intArg(exprs(1), "simhash_of hash kind")
+          require(kind == SketchOps.HashXx64 || kind == SketchOps.HashMd5Pack,
+            s"simhash_of hash kind must be ${SketchOps.HashXx64} (xxhash64) " +
+              s"or ${SketchOps.HashMd5Pack} (md5 pack), got $kind")
+          kind
+        } else SketchOps.HashXx64)),
   )
 
   /** Retrofit the functions onto an existing session (SQL-callable). */

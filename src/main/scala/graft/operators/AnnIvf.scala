@@ -64,8 +64,13 @@ object AnnIvf {
     * downstream assignment built on them) replay bit-identically in
     * DuckDB SQL; a float sum would depend on partition/summation order.
     * Result is k x dim doubles collected to the driver — constant size,
-    * the same footprint as the initial centroid collect. Sample-seeded
-    * centroids always own at least themselves, so none drop out.
+    * the same footprint as the initial centroid collect. A centroid that
+    * owns no vectors drops out (standard k-means empty-cluster drop):
+    * on the first iteration every sample-seeded centroid owns at least
+    * itself unless its embedding duplicates a lower-id centroid's, but
+    * refined mean centroids carry no such guarantee, so `lloydIters >=
+    * 2` may return fewer than nCentroids lists — the DuckDB oracle
+    * replays the same drop.
     */
   def refine(vecs: DataFrame, cent: Array[(Any, Array[Double])],
       idCol: String, embCol: String): Array[(Any, Array[Double])] = {

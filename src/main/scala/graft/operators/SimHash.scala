@@ -33,9 +33,19 @@ object SimHash {
     *                 reproducible in DuckDB SQL (oracle parity — integer
     *                 vote sums are order-independent, so the signature is
     *                 exactly reproducible).
+    * @param nonEmpty predicate equivalent to "tokens is non-empty". The
+    *                 default re-evaluates the tokens expression inside
+    *                 the filter — fine for a plain split, but when
+    *                 `tokens` is itself expensive (e.g. the shingle
+    *                 kernel) the caller should pass a CHEAP equivalent
+    *                 (word count) so the kernel runs once per row, not
+    *                 twice (filter and project are separate codegen
+    *                 operators; nothing eliminates the common
+    *                 subexpression across them).
     */
   def signatures(docs: DataFrame, idCol: String, tokens: Column,
-      hashKind: Int = graft.functions.SketchOps.HashXx64): DataFrame = {
+      hashKind: Int = graft.functions.SketchOps.HashXx64,
+      nonEmpty: Option[Column] = None): DataFrame = {
     // Spread single-split inputs across cores before the per-row hashing
     // pass (with no shuffle left in this stage, a one-file table would
     // otherwise hash on one core). Identity when the input already has
@@ -46,7 +56,7 @@ object SimHash {
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
     spread
-      .filter(size(tokens) > 0)
+      .filter(nonEmpty.getOrElse(size(tokens) > 0))
       .select(col(idCol), graft.functions.SimHashOf(
         array_distinct(tokens), hashKind).as("simhash"))
   }
@@ -78,8 +88,9 @@ object SimHash {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, tokens: Column,
       maxHamming: Int = 3, maxBucket: Int = 1000,
-      hashKind: Int = graft.functions.SketchOps.HashXx64): DataFrame = {
-    val sig = signatures(docs, idCol, tokens, hashKind)
+      hashKind: Int = graft.functions.SketchOps.HashXx64,
+      nonEmpty: Option[Column] = None): DataFrame = {
+    val sig = signatures(docs, idCol, tokens, hashKind, nonEmpty)
     val chunks = sig.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until NumChunks).map(c =>
         struct(lit(c).as("chunk"),

@@ -188,7 +188,11 @@ object TextOps {
     // 80-char prefix. Full-text edit distance is O(|a|*|b|) per pair —
     // the prefix bound keeps the verify step constant-cost per pair, the
     // blocking keeps the pair count bounded; at scale the candidates
-    // would come from d4's LSH instead of the id block.
+    // would come from d4's LSH instead of the id block. Documented
+    // divergence: Spark levenshtein counts CODEPOINT edits, DuckDB
+    // counts BYTE edits — identical on the all-ASCII testdata this
+    // oracle runs on, but non-ASCII text would diverge (multi-byte
+    // chars count once in Spark, once per byte in DuckDB).
     "d7_edit_distance" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").filter(col("doc_id") < 120)
         .select(col("doc_id"), col("lang"),
@@ -215,7 +219,11 @@ object TextOps {
       graft.operators.SimHash.nearDuplicates(
           t(spark, dir, "documents"), "doc_id",
           shingles(col("text")), maxHamming = 8,
-          hashKind = graft.functions.SketchOps.HashMd5Pack)
+          hashKind = graft.functions.SketchOps.HashMd5Pack,
+          // cheap emptiness predicate: shingles non-empty <=> >= 3 words;
+          // the default size(tokens) > 0 would run the shingle kernel a
+          // second time inside the filter
+          nonEmpty = Some(size(split(col("text"), " ")) >= 3))
         .orderBy("a_id", "b_id")),
 
     // ANN via random-hyperplane LSH buckets — the scale path that replaces

@@ -135,8 +135,15 @@ object EventStream {
         graft.functions.SimHashOf(
           graft.functions.ShinglesOf(split(col("text"), " "), 3),
           graft.functions.SketchOps.HashXx64))
+      // Sub-shingle (< 3 words) and null-text docs have a NULL signature;
+      // dropDuplicates groups NULL keys together, which would silently
+      // collapse all such unrelated docs into one. They fall back to
+      // exact-content dedup via the text hash instead.
+      .withColumn("_dedup_key",
+        coalesce(col("simhash"), xxhash64(coalesce(col("text"), lit("")))))
       .withWatermark(tsCol, "1 hour")
-      .dropDuplicatesWithinWatermark("simhash")
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
 
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.

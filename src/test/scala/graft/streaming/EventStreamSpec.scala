@@ -118,10 +118,17 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       // Exact re-post of a (new doc_id, later ts) → same signature → dropped.
       input.addData(Doc(3, ts("2024-01-01 00:20:00"), a))
+      // Sub-shingle docs have NULL signatures: two DISTINCT short docs
+      // must both survive (exact-content fallback key), while an exact
+      // short re-post is still dropped.
+      input.addData(
+        Doc(4, ts("2024-01-01 00:25:00"), "hello world"),
+        Doc(5, ts("2024-01-01 00:30:00"), "goodbye moon"),
+        Doc(6, ts("2024-01-01 00:35:00"), "hello world"))
       q.processAllAvailable()
       val kept = spark.table("sig_dedup").select("doc_id")
         .collect().map(_.getLong(0)).toSet
-      assert(kept === Set(1L, 2L))
+      assert(kept === Set(1L, 2L, 4L, 5L))
     } finally q.stop()
   }
 
