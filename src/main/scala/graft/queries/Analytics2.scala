@@ -306,6 +306,39 @@ object Analytics2 {
         .orderBy("l_returnflag")
     }),
 
+    // KMV sketch MERGE: per-group sketches combined into one global
+    // estimate — the mergeability that makes sketches distributed-safe
+    // (partial per partition/group, merge at the top, never re-scan).
+    // Correctness rests on min-k(union) = min-k(union of per-group
+    // min-k sets): every one of the k global minima is necessarily
+    // among its own group's k minima. The DuckDB oracle computes the
+    // global k-th min directly from the distinct hashes — same value,
+    // so the merge path is verified against the direct path.
+    "q44_kmv_merge" -> ((spark, dir) => {
+      val k = 64
+      val scaleC = (k - 1).toDouble * KmvRange
+      val li = t(spark, dir, "lineitem")
+      val h = graft.functions.Md5Pack(col("l_partkey").cast("string"))
+      val dh = li.select(col("l_returnflag"), h.as("h")).distinct()
+      // stage 1: bounded per-group sketches (k values each, 3 groups)
+      val perGroup = dh.groupBy("l_returnflag")
+        .agg(graft.functions.TopKAgg.minK(struct(col("h")), k).as("mins"))
+      // stage 2: merge = min-k over the DISTINCT flattened per-group
+      // sketch values. KMV merges over value SETS: a hash shared by
+      // several groups (a partkey shipping under several flags) must
+      // occupy one slot, not one per group, or the k-th min biases low
+      // and the estimate high.
+      val merged = perGroup
+        .select(explode(col("mins")).as("m"))
+        .select(col("m.h").as("h")).distinct()
+        .agg(graft.functions.TopKAgg.minK(struct(col("h")), k).as("mins"))
+        .select(get(col("mins"), lit(k - 1)).getField("h").as("hk"))
+      li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        .crossJoin(merged)
+        .select(col("exact_distinct"),
+          round(lit(scaleC) / col("hk").cast("double"), 3).as("kmv_estimate"))
+    }),
+
     // Deterministic hash sampling: md5-keyed bucket assignment for
     // reproducible train/holdout splits — survives reruns, repartitioning
     // and engine swaps, unlike rand()-based sampling. The filter is a pure
@@ -509,6 +542,19 @@ object Analytics2 {
          |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
          |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q44_kmv_merge" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT ${duckMd5Pack("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |kth AS (SELECT h AS hk FROM dh ORDER BY h OFFSET 63 LIMIT 1),
+         |ex AS (
+         |  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem)
+         |SELECT ex.exact_distinct,
+         |  round(${(63.0 * KmvRange).toString} / CAST(kth.hk AS DOUBLE), 3)
+         |    AS kmv_estimate
+         |FROM ex CROSS JOIN kth""".stripMargin,
 
     "q39_hash_sample" ->
       s"""SELECT l_orderkey, l_linenumber, bucket FROM (
