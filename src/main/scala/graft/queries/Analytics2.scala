@@ -306,6 +306,29 @@ object Analytics2 {
         .orderBy("l_returnflag")
     }),
 
+    // Date-spine gap filling: dense per-(supplier, day) series with
+    // zero-filled gaps — the dimensional-completion pattern (generate
+    // the spine, left-join the facts, coalesce holes). Spine sides are
+    // tiny (suppliers x 31 days) and broadcast; quantities are
+    // integer-valued so the summed series is exact.
+    "q45_gap_fill" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_shipdate").cast("date").as("day"),
+          col("l_quantity"))
+        .filter(col("day").between("1995-03-01", "1995-03-31"))
+      val daily = li.groupBy("l_suppkey", "day")
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val days = spark.range(1).select(explode(sequence(
+        to_date(lit("1995-03-01")), to_date(lit("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+      val spine = li.select("l_suppkey").distinct().crossJoin(days)
+      spine.join(daily, Seq("l_suppkey", "day"), "left")
+        .select(col("l_suppkey"), col("day"),
+          coalesce(col("qty"), lit(0L)).as("qty"))
+        .orderBy("l_suppkey", "day")
+    }),
+
     // KMV sketch MERGE: per-group sketches combined into one global
     // estimate — the mergeability that makes sketches distributed-safe
     // (partial per partition/group, merge at the top, never re-scan).
@@ -542,6 +565,25 @@ object Analytics2 {
          |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
          |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q45_gap_fill" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day, l_quantity
+        |  FROM lineitem
+        |  WHERE l_suppkey <= 5
+        |    AND CAST(l_shipdate AS DATE)
+        |      BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+        |    DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |sup AS (SELECT DISTINCT l_suppkey FROM li),
+        |daily AS (
+        |  SELECT l_suppkey, day, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM li GROUP BY l_suppkey, day)
+        |SELECT s.l_suppkey, d.day, coalesce(dl.qty, 0) AS qty
+        |FROM sup s CROSS JOIN days d
+        |LEFT JOIN daily dl ON s.l_suppkey = dl.l_suppkey AND d.day = dl.day
+        |ORDER BY s.l_suppkey, d.day""".stripMargin,
 
     "q44_kmv_merge" ->
       s"""WITH dh AS (
