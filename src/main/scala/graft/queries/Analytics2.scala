@@ -306,6 +306,21 @@ object Analytics2 {
         .orderBy("l_returnflag")
     }),
 
+    // ANSI error-safe scalar surface: the try_* family returns NULL
+    // where strict ANSI mode (on in this engine) would throw — guarded
+    // division, overflow-safe add, lossless-or-null cast, out-of-bounds
+    // element access. The oracle spells out the same semantics with
+    // CASE guards / TRY_CAST / native NULL-on-OOB indexing.
+    "q46_try_funcs" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(try_divide(col("l_extendedprice"), col("l_quantity") - 25), 6)
+            .as("div_guard"),
+          try_add(lit(Long.MaxValue), col("l_orderkey")).as("add_overflow"),
+          col("l_returnflag").try_cast("int").as("flag_int"),
+          try_element_at(array(col("l_quantity")), lit(2)).as("oob_elem"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Date-spine gap filling: dense per-(supplier, day) series with
     // zero-filled gaps — the dimensional-completion pattern (generate
     // the spine, left-join the facts, coalesce holes). Spine sides are
@@ -565,6 +580,17 @@ object Analytics2 {
          |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
          |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q46_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_quantity = 25 THEN NULL
+        |    ELSE l_extendedprice / (l_quantity - 25) END, 6) AS div_guard,
+        |  CASE WHEN l_orderkey > 0 THEN NULL
+        |    ELSE 9223372036854775807 + l_orderkey END AS add_overflow,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+        |  ([l_quantity])[2] AS oob_elem
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q45_gap_fill" ->
       """WITH li AS (
