@@ -233,6 +233,20 @@ class ClaimPipelineSpec extends AnyFunSuite {
     assert(recovered.metrics.excludedByReason("malformed") === 0)
   }
 
+  test("S11 bugCompatFileAbort is a no-op on clean inputs (alpha + beta)") {
+    // The abort mode reroutes beta loading through the VARIANT re-parse;
+    // on raise-free files both modes must agree exactly — candidates,
+    // order, and every metric.
+    val dir = tmpDir()
+    val files = Seq(
+      write(dir, "a.csv", alphaCsv), write(dir, "b.json", betaJson))
+    val normal = runPipeline(files)
+    val abort = runPipeline(files, PipelineConfig(bugCompatFileAbort = true))
+    assert(abort.candidates.map(_.toSeq) === normal.candidates.map(_.toSeq))
+    assert(abort.metrics === normal.metrics)
+    assert(abort.metrics.totalProcessed === 9)
+  }
+
   test("empty input list yields empty outputs") {
     val result = runPipeline(Seq.empty)
     assert(result.candidates.isEmpty)
