@@ -306,6 +306,46 @@ object Analytics2 {
         .orderBy("l_returnflag")
     }),
 
+    // Analytic value functions over an explicit whole-partition frame
+    // (complements q33's ranking/offset set): first/last/nth value and
+    // cumulative distribution. last_value needs the UNBOUNDED FOLLOWING
+    // frame — the default frame ends at CURRENT ROW and would just echo
+    // the current key.
+    "q47_window_values" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val wAll = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(spark, dir, "lineitem")
+        .filter(col("l_suppkey") === 1)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          first_value(col("l_orderkey")).over(wAll).as("first_key"),
+          last_value(col("l_orderkey")).over(wAll).as("last_key"),
+          nth_value(col("l_orderkey"), 3).over(wAll).as("third_key"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
+    // Argmax-family and boolean aggregates: max_by/min_by with an EXACT
+    // composite comparator (decimal price scaled + unique orderkey) so
+    // ties at the extremum break deterministically in both engines —
+    // max_by on the raw double alone is engine-arbitrary under ties.
+    "q48_arg_aggregates" -> ((spark, dir) => {
+      val cmp = col("o_totalprice").cast("decimal(18,2)") * 100000000L +
+        col("o_orderkey")
+      t(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), cmp).as("top_order"),
+          min_by(col("o_orderkey"), cmp).as("cheapest_order"),
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ANSI error-safe scalar surface: the try_* family returns NULL
     // where strict ANSI mode (on in this engine) would throw — guarded
     // division, overflow-safe add, lossless-or-null cast, out-of-bounds
@@ -580,6 +620,35 @@ object Analytics2 {
          |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
          |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q47_window_values" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  first_value(l_orderkey) OVER wa AS first_key,
+        |  last_value(l_orderkey) OVER wa AS last_key,
+        |  nth_value(l_orderkey, 3) OVER wa AS third_key,
+        |  cume_dist() OVER w AS cd
+        |FROM lineitem
+        |WHERE l_suppkey = 1
+        |WINDOW
+        |  w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber),
+        |  wa AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q48_arg_aggregates" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) * 100000000 + o_orderkey)
+        |    AS top_order,
+        |  arg_min(o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) * 100000000 + o_orderkey)
+        |    AS cheapest_order,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+        |    AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_totalprice > 400000) AS any_huge
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q46_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
