@@ -119,6 +119,16 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: every streaming event joins its user's
+    * row from a STATIC dimension frame — stateless (unlike the
+    * stream-stream interval join, nothing is buffered; the static side
+    * is re-planned per micro-batch and broadcast at dimension sizes).
+    * The standard shape for decorating an event stream with slowly
+    * changing reference data.
+    */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(users, Seq("user_id"), "left")
+
   /** Streaming content dedup for a document stream: each doc folds to its
     * 64-bit simhash in one per-row pass (the ShinglesOf + SimHashOf
     * kernels are pure map expressions, so they compose with Structured

@@ -103,6 +103,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the users dimension") {
+    import spark.implicits._
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.enrichWithUsers(input.toDF(), users)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:06:00"), 2, "view", 2.0),
+        Ev(3, ts("2024-01-01 00:07:00"), 9, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming signature dedup drops same-simhash re-posts, keeps distinct docs") {
     import spark.implicits._
     val input = MemoryStream[Doc](spark)
