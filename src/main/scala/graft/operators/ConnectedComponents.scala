@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster step
+  * that completes the dedup pipeline: candidate PAIRS (MinHash d4,
+  * SimHash d5, edit-distance d7) collapse into duplicate CLUSTERS, and
+  * min-id per cluster picks the canonical keeper.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each iteration every node takes the minimum label among
+  * itself and its neighbors; fixpoint = every node carries the smallest
+  * id reachable from it (the component id). Converges in O(graph
+  * diameter) iterations — dedup graphs are near-cliques, so a handful.
+  *
+  * Scale shape: one join + one groupBy-min per iteration (two shuffles
+  * over the edge list), labels bounded by one row per node, min() is
+  * map-side combinable. The per-iteration convergence count is a
+  * driver-side scalar (a single long), the standard driver role in any
+  * iterative fixpoint (same as k-means/PageRank loops). Each iteration
+  * ends in an EAGER localCheckpoint: the label plan references the
+  * previous labels twice (self ∪ neighbors), so without lineage
+  * truncation the logical plan doubles per iteration — a 50-iteration
+  * chain OOMs the driver on plan construction alone. (A cluster
+  * deployment with executor loss in scope would use
+  * `sparkContext.setCheckpointDir` + `checkpoint()` instead of the
+  * local variant — same truncation, reliable storage.)
+  */
+object ConnectedComponents {
+
+  /** (node, component) for every node appearing in `edges`; `component`
+    * is the minimum node id in the node's connected component.
+    *
+    * @param edges   two-column frame of undirected edges (src col first)
+    * @param maxIter safety bound; throws if the fixpoint is not reached
+    *                (diameter larger than maxIter — raise it)
+    */
+  def labels(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym
+        .join(lab.select(col("node").as("dst"), col("component")), "dst")
+        .select(col("src").as("node"), col("component"))
+      val next = lab.select(col("node"), col("component"))
+        .union(nbr)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(lab.select(col("node"), col("component").as("prev")), "node")
+        .filter(col("component") =!= col("prev"))
+        .count()
+      lab = next
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations")
+    lab
+  }
+}

@@ -182,6 +182,21 @@ object TextOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup cluster assignment: the verified d4 near-dup PAIRS collapse
+    // into connected components (min-label propagation,
+    // operators.ConnectedComponents); the component id doubles as the
+    // canonical keeper (min doc_id of the cluster). This is the step
+    // that turns pairwise similarity into an actionable "keep one, drop
+    // the rest" plan. Oracle: DuckDB recursive-CTE transitive closure
+    // over the same pairs.
+    "d8_dedup_clusters" -> ((spark, dir) => {
+      val pairs = queries("d4_minhash_pairs")(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.ConnectedComponents.labels(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("component").as("cluster_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance near-dup verification (the third fuzzy-dedup
     // primitive next to set-similarity d2/d4 and bit-similarity d5):
     // id-range-blocked candidate pairs scored by levenshtein over an
@@ -504,7 +519,8 @@ object TextOps {
     """list_dot_product(da, db) /
       |  (sqrt(list_dot_product(da, da)) * sqrt(list_dot_product(db, db)))""".stripMargin
 
-  val oracleSql: Map[String, String] = oracleSqlBase ++ recallOracle
+  val oracleSql: Map[String, String] =
+    oracleSqlBase ++ recallOracle ++ clusterOracle
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -897,6 +913,26 @@ object TextOps {
         |  CAST(3 AS INTEGER) AS channels
         |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin,
   )
+
+  /** d8's oracle splices the d4 pair replay into a recursive-CTE
+    * transitive closure: component keeper = min doc_id reachable — the
+    * declarative counterpart of the engine's min-label propagation
+    * fixpoint.
+    */
+  private def clusterOracle: Map[String, String] =
+    Map("d8_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (${oracleSqlBase("d4_minhash_pairs")}) t),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach AS (
+         |  SELECT node AS src, node AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_keeper
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
 
   /** s4's oracle composes the s1/s2/s3 replays: recall = |approx ∩ exact|
     * / |exact| per method, all three pipelines nested as subqueries.
