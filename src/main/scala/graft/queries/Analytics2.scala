@@ -430,6 +430,26 @@ object Analytics2 {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Sample-based quantile estimation: the q39 deterministic md5 sample
+    // (10%) estimates each group's median next to the exact value — the
+    // sampling-for-approximation pattern with a reproducible sample, so
+    // unlike rand()-sampling the estimate itself is oracle-checkable.
+    // Medians interpolate integer-valued quantities: exact arithmetic in
+    // both engines.
+    "q49_sampled_quantile" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val sampled = li.filter(
+        pmod(graft.functions.Md5Pack(key), lit(100)) < 10)
+      val est = sampled.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("est_median"),
+          count(lit(1)).as("sample_n"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("exact_median"))
+      est.join(exact, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
     // Value-based RANGE window frame (vs q6's ROWS frames): 7-day trailing
     // quantity per supplier, ordered by ship-day number. Peers at the same
     // day share the frame, so the result is deterministic; quantities are
@@ -620,6 +640,21 @@ object Analytics2 {
          |  round(${(63.0 * KmvRange).toString} / CAST(k.hk AS DOUBLE), 3) AS kmv_estimate
          |FROM exact e LEFT JOIN kth k ON e.l_returnflag = k.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q49_sampled_quantile" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag, l_quantity FROM lineitem
+         |  WHERE (${duckMd5Pack("l_orderkey || '_' || l_linenumber")}) % 100 < 10),
+         |est AS (
+         |  SELECT l_returnflag, median(l_quantity) AS est_median,
+         |    CAST(count(*) AS BIGINT) AS sample_n
+         |  FROM s GROUP BY l_returnflag),
+         |ex AS (
+         |  SELECT l_returnflag, median(l_quantity) AS exact_median
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT est.l_returnflag, est.est_median, est.sample_n, ex.exact_median
+         |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+         |ORDER BY est.l_returnflag""".stripMargin,
 
     "q47_window_values" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
