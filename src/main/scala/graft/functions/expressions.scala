@@ -285,6 +285,7 @@ object GraftFunctions {
               s"or ${SketchOps.HashMd5Pack} (md5 pack), got $kind")
           kind
         } else SketchOps.HashXx64)),
+    "rep_stats_of" -> (exprs => RepStatsOf(exprs.head)),
   )
 
   /** Retrofit the functions onto an existing session (SQL-callable). */

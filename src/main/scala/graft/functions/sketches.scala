@@ -134,6 +134,55 @@ object SketchOps {
     }
     java.lang.Long.valueOf(sig)
   }
+
+  /** Repetition statistics of a token array in one per-row pass:
+    * [n_tokens, n_types, rep_tokens, top_bigram_count, n_bigrams] where
+    * rep_tokens counts tokens whose type occurs >= 2 times and
+    * top_bigram_count is the frequency of the most frequent adjacent
+    * bigram (Gopher-style repetition signals). Null elements are skipped
+    * and break bigram adjacency. An explode + groupBy formulation would
+    * shuffle the whole tokenized corpus twice (token types + bigrams) to
+    * compute five per-doc longs; this folds both frequency maps inside
+    * the row — a pure map, zero shuffles.
+    */
+  def repStats(words: ArrayData): Array[Long] = {
+    val n = words.numElements()
+    val tokFreq = new java.util.HashMap[UTF8String, Long]()
+    val bgFreq = new java.util.HashMap[UTF8String, Long]()
+    var nTokens = 0L
+    var nBigrams = 0L
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) prev = null
+      else {
+        val w = words.getUTF8String(i)
+        nTokens += 1
+        tokFreq.merge(w, 1L, (a, b) => a + b)
+        if (prev != null) {
+          nBigrams += 1
+          bgFreq.merge(UTF8String.concatWs(Space, prev, w), 1L, (a, b) => a + b)
+        }
+        prev = w
+      }
+      i += 1
+    }
+    var nTypes = 0L
+    var repTokens = 0L
+    val it = tokFreq.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      nTypes += 1
+      if (c >= 2) repTokens += c
+    }
+    var topBigram = 0L
+    val bit = bgFreq.values().iterator()
+    while (bit.hasNext) {
+      val c = bit.next()
+      if (c > topBigram) topBigram = c
+    }
+    Array(nTokens, nTypes, repTokens, topBigram, nBigrams)
+  }
 }
 
 /** Distinct width-w word shingles of a word array, first-occurrence
@@ -273,4 +322,52 @@ case class SimHashOf(child: Expression, hashKind: Int) extends UnaryExpression {
 object SimHashOf {
   def apply(tokens: Column, hashKind: Int): Column =
     graftbridge.column(SimHashOf(graftbridge.expression(tokens), hashKind))
+}
+
+/** array<long> [n_tokens, n_types, rep_tokens, top_bigram_count,
+  * n_bigrams] of a row's token array (see [[SketchOps.repStats]]) —
+  * the per-row kernel behind the Gopher-style repetition quality
+  * signals. Never null: an empty/null token array yields all zeros
+  * (callers gate on n_tokens / n_bigrams).
+  */
+case class RepStatsOf(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats_of"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val arr =
+      if (v == null) new GenericArrayData(new Array[Any](0))
+      else v.asInstanceOf[ArrayData]
+    new GenericArrayData(SketchOps.repStats(arr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val empty =
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])"
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.functions.SketchOps.repStats(
+              ${c.isNull} ? $empty : ${c.value}));""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepStatsOf =
+    copy(child = c)
+}
+
+object RepStatsOf {
+  def apply(tokens: Column): Column =
+    graftbridge.column(RepStatsOf(graftbridge.expression(tokens)))
 }

@@ -37,10 +37,11 @@ object ScaleJoins {
     * strategy for fact tables that join on the same key query after query.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

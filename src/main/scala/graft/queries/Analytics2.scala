@@ -450,6 +450,62 @@ object Analytics2 {
         .orderBy("l_returnflag")
     }),
 
+    // Bucketed co-located join: both sides persisted bucketed + sorted on
+    // the join key (ScaleJoins.writeBucketed), so the sort-merge join
+    // runs with NO shuffle exchange and NO sort — the amortize-the-shuffle
+    // layout for fact tables joined on the same key query after query.
+    // PlanShapeSpec asserts the join is Exchange-free (the only
+    // hashpartitioning Exchange left is the final per-priority agg). The
+    // merge hint forces SMJ so local-mode broadcast doesn't hide the
+    // bucketing — at real scale neither side broadcasts. Bucket count 8
+    // is the local stand-in; at 100 TB it scales with data / target
+    // partition size.
+    "q50_bucketed_join" -> ((spark, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val liTbl = s"graft_q50_li_$tag"
+      val oTbl = s"graft_q50_ord_$tag"
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q50", tag)
+      spark.sql(s"DROP TABLE IF EXISTS $liTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $oTbl")
+      graft.operators.ScaleJoins.writeBucketed(
+        t(spark, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        liTbl, "l_orderkey", 8, Some(base.resolve("li").toString))
+      graft.operators.ScaleJoins.writeBucketed(
+        t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        oTbl, "o_orderkey", 8, Some(base.resolve("ord").toString))
+      spark.table(liTbl).hint("merge")
+        .join(spark.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Partition-pruned storage layout: facts rewritten partitioned by a
+    // derived year column; the year-filtered read then scans ONLY the
+    // matching partition directory (PartitionFilters on the scan,
+    // asserted in PlanShapeSpec) — the layout that turns a full-corpus
+    // scan into a single-partition read at 100 TB.
+    "q51_partition_pruning" -> ((spark, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q51", tag).toString
+      t(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(base)
+      spark.read.parquet(base)
+        .filter(col("o_year") === 1995)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Value-based RANGE window frame (vs q6's ROWS frames): 7-day trailing
     // quantity per supplier, ordered by ship-day number. Peers at the same
     // day share the frame, so the result is deterministic; quantities are
@@ -655,6 +711,19 @@ object Analytics2 {
          |SELECT est.l_returnflag, est.est_median, est.sample_n, ex.exact_median
          |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
          |ORDER BY est.l_returnflag""".stripMargin,
+
+    "q50_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q51_partition_pruning" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q47_window_values" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,

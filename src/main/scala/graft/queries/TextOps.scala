@@ -458,6 +458,54 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Gopher-style repetition quality signals: token/type counts, the
+    // fraction of tokens belonging to repeated types, and the share of
+    // the most frequent adjacent bigram. Both frequency maps fold inside
+    // the row via the codegen'd RepStatsOf kernel — a pure map over the
+    // corpus (the explode+groupBy formulation would shuffle every token
+    // AND every bigram to compute five per-doc longs). All ratios are
+    // long/long → IEEE double division, bit-identical in DuckDB.
+    "t8_repetition" -> ((spark, dir) => {
+      val s = graft.functions.RepStatsOf(split(col("text"), " "))
+      spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), s.as("s"))
+        .select(col("doc_id"),
+          element_at(col("s"), 1).as("n_tokens"),
+          element_at(col("s"), 2).as("n_types"),
+          round(element_at(col("s"), 3).cast("double") /
+            element_at(col("s"), 1), 6).as("rep_token_frac"),
+          when(element_at(col("s"), 5) > 0,
+            round(element_at(col("s"), 4).cast("double") /
+              element_at(col("s"), 5), 6)).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram log-probability quality score (perplexity-style filter):
+    // corpus unigram model p(tok) = cnt/N, per-doc mean of -ln p over its
+    // token stream. The vocab aggregate is tiny → broadcast to the token
+    // join (map-side, no shuffle of the token stream); per-token -ln p is
+    // rounded to 8 decimals and summed in DECIMAL so the per-doc sum is
+    // order-independent and replays exactly in DuckDB.
+    "t9_unigram_logprob" -> ((spark, dir) => {
+      val docs = spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n_total"))
+      tok.join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("nll",
+          round(-log(col("cnt").cast("double") / col("n_total")), 8)
+            .cast("decimal(20,8)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: content hash over the sorted distinct-token set
     // (whitespace/order-insensitive near-identity).
     "t4_fingerprint" -> ((spark, dir) =>
@@ -867,6 +915,47 @@ object TextOps {
         |               tf.term) AS rnk
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM d)
+        |  GROUP BY doc_id, term),
+        |tstats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS rep_tokens
+        |  FROM tc GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+        |          i -> tk[i + 1] || ' ' || tk[i + 2])) AS b
+        |        FROM d WHERE len(tk) >= 2)
+        |  GROUP BY doc_id, b),
+        |bstats AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, n_tokens, n_types,
+        |  round(CAST(rep_tokens AS DOUBLE) / n_tokens, 6) AS rep_token_frac,
+        |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+        |FROM tstats t LEFT JOIN bstats b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t9_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM tok GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 8)
+        |    AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM tok JOIN vocab USING (term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

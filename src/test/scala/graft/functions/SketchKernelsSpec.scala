@@ -82,6 +82,28 @@ class SketchKernelsSpec extends AnyFunSuite {
     assert(fast === ref)
   }
 
+  test("RepStatsOf equals a plain-Scala frequency model") {
+    val df = docs(13L)
+    val got = df.select(col("doc_id"), col("text"),
+        RepStatsOf(split(col("text"), " ")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2)))
+    got.foreach { case (_, text, s) =>
+      val tk = text.split(" ", -1).toSeq
+      val tokFreq = tk.groupBy(identity).view.mapValues(_.size.toLong)
+      val bigrams = tk.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val bgFreq = bigrams.groupBy(identity).view.mapValues(_.size.toLong)
+      val expect = Seq(
+        tk.size.toLong,
+        tokFreq.size.toLong,
+        tokFreq.values.filter(_ >= 2).sum,
+        if (bgFreq.isEmpty) 0L else bgFreq.values.max,
+        bigrams.size.toLong)
+      assert(s === expect, s"text=${text.take(80)}")
+    }
+  }
+
   test("sketch kernels are SQL-callable after register()") {
     GraftFunctions.register(spark)
     val row = spark.sql(

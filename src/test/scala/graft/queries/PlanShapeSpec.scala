@@ -80,6 +80,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "q42's right side is no longer salt-replicated")
   }
 
+  test("q50's bucketed join is exchange-free; only the final agg shuffles") {
+    val p = plan("q50_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "q50 lost its sort-merge join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"bucketed join shuffles ($exchanges hash exchanges):\n${p.take(3000)}")
+    // Bucket-sorted data needs no sort below the SMJ either.
+    assert(p.contains("SelectedBucketsCount"), "scan is not bucket-aware")
+  }
+
+  test("q51 prunes partitions at the directory level") {
+    val p = plan("q51_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"no partition filter on the year-partitioned scan:\n${p.take(2000)}")
+    assert("""\(o_year#\d+ = 1995\)""".r.findFirstIn(p).isDefined,
+      "year predicate not a partition filter")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
