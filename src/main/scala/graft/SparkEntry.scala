@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.ClaimOps.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Analytics2.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.Analytics3.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.TextOps2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -31,5 +33,7 @@ object SparkEntry {
     graft.queries.ClaimOps.oracleSql ++
       graft.queries.Analytics.oracleSql ++
       graft.queries.Analytics2.oracleSql ++
-      graft.queries.TextOps.oracleSql
+      graft.queries.Analytics3.oracleSql ++
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.TextOps2.oracleSql
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 relational-surface additions (SURVEY.md §2.2 engine stance):
+  * UNPIVOT/melt, correlated LATERAL subqueries, gaps-and-islands CDC
+  * compaction, and an ORC round-trip exercising the second columnar
+  * format end to end.
+  */
+object Analytics3 {
+  import Tables.t
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UNPIVOT (melt): the three charge columns become (measure, value)
+    // rows — the wide→long reshape every feature pipeline needs. Native
+    // Dataset.unpivot (Expand physical node: one pass over the input, no
+    // join, no shuffle beyond the final aggregation). Sums in DECIMAL so
+    // they are partition-order-independent; means derived from the exact
+    // sums in double.
+    "q52_unpivot" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem").select(col("l_returnflag"),
+        dec(col("l_extendedprice")).as("l_extendedprice"),
+        dec(col("l_discount")).as("l_discount"),
+        dec(col("l_tax")).as("l_tax"))
+      li.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_d"))
+        .select(col("l_returnflag"), col("measure"), col("n"),
+          round(col("sum_d").cast("double"), 4).as("sum_val"),
+          round(col("sum_d").cast("double") / col("n"), 6).as("mean_val"))
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // Correlated LATERAL subquery through the SQL layer: top-3 customers
+    // by balance per nation. Catalyst rewrites the lateral correlated
+    // limit into a ranked join (DomainJoin → window per key) — never a
+    // per-outer-row re-execution.
+    "q53_lateral_topn" -> ((spark, dir) => {
+      t(spark, dir, "nation").createOrReplaceTempView("nation_lat")
+      t(spark, dir, "customer").createOrReplaceTempView("cust_lat")
+      spark.sql(
+        """SELECT n.n_name, c.c_name, c.c_acctbal
+          |FROM nation_lat n
+          |JOIN LATERAL (
+          |  SELECT c_name, c_acctbal FROM cust_lat
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+          |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+    }),
+
+    // Gaps-and-islands (CDC/SCD2 compaction): collapse each customer's
+    // consecutive same-status order runs into validity intervals — the
+    // change-capture step that turns an event log into slowly-changing
+    // dimension rows. One shuffle on the partition key; lag + running sum
+    // + groupBy all share that partitioning (single Window exchange).
+    "q54_status_islands" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val prev = lag(col("o_orderstatus"), 1).over(w)
+      val chg = when(prev.isNull || prev =!= col("o_orderstatus"), 1)
+        .otherwise(0)
+      t(spark, dir, "orders")
+        .withColumn("chg", chg)
+        .withColumn("island", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("o_custkey", "island", "o_orderstatus")
+        .agg(
+          min(col("o_orderdate").cast("date")).as("valid_from"),
+          max(col("o_orderdate").cast("date")).as("valid_to"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey", "island")
+    }),
+
+    // ORC round-trip: write a pruned lineitem slice as ORC (the second
+    // columnar format next to parquet — schema, compression and
+    // vectorized read all exercised for real), read it back, aggregate.
+    // The oracle recomputes straight from parquet, so a byte-level ORC
+    // defect anywhere in the loop breaks the hash match. Scratch dir is
+    // per-SF and overwritten each run.
+    "q55_orc_roundtrip" -> ((spark, dir) => {
+      val scratch = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q55",
+        java.nio.file.Paths.get(dir).getFileName.toString).toString
+      t(spark, dir, "lineitem")
+        .filter(col("l_quantity") <= 5)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").orc(scratch)
+      spark.read.orc(scratch)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_extendedprice' AS measure,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount',
+        |    CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax',
+        |    CAST(l_tax AS DECIMAL(18,6)) FROM lineitem)
+        |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(val) AS DOUBLE), 4) AS sum_val,
+        |  round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_val
+        |FROM m GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q53_lateral_topn" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    "q54_status_islands" ->
+      """WITH marked AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |           OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |islands AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM marked)
+        |SELECT o_custkey, island, o_orderstatus,
+        |  CAST(min(o_orderdate) AS DATE) AS valid_from,
+        |  CAST(max(o_orderdate) AS DATE) AS valid_to,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM islands GROUP BY o_custkey, island, o_orderstatus
+        |ORDER BY o_custkey, island""".stripMargin,
+
+    "q55_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity <= 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

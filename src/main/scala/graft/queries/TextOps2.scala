@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of LLM-training-data pipeline operators (SURVEY.md §2.4):
+  * benchmark-contamination checks, the LSH-bucketed embedding near-dup
+  * scale path, PII detection/redaction, and Zipf-law corpus diagnostics.
+  *
+  * Same ground rules as [[TextOps]]: md5-anchored hashing so every sketch
+  * replays in DuckDB, ratio arithmetic as int/int → IEEE double division,
+  * order-dependent float sums routed through DECIMAL so results are
+  * partition-count-independent.
+  */
+object TextOps2 {
+  import Tables.t
+
+  /** Contamination n-gram width: 5-word shingles are selective enough
+    * that only genuine near-duplicates collide (3-grams over a small
+    * vocabulary flag ~every doc), matching the 8–13-gram windows used by
+    * published decontamination pipelines, scaled to these short docs.
+    */
+  private val ContamN = 5
+
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  // Portable regex subset (same semantics in Java regex and DuckDB's RE2):
+  // character classes, bounded repetition, alternation — no lookaround.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val UrlPat = "https?://[A-Za-z0-9._/-]+"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark-contamination check (train/test decontamination): which
+    // training docs share a 5-word shingle with the benchmark corpus
+    // (doc_id < 100 stands in for the held-out suite)? The benchmark
+    // n-gram set is small by construction (eval suites are), so it
+    // BROADCASTS to the exploded train side — the train corpus never
+    // shuffles for the membership test; the only shuffle is the per-doc
+    // hit aggregation. At 100 TB the same shape holds (or the broadcast
+    // swaps for a bloom filter via the q29 machinery when the benchmark
+    // set outgrows the broadcast threshold).
+    "d9_contamination" -> ((spark, dir) => {
+      val docs = spread(t(spark, dir, "documents"))
+        // cheap width pre-filter so the shingle kernel never runs on
+        // sub-shingle docs (they contribute no rows anyway)
+        .filter(size(split(col("text"), " ")) >= ContamN)
+        .select(col("doc_id"),
+          explode(graft.functions.ShinglesOf(split(col("text"), " "), ContamN))
+            .as("ngram"))
+      val bench = docs.filter(col("doc_id") < 100)
+        .select("ngram").distinct().withColumn("hit", lit(1))
+      docs.filter(col("doc_id") >= 100)
+        .join(broadcast(bench), Seq("ngram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .withColumn("contamination",
+          round(col("n_hits") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding near-dup at scale: sign-random-projection buckets replace
+    // d6's same-label blocking — the bucketing is a pure map (SrpBucket,
+    // plane matrix in the task closure), pair expansion is the capped
+    // BucketedPairs shape (one shuffle on the bucket key, never a
+    // self-join), and only the surviving candidate pairs pay the cosine
+    // verify. Exactly the d4 LSH recipe transplanted from token space to
+    // embedding space; fully oracle-replayable because the planes are
+    // md5-derived.
+    "d10_embedding_lsh_pairs" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val buckets = graft.operators.AnnLsh
+        .bucketize(e, "vec_id", "embedding", numPlanes = 6)
+      // One bucket per vector ⇒ a pair can only arise once; no distinct
+      // needed. Cap 500 bounds degenerate buckets (dropped whole, as in
+      // d4/d5).
+      val cand = graft.operators.BucketedPairs
+        .pairs(buckets, Seq("bucket"), col("vec_id"), maxBucket = 500)
+        .select(col("x").as("a_id"), col("y").as("b_id"))
+      val emb = e.select(col("vec_id"), col("embedding"))
+      cand
+        .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+          "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.VectorOps.cosine(col("a_emb"), col("b_emb")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // PII detection + redaction over a deterministic synthetic overlay:
+    // the corpus itself is PII-free word salad, so the query plants one
+    // email / phone / URL per doc (same string built by the oracle) and
+    // the thing actually under test is the regex detect/count/redact
+    // machinery — all codegen'd native string expressions, no UDFs. The
+    // regexes stay inside the Java∩RE2 portable subset.
+    "t10_pii_redact" -> ((spark, dir) => {
+      val did = col("doc_id").cast("string")
+      val full = concat(col("text"),
+        lit(" Contact user"), did, lit("@mail.example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" see https://ex.example.org/u/"), did, lit(" now."))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(full, UrlPat, "[URL]"),
+          EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]")
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(regexp_extract_all(full, lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(full, lit(PhonePat), lit(0))).as("n_phones"),
+          size(regexp_extract_all(full, lit(UrlPat), lit(0))).as("n_urls"),
+          length(redacted).as("redacted_len"),
+          md5(redacted).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf-law diagnostic: least-squares slope of ln(freq) on ln(rank)
+    // over the top-100 vocabulary — the corpus-health check training
+    // pipelines run to spot degenerate scrapes (natural text ≈ −1). The
+    // vocabulary aggregate is bounded (vocab ≪ corpus), the top-100 cut
+    // is a TakeOrderedAndProject, and the single-partition window ranks
+    // only those ≤100 rows. Regression sums accumulate in DECIMAL over
+    // 8-dp-rounded coordinates (order-independent); the closed-form
+    // slope is then a fixed sequence of scalar IEEE ops on identical
+    // inputs in both engines.
+    "t11_zipf_slope" -> ((spark, dir) => {
+      val freq = t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      val ranked = freq
+        .withColumn("rnk", row_number().over(w))
+        .select(
+          round(log(col("rnk").cast("double")), 8).cast("decimal(12,8)").as("x"),
+          round(log(col("cnt").cast("double")), 8).cast("decimal(12,8)").as("y"))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(25,16)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(25,16)")).as("sxx"))
+        .select(col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d9_contamination" ->
+      s"""WITH shing AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(tk)-${ContamN - 1}),
+         |    i -> array_to_string(list_slice(tk, i+1, i+$ContamN), ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(sh) AS ngram FROM shing WHERE doc_id < 100),
+         |tr AS (SELECT doc_id, unnest(sh) AS ngram FROM shing WHERE doc_id >= 100)
+         |SELECT doc_id, n_shingles, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
+         |FROM (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(count(bench.ngram) AS BIGINT) AS n_hits
+         |  FROM tr LEFT JOIN bench USING (ngram)
+         |  GROUP BY tr.doc_id)
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the embedding-LSH pipeline: md5-derived 6-plane
+    // table, sign-bit bucket packing, capped bucket pair expansion,
+    // cosine verification — the s2 bucket CTE re-used for dedup.
+    "d10_embedding_lsh_pairs" -> {
+      val w = s"(((${Tables.duckMd5Pack("'plane_' || pp.p || '_' || dd.i")}) % 2001) - 1000) / 1000.0"
+      s"""WITH dims AS (
+         |  SELECT unnest(range(len(embedding))) AS i
+         |  FROM (SELECT embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL LIMIT 1)),
+         |pl AS (
+         |  SELECT p, list(w ORDER BY i) AS wl FROM (
+         |    SELECT pp.p, dd.i, $w AS w
+         |    FROM (SELECT unnest(range(6)) AS p) pp CROSS JOIN dims dd)
+         |  GROUP BY p),
+         |vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |bucket AS (
+         |  SELECT v.vec_id, v.emb,
+         |    CAST(sum(CASE WHEN list_dot_product(v.emb, pl.wl) > 0
+         |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM vecs v CROSS JOIN pl GROUP BY v.vec_id, v.emb),
+         |buck AS (SELECT bucket FROM bucket
+         |         GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) *
+         |       sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+         |  FROM bucket a JOIN bucket b ON a.bucket = b.bucket
+         |                             AND a.vec_id < b.vec_id
+         |  JOIN buck ON a.bucket = buck.bucket)
+         |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "t10_pii_redact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    text || ' Contact user' || doc_id || '@mail.example.com or call +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' see https://ex.example.org/u/' || doc_id || ' now.' AS full_text
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id, full_text,
+         |    regexp_replace(regexp_replace(regexp_replace(full_text,
+         |      '$UrlPat', '[URL]', 'g'),
+         |      '$EmailPat', '[EMAIL]', 'g'),
+         |      '$PhonePat', '[PHONE]', 'g') AS redacted
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(full_text, '$EmailPat')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(full_text, '$PhonePat')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(full_text, '$UrlPat')) AS INTEGER) AS n_urls,
+         |  CAST(length(redacted) AS INTEGER) AS redacted_len,
+         |  md5(redacted) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t11_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |ranked AS (
+        |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(12,8)) AS x,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(12,8)) AS y
+        |  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        |        FROM freq)
+        |  WHERE rnk <= 100),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(25,16))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(25,16))) AS sxx
+        |  FROM ranked)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+        |FROM s""".stripMargin,
+  )
+}

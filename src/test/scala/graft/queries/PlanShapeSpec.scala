@@ -98,6 +98,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "year predicate not a partition filter")
   }
 
+  test("d9's benchmark n-gram set reaches the train side as a broadcast") {
+    // The membership test must be map-side: the train corpus never
+    // shuffles to meet the (small) benchmark set. Only the per-doc hit
+    // aggregation may exchange.
+    val p = plan("d9_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "d9 lost its broadcast membership join")
+  }
+
+  test("d10's embedding pair expansion is bucketed: no window, no cross join") {
+    val p = plan("d10_embedding_lsh_pairs")
+    assert(!p.contains("Window"), "d10 plans a Window")
+    assert(!p.contains("CartesianProduct"), "d10 plans a CartesianProduct")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
