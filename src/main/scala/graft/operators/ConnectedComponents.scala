@@ -48,18 +48,30 @@ object ConnectedComponents {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbr = sym
+      // Aggregate the neighbor minima BEFORE touching the label frame:
+      // min(component) over incoming edges is map-side combinable, so
+      // the edge-sized stream collapses to one row per node ahead of the
+      // single label join. (The earlier self-union formulation shuffled
+      // labels ∪ edge-projections into the groupBy and then needed a
+      // separate join to detect convergence — one more shuffle and one
+      // more job per iteration for the same fixpoint.)
+      val nbrMin = sym
         .join(lab.select(col("node").as("dst"), col("component")), "dst")
-        .select(col("src").as("node"), col("component"))
-      val next = lab.select(col("node"), col("component"))
-        .union(nbr)
-        .groupBy("node").agg(min(col("component")).as("component"))
+        .groupBy("src").agg(min(col("component")).as("nmin"))
+        .select(col("src").as("node"), col("nmin"))
+      // Labels decrease monotonically, so "changed" ≡ a neighbor offered
+      // a smaller label; the flag rides the checkpointed frame and the
+      // convergence count is a filter over already-materialized rows.
+      val next = lab
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component"))
+            .as("_chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(lab.select(col("node"), col("component").as("prev")), "node")
-        .filter(col("component") =!= col("prev"))
-        .count()
-      lab = next
+      changed = next.filter(col("_chg")).count()
+      lab = next.select("node", "component")
       i += 1
     }
     sym.unpersist(blocking = false)

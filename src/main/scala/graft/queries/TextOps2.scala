@@ -122,6 +122,42 @@ object TextOps2 {
         .orderBy("doc_id")
     }),
 
+    // Count-min sketch: the mergeable frequency sketch (Cormode-
+    // Muthukrishnan) that answers "how often does token X appear" in
+    // O(depth×width) memory at any corpus size. Depth-4 × width-256
+    // counters, hash rows from the same md5 Kirsch-Mitzenmacher family
+    // as MinHash — so the whole sketch replays in DuckDB. The counter
+    // build is a map-side-combinable groupBy (the sketch is 1024 cells
+    // regardless of corpus size); the exact top-10 counts exist as the
+    // oracle-checkable witness that estimates only ever OVERcount
+    // (cms_est ≥ exact, the CMS guarantee, pinned in Round4Spec).
+    "q56_cms_counts" -> ((spark, dir) => {
+      val Width = 256
+      val Depth = 4
+      val tok = spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("token"))
+      def buckets = TextOps.mdHashes(col("token")).take(Depth)
+        .zipWithIndex.map { case (h, j) =>
+          struct(lit(j).as("row_j"), (h % Width).as("bucket")) }
+      val cms = tok
+        .select(explode(array(buckets: _*)).as("rb"))
+        .select(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+        .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+      top
+        .select(col("token"), col("exact_cnt"),
+          explode(array(buckets: _*)).as("rb"))
+        .select(col("token"), col("exact_cnt"),
+          col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+        .join(cms, Seq("row_j", "bucket"))
+        .groupBy("token", "exact_cnt")
+        .agg(min(col("c")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+        .orderBy("token")
+    }),
+
     // Zipf-law diagnostic: least-squares slope of ln(freq) on ln(rank)
     // over the top-100 vocabulary — the corpus-health check training
     // pipelines run to spot degenerate scrapes (natural text ≈ −1). The
@@ -231,6 +267,38 @@ object TextOps2 {
          |  CAST(length(redacted) AS INTEGER) AS redacted_len,
          |  md5(redacted) AS redacted_md5
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q56_cms_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT token,
+        |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(concat('0x', substr(md5(token), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        |  FROM tok),
+        |rj AS (SELECT unnest(range(4)) AS row_j),
+        |cms AS (
+        |  SELECT row_j, ((h1 + (row_j + 1) * h2) % 2147483647) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN rj GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM tok GROUP BY token
+        |  ORDER BY exact_cnt DESC, token LIMIT 10),
+        |probes AS (
+        |  SELECT top.token, top.exact_cnt, rj.row_j,
+        |    (((CAST(concat('0x', substr(md5(top.token), 1, 15)) AS BIGINT) % 2147483647)
+        |      + (rj.row_j + 1) *
+        |        (CAST(concat('0x', substr(md5(top.token), 16, 15)) AS BIGINT) % 2147483647))
+        |      % 2147483647) % 256 AS bucket
+        |  FROM top CROSS JOIN rj)
+        |SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        |FROM (
+        |  SELECT p.token, p.exact_cnt, min(cms.c) AS cms_est
+        |  FROM probes p JOIN cms ON p.row_j = cms.row_j AND p.bucket = cms.bucket
+        |  GROUP BY p.token, p.exact_cnt)
+        |ORDER BY token""".stripMargin,
 
     "t11_zipf_slope" ->
       """WITH freq AS (

@@ -98,6 +98,16 @@ class Round4Spec extends AnyFunSuite {
     assert(r(0).getDouble(1) < 0.0, s"slope ${r(0).getDouble(1)} not negative")
   }
 
+  test("q56: count-min estimates never undercount and are near-exact here") {
+    val rows = q("q56_cms_counts").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(r.getLong(3) == est - exact)
+    }
+  }
+
   test("q52: one row per (flag, measure); discount mean stays a fraction") {
     val rows = q("q52_unpivot").collect()
     assert(rows.length == 9)
