@@ -78,6 +78,30 @@ object Analytics3 {
         .orderBy("o_custkey", "island")
     }),
 
+    // Equi-width histogram: 20 bands over [min, max] of the order value
+    // — the profiling operator behind data-quality dashboards and
+    // range-partition planning. The two-row stats frame broadcasts to
+    // the banding scan (map-side), so the input passes once for stats
+    // and once for banding: two scans, one band-keyed shuffle, never a
+    // sort. Band arithmetic is a fixed IEEE sequence, identical in both
+    // engines; sums ride DECIMAL.
+    "q57_histogram" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val stats = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(stats))
+        .withColumn("band",
+          least(floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20)), lit(19L)).cast("int"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("band")
+    }),
+
     // ORC round-trip: write a pruned lineitem slice as ORC (the second
     // columnar format next to parquet — schema, compression and
     // vectorized read all exercised for real), read it back, aggregate.
@@ -146,6 +170,18 @@ object Analytics3 {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM islands GROUP BY o_custkey, island, o_orderstatus
         |ORDER BY o_custkey, island""".stripMargin,
+
+    "q57_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (
+        |  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+        |           AS INTEGER) AS band, o_totalprice
+        |  FROM orders CROSS JOIN s)
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "q55_orc_roundtrip" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

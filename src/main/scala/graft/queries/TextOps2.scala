@@ -94,6 +94,75 @@ object TextOps2 {
         .orderBy("a_id", "b_id")
     }),
 
+    // Prefix-filtering set-similarity join (PPJoin-family): the EXACT
+    // candidate-pruning alternative to d4's probabilistic LSH. Shingle
+    // sets are ordered rarest-first by global document frequency; any
+    // pair with Jaccard ≥ τ MUST share one of each side's first
+    // |x| − ⌈τ·|x|⌉ + 1 shingles, so only prefix-token collisions become
+    // candidates — no hash, no recall loss (d11 ⊇ d4's pairs, pinned in
+    // Round4Spec). Scale shape: df join + per-doc rank are token-keyed
+    // shuffles, candidates expand through the capped BucketedPairs
+    // bucket walk, and verification re-shingles ONLY candidate docs via
+    // a left_semi join (the d4 recipe).
+    "d11_prefix_filter_pairs" -> ((spark, dir) => {
+      val base = t(spark, dir, "documents")
+      def shingled(df: DataFrame): DataFrame = df
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      val tok = shingled(spread(base))
+        .select(col("doc_id"), explode(col("sh")).as("token"))
+      val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("token"))
+      val wSize = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      val prefix = tok.join(dfreq, "token")
+        .withColumn("pos", row_number().over(wRank))
+        .withColumn("sz", count(lit(1)).over(wSize))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .select("doc_id", "token")
+      val cand = graft.operators.BucketedPairs
+        .pairs(prefix, Seq("token"), col("doc_id"), maxBucket = 1000)
+        .select(col("x").as("a_id"), col("y").as("b_id"))
+        .distinct()
+        .persist()
+      cand.count()
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val candSets = shingled(base.join(candIds, Seq("doc_id"), "left_semi"))
+      cand
+        .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          "a_id")
+        .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_sh"), col("b_sh"))) /
+            size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Keyframe selection: per media, the frame with the most DISTINCT
+    // byte values (a stand-in for visual-diversity scoring — the real
+    // scorer plugs into the same argmax) — frame features and the
+    // arg-max both run as native expressions over the binary column.
+    "m6_keyframe" -> ((spark, dir) => {
+      val media = graft.mm.Multimodal
+        .mediaFromDocuments(t(spark, dir, "documents")).toDF()
+      val scored = graft.mm.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          size(array_distinct(
+            regexp_extract_all(hex(col("frame_bytes")), lit(".."), lit(0))))
+            .as("n_distinct_bytes"))
+      // Composite key makes the argmax total: most distinct bytes wins,
+      // earliest frame breaks ties (frame_idx < 4, so ×10 separates).
+      val key = col("n_distinct_bytes") * 10 + (lit(3) - col("frame_idx"))
+      scored.groupBy("media_id")
+        .agg(max_by(col("frame_idx"), key).as("best_frame"),
+          max_by(col("n_distinct_bytes"), key).as("n_distinct_bytes"))
+        .orderBy("media_id")
+    }),
+
     // PII detection + redaction over a deterministic synthetic overlay:
     // the corpus itself is PII-free word salad, so the query plants one
     // email / phone / URL per doc (same string built by the oracle) and
@@ -245,6 +314,70 @@ object TextOps2 {
          |  JOIN buck ON a.bucket = buck.bucket)
          |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
     },
+
+    // Full replay of the prefix-filter pipeline: shingle sets, global
+    // df, rarest-first per-doc rank, prefix cut at |x| − ⌈τ|x|⌉ + 1,
+    // capped prefix-token buckets, exact-Jaccard verification.
+    "d11_prefix_filter_pairs" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 3),
+        |tok AS (SELECT doc_id, unnest(sh) AS token FROM sets),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |          FROM tok GROUP BY token),
+        |ranked AS (
+        |  SELECT t.doc_id, t.token,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token)
+        |      AS pos,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+        |  FROM tok t JOIN dfreq d USING (token)),
+        |prefix AS (
+        |  SELECT doc_id, token FROM ranked
+        |  WHERE pos <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+        |buck AS (SELECT token FROM prefix GROUP BY token
+        |         HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM prefix a JOIN prefix b ON a.token = b.token
+        |                             AND a.doc_id < b.doc_id
+        |  JOIN buck ON a.token = buck.token)
+        |SELECT a_id, b_id,
+        |  len(list_intersect(sa.sh, sb.sh)) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |    AS jaccard
+        |FROM cand JOIN sets sa ON cand.a_id = sa.doc_id
+        |          JOIN sets sb ON cand.b_id = sb.doc_id
+        |WHERE len(list_intersect(sa.sh, sb.sh)) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Frame replay as in m3 (hex-string slicing stands in for BLOB
+    // slicing), then the same composite-key argmax.
+    "m6_keyframe" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT media_id, n_bytes, hx,
+        |    CAST(floor(n_bytes / 4) AS INTEGER) AS flen,
+        |    unnest(range(4)) AS fi
+        |  FROM m),
+        |scored AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(len(list_distinct(regexp_extract_all(
+        |      substr(hx, CAST(fi * flen * 2 + 1 AS BIGINT),
+        |        CAST(2 * (CASE WHEN fi = 3 THEN n_bytes - flen * 3 ELSE flen END)
+        |          AS BIGINT)), '..'))) AS INTEGER) AS n_distinct_bytes
+        |  FROM f)
+        |SELECT media_id,
+        |  arg_max(frame_idx, n_distinct_bytes * 10 + (3 - frame_idx))
+        |    AS best_frame,
+        |  arg_max(n_distinct_bytes, n_distinct_bytes * 10 + (3 - frame_idx))
+        |    AS n_distinct_bytes
+        |FROM scored GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "t10_pii_redact" ->
       s"""WITH d AS (

@@ -98,6 +98,37 @@ class Round4Spec extends AnyFunSuite {
     assert(r(0).getDouble(1) < 0.0, s"slope ${r(0).getDouble(1)} not negative")
   }
 
+  test("d11: exact prefix filtering finds every pair the probabilistic LSH finds") {
+    val viaPrefix = q("d11_prefix_filter_pairs")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = graft.SparkEntry.queries("d4_minhash_pairs")(spark, Sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix.nonEmpty)
+    assert(viaLsh.subsetOf(viaPrefix),
+      s"LSH found pairs prefix filtering missed: ${viaLsh.diff(viaPrefix)}")
+  }
+
+  test("m6: every media picks a frame 0..3 with a positive byte diversity") {
+    val rows = q("m6_keyframe").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 3)
+      assert(r.getInt(2) > 0)
+    }
+  }
+
+  test("q57: bands cover all orders and stay inside [0, 19]") {
+    val rows = q("q57_histogram").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.t(spark, Sf, "orders").count())
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 19)
+      assert(r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   test("q56: count-min estimates never undercount and are near-exact here") {
     val rows = q("q56_cms_counts").collect()
     assert(rows.length == 10)
