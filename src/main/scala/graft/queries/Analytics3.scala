@@ -123,9 +123,72 @@ object Analytics3 {
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy("l_returnflag")
     }),
+
+    // XML ingestion: each order rendered as an XML record and parsed
+    // back through Spark 4's native from_xml with a typed schema — the
+    // third in-row codec next to JSON (q12) and the CSV/JSON file
+    // sources. The render→parse loop means any schema-inference, escape
+    // or numeric-typing defect breaks the oracle hash (DuckDB has no XML
+    // support, so it recomputes the expected fields directly — exactly
+    // what the round-trip must reproduce). Money re-parses as
+    // DECIMAL(18,2): decimal→string→decimal is exact.
+    "q58_xml_ingest" -> ((spark, dir) => {
+      val xml = concat(
+        lit("<rec><id>"), col("o_orderkey").cast("string"),
+        lit("</id><status>"), col("o_orderstatus"),
+        lit("</status><total>"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        lit("</total></rec>"))
+      t(spark, dir, "orders")
+        .select(from_xml(xml,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, status STRING, total DECIMAL(18,2)")).as("r"))
+        .groupBy(col("r.status").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r.total")).cast("double").as("sum_total"),
+          min(col("r.id")).as("min_key"))
+        .orderBy("status")
+    }),
+
+    // Higher-order array functions (lambda surface): filter / transform
+    // / aggregate / exists / forall over the token arrays. These run as
+    // CodegenFallback (interpreted lambdas — the measured reason the
+    // dedup sketch kernels are custom expressions instead), so they
+    // belong on the bounded documents table, not a fact-table hot path.
+    "q59_hof_funcs" -> ((spark, dir) => {
+      val tk = split(col("text"), " ")
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(tk, t => length(t) > 4)).as("n_long"),
+          aggregate(transform(tk, t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sum_len"),
+          exists(tk, t => t === "the").as("has_the"),
+          forall(tk, t => length(t) > 1).as("all_multi"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_xml_ingest" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    "q59_hof_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(tk, t -> length(t) > 4)) AS INTEGER) AS n_long,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(tk, t -> CAST(length(t) AS BIGINT))),
+        |    (a, b) -> a + b) AS sum_len,
+        |  list_contains(tk, 'the') AS has_the,
+        |  len(list_filter(tk, t -> length(t) <= 1)) = 0 AS all_multi
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE text IS NOT NULL)
+        |ORDER BY doc_id""".stripMargin,
+
     "q52_unpivot" ->
       """WITH m AS (
         |  SELECT l_returnflag, 'l_extendedprice' AS measure,

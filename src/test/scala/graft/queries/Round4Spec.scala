@@ -183,6 +183,40 @@ class Round4Spec extends AnyFunSuite {
     assert(mergeable == 0, s"$mergeable adjacent islands share a status")
   }
 
+  test("q58: the XML render→parse loop loses nothing vs the direct path") {
+    val viaXml = q("q58_xml_ingest").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val direct = Tables.t(spark, Sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("s"),
+        min(col("o_orderkey")).as("mk"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(viaXml == direct)
+  }
+
+  test("q59: lambda results agree with plain aggregations") {
+    val rows = q("q59_hof_funcs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0)
+      assert(r.getLong(2) > 0, "token lengths must sum positive")
+    }
+    // spot-check sum_len: total chars == text length minus separators
+    val direct = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (length(col("text")) - (size(split(col("text"), " ")) - 1))
+          .cast("long").as("expected"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0)),
+      s"doc ${r.getLong(0)}: sum_len ${r.getLong(2)} != ${direct(r.getLong(0))}"))
+  }
+
   test("q55: ORC round-trip preserves the slice exactly") {
     val viaOrc = q("q55_orc_roundtrip").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
