@@ -124,6 +124,78 @@ object Analytics3 {
         .orderBy("l_returnflag")
     }),
 
+    // Missing-value imputation: the q45 series again, but gaps linearly
+    // INTERPOLATED between the neighboring observations (ends forward-/
+    // back-filled) instead of zero-filled — the feature-pipeline
+    // imputation step. Ignore-nulls carry is expressed portably as
+    // max/min over (day, value) structs (aggregates skip NULL inputs;
+    // struct order is lexicographic, day first), so the same windows
+    // replay in DuckDB without IGNORE NULLS syntax. One partitioning
+    // serves both window directions and the output sort.
+    "q60_interpolate" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_shipdate").cast("date").as("day"),
+          col("l_quantity"))
+        .filter(col("day").between("1995-03-01", "1995-03-31"))
+      val daily = li.groupBy("l_suppkey", "day")
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val days = spark.range(1).select(explode(sequence(
+        to_date(lit("1995-03-01")), to_date(lit("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+      val spine = li.select("l_suppkey").distinct().crossJoin(days)
+        .join(daily, Seq("l_suppkey", "day"), "left")
+      val known = when(col("qty").isNotNull,
+        struct(col("day").as("d"), col("qty").as("v")))
+      val base = Window.partitionBy("l_suppkey").orderBy("day")
+      val prev = max(known)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val nxt = min(known)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      spine
+        .withColumn("prev", prev).withColumn("nxt", nxt)
+        .select(col("l_suppkey"), col("day"), col("qty").as("qty_obs"),
+          round(
+            when(col("prev").isNull && col("nxt").isNull,
+              lit(null).cast("double"))
+            .when(col("prev").isNull, col("nxt.v").cast("double"))
+            .when(col("nxt").isNull, col("prev.v").cast("double"))
+            .when(col("prev.d") === col("nxt.d"), col("qty").cast("double"))
+            .otherwise(col("prev.v").cast("double") +
+              (col("nxt.v").cast("double") - col("prev.v").cast("double")) *
+              (datediff(col("day"), col("prev.d")).cast("double") /
+                datediff(col("nxt.d"), col("prev.d")).cast("double"))), 6)
+            .as("qty_interp"),
+          col("qty").isNotNull.as("is_observed"))
+        .orderBy("l_suppkey", "day")
+    }),
+
+    // Conversion funnel: signup → first view after signup → first
+    // purchase after that view, with the average signup→purchase lag.
+    // Each stage is one keyed aggregation joined forward (stage frames
+    // shrink monotonically — the joins broadcast at real scale); lag
+    // hours sum in DECIMAL for order independence.
+    "q61_funnel" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .join(s, "user_id").filter(col("ts") >= col("s_ts"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("v_ts"), min(col("s_ts")).as("s_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("p_ts"), min(col("s_ts")).as("s_ts"))
+      val hours = (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))) /
+        lit(3600000000.0)
+      s.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased"),
+          round(sum(round(hours, 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_conv_hours")))
+    }),
+
     // XML ingestion: each order rendered as an XML record and parsed
     // back through Spark 4's native from_xml with a typed schema — the
     // third in-row codec next to JSON (q12) and the CSV/JSON file
@@ -171,6 +243,72 @@ object Analytics3 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_interpolate" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day, l_quantity
+        |  FROM lineitem
+        |  WHERE l_suppkey <= 5
+        |    AND CAST(l_shipdate AS DATE)
+        |      BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+        |    DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |sup AS (SELECT DISTINCT l_suppkey FROM li),
+        |daily AS (
+        |  SELECT l_suppkey, day, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM li GROUP BY l_suppkey, day),
+        |sp AS (
+        |  SELECT s.l_suppkey, d.day, dl.qty
+        |  FROM sup s CROSS JOIN days d
+        |  LEFT JOIN daily dl ON s.l_suppkey = dl.l_suppkey AND d.day = dl.day),
+        |w AS (
+        |  SELECT l_suppkey, day, qty,
+        |    max(CASE WHEN qty IS NOT NULL
+        |             THEN struct_pack(d := day, v := qty) END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |    min(CASE WHEN qty IS NOT NULL
+        |             THEN struct_pack(d := day, v := qty) END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY day
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM sp)
+        |SELECT l_suppkey, day, qty AS qty_obs,
+        |  round(CASE
+        |    WHEN prev IS NULL AND nxt IS NULL THEN NULL
+        |    WHEN prev IS NULL THEN CAST(nxt.v AS DOUBLE)
+        |    WHEN nxt IS NULL THEN CAST(prev.v AS DOUBLE)
+        |    WHEN prev.d = nxt.d THEN CAST(qty AS DOUBLE)
+        |    ELSE CAST(prev.v AS DOUBLE) +
+        |      (CAST(nxt.v AS DOUBLE) - CAST(prev.v AS DOUBLE)) *
+        |      (CAST(date_diff('day', prev.d, day) AS DOUBLE) /
+        |       CAST(date_diff('day', prev.d, nxt.d) AS DOUBLE))
+        |  END, 6) AS qty_interp,
+        |  qty IS NOT NULL AS is_observed
+        |FROM w ORDER BY l_suppkey, day""".stripMargin,
+
+    "q61_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS v_ts, min(s.s_ts) AS s_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s.s_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts, min(v.s_ts) AS s_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased,
+        |  (SELECT round(CAST(sum(CAST(round(
+        |      (epoch_us(p_ts) - epoch_us(s_ts)) / 3600000000.0, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |   FROM p) AS avg_conv_hours""".stripMargin,
+
     "q58_xml_ingest" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,

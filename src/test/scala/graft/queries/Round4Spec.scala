@@ -183,6 +183,37 @@ class Round4Spec extends AnyFunSuite {
     assert(mergeable == 0, s"$mergeable adjacent islands share a status")
   }
 
+  test("q60: observed points pass through; gaps stay inside neighbor bounds") {
+    val rows = q("q60_interpolate").collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble,
+        s"observed day reinterpolated: $r")
+      assert(r.getBoolean(4))
+    }
+    // Per-series: every interpolated value must lie within the series'
+    // observed min/max (linear interpolation never extrapolates).
+    rows.groupBy(_.getLong(0)).foreach { case (_, series) =>
+      val obs = series.filter(!_.isNullAt(2)).map(_.getLong(2).toDouble)
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min, obs.max)
+        series.filter(_.isNullAt(2)).foreach { r =>
+          val v = r.getDouble(3)
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+            s"interpolated $v escapes [$lo, $hi]")
+          assert(!r.getBoolean(4))
+        }
+      }
+    }
+  }
+
+  test("q61: funnel stages shrink monotonically and the lag is positive") {
+    val r = q("q61_funnel").collect()(0)
+    val (s, v, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s >= v && v >= p && p > 0, s"funnel $s >= $v >= $p violated")
+    assert(r.getDouble(3) > 0.0)
+  }
+
   test("q58: the XML render→parse loop loses nothing vs the direct path") {
     val viaXml = q("q58_xml_ingest").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
