@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via prefix filtering (the PPJoin family,
+  * Chaudhuri/Ganti/Kaushik 2006, Xiao et al. 2008): all id pairs whose
+  * set Jaccard ≥ τ, WITHOUT an all-pairs compare and WITHOUT the recall
+  * loss of LSH.
+  *
+  * Theorem behind the prune: order every set by ascending global token
+  * frequency (rarest first, token string as tie-break). If
+  * |x ∩ y| / |x ∪ y| ≥ τ, then x and y must share a token among each
+  * side's first |x| − ⌈τ·|x|⌉ + 1 entries — so equi-joining only those
+  * PREFIX tokens yields a candidate superset, verified exactly
+  * afterwards. Completeness is pinned against brute force in
+  * PrefixSimilarityJoinSpec.
+  *
+  * Scale shape: document frequency and per-set ranking are token-keyed
+  * shuffles (map-side combinable df, one window partitioning);
+  * candidate expansion runs through the capped [[BucketedPairs]] walk
+  * (never a self-join); verification re-reads ONLY candidate sets via a
+  * left_semi join, so the exact-Jaccard step is O(candidates), not
+  * O(corpus). The candidate frame is persisted and eagerly counted once
+  * — without it AQE races the a/b verify branches into materializing
+  * the pair pipeline twice.
+  */
+object PrefixSimilarityJoin {
+
+  /** (a_id, b_id, jaccard) for every unordered pair with Jaccard ≥ tau.
+    *
+    * @param sets      frame carrying `idCol` and an array column `setCol`
+    *                  (elements compared by equality; arrays should be
+    *                  distinct-element sets)
+    * @param tau       Jaccard threshold in (0, 1]
+    * @param maxBucket skew guard: prefix tokens shared by more than this
+    *                  many sets are dropped whole (degenerate stopword
+    *                  buckets would otherwise expand quadratically)
+    */
+  def pairs(sets: DataFrame, idCol: String, setCol: String, tau: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val tok = sets.select(col(idCol).as("_id"), explode(col(setCol)).as("_tok"))
+    val dfreq = tok.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val wRank = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
+    val wSize = Window.partitionBy("_id")
+    val prefix = tok.join(dfreq, "_tok")
+      .withColumn("_pos", row_number().over(wRank))
+      .withColumn("_sz", count(lit(1)).over(wSize))
+      .filter(col("_pos") <= col("_sz") - ceil(col("_sz") * tau) + 1)
+      .select("_id", "_tok")
+    val cand = BucketedPairs
+      .pairs(prefix, Seq("_tok"), col("_id"), maxBucket)
+      .select(col("x").as("a_id"), col("y").as("b_id"))
+      .distinct()
+      .persist()
+    cand.count()
+    val candIds = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val candSets = sets.join(candIds, Seq(idCol), "left_semi")
+    val inter: Column = size(array_intersect(col("_a"), col("_b")))
+    val uni: Column = size(array_union(col("_a"), col("_b")))
+    cand
+      .join(candSets.select(col(idCol).as("a_id"), col(setCol).as("_a")),
+        "a_id")
+      .join(candSets.select(col(idCol).as("b_id"), col(setCol).as("_b")),
+        "b_id")
+      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+}

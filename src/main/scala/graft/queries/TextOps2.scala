@@ -105,40 +105,11 @@ object TextOps2 {
     // bucket walk, and verification re-shingles ONLY candidate docs via
     // a left_semi join (the d4 recipe).
     "d11_prefix_filter_pairs" -> ((spark, dir) => {
-      val base = t(spark, dir, "documents")
-      def shingled(df: DataFrame): DataFrame = df
+      val sets = spread(t(spark, dir, "documents"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      val tok = shingled(spread(base))
-        .select(col("doc_id"), explode(col("sh")).as("token"))
-      val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("token"))
-      val wSize = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-      val prefix = tok.join(dfreq, "token")
-        .withColumn("pos", row_number().over(wRank))
-        .withColumn("sz", count(lit(1)).over(wSize))
-        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
-        .select("doc_id", "token")
-      val cand = graft.operators.BucketedPairs
-        .pairs(prefix, Seq("token"), col("doc_id"), maxBucket = 1000)
-        .select(col("x").as("a_id"), col("y").as("b_id"))
-        .distinct()
-        .persist()
-      cand.count()
-      val candIds = cand.select(col("a_id").as("doc_id"))
-        .union(cand.select(col("b_id").as("doc_id"))).distinct()
-      val candSets = shingled(base.join(candIds, Seq("doc_id"), "left_semi"))
-      cand
-        .join(candSets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-          "a_id")
-        .join(candSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-          "b_id")
-        .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("a_sh"), col("b_sh"))) /
-            size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      graft.operators.PrefixSimilarityJoin
+        .pairs(sets, "doc_id", "sh", tau = 0.5, maxBucket = 1000)
         .orderBy("a_id", "b_id")
     }),
 
