@@ -155,6 +155,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_dedup_key")
       .drop("_dedup_key")
 
+  /** Streaming benchmark decontamination: flag each arriving document
+    * that shares a 5-gram shingle with the (static, small) benchmark
+    * n-gram set — the streaming counterpart of batch d9_contamination.
+    *
+    * Shape: the per-row shingle kernel and the stream-static inner join
+    * are STATELESS (the benchmark frame broadcasts — eval suites are
+    * small by construction); only the per-doc hit count holds state,
+    * and that state is bounded by the event-time watermark (docs arrive
+    * once, so each group closes when its hour window passes the
+    * watermark and the row emits in append mode).
+    *
+    * @param benchNgrams static one-column frame `ngram` of distinct
+    *                    benchmark shingles
+    */
+  def flagContaminated(docs: DataFrame, benchNgrams: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.ShinglesOf(split(col("text"), " "), 5))
+          .as("ngram"))
+      .join(broadcast(benchNgrams.select("ngram")), Seq("ngram"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("window.start").as("window_start"),
+        col("n_hits"))
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

@@ -248,6 +248,39 @@ class Round4Spec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: sum_len ${r.getLong(2)} != ${direct(r.getLong(0))}"))
   }
 
+  test("q54 equals an independent run-compaction fold over the sorted orders") {
+    val got = q("q54_status_islands")
+      .select(col("o_custkey"), col("island"), col("o_orderstatus"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("n_orders"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    val orders = Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("string").as("ts_s"),
+        col("o_orderdate").cast("date").cast("string").as("d"))
+      .collect()
+    val expected = orders.groupBy(_.getLong(0)).flatMap { case (ck, rows) =>
+      // ISO timestamp strings sort identically to the timestamps
+      val sorted = rows.sortBy(r => (r.getString(3), r.getLong(1)))
+      // compact consecutive same-status runs, numbering islands from 1
+      val runs = sorted.foldLeft(List.empty[List[org.apache.spark.sql.Row]]) {
+        case (acc, r) => acc match {
+          case head :: tail if head.head.getString(2) == r.getString(2) =>
+            (r :: head) :: tail
+          case _ => List(r) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case (run, idx) =>
+        val dates = run.map(_.getString(4))
+        (ck, (idx + 1).toLong, run.head.getString(2),
+          dates.min, dates.max, run.size.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("q55: ORC round-trip preserves the slice exactly") {
     val viaOrc = q("q55_orc_roundtrip").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

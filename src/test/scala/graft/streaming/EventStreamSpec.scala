@@ -152,6 +152,41 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination flags docs sharing a 5-gram with the bench set") {
+    import spark.implicits._
+    val input = MemoryStream[Doc](spark)
+    val benchDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq(benchDoc).toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.ShinglesOf(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), 5)).as("ngram"))
+      .distinct()
+    val q = EventStream.flagContaminated(input.toDF(), bench)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // contains "beta gamma delta epsilon zeta" → contaminated
+        Doc(1, ts("2024-01-01 00:05:00"),
+          "prefix beta gamma delta epsilon zeta suffix"),
+        // same vocabulary, different order → no shared 5-gram
+        Doc(2, ts("2024-01-01 00:10:00"),
+          "zeta epsilon delta gamma beta alpha theta eta"),
+        Doc(3, ts("2024-01-01 00:15:00"),
+          "completely unrelated words about spark shuffles"))
+      q.processAllAvailable()
+      // Advance the watermark past the window so append mode emits.
+      input.addData(Doc(9, ts("2024-01-01 03:00:00"), "late watermark mover"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam")
+        .select("doc_id", "n_hits").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flagged.keySet === Set(1L))
+      assert(flagged(1L) >= 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     import spark.implicits._
     val purchases = MemoryStream[Ev](spark)
