@@ -42,10 +42,17 @@ object PrefixSimilarityJoin {
       maxBucket: Int = 1000): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     val tok = sets.select(col(idCol).as("_id"), explode(col(setCol)).as("_tok"))
-    val dfreq = tok.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    // Document frequency as a count over the token partition instead of
+    // a groupBy + join-back: the join formulation executed the exploded
+    // lineage TWICE (once into the aggregation, once into the join) and
+    // paid a third shuffle for the join itself — measured ~40% of d11's
+    // time at sf0.1. This shape runs the explode once and exactly two
+    // exchanges: token (df) then id (rank/size).
+    val wDf = Window.partitionBy("_tok")
     val wRank = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
     val wSize = Window.partitionBy("_id")
-    val prefix = tok.join(dfreq, "_tok")
+    val prefix = tok
+      .withColumn("_df", count(lit(1)).over(wDf))
       .withColumn("_pos", row_number().over(wRank))
       .withColumn("_sz", count(lit(1)).over(wSize))
       .filter(col("_pos") <= col("_sz") - ceil(col("_sz") * tau) + 1)
