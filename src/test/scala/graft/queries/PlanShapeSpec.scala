@@ -113,6 +113,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "d10 plans a CartesianProduct")
   }
 
+  test("q53's LATERAL rewrites to a bounded ranked join, not per-row re-execution") {
+    // Catalyst turns the correlated ORDER BY/LIMIT subquery into a
+    // WindowGroupLimit (map-side partial top-k per key — at most k rows
+    // per key per partition cross the shuffle) feeding a broadcast join.
+    val p = plan("q53_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral lost its group-limit pushdown")
+    assert(p.contains("BroadcastHashJoin"), "nation side no longer broadcast")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
