@@ -21,8 +21,10 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Analytics2.queries ++
       graft.queries.Analytics3.queries ++
+      graft.queries.Analytics4.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.TextOps2.queries
+      graft.queries.TextOps2.queries ++
+      graft.queries.TextOps3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -34,6 +36,8 @@ object SparkEntry {
       graft.queries.Analytics.oracleSql ++
       graft.queries.Analytics2.oracleSql ++
       graft.queries.Analytics3.oracleSql ++
+      graft.queries.Analytics4.oracleSql ++
       graft.queries.TextOps.oracleSql ++
-      graft.queries.TextOps2.oracleSql
+      graft.queries.TextOps2.oracleSql ++
+      graft.queries.TextOps3.oracleSql
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 second-batch relational additions (SURVEY.md §2.2 engine
+  * stance): stratified deterministic sampling, equi-depth (quantile-
+  * bounded) histograms, and a fixed-iteration weighted PageRank — the
+  * iterative-computation pattern next to d8's connected components.
+  *
+  * Parity rules as everywhere: reproducible sampling via the md5 hash
+  * family (never rand()), float accumulation through DECIMAL, quantile
+  * interpolation left to the engines' identical (p·(n−1))-index
+  * definition, verified by the oracle hash.
+  */
+object Analytics4 {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified sampling: each order status draws a DIFFERENT target
+    // fraction (rebalancing strata the way pipeline train/eval splits
+    // do) via the q39 md5-bucket trick, so membership is deterministic
+    // and the sampled-key checksum is oracle-checkable. The predicate is
+    // row-local (pure map, no shuffle before the per-stratum rollup);
+    // at 100 TB the sample materializes without ever sorting or
+    // collecting — the scan IS the sampler.
+    "q62_stratified_sample" -> ((spark, dir) => {
+      val rate = when(col("o_orderstatus") === "F", 10)
+        .when(col("o_orderstatus") === "O", 20)
+        .otherwise(50)
+      val bucket = pmod(graft.functions.Md5Pack(
+        concat(lit("smp_"), col("o_orderkey").cast("string"))), lit(100))
+      t(spark, dir, "orders")
+        .withColumn("sampled", bucket < rate)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_total"),
+          count_if(col("sampled")).as("n_sampled"),
+          sum(when(col("sampled"), col("o_orderkey"))).cast("long")
+            .as("sampled_key_sum"))
+        .withColumn("achieved_rate",
+          round(col("n_sampled").cast("double") / col("n_total"), 6))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Equi-depth histogram: quartile boundaries via exact continuous
+    // percentiles (the q18 machinery), then a boundary-banded count —
+    // the complement of q57's equi-width bands and the stats backbone of
+    // range-partition planning. The one-row boundary frame broadcasts to
+    // the banding scan; two passes over the input, one 4-key shuffle,
+    // no global sort anywhere.
+    "q63_equidepth_hist" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val bounds = o.agg(
+        expr("percentile(o_totalprice, 0.25)").as("b1"),
+        expr("percentile(o_totalprice, 0.5)").as("b2"),
+        expr("percentile(o_totalprice, 0.75)").as("b3"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("band",
+          when(col("o_totalprice") <= col("b1"), 0)
+            .when(col("o_totalprice") <= col("b2"), 1)
+            .when(col("o_totalprice") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // Weighted PageRank, 3 unrolled iterations, over the nation-level
+    // trade graph (supplier nation → customer nation, edge weight =
+    // lineitem count). The graph CONDENSES first — the 4-way fact join
+    // aggregates to a nodes²-bounded edge list, so the iterations run on
+    // tiny frames (rank and edge joins broadcast) while the only
+    // corpus-scale work is the initial aggregation. Rank lives in exact
+    // scaled-integer units (1e-12): damping 0.85 is ×850 div 1000 and
+    // contributions divide with `div`, so every iteration is pure
+    // integer arithmetic — bit-identical across engines by construction
+    // (float round() half-way ties diverged between the engines'
+    // decimal-string vs binary rounding; integers cannot). BIGINT holds
+    // to w·rank ≈ 9e18 — beyond that (≈1e9-row single edges) the same
+    // pipeline swaps BIGINT for DECIMAL(38,0).
+    "q64_pagerank" -> ((spark, dir) => {
+      val edges = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).cast("long").as("out_w"))
+      val nodes = t(spark, dir, "nation").select(col("n_nationkey"))
+      // 0.04 in 1e-12 units; teleport term 0.15/25 = 6e9 units.
+      var ranks = nodes.withColumn("r", lit(40000000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(broadcast(ranks), col("n_nationkey") === col("src"))
+          .join(broadcast(outw), "src")
+          .select(col("dst"), expr("(r * w) div out_w").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        // standard dangling-mass correction: rank parked on nodes with
+        // no out-edges redistributes uniformly, so total mass conserves
+        // (up to integer-div truncation, which only loses)
+        val dang = ranks
+          .join(broadcast(outw), col("n_nationkey") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        ranks = nodes
+          .join(broadcast(contrib), col("n_nationkey") === col("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("n_nationkey"),
+            expr("6000000000 + (850 * (coalesce(s, 0) + dang div 25)) div 1000")
+              .as("r"))
+      }
+      ranks
+        .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("nk"), col("n_name"))),
+          col("n_nationkey") === col("nk"))
+        .select(col("n_name"), col("r").as("pagerank_e12"),
+          // exact BIGINT → IEEE division: identical doubles, no rounding
+          (col("r").cast("double") / lit(1.0e12)).as("pagerank"))
+        .orderBy(col("pagerank_e12").desc, col("n_name"))
+    }),
+  )
+
+  /** One PageRank contribution/update round as DuckDB CTE text; chained
+    * three times by the oracle below, mirroring the unrolled Spark loop.
+    */
+  private def prStep(prev: String, c: String, next: String): String =
+    s"""$c AS (
+       |  SELECT e.dst, CAST(sum((r.r * e.w) // o.out_w) AS BIGINT) AS s
+       |  FROM edges e
+       |  JOIN $prev r ON r.n_nationkey = e.src
+       |  JOIN outw o ON o.src = e.src
+       |  GROUP BY e.dst),
+       |${c}d AS (
+       |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+       |  FROM $prev r LEFT JOIN outw o ON o.src = r.n_nationkey
+       |  WHERE o.src IS NULL),
+       |$next AS (
+       |  SELECT n.n_nationkey,
+       |    6000000000 + (850 * (coalesce($c.s, 0) + d.dang // 25)) // 1000 AS r
+       |  FROM nation n LEFT JOIN $c ON $c.dst = n.n_nationkey
+       |  CROSS JOIN ${c}d d)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_stratified_sample" ->
+      s"""WITH s AS (
+         |  SELECT o_orderstatus, o_orderkey,
+         |    (${Tables.duckMd5Pack("'smp_' || o_orderkey")}) % 100 <
+         |      CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 20
+         |        ELSE 50 END AS sampled
+         |  FROM orders)
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN sampled THEN o_orderkey END) AS BIGINT)
+         |    AS sampled_key_sum,
+         |  round(CAST(count(*) FILTER (WHERE sampled) AS DOUBLE) / count(*), 6)
+         |    AS achieved_rate
+         |FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q63_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+        |    quantile_cont(o_totalprice, 0.5) AS b2,
+        |    quantile_cont(o_totalprice, 0.75) AS b3
+        |  FROM orders)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT CASE WHEN o_totalprice <= b1 THEN 0
+        |              WHEN o_totalprice <= b2 THEN 1
+        |              WHEN o_totalprice <= b3 THEN 2
+        |              ELSE 3 END AS band, o_totalprice
+        |  FROM orders CROSS JOIN b)
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q64_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+         |         FROM edges GROUP BY src),
+         |r0 AS (SELECT n_nationkey, CAST(40000000000 AS BIGINT) AS r
+         |       FROM nation),
+         |${prStep("r0", "c1", "r1")},
+         |${prStep("r1", "c2", "r2")},
+         |${prStep("r2", "c3", "r3")}
+         |SELECT n_name, CAST(r3.r AS BIGINT) AS pagerank_e12,
+         |  CAST(r3.r AS DOUBLE) / 1e12 AS pagerank
+         |FROM r3 JOIN nation USING (n_nationkey)
+         |ORDER BY pagerank_e12 DESC, n_name""".stripMargin,
+  )
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third batch of LLM-training-data pipeline operators (SURVEY.md §2.4):
+  * PMI collocation mining, rule-based quality filtering with per-rule
+  * attribution, the cluster-canonical "keep one per duplicate cluster"
+  * selection that completes the dedup story (d4 → d8 → d12), and
+  * duplicate n-gram span statistics (the corpus-level view behind
+  * substring-level dedup à la Lee et al. 2022).
+  *
+  * Same ground rules as [[TextOps]]/[[TextOps2]]: md5-anchored hashing,
+  * int/int → IEEE double ratios, order-dependent float sums routed
+  * through DECIMAL, ln() applied to identical double inputs in both
+  * engines and rounded before any ordering decision.
+  */
+object TextOps3 {
+  import Tables.t
+
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Duplicate-span n-gram width: long enough (8 words) that a shared
+    * span implies genuinely copied text rather than small-vocab chance
+    * collisions at the 3-gram width the MinHash sketches use.
+    */
+  private val SpanN = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PMI collocation mining (word2phrase-style): which adjacent word
+    // pairs co-occur far above chance? Bigrams come from a lead() window
+    // per document (one doc-keyed shuffle); unigram and bigram counts
+    // are map-side-combinable groupBys over a BOUNDED vocabulary, so the
+    // frames that join are vocab-sized, not corpus-sized — both sides
+    // broadcast at any corpus scale. ln() runs on identical int/int
+    // division results in both engines and is rounded to 6dp BEFORE the
+    // top-20 ordering cut, with (w1, w2) breaking rounded ties, so the
+    // limit is deterministic cross-engine.
+    "t12_pmi_bigrams" -> ((spark, dir) => {
+      val tok = spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = tok
+        .select(col("term").as("w1"), lead(col("term"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_b"))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("cnt_u"))
+      val totU = uni.agg(sum(col("cnt_u")).cast("long").as("total_u"))
+      val totB = bi.agg(sum(col("cnt_b")).cast("long").as("total_b"))
+      bi.filter(col("cnt_b") >= 3)
+        .join(broadcast(uni.select(col("term").as("w1"), col("cnt_u").as("cnt1"))), "w1")
+        .join(broadcast(uni.select(col("term").as("w2"), col("cnt_u").as("cnt2"))), "w2")
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .select(col("w1"), col("w2"), col("cnt_b"),
+          round(log(
+            (col("cnt_b").cast("double") / col("total_b")) /
+              ((col("cnt1").cast("double") / col("total_u")) *
+                (col("cnt2").cast("double") / col("total_u")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // Rule-based quality filter with per-rule attribution (Gopher-style
+    // document filtering): each doc gets a keep/drop decision plus the
+    // FIRST failing rule, mirroring the claims pipeline's
+    // exclusion-attribution semantics on the corpus side. All features
+    // are row-local expressions (token count, type-token ratio,
+    // stopword ratio) — the filter is a pure map with no shuffle at all;
+    // the same decision column drives the drop step of a real pipeline.
+    "t13_quality_filter" -> ((spark, dir) => {
+      val tk = split(col("text"), " ")
+      val nTok = size(tk)
+      val ttr = size(array_distinct(tk)).cast("double") / nTok
+      val swRatio = size(filter(tk, w => w === "a" || w === "the"))
+        .cast("double") / nTok
+      val reason = when(nTok < 25, "too_short")
+        .when(nTok > 95, "too_long")
+        .when(ttr < 0.35, "low_diversity")
+        .when(swRatio < 0.01, "no_stopwords")
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), nTok.as("n_tok"),
+          round(ttr, 6).as("ttr"), round(swRatio, 6).as("sw_ratio"),
+          reason.as("drop_reason"), reason.isNull.as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-canonical selection — the step that actually SHRINKS the
+    // corpus: given d8's duplicate clusters, keep exactly one document
+    // per cluster (most content wins: max n_chars, doc_id breaks ties),
+    // and every unclustered doc keeps itself. The label frame is
+    // cluster-membership-sized (≪ corpus); the canonical argmax is one
+    // map-side-combinable max_by over it, and the corpus-wide keep list
+    // is the corpus left-joined against those bounded frames — at 100 TB
+    // both join sides beyond the corpus itself stay broadcastable.
+    "d12_keep_list" -> ((spark, dir) => {
+      val pairs = TextOps.queries("d4_minhash_pairs")(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      val labels = graft.operators.ConnectedComponents
+        .labels(pairs, "a_id", "b_id")
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      val clustered = docs
+        .join(broadcast(labels), docs("doc_id") === labels("node"), "left")
+        .select(col("doc_id"), col("nc"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+      // Composite numeric argmax key (DuckDB arg_max has no struct
+      // ordering): content length dominates, lower doc_id breaks ties.
+      val canonKey = col("nc") * lit(1000000000000L) - col("doc_id")
+      val canon = clustered.groupBy("cluster")
+        .agg(max_by(col("doc_id"), canonKey).as("keeper"),
+          count(lit(1)).as("n_members"))
+      clustered
+        .join(broadcast(canon), "cluster")
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("keeper")).as("keep"), col("n_members"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate n-gram span statistics: the corpus-level profile behind
+    // substring-level dedup — which long (8-word) spans appear in 2+
+    // documents, and how widely? Spans are distinct-per-doc via the
+    // codegen'd ShinglesOf kernel (a pure map — the tokenized corpus
+    // never shuffles), so the span groupBy counts DOCUMENTS sharing the
+    // span; its key space is bounded by the span vocabulary and the
+    // top-20 cut is a TakeOrderedAndProject, never a global sort.
+    "d13_dup_spans" -> ((spark, dir) => {
+      spread(t(spark, dir, "documents"))
+        .filter(size(split(col("text"), " ")) >= SpanN)
+        .select(col("doc_id"),
+          explode(graft.functions.ShinglesOf(split(col("text"), " "), SpanN))
+            .as("span"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("span"))
+        .limit(20)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t12_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(len(tk)-1),
+        |    i -> struct_pack(a := tk[i+1], b := tk[i+2]))) AS p
+        |  FROM d),
+        |bi AS (SELECT p.a AS w1, p.b AS w2, CAST(count(*) AS BIGINT) AS cnt_b
+        |       FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_u
+        |        FROM tok GROUP BY term),
+        |tu AS (SELECT CAST(sum(cnt_u) AS BIGINT) AS total_u FROM uni),
+        |tb AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS total_b FROM bi)
+        |SELECT w1, w2, cnt_b,
+        |  round(ln(
+        |    (CAST(cnt_b AS DOUBLE) / total_b) /
+        |    ((CAST(u1.cnt_u AS DOUBLE) / total_u) *
+        |     (CAST(u2.cnt_u AS DOUBLE) / total_u))), 6) AS pmi
+        |FROM bi
+        |JOIN uni u1 ON bi.w1 = u1.term
+        |JOIN uni u2 ON bi.w2 = u2.term
+        |CROSS JOIN tu CROSS JOIN tb
+        |WHERE cnt_b >= 3
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "t13_quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+        |    CAST(len(list_filter(tk, w -> w = 'a' OR w = 'the')) AS DOUBLE)
+        |      / len(tk) AS sw_ratio
+        |  FROM d)
+        |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
+        |  round(sw_ratio, 6) AS sw_ratio,
+        |  CASE WHEN n_tok < 25 THEN 'too_short'
+        |       WHEN n_tok > 95 THEN 'too_long'
+        |       WHEN ttr < 0.35 THEN 'low_diversity'
+        |       WHEN sw_ratio < 0.01 THEN 'no_stopwords' END AS drop_reason,
+        |  CASE WHEN n_tok < 25 THEN 'too_short'
+        |       WHEN n_tok > 95 THEN 'too_long'
+        |       WHEN ttr < 0.35 THEN 'low_diversity'
+        |       WHEN sw_ratio < 0.01 THEN 'no_stopwords' END IS NULL AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "d12_keep_list" ->
+      s"""WITH RECURSIVE dpairs AS (
+         |  SELECT a_id, b_id FROM (${TextOps.oracleSql("d4_minhash_pairs")}) t),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM dpairs
+         |  UNION SELECT b_id, a_id FROM dpairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach AS (
+         |  SELECT node AS src, node AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(d.n_chars, 0) AS nc,
+         |    coalesce(l.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+         |canon AS (
+         |  SELECT cluster,
+         |    arg_max(doc_id, nc * 1000000000000 - doc_id) AS keeper,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM clustered GROUP BY cluster)
+         |SELECT c.doc_id, c.cluster, c.doc_id = canon.keeper AS keep,
+         |  canon.n_members
+         |FROM clustered c JOIN canon ON c.cluster = canon.cluster
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "d13_dup_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(tk) - ${SpanN - 1}),
+         |    i -> array_to_string(list_slice(tk, i+1, i+$SpanN), ' ')))) AS span
+         |  FROM d WHERE len(tk) >= $SpanN)
+         |SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM sh GROUP BY span HAVING count(*) >= 2
+         |ORDER BY n_docs DESC, span LIMIT 20""".stripMargin,
+  )
+}

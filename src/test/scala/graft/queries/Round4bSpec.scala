@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the round-4 second batch: stratified sampling,
+  * equi-depth histograms, integer-exact PageRank, PMI collocations, the
+  * quality filter, cluster-canonical keep lists, and duplicate-span
+  * statistics.
+  */
+class Round4bSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q62: strata keep their target rates and counts are consistent") {
+    val rows = q("q62_stratified_sample").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("F", "O", "P"))
+    val target = Map("F" -> 0.10, "O" -> 0.20, "P" -> 0.50)
+    rows.foreach { r =>
+      val (st, total, sampled) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(sampled >= 0 && sampled <= total)
+      val rate = sampled.toDouble / total
+      // md5 buckets are uniform; sf0.001 strata are 100s-of-rows small,
+      // so allow a generous but still discriminating band
+      assert(math.abs(rate - target(st)) < 0.12,
+        s"stratum $st rate $rate far from ${target(st)}")
+    }
+  }
+
+  test("q62: sampling is deterministic across runs") {
+    val a = q("q62_stratified_sample").collect().map(_.toString).toSeq
+    val b = q("q62_stratified_sample").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("q63: equi-depth bands are contiguous and roughly equal-mass") {
+    val rows = q("q63_equidepth_hist").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val counts = rows.map(_.getLong(1))
+    val total = counts.sum
+    counts.foreach(c => assert(math.abs(c.toDouble / total - 0.25) < 0.02,
+      s"band mass ${c.toDouble / total} not ~25%"))
+    // bands must tile the value range: max of band i <= min of band i+1
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2),
+        "band ranges overlap: equi-depth boundaries not respected")
+    }
+  }
+
+  test("q64: rank mass is conserved and every nation is ranked") {
+    val rows = q("q64_pagerank").collect()
+    assert(rows.length == 25)
+    val mass = rows.map(_.getLong(1)).sum
+    // teleport 0.15 + damped 0.85; integer div truncation can only LOSE
+    // mass, never create it
+    assert(mass <= 1000000000000L && mass > 990000000000L,
+      s"rank mass $mass out of band")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+    // sorted descending by rank
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+
+  test("t12: top collocation's bigram count matches a brute-force recount") {
+    val rows = q("t12_pmi_bigrams").collect()
+    assert(rows.length == 20)
+    val pmis = rows.map(_.getDouble(3)).toSeq
+    assert(pmis == pmis.sorted.reverse, "not ordered by pmi desc")
+    assert(rows.forall(_.getLong(2) >= 3))
+    val byName = q("t12_pmi_bigrams").select("w1", "w2", "cnt_b").collect().head
+    val brute = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "term")),
+        col("doc_id"))
+      .withColumn("nxt", lead(col("term"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+      .filter(col("term") === byName.getString(0) &&
+        col("nxt") === byName.getString(1))
+      .count()
+    assert(brute == byName.getLong(2),
+      s"bigram (${byName.getString(0)}, ${byName.getString(1)}) count mismatch")
+  }
+
+  test("t13: attribution follows rule order and keep == no reason") {
+    val rows = q("t13_quality_filter").collect()
+    assert(rows.nonEmpty)
+    val reasons = Set("too_short", "too_long", "low_diversity", "no_stopwords")
+    var kept = 0
+    rows.foreach { r =>
+      val reason = Option(r.getString(4))
+      val keep = r.getBoolean(5)
+      assert(keep == reason.isEmpty)
+      reason.foreach(x => assert(reasons.contains(x)))
+      if (r.getInt(1) < 25)
+        assert(reason.contains("too_short"), "rule precedence violated")
+      if (keep) kept += 1
+    }
+    assert(kept > 0 && kept < rows.length, "filter should be discriminating")
+  }
+
+  test("d12: exactly one keeper per cluster, and keepers maximize content") {
+    val rows = q("d12_keep_list").collect()
+    val docs = Tables.t(spark, Sf, "documents").count()
+    assert(rows.length == docs, "keep list must cover every document")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cl, members) =>
+      assert(members.count(_.getBoolean(2)) == 1,
+        s"cluster $cl keeps ${members.count(_.getBoolean(2))} docs")
+      assert(members.forall(_.getLong(3) == members.length),
+        s"cluster $cl n_members inconsistent")
+    }
+    // multi-member clusters exist at this SF (d4 finds pairs), and they
+    // drop everything but the keeper
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
+  test("d13: reported spans really occur in n_docs distinct documents") {
+    val rows = q("d13_dup_spans").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    assert(counts.forall(_ >= 2))
+    val top = rows.head
+    val n = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull &&
+        col("text").contains(top.getString(0)))
+      .count()
+    // contains() may over-count via cross-boundary matches, never under
+    assert(n >= top.getLong(1),
+      s"span claimed in ${top.getLong(1)} docs, found $n by substring scan")
+  }
+}
