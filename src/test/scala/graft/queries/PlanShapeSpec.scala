@@ -123,6 +123,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "nation side no longer broadcast")
   }
 
+  test("q62's stratified sampler is one pass: no join, a single hash exchange") {
+    // The sampling predicate is row-local; only the per-stratum rollup
+    // may shuffle (plus the 3-row output sort's range exchange).
+    val p = plan("q62_stratified_sample")
+    assert(!p.contains("Join"), "sampler should not join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"sampler shuffles $hashEx times")
+  }
+
+  test("q63's quantile boundaries reach the banding scan as a broadcast") {
+    val p = plan("q63_equidepth_hist")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "boundary frame no longer broadcast to the banding pass")
+  }
+
+  test("q64's rank iterations join via broadcast only; shuffles stay on facts") {
+    // The condensed 25-node graph must never shuffle-join: every
+    // rank/out-weight/contribution join in the 3 unrolled iterations is a
+    // broadcast. Only the edge-building fact joins may exchange.
+    val p = plan("q64_pagerank")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 6,
+      s"expected the 3 iterations' joins broadcast, got $broadcasts")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 2,
+      s"graph condensation should leave <=2 fact shuffle joins, got $shuffleJoins")
+  }
+
+  test("t12's vocabulary count frames broadcast to the bigram side") {
+    val p = plan("t12_pmi_bigrams")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "unigram count frames no longer broadcast")
+  }
+
+  test("t13's quality filter is a pure map: no joins, no aggregate shuffle") {
+    val p = plan("t13_quality_filter")
+    assert(!p.contains("Join"), "quality filter should not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quality filter should not shuffle before the output sort")
+  }
+
+  test("d13's top spans come from a bounded TakeOrderedAndProject") {
+    val p = plan("d13_dup_spans")
+    assert(p.contains("TakeOrderedAndProject"),
+      "d13's top-20 cut regressed to a global sort")
+    assert(!p.contains("Window"), "d13 plans a Window")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
