@@ -226,6 +226,46 @@ case class KarpRabin(child: Expression) extends UnaryExpression {
 }
 
 /** Column-level and SQL-level exposure of the custom expressions. */
+/** Unicode canonical composition (NFC) — the normalization pass every
+  * text-cleaning pipeline runs before hashing/dedup so that visually
+  * identical strings ("é" precomposed vs "e"+U+0301) hash identically.
+  * Codegen'd wrapper over `java.text.Normalizer` with an ASCII fast path
+  * (`isNormalized` is O(n) and true for all-ASCII, which is the bulk of
+  * real corpora — the allocation-free common case). NFC is a Unicode
+  * standard algorithm, so results replay in DuckDB's `nfc_normalize`.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcNormalize.normalize($s);")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  /** Static entry shared by the interpreted and generated paths. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
@@ -234,6 +274,9 @@ object GraftFunctions {
 
   def krFingerprint(c: Column): Column =
     graftbridge.column(KarpRabin(graftbridge.expression(c)))
+
+  def nfcNormalize(c: Column): Column =
+    graftbridge.column(NfcNormalize(graftbridge.expression(c)))
 
   /** Spark's internal runtime-filter bloom machinery, surfaced as user
     * columns: build a bloom filter over xxhash64 values of the build side
@@ -286,6 +329,7 @@ object GraftFunctions {
           kind
         } else SketchOps.HashXx64)),
     "rep_stats_of" -> (exprs => RepStatsOf(exprs.head)),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
   )
 
   /** Retrofit the functions onto an existing session (SQL-callable). */

@@ -127,6 +127,47 @@ object Analytics4 {
           (col("r").cast("double") / lit(1.0e12)).as("pagerank"))
         .orderBy(col("pagerank_e12").desc, col("n_name"))
     }),
+
+    // Multiple DISTINCT aggregates in one GROUP BY: Catalyst plans these
+    // through an Expand node (one input pass replicated per distinct
+    // set, each de-duplicated map-side) — the single-job alternative to
+    // N self-joined subqueries. sum(DISTINCT l_quantity) sums ≤50 small
+    // integer-valued doubles: exact, order-independent.
+    "q65_multi_distinct" -> ((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(col("l_quantity")).cast("double").as("sum_dq"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // Dynamic partition pruning: the fact table is partitioned by
+    // o_year; which years survive is only knowable at RUNTIME (years
+    // with an odd order count — a data-dependent dim filter). Catalyst
+    // plants a dynamicpruning subquery on the fact scan (asserted in
+    // PlanShapeSpec), so the fact side reads ONLY the surviving year
+    // directories — the mechanism that turns a 100 TB scan into the two
+    // partitions the dim filter actually selects, without the user ever
+    // naming them.
+    "q66_dynamic_pruning" -> ((spark, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q66", tag).toString
+      t(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(base)
+      val fact = spark.read.parquet(base)
+      val yd = fact.groupBy("o_year").agg(count(lit(1)).as("n_y"))
+        .filter(col("n_y") % 2 === 1)
+        .select("o_year")
+      fact.join(broadcast(yd), "o_year")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** One PageRank contribution/update round as DuckDB CTE text; chained
@@ -181,6 +222,29 @@ object Analytics4 {
         |              ELSE 3 END AS band, o_totalprice
         |  FROM orders CROSS JOIN b)
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q65_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |  CAST(sum(DISTINCT l_quantity) AS DOUBLE) AS sum_dq,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q66_dynamic_pruning" ->
+      """WITH yd AS (
+        |  SELECT o_year FROM (
+        |    SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+        |      count(*) AS n_y
+        |    FROM orders GROUP BY 1)
+        |  WHERE n_y % 2 = 1)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |JOIN yd ON year(CAST(o_orderdate AS DATE)) = yd.o_year
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q64_pagerank" ->
       s"""WITH edges AS (

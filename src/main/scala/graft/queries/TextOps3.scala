@@ -142,9 +142,40 @@ object TextOps3 {
         .orderBy(col("n_docs").desc, col("span"))
         .limit(20)
     }),
+
+    // Unicode NFC normalization — the text-cleaning pass that makes
+    // visually identical strings hash identically before dedup. The
+    // corpus is ASCII (NFC no-op, exercising the fast path), so the
+    // query plants a deterministic decomposed overlay: e+U+0301 and
+    // i+U+0308 compose to é/ï, and the U+212B angstrom SIGN maps to the
+    // canonical U+00C5 Å (a singleton mapping, not just combining-mark
+    // fusion). Runs through the codegen'd NfcNormalize expression (a
+    // row-local map — no shuffle); DuckDB's nfc_normalize replays the
+    // same Unicode-standard algorithm byte-for-byte, pinned by the md5.
+    "t14_unicode_nfc" -> ((spark, dir) => {
+      val full = concat(col("text"), lit(" café naïve Å"))
+      val norm = graft.functions.GraftFunctions.nfcNormalize(full)
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(full).as("len_raw"),
+          length(norm).as("len_nfc"),
+          md5(norm).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t14_unicode_nfc" ->
+      ("WITH d AS (\n" +
+      "  SELECT doc_id, text || ' café naïve Å' AS full_text\n" +
+      "  FROM documents WHERE text IS NOT NULL)\n" +
+      "SELECT doc_id, CAST(length(full_text) AS INTEGER) AS len_raw,\n" +
+      "  CAST(length(nfc_normalize(full_text)) AS INTEGER) AS len_nfc,\n" +
+      "  md5(nfc_normalize(full_text)) AS nfc_md5\n" +
+      "FROM d ORDER BY doc_id"),
+
     "t12_pmi_bigrams" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk

@@ -137,6 +137,39 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaAgg(li.repartition(13)) === viaWindow)
   }
 
+  test("NfcNormalize composes decomposed sequences and is null/ASCII-safe") {
+    import spark.implicits._
+    val decomposedE = "cafe\u0301"   // e + combining acute
+    val angstromSign = "\u212b"      // singleton -> U+00C5
+    val df = Seq(decomposedE, angstromSign, "plain ascii", null)
+      .toDF("s")
+    val rows = df.select(GraftFunctions.nfcNormalize(col("s"))).collect()
+    assert(rows(0).getString(0) == "caf\u00e9")
+    assert(rows(1).getString(0) == "\u00c5")
+    assert(rows(2).getString(0) == "plain ascii", "ASCII must pass through")
+    assert(rows(3).isNullAt(0))
+    // matches the JVM reference implementation on arbitrary BMP strings
+    val rnd = new scala.util.Random(7)
+    val marks = Seq("\u0301", "\u0308", "\u030a", "")
+    val samples = (0 until 200).map { _ =>
+      (0 until 10).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar.toString +
+          marks(rnd.nextInt(marks.length))).mkString
+    }
+    val out = samples.toDF("s")
+      .select(GraftFunctions.nfcNormalize(col("s"))).collect().map(_.getString(0))
+    samples.zip(out).foreach { case (in, got) =>
+      assert(got == java.text.Normalizer
+        .normalize(in, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("nfc_normalize is SQL-callable after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS s").collect()
+    assert(r.head.getString(0) == "caf\u00e9")
+  }
+
   test("custom expressions constant-fold under the optimizer") {
     val df = spark.range(1)
       .select(GraftFunctions.krFingerprint(lit("abc")).as("kr"))

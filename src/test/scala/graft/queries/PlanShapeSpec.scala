@@ -172,6 +172,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "d13 plans a Window")
   }
 
+  test("q65's multi-distinct aggregates plan one Expand, not self-joins") {
+    val p = plan("q65_multi_distinct")
+    assert(p.contains("Expand"), "multi-distinct lost its Expand rewrite")
+    assert(!p.contains("Join"), "multi-distinct regressed to self-joins")
+  }
+
+  test("q66's fact scan carries a runtime dynamicpruning subquery") {
+    val p = plan("q66_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${p.take(2500)}")
+  }
+
+  test("t14's NFC normalization is a pure map with no shuffle") {
+    val p = plan("t14_unicode_nfc")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "NFC pass should not shuffle")
+    assert(p.contains("nfc_normalize"), "custom expression not in the plan")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)

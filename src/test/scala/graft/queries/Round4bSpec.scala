@@ -117,6 +117,36 @@ class Round4bSpec extends AnyFunSuite {
     assert(byCluster.exists(_._2.length > 1))
   }
 
+  test("t14: NFC composes exactly the planted marks on every doc") {
+    // overlay plants 2 combining marks (composed away) + 1 angstrom
+    // singleton (1 char before and after): every doc shrinks by exactly 2
+    val rows = q("t14_unicode_nfc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) - r.getInt(2) == 2,
+        s"doc ${r.getLong(0)}: len ${r.getInt(1)} -> ${r.getInt(2)}")
+    }
+  }
+
+  test("q66: pruned result equals the unpruned recompute") {
+    import org.apache.spark.sql.functions._
+    val got = q("q66_dynamic_pruning").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val o = Tables.t(spark, Sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val oddYears = o.groupBy("o_year").count()
+      .filter(col("count") % 2 === 1)
+      .collect().map(_.getInt(0)).toSet
+    val want = o.filter(col("o_year").isin(oddYears.toSeq: _*))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("d13: reported spans really occur in n_docs distinct documents") {
     val rows = q("d13_dup_spans").collect()
     assert(rows.length == 20)
