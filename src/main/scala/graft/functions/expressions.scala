@@ -340,16 +340,37 @@ object GraftFunctions {
     }
 }
 
+/** Catalyst optimizer rule: NFC normalization is idempotent by the
+  * Unicode standard, so nested applications collapse to one — the kind
+  * of domain rewrite that composition of cleaning stages produces
+  * naturally (each stage defensively normalizes its input). Injected via
+  * [[GraftExtensions]]; the engine's demonstration that extensibility
+  * here means real `Rule[LogicalPlan]` participation in optimization,
+  * not just function registration.
+  */
+object NfcIdempotence
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalize(inner @ NfcNormalize(_)) => inner
+    }
+}
+
 /** SparkSessionExtensions entry point:
   * SparkSession.builder().withExtensions(new GraftExtensions)... or
   * spark.sql.extensions=graft.functions.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         b))
     }
+    ext.injectOptimizerRule(_ => NfcIdempotence)
+  }
 }

@@ -164,9 +164,65 @@ object TextOps3 {
         .orderBy("doc_id")
     }),
 
-  )
 
+    // Audio-style PCM feature extraction: each payload is decoded as
+    // int16 little-endian samples (the WAV body layout) entirely with
+    // native expressions — hex + substring pair-swap + sign fold — and
+    // reduced IN-ROW to clip features (sum-of-squares energy, peak
+    // amplitude): integer-exact, zero shuffles, the decode never leaves
+    // the row. The "ÿÿ" overlay encodes to 0xC3 0xBF bytes, so
+    // high-bit (negative) samples genuinely exercise the sign branch the
+    // ASCII corpus alone never would. Lambdas here are CodegenFallback
+    // (bounded media table, q59 precedent) — a real 100 TB audio path
+    // would fold the same arithmetic into a sketch-kernel expression.
+    "m7_pcm_features" -> ((spark, dir) => {
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          hex(encode(concat(col("text"), lit("ÿÿ")), "UTF-8"))
+            .as("hx"),
+          (octet_length(encode(concat(col("text"), lit("ÿÿ")),
+            "UTF-8")) / 2).cast("long").as("n_smp"))
+        .filter(col("n_smp") > 0)
+        .withColumn("smp", expr(
+          """transform(
+            |  transform(sequence(0L, n_smp - 1),
+            |    i -> CAST(conv(concat(
+            |           substring(hx, CAST(i*4+3 AS INT), 2),
+            |           substring(hx, CAST(i*4+1 AS INT), 2)), 16, 10)
+            |         AS BIGINT)),
+            |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)"""
+            .stripMargin))
+        .select(col("media_id"), col("n_smp"),
+          expr("aggregate(smp, 0L, (a, v) -> a + v * v)").as("energy_sq"),
+          expr("aggregate(smp, 0L, (a, v) -> greatest(a, abs(v)))").as("peak"))
+        .orderBy("media_id")
+    }),
+
+
+  )
   val oracleSql: Map[String, String] = Map(
+
+    "m7_pcm_features" ->
+      ("WITH m AS (\n" +
+      "  SELECT doc_id AS media_id, hex(encode(text || 'ÿÿ')) AS hx,\n" +
+      "    octet_length(encode(text || 'ÿÿ')) // 2 AS n_smp\n" +
+      "  FROM documents WHERE text IS NOT NULL)\n" +
+      ", s AS (\n" +
+      "  SELECT media_id, n_smp,\n" +
+      "    list_transform(\n" +
+      "      list_transform(range(n_smp),\n" +
+      "        i -> CAST(concat('0x',\n" +
+      "               substr(hx, CAST(i*4+3 AS BIGINT), 2),\n" +
+      "               substr(hx, CAST(i*4+1 AS BIGINT), 2)) AS BIGINT)),\n" +
+      "      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS smp\n" +
+      "  FROM m WHERE n_smp > 0)\n" +
+      "SELECT media_id, n_smp,\n" +
+      "  list_reduce(list_prepend(CAST(0 AS BIGINT),\n" +
+      "    list_transform(smp, v -> v * v)), (a, b) -> a + b) AS energy_sq,\n" +
+      "  list_reduce(list_prepend(CAST(0 AS BIGINT),\n" +
+      "    list_transform(smp, v -> abs(v))), (a, b) -> greatest(a, b)) AS peak\n" +
+      "FROM s ORDER BY media_id"),
     "t14_unicode_nfc" ->
       ("WITH d AS (\n" +
       "  SELECT doc_id, text || ' café naïve Å' AS full_text\n" +

@@ -7,6 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

@@ -164,6 +164,19 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("NfcIdempotence rule collapses nested normalizations in the optimizer") {
+    // non-foldable input (id) so ConstantFolding can't erase the calls
+    val s = concat(lit("cafe"), col("id").cast("string"))
+    val df = spark.range(1)
+      .select(GraftFunctions.nfcNormalize(
+        GraftFunctions.nfcNormalize(s)).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val occurrences = "nfc_normalize".r.findAllIn(optimized).length
+    assert(occurrences == 1,
+      s"nested nfc_normalize not collapsed:\n$optimized")
+    assert(df.first().getString(0) == "cafe0")
+  }
+
   test("nfc_normalize is SQL-callable after register()") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS s").collect()

@@ -147,6 +147,37 @@ class Round4bSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("m7: energy/peak match a plain-Scala int16-LE decode of the payload") {
+    val rows = q("m7_pcm_features").collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.t(spark, Sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect().take(25)
+    docs.foreach { d =>
+      val bytes = (d.getString(1) + "ÿÿ").getBytes("UTF-8")
+      val n = bytes.length / 2
+      val samples = (0 until n).map { i =>
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val raw = lo + 256 * hi
+        if (raw >= 32768) raw - 65536 else raw
+      }
+      val (gotN, gotE, gotP) = byId(d.getLong(0))
+      assert(gotN == n)
+      assert(gotE == samples.map(s => s.toLong * s).sum,
+        s"doc ${d.getLong(0)} energy mismatch")
+      assert(gotP == samples.map(s => math.abs(s).toLong).max)
+    }
+    // the UTF-8 ÿ overlay guarantees genuinely negative samples somewhere
+    assert(rows.exists(_.getLong(3) > 32767 - 1) ||
+      docs.exists { d =>
+        val b = (d.getString(1) + "ÿÿ").getBytes("UTF-8")
+        (0 until b.length / 2).exists(i => (b(2 * i + 1) & 0xff) >= 0x80)
+      }, "sign branch never exercised")
+  }
+
   test("d13: reported spans really occur in n_docs distinct documents") {
     val rows = q("d13_dup_spans").collect()
     assert(rows.length == 20)
