@@ -30,6 +30,26 @@ object TextOps3 {
     */
   private val SpanN = 8
 
+  /** The t13 rule features over a text column — row-local Column
+    * expressions, so the same rule set drives the batch filter AND the
+    * streaming path ([[graft.streaming.EventStream.annotateDocQuality]])
+    * unchanged: one definition, two execution modes.
+    */
+  private[graft] def qualityFeatures(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val tk = split(text, " ")
+    val nTok = size(tk)
+    val ttr = size(array_distinct(tk)).cast("double") / nTok
+    val swRatio = size(filter(tk, w => w === "a" || w === "the"))
+      .cast("double") / nTok
+    val reason = when(nTok < 25, "too_short")
+      .when(nTok > 95, "too_long")
+      .when(ttr < 0.35, "low_diversity")
+      .when(swRatio < 0.01, "no_stopwords")
+    (nTok, ttr, swRatio, reason)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PMI collocation mining (word2phrase-style): which adjacent word
     // pairs co-occur far above chance? Bigrams come from a lead() window
@@ -74,15 +94,7 @@ object TextOps3 {
     // stopword ratio) — the filter is a pure map with no shuffle at all;
     // the same decision column drives the drop step of a real pipeline.
     "t13_quality_filter" -> ((spark, dir) => {
-      val tk = split(col("text"), " ")
-      val nTok = size(tk)
-      val ttr = size(array_distinct(tk)).cast("double") / nTok
-      val swRatio = size(filter(tk, w => w === "a" || w === "the"))
-        .cast("double") / nTok
-      val reason = when(nTok < 25, "too_short")
-        .when(nTok > 95, "too_long")
-        .when(ttr < 0.35, "low_diversity")
-        .when(swRatio < 0.01, "no_stopwords")
+      val (nTok, ttr, swRatio, reason) = qualityFeatures(col("text"))
       t(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), nTok.as("n_tok"),

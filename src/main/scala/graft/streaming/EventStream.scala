@@ -181,6 +181,22 @@ object EventStream {
       .select(col("doc_id"), col("window.start").as("window_start"),
         col("n_hits"))
 
+  /** Streaming document quality filtering: EXACTLY the batch t13 rule
+    * set ([[graft.queries.TextOps3.qualityFeatures]] — one definition,
+    * two execution modes), annotated per arriving doc. Entirely
+    * STATELESS (row-local Column expressions, no watermark, no state
+    * store): the streaming plan is the batch plan under a different
+    * source, which is the whole point of building filters as
+    * expressions rather than per-mode code.
+    */
+  def annotateDocQuality(docs: DataFrame): DataFrame = {
+    val (nTok, ttr, swRatio, reason) =
+      graft.queries.TextOps3.qualityFeatures(col("text"))
+    docs.select(col("doc_id"), col("ts"), nTok.as("n_tok"),
+      round(ttr, 6).as("ttr"), round(swRatio, 6).as("sw_ratio"),
+      reason.as("drop_reason"), reason.isNull.as("keep"))
+  }
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

@@ -187,6 +187,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality filter applies the batch t13 rules statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val input = MemoryStream[Doc](spark)
+    val q = EventStream.annotateDocQuality(input.toDF())
+      .writeStream.format("memory").queryName("doc_quality")
+      .outputMode("append").start()
+    try {
+      val short = "way too short"
+      val good = (1 to 30).map(i => s"tok$i").mkString(" ") +
+        " the a the a " + (31 to 50).map(i => s"tok$i").mkString(" ")
+      val repetitive = ("dup " * 60).trim
+      input.addData(
+        Doc(1, ts("2024-01-01 00:00:00"), short),
+        Doc(2, ts("2024-01-01 00:01:00"), good),
+        Doc(3, ts("2024-01-01 00:02:00"), repetitive))
+      q.processAllAvailable()
+      val got = spark.table("doc_quality")
+        .select("doc_id", "drop_reason", "keep").collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getBoolean(2))))
+        .toMap
+      assert(got(1L) == ((Some("too_short"), false)))
+      assert(got(2L) == ((None, true)))
+      assert(got(3L) == ((Some("low_diversity"), false)))
+      // differential: streaming verdicts equal the batch rule on the
+      // same texts
+      val batch = Seq((1L, short), (2L, good), (3L, repetitive))
+        .toDF("doc_id", "text")
+      val (_, _, _, reason) =
+        graft.queries.TextOps3.qualityFeatures(col("text"))
+      val want = batch.select(col("doc_id"), reason.as("r"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.view.mapValues(_._1).toMap == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     import spark.implicits._
     val purchases = MemoryStream[Ev](spark)
