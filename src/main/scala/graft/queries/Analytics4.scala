@@ -95,33 +95,12 @@ object Analytics4 {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
-      val outw = edges.groupBy("src").agg(sum(col("w")).cast("long").as("out_w"))
       val nodes = t(spark, dir, "nation").select(col("n_nationkey"))
-      // 0.04 in 1e-12 units; teleport term 0.15/25 = 6e9 units.
-      var ranks = nodes.withColumn("r", lit(40000000000L))
-      for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(broadcast(ranks), col("n_nationkey") === col("src"))
-          .join(broadcast(outw), "src")
-          .select(col("dst"), expr("(r * w) div out_w").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("s"))
-        // standard dangling-mass correction: rank parked on nodes with
-        // no out-edges redistributes uniformly, so total mass conserves
-        // (up to integer-div truncation, which only loses)
-        val dang = ranks
-          .join(broadcast(outw), col("n_nationkey") === col("src"), "left_anti")
-          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-        ranks = nodes
-          .join(broadcast(contrib), col("n_nationkey") === col("dst"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("n_nationkey"),
-            expr("6000000000 + (850 * (coalesce(s, 0) + dang div 25)) div 1000")
-              .as("r"))
-      }
+      val ranks = graft.operators.PageRank.ranks(edges, nodes, iters = 3)
       ranks
         .join(broadcast(t(spark, dir, "nation")
           .select(col("n_nationkey").as("nk"), col("n_name"))),
-          col("n_nationkey") === col("nk"))
+          col("node") === col("nk"))
         .select(col("n_name"), col("r").as("pagerank_e12"),
           // exact BIGINT → IEEE division: identical doubles, no rounding
           (col("r").cast("double") / lit(1.0e12)).as("pagerank"))
