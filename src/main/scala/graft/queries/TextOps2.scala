@@ -27,6 +27,19 @@ object TextOps2 {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Count-min cell coordinates for one token: depth KM-family md5 hash
+    * rows × width buckets, as an array of (row_j, bucket) structs.
+    * Shared by the batch sketch (q56) and the streaming windowed sketch
+    * ([[graft.streaming.EventStream.cmsTokenCells]]) so both maintain
+    * IDENTICAL cells — the mergeability that makes CMS useful: any
+    * union of batch and streaming cells is still the sketch.
+    */
+  private[graft] def cmsBuckets(token: org.apache.spark.sql.Column,
+      depth: Int, width: Int): org.apache.spark.sql.Column =
+    array(TextOps.mdHashes(token).take(depth).zipWithIndex.map {
+      case (h, j) => struct(lit(j).as("row_j"), (h % width).as("bucket"))
+    }: _*)
+
   // Portable regex subset (same semantics in Java regex and DuckDB's RE2):
   // character classes, bounded repetition, alternation — no lookaround.
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -177,18 +190,16 @@ object TextOps2 {
       val tok = spread(t(spark, dir, "documents"))
         .filter(col("text").isNotNull)
         .select(explode(split(col("text"), " ")).as("token"))
-      def buckets = TextOps.mdHashes(col("token")).take(Depth)
-        .zipWithIndex.map { case (h, j) =>
-          struct(lit(j).as("row_j"), (h % Width).as("bucket")) }
+      def buckets = cmsBuckets(col("token"), Depth, Width)
       val cms = tok
-        .select(explode(array(buckets: _*)).as("rb"))
+        .select(explode(buckets).as("rb"))
         .select(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
         .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
       val top = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("token")).limit(10)
       top
         .select(col("token"), col("exact_cnt"),
-          explode(array(buckets: _*)).as("rb"))
+          explode(buckets).as("rb"))
         .select(col("token"), col("exact_cnt"),
           col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
         .join(cms, Seq("row_j", "bucket"))

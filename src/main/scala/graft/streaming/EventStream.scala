@@ -197,6 +197,28 @@ object EventStream {
       reason.as("drop_reason"), reason.isNull.as("keep"))
   }
 
+  /** Streaming count-min sketch maintenance: per hour window, the same
+    * depth-4 × width-256 cells as the batch sketch (q56 — the builder is
+    * shared, [[graft.queries.TextOps2.cmsBuckets]]), counted under the
+    * event-time watermark. The sketch stays 1024 cells per window no
+    * matter the token volume — the whole point of CMS — and because the
+    * cells are IDENTICAL to the batch layout, windowed streaming cells
+    * merge with historical batch cells by plain addition (mergeability
+    * is what makes the sketch a streaming structure at all).
+    */
+  def cmsTokenCells(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .select(col("ts"),
+        explode(graft.queries.TextOps2.cmsBuckets(col("token"), 4, 256))
+          .as("rb"))
+      .groupBy(window(col("ts"), "1 hour"),
+        col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"),
+        col("row_j"), col("bucket"), col("c"))
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

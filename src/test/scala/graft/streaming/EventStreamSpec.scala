@@ -223,6 +223,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch on the same tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, count, lit}
+    val input = MemoryStream[Doc](spark)
+    val q = EventStream.cmsTokenCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("append").start()
+    try {
+      val texts = Seq(
+        "spark shuffles spark joins spark scans",
+        "joins and scans and shuffles",
+        "spark spark spark")
+      input.addData(texts.zipWithIndex.map { case (t, i) =>
+        Doc(i.toLong, ts(f"2024-01-01 00:${i * 5}%02d:00"), t)
+      }: _*)
+      q.processAllAvailable()
+      // advance watermark past the hour so append emits the window
+      input.addData(Doc(9, ts("2024-01-01 03:00:00"), "mover"))
+      q.processAllAvailable()
+      val got = spark.table("cms_cells")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val want = texts.toDF("text")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .select(explode(
+          graft.queries.TextOps2.cmsBuckets(col("token"), 4, 256)).as("rb"))
+        .groupBy("rb.row_j", "rb.bucket").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, "streaming cells diverge from the batch sketch")
+      // CMS guarantee on the streamed cells: estimate >= exact count
+      val sparkTokenCells = Seq("spark").toDF("token")
+        .select(explode(
+          graft.queries.TextOps2.cmsBuckets(col("token"), 4, 256)).as("rb"))
+        .collect().map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getLong(1)))
+      val est = sparkTokenCells.map(got).min
+      assert(est >= 6, s"cms estimate $est undercounts 'spark' (6 occurrences)")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     import spark.implicits._
     val purchases = MemoryStream[Ev](spark)
