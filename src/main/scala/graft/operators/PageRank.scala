@@ -41,10 +41,18 @@ object PageRank {
     require(n > 0, "empty node set")
     val init = Scale / n
     val teleport = (Scale * 15L / 100L) / n
-    val outw = edges.groupBy("src").agg(sum(col("w")).cast("long").as("out_w"))
+    // Condense ONCE: without the eager checkpoint, every iteration's
+    // lineage re-embeds the (possibly fact-scale) edge aggregation —
+    // PLAN_SURVEY caught q64's plan repeating the 4-way join ~9×. The
+    // checkpointed edge list is nodes²-bounded, so this is cheap at any
+    // corpus size; the same lineage-truncation recipe as
+    // ConnectedComponents.
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    val outw = e.groupBy("src").agg(sum(col("w")).cast("long").as("out_w"))
     var ranks = nodes.select(col(nodeCol).as("node")).withColumn("r", lit(init))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(broadcast(ranks), col("node") === col("src"))
         .join(broadcast(outw), "src")
         .select(col("dst"), expr("(r * w) div out_w").as("c"))
@@ -54,12 +62,16 @@ object PageRank {
       val dang = ranks
         .join(broadcast(outw), col("node") === col("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // ranks feeds TWO consumers next round (contrib + dangling scan):
+      // unchecked, the lineage doubles per iteration. Node-count-sized
+      // frame, so the eager checkpoint is constant cost.
       ranks = nodes.select(col(nodeCol).as("node"))
         .join(broadcast(contrib), col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(teleport) +
             expr(s"(850 * (coalesce(s, 0) + dang div $n)) div 1000")).as("r"))
+        .localCheckpoint(true)
     }
     ranks
   }

@@ -177,6 +177,45 @@ object TextOps3 {
     }),
 
 
+    // Interpolated bigram language-model scoring (Jelinek-Mercer): each
+    // doc's mean NLL under p = 0.75·p(w2|w1) + 0.25·p(w2), the
+    // perplexity-style quality signal one rung above t9's unigram
+    // model. λ weights are dyadic (exact in binary), probabilities are
+    // int/int IEEE divisions, NLLs round to 8dp before the DECIMAL
+    // per-doc sum — the t9 parity recipe. Count frames are vocab- and
+    // bigram-vocab-bounded (broadcast here; at an unbounded bigram
+    // vocabulary the (w1,w2) join degrades to one keyed shuffle, still
+    // never corpus×vocab).
+    "t15_bigram_lm_nll" -> ((spark, dir) => {
+      val tok = spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val events = tok
+        .select(col("doc_id"), col("term").as("w1"),
+          lead(col("term"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      val bi = events.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_b"))
+      val ctx = bi.groupBy("w1").agg(sum(col("cnt_b")).cast("long").as("ctx"))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("cnt_u"))
+      val totU = uni.agg(sum(col("cnt_u")).cast("long").as("total_u"))
+      val p = lit(0.75) * (col("cnt_b").cast("double") / col("ctx")) +
+        lit(0.25) * (col("cnt_u").cast("double") / col("total_u"))
+      events
+        .join(broadcast(bi), Seq("w1", "w2"))
+        .join(broadcast(ctx), "w1")
+        .join(broadcast(uni.select(col("term").as("w2"),
+          col("cnt_u"))), "w2")
+        .crossJoin(broadcast(totU))
+        .withColumn("nll", round(-log(p), 8).cast("decimal(20,8)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll2"))
+        .orderBy("doc_id")
+    }),
+
     // Audio-style PCM feature extraction: each payload is decoded as
     // int16 little-endian samples (the WAV body layout) entirely with
     // native expressions — hex + substring pair-swap + sign fold — and
@@ -214,6 +253,35 @@ object TextOps3 {
 
   )
   val oracleSql: Map[String, String] = Map(
+    "t15_bigram_lm_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        |ev AS (
+        |  SELECT doc_id, p.a AS w1, p.b AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(tk)-1),
+        |      i -> struct_pack(a := tk[i+1], b := tk[i+2]))) AS p
+        |    FROM d)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt_b
+        |       FROM ev GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt_b) AS BIGINT) AS ctx
+        |        FROM bi GROUP BY w1),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_u
+        |        FROM tok GROUP BY term),
+        |tu AS (SELECT CAST(sum(cnt_u) AS BIGINT) AS total_u FROM uni)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(-ln(
+        |      0.75 * (CAST(bi.cnt_b AS DOUBLE) / ctx.ctx) +
+        |      0.25 * (CAST(uni.cnt_u AS DOUBLE) / tu.total_u)), 8)
+        |    AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll2
+        |FROM ev
+        |JOIN bi USING (w1, w2)
+        |JOIN ctx USING (w1)
+        |JOIN uni ON ev.w2 = uni.term
+        |CROSS JOIN tu
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
 
     "m7_pcm_features" ->
       ("WITH m AS (\n" +
