@@ -147,6 +147,46 @@ object Analytics4 {
             .as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+
+    // Triangle counting on the condensed trade graph: undirected distinct
+    // nation-nation edges (canonical a<b), then the classic ordered
+    // 3-way self-join a<b<c — each triangle found exactly once, no
+    // permutation blowup. Same condense-first shape as q64: the fact
+    // join aggregates to a nodes²-bounded edge list BEFORE any
+    // self-join, so the cubic-looking step runs on ≤ n² rows. Per-node
+    // triangle membership via the union of the three corners.
+    "q67_triangles" -> ((spark, dir) => {
+      val raw = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("s_nationkey").as("u"), col("c_nationkey").as("v"))
+        .filter(col("u") =!= col("v"))
+      val und = raw.select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val perNode = tri.select(col("x").as("nk"))
+        .union(tri.select(col("y").as("nk")))
+        .union(tri.select(col("z").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
+      perNode
+        .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_triangles"))
+        .orderBy("n_name")
+    }),
   )
 
   /** One PageRank contribution/update round as DuckDB CTE text; chained
@@ -224,6 +264,31 @@ object Analytics4 {
         |FROM orders
         |JOIN yd ON year(CAST(o_orderdate AS DATE)) = yd.o_year
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q67_triangles" ->
+      """WITH raw AS (
+        |  SELECT s_nationkey AS u, c_nationkey AS v
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |und AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |pern AS (
+        |  SELECT nk, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS nk FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY nk)
+        |SELECT n_name, n_triangles
+        |FROM pern JOIN nation ON nk = n_nationkey
+        |ORDER BY n_name""".stripMargin,
 
     "q64_pagerank" ->
       s"""WITH edges AS (

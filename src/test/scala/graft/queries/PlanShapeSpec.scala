@@ -138,18 +138,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "boundary frame no longer broadcast to the banding pass")
   }
 
-  test("q64's rank iterations join via broadcast only; shuffles stay on facts") {
-    // The condensed 25-node graph must never shuffle-join: every
-    // rank/out-weight/contribution join in the 3 unrolled iterations is a
-    // broadcast. Only the edge-building fact joins may exchange.
+  test("q64's visible plan is the checkpoint-truncated tail: tiny and broadcast-only") {
+    // PageRank eagerly checkpoints the condensed edges and each rank
+    // round (PLAN_SURVEY caught the un-checkpointed lineage re-embedding
+    // the 4-way fact join ~9x), so the final plan is just the name join
+    // over the checkpointed 25-row rank frame. Per-iteration shape is
+    // pinned by PageRankSpec's exact sequential differential instead.
     val p = plan("q64_pagerank")
-    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 6,
-      s"expected the 3 iterations' joins broadcast, got $broadcasts")
     val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
       "ShuffledHashJoin".r.findAllIn(p).length
-    assert(shuffleJoins <= 2,
-      s"graph condensation should leave <=2 fact shuffle joins, got $shuffleJoins")
+    assert(shuffleJoins == 0, s"rank tail should not shuffle-join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "name join no longer broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "checkpoint-truncated tail should carry no hash exchange")
   }
 
   test("t12's vocabulary count frames broadcast to the bigram side") {

@@ -178,6 +178,36 @@ class Round4bSpec extends AnyFunSuite {
       }, "sign branch never exercised")
   }
 
+  test("q67: per-nation triangle counts match a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    val got = q("q67_triangles").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rebuild the undirected nation graph in plain Scala
+    val li = Tables.t(spark, Sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.t(spark, Sf, "orders").select("o_orderkey", "o_custkey")
+    val s = Tables.t(spark, Sf, "supplier").select("s_suppkey", "s_nationkey")
+    val c = Tables.t(spark, Sf, "customer").select("c_custkey", "c_nationkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("u"), col("c_nationkey").as("v"))
+      .filter(col("u") =!= col("v"))
+      .collect()
+      .map(r => { val (a, b) = (r.getInt(0), r.getInt(1))
+        (math.min(a, b), math.max(a, b)) }).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val names = Tables.t(spark, Sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val counts = collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for (a <- nodes; b <- nodes if a < b && edges((a, b));
+         cc <- nodes if b < cc && edges((b, cc)) && edges((a, cc))) {
+      counts(a) += 1; counts(b) += 1; counts(cc) += 1
+    }
+    val want = counts.map { case (k, v) => names(k) -> v }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("d13: reported spans really occur in n_docs distinct documents") {
     val rows = q("d13_dup_spans").collect()
     assert(rows.length == 20)
