@@ -148,6 +148,30 @@ object Analytics4 {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema-evolution union: two ingestion batches whose schemas have
+    // DRIFTED (an old batch without o_orderpriority, a new batch that
+    // dropped o_totalprice) align by NAME with NULL back-fill —
+    // unionByName(allowMissingColumns), the mechanism that keeps a
+    // long-lived pipeline reading years of heterogeneous files. The
+    // per-batch null counts pin exactly which columns were absent where.
+    "q68_schema_drift_union" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("old").as("batch"))
+      val newBatch = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), lit("new").as("batch"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("o_totalprice").isNull).as("null_price"),
+          count_if(col("o_orderpriority").isNull).as("null_priority"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("batch")
+    }),
+
     // Triangle counting on the condensed trade graph: undirected distinct
     // nation-nation edges (canonical a<b), then the classic ordered
     // 3-way self-join a<b<c — each triangle found exactly once, no
@@ -264,6 +288,24 @@ object Analytics4 {
         |FROM orders
         |JOIN yd ON year(CAST(o_orderdate AS DATE)) = yd.o_year
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q68_schema_drift_union" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'old' AS batch, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    'new' AS batch, NULL AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+        |    AS null_price,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT)
+        |    AS null_priority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
 
     "q67_triangles" ->
       """WITH raw AS (
