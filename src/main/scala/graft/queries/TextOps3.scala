@@ -216,6 +216,52 @@ object TextOps3 {
         .orderBy("doc_id")
     }),
 
+    // Embedding-side corpus shrinking — the d12 story on the vector
+    // path: d10's SRP-LSH near-dup pairs collapse to clusters
+    // (connected components), every vector gets a cluster and a
+    // keep/drop verdict (min-id canonical; vectors outside any pair —
+    // including null embeddings, which cannot near-dup — keep
+    // themselves). Together d10 → d14 mirror d4 → d8 → d12, so BOTH
+    // dedup modalities end in an actionable keep list.
+    "d14_embedding_keep_list" -> ((spark, dir) => {
+      val pairs = TextOps2.queries("d10_embedding_lsh_pairs")(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      val labels = graft.operators.ConnectedComponents
+        .labels(pairs, "a_id", "b_id")
+      val vecs = t(spark, dir, "embeddings").select(col("vec_id"))
+      val clustered = vecs
+        .join(broadcast(labels), col("vec_id") === col("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      clustered
+        .join(broadcast(sizes), "cluster")
+        .select(col("vec_id"), col("cluster"),
+          (col("vec_id") === col("cluster")).as("keep"), col("n_members"))
+        .orderBy("vec_id")
+    }),
+
+    // BPE merge-candidate mining: adjacent character-pair frequencies
+    // inside words across the corpus — the statistic the first round of
+    // byte-pair-encoding vocabulary learning maximizes (each further
+    // round recounts after merging; this query is that counting step).
+    // Pair extraction is a per-word position explode (words are short,
+    // so the blowup is ~|word| per token); the pair groupBy key space is
+    // alphabet²-bounded, top-20 is a TakeOrderedAndProject.
+    "t16_bpe_merges" -> ((spark, dir) => {
+      spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Audio-style PCM feature extraction: each payload is decoded as
     // int16 little-endian samples (the WAV body layout) entirely with
     // native expressions — hex + substring pair-swap + sign fold — and
@@ -253,6 +299,43 @@ object TextOps3 {
 
   )
   val oracleSql: Map[String, String] = Map(
+    "d14_embedding_keep_list" ->
+      s"""WITH RECURSIVE epairs AS (
+         |  SELECT a_id, b_id
+         |  FROM (${TextOps2.oracleSql("d10_embedding_lsh_pairs")}) t),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM epairs
+         |  UNION SELECT b_id, a_id FROM epairs),
+         |enodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach AS (
+         |  SELECT node AS src, node AS dst FROM enodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+         |clustered AS (
+         |  SELECT v.vec_id, coalesce(l.component, v.vec_id) AS cluster
+         |  FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.node),
+         |sizes AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM clustered GROUP BY cluster)
+         |SELECT c.vec_id, c.cluster, c.vec_id = c.cluster AS keep,
+         |  s.n_members
+         |FROM clustered c JOIN sizes s ON c.cluster = s.cluster
+         |ORDER BY c.vec_id""".stripMargin,
+
+    "t16_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS BIGINT), 2) AS pair
+        |  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        |        FROM w WHERE length(w) >= 2))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     "t15_bigram_lm_nll" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk

@@ -208,6 +208,42 @@ class Round4bSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("t16: top merge pair matches a plain-Scala recount") {
+    val rows = q("t16_bpe_merges").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    val top = rows.head
+    val brute = Tables.t(spark, Sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .count(_ == top.getString(0))
+    assert(brute == top.getLong(1),
+      s"pair '${top.getString(0)}' recount $brute != ${top.getLong(1)}")
+  }
+
+  test("d14: every vector verdicted; d10 pair endpoints share a cluster") {
+    val rows = q("d14_embedding_keep_list").collect()
+    val nVecs = Tables.t(spark, Sf, "embeddings").count()
+    assert(rows.length == nVecs, "keep list must cover every vector")
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (cl, members) =>
+      assert(members.count(_.getBoolean(2)) == 1,
+        s"cluster $cl keeps ${members.count(_.getBoolean(2))}")
+      assert(members.forall(_.getLong(3) == members.length))
+    }
+    val pairs = graft.SparkEntry.queries("d10_embedding_lsh_pairs")(spark, Sf)
+      .select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty, "no near-dup pairs at this SF — test is vacuous")
+    pairs.foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+  }
+
   test("d13: reported spans really occur in n_docs distinct documents") {
     val rows = q("d13_dup_spans").collect()
     assert(rows.length == 20)
