@@ -242,6 +242,25 @@ object TextOps3 {
         .orderBy("vec_id")
     }),
 
+    // The custom-expression surface through the SQL LAYER: the same
+    // codegen'd Catalyst expressions the DataFrame queries use
+    // (Md5Pack, KarpRabin, NfcNormalize) called by NAME from SQL text
+    // after GraftFunctions.register — proving the extensibility story
+    // end-to-end inside the driver gate, not just in unit tests. Every
+    // function replays in DuckDB (md5 pack arithmetic, the byte fold,
+    // nfc_normalize), so the whole SQL result is hash-checked.
+    "q69_sql_extensions" -> ((spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      t(spark, dir, "documents").createOrReplaceTempView("docs_sqlfn")
+      spark.sql(
+        """SELECT doc_id,
+          |  md5_pack(text) AS h_pack,
+          |  kr_fingerprint(substring(text, 1, 40)) AS kr40,
+          |  length(nfc_normalize(text || ' café')) AS nfc_len
+          |FROM docs_sqlfn WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // BPE merge-candidate mining: adjacent character-pair frequencies
     // inside words across the corpus — the statistic the first round of
     // byte-pair-encoding vocabulary learning maximizes (each further
@@ -299,6 +318,18 @@ object TextOps3 {
 
   )
   val oracleSql: Map[String, String] = Map(
+    "q69_sql_extensions" ->
+      s"""SELECT doc_id,
+         |  (${Tables.duckMd5Pack("text")}) AS h_pack,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(substr(text, 1, 40), ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 256 + b) % 2147483647) AS kr40,
+         |  CAST(length(nfc_normalize(text || ' café')) AS INTEGER)
+         |    AS nfc_len
+         |FROM documents WHERE text IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+
     "d14_embedding_keep_list" ->
       s"""WITH RECURSIVE epairs AS (
          |  SELECT a_id, b_id
