@@ -242,6 +242,42 @@ object TextOps3 {
         .orderBy("vec_id")
     }),
 
+    // THE capstone composition — the actual training-data pipeline as
+    // one query: quality rules (t13) → duplicate-cluster keep list
+    // (d12) → benchmark decontamination (d9) → per-source corpus
+    // stats with stage-by-stage attrition. Each stage is the SAME
+    // operator the standalone queries check (one definition), the
+    // stage flags are booleans on the doc row, and the funnel counts
+    // are one count_if aggregation — so the whole pipeline is a single
+    // Spark job graph, not a chain of materialized steps. Survives at
+    // 100 TB for the same reasons its parts do: the keep list and the
+    // contamination set are corpus-bounded side frames; everything
+    // else is row-local.
+    "d15_corpus_pipeline" -> ((spark, dir) => {
+      val (nTok, _, _, reason) = qualityFeatures(col("text"))
+      val docs = t(spark, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") >= 100)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"),
+          reason.isNull.as("q_keep"))
+      val dedup = queries("d12_keep_list")(spark, dir)
+        .select(col("doc_id"), col("keep").as("d_keep"))
+      val contam = TextOps2.queries("d9_contamination")(spark, dir)
+        .select(col("doc_id")).withColumn("flagged", lit(true))
+      val pass2 = col("q_keep") && col("d_keep")
+      val pass3 = pass2 && col("c_keep")
+      docs
+        .join(dedup, "doc_id")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("c_keep", col("flagged").isNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_input"),
+          count_if(col("q_keep")).as("n_quality"),
+          count_if(pass2).as("n_dedup"),
+          count_if(pass3).as("n_final"),
+          sum(when(pass3, col("n_tok"))).cast("long").as("final_tokens"))
+        .orderBy("source")
+    }),
+
     // The custom-expression surface through the SQL LAYER: the same
     // codegen'd Catalyst expressions the DataFrame queries use
     // (Md5Pack, KarpRabin, NfcNormalize) called by NAME from SQL text
@@ -318,6 +354,61 @@ object TextOps3 {
 
   )
   val oracleSql: Map[String, String] = Map(
+    "d15_corpus_pipeline" ->
+      s"""WITH RECURSIVE ppairs AS (
+         |  SELECT a_id, b_id FROM (${TextOps.oracleSql("d4_minhash_pairs")}) t),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM ppairs
+         |  UNION SELECT b_id, a_id FROM ppairs),
+         |pnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach AS (
+         |  SELECT node AS src, node AS dst FROM pnodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(d.n_chars, 0) AS nc,
+         |    coalesce(l.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+         |canon AS (
+         |  SELECT cluster,
+         |    arg_max(doc_id, nc * 1000000000000 - doc_id) AS keeper
+         |  FROM clustered GROUP BY cluster),
+         |keepl AS (
+         |  SELECT c.doc_id, c.doc_id = canon.keeper AS d_keep
+         |  FROM clustered c JOIN canon ON c.cluster = canon.cluster),
+         |contam AS (
+         |  SELECT doc_id FROM (${TextOps2.oracleSql("d9_contamination")}) t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(tk) AS INTEGER) AS n_tok,
+         |    (CASE WHEN len(tk) < 25 THEN 'too_short'
+         |          WHEN len(tk) > 95 THEN 'too_long'
+         |          WHEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.35
+         |            THEN 'low_diversity'
+         |          WHEN CAST(len(list_filter(tk, w -> w = 'a' OR w = 'the'))
+         |              AS DOUBLE) / len(tk) < 0.01
+         |            THEN 'no_stopwords' END) IS NULL AS q_keep
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id >= 100)),
+         |staged AS (
+         |  SELECT q.source, q.n_tok, q.q_keep, keepl.d_keep,
+         |    contam.doc_id IS NULL AS c_keep
+         |  FROM q
+         |  JOIN keepl ON q.doc_id = keepl.doc_id
+         |  LEFT JOIN contam ON q.doc_id = contam.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_input,
+         |  CAST(count(*) FILTER (WHERE q_keep) AS BIGINT) AS n_quality,
+         |  CAST(count(*) FILTER (WHERE q_keep AND d_keep) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(count(*) FILTER (WHERE q_keep AND d_keep AND c_keep)
+         |    AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN q_keep AND d_keep AND c_keep THEN n_tok END)
+         |    AS BIGINT) AS final_tokens
+         |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+
     "q69_sql_extensions" ->
       s"""SELECT doc_id,
          |  (${Tables.duckMd5Pack("text")}) AS h_pack,

@@ -244,6 +244,29 @@ class Round4bSpec extends AnyFunSuite {
     }
   }
 
+  test("d15: funnel attrites monotonically and agrees with the standalone stages") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("d15_corpus_pipeline").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (in, qk, dk, fin) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(in >= qk && qk >= dk && dk >= fin,
+        s"${r.getString(0)} funnel not monotone: $in/$qk/$dk/$fin")
+    }
+    // cross-check stage 1 against the standalone t13 verdicts
+    val qTotal = rows.map(_.getLong(2)).sum
+    val t13Keeps = q("t13_quality_filter")
+      .filter(col("doc_id") >= 100 && col("keep")).count()
+    assert(qTotal == t13Keeps,
+      s"pipeline quality keeps $qTotal != standalone t13 $t13Keeps")
+    // cross-check stage 3 against the standalone d9 flags
+    val d9Flagged = q("d9_contamination").count()
+    val dropped23 = rows.map(r => r.getLong(3) - r.getLong(4)).sum
+    assert(dropped23 <= d9Flagged,
+      "decontamination dropped more docs than d9 flags")
+  }
+
   test("d13: reported spans really occur in n_docs distinct documents") {
     val rows = q("d13_dup_spans").collect()
     assert(rows.length == 20)
