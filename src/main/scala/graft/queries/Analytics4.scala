@@ -172,6 +172,27 @@ object Analytics4 {
         .orderBy("batch")
     }),
 
+    // Ratio-to-report: each (priority, status) revenue cell as a SHARE
+    // of its priority's total — the whole-partition window frame (no
+    // ORDER BY → every peer sees the partition total) layered OVER an
+    // aggregate, so the window runs on the grouped cells, never the
+    // fact rows. Revenue sums ride DECIMAL; the share division happens
+    // on exact totals, so the 6dp rounding is deterministic.
+    "q70_ratio_to_report" -> ((spark, dir) => {
+      val g = t(spark, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("grp_d"),
+          count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+      g.withColumn("prio_total", sum(col("grp_d")).over(w))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+          col("grp_d").cast("double").as("grp_revenue"),
+          round(col("grp_d").cast("double") /
+            col("prio_total").cast("double"), 6).as("share"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     // Triangle counting on the condensed trade graph: undirected distinct
     // nation-nation edges (canonical a<b), then the classic ordered
     // 3-way self-join a<b<c — each triangle found exactly once, no
@@ -306,6 +327,19 @@ object Analytics4 {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
+
+    "q70_ratio_to_report" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS grp_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderstatus, n,
+        |  CAST(grp_d AS DOUBLE) AS grp_revenue,
+        |  round(CAST(grp_d AS DOUBLE) /
+        |    CAST(sum(grp_d) OVER (PARTITION BY o_orderpriority) AS DOUBLE),
+        |    6) AS share
+        |FROM g ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "q67_triangles" ->
       """WITH raw AS (

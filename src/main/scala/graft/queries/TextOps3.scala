@@ -242,6 +242,30 @@ object TextOps3 {
         .orderBy("vec_id")
     }),
 
+    // Vocabulary-coverage / OOV-rate scoring: fix the top-20 corpus
+    // vocabulary (the tokenizer's closed vocab stand-in) and measure
+    // each document's out-of-vocabulary fraction — the fit metric that
+    // decides whether a tokenizer's vocab suits a corpus. The vocab
+    // frame is top-k-bounded (broadcast at any scale); the token→vocab
+    // membership is a broadcast left join; per-doc rates are one
+    // doc-keyed aggregation.
+    "t17_oov_rate" -> ((spark, dir) => {
+      val tok = spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+        .select(col("term"), lit(true).as("in_vocab"))
+      tok
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count_if(col("in_vocab").isNull).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tok"), 6))
+        .orderBy("doc_id")
+    }),
+
     // THE capstone composition — the actual training-data pipeline as
     // one query: quality rules (t13) → duplicate-cluster keep list
     // (d12) → benchmark decontamination (d9) → per-source corpus
@@ -354,6 +378,22 @@ object TextOps3 {
 
   )
   val oracleSql: Map[String, String] = Map(
+    "t17_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        |    ORDER BY cnt DESC, term LIMIT 20))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(count(*) FILTER (WHERE vocab.term IS NULL) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE vocab.term IS NULL) AS DOUBLE)
+        |    / count(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d15_corpus_pipeline" ->
       s"""WITH RECURSIVE ppairs AS (
          |  SELECT a_id, b_id FROM (${TextOps.oracleSql("d4_minhash_pairs")}) t),
