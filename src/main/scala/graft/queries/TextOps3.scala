@@ -5,11 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Third batch of LLM-training-data pipeline operators (SURVEY.md §2.4):
-  * PMI collocation mining, rule-based quality filtering with per-rule
-  * attribution, the cluster-canonical "keep one per duplicate cluster"
-  * selection that completes the dedup story (d4 → d8 → d12), and
-  * duplicate n-gram span statistics (the corpus-level view behind
-  * substring-level dedup à la Lee et al. 2022).
+  * PMI collocation mining (t12), rule-based quality filtering with
+  * per-rule attribution shared with the streaming path (t13), Unicode
+  * NFC normalization through the custom expression (t14), interpolated
+  * bigram LM scoring (t15), BPE merge-candidate mining (t16), OOV-rate
+  * vocabulary coverage (t17); keep lists that complete the dedup story
+  * on both modalities (d12 tokens, d14 embeddings), duplicate n-gram
+  * span statistics à la Lee et al. 2022 (d13), and the capstone d15 —
+  * the whole corpus pipeline composed into one oracle-checked job
+  * graph; plus m7's PCM feature extraction and the q69 SQL-layer drive
+  * of the registered custom expressions.
   *
   * Same ground rules as [[TextOps]]/[[TextOps2]]: md5-anchored hashing,
   * int/int → IEEE double ratios, order-dependent float sums routed

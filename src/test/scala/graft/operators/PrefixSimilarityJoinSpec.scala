@@ -49,6 +49,28 @@ class PrefixSimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: exact brute-force agreement across trials and taus") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val vocabSize = 12 + rnd.nextInt(20)
+      val vocab = (0 until vocabSize).map(i => s"w$i")
+      val docs = (0L until (20L + rnd.nextInt(20))).map { i =>
+        val sz = 2 + rnd.nextInt(8)
+        i -> Seq.fill(sz)(vocab(rnd.nextInt(vocabSize))).distinct
+      }
+      val tau = Seq(0.25, 0.4, 0.6)(rnd.nextInt(3))
+      val df = docs.toDF("id", "tokens")
+      val got = PrefixSimilarityJoin.pairs(df, "id", "tokens", tau, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val c = docs.map { case (id, s) => id -> s.toSet }
+      val want = (for {
+        (a, sa) <- c; (b, sb) <- c if a < b
+        if sa.intersect(sb).size.toDouble / sa.union(sb).size >= tau
+      } yield (a, b)).toSet
+      assert(got == want, s"trial $trial (tau=$tau, vocab=$vocabSize) diverged")
+    }
+  }
+
   test("the bucket cap drops degenerate buckets whole, never partially") {
     // With the cap below the "common"-token bucket size, pairs that rely
     // ONLY on the shared stopword disappear, but pairs sharing a rarer
