@@ -193,6 +193,39 @@ object Analytics4 {
         .orderBy("o_orderpriority", "o_orderstatus")
     }),
 
+    // Fuzzy entity-resolution join (record linkage): a "dirty" customer
+    // roster (deterministic mid-digit typo on every even key) links
+    // back to the clean table WITHOUT a shared key — suffix blocking
+    // (last 4 name chars, unaffected by the planted typo) bounds each
+    // comparison group, a levenshtein ≤ 1 verify scores candidates, and
+    // a composite min_by picks each record's best match. The blocks
+    // stay ~collision-bounded as the table grows (10^4 suffixes), so
+    // the quadratic step never sees more than block-sized groups — the
+    // d7/d4 blocking discipline applied to a JOIN rather than dedup.
+    "q71_fuzzy_join" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val typo = concat(substring(col("c_name"), 1, 11), lit("x"),
+        substring(col("c_name"), 13, 6))
+      val dirty = c.select(col("c_custkey").as("truth_key"),
+        when(col("c_custkey") % 2 === 0, typo).otherwise(col("c_name"))
+          .as("d_name"))
+      val cand = dirty.withColumn("blk", substring(col("d_name"), 15, 4))
+        .join(c.withColumn("blk", substring(col("c_name"), 15, 4)), "blk")
+        .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("dist") <= 1)
+      val matched = cand.groupBy("truth_key")
+        .agg(min_by(col("c_custkey"),
+            col("dist") * 10000000L + col("c_custkey")).as("matched_key"),
+          min(col("dist")).as("best_dist"))
+      matched.agg(
+          count(lit(1)).as("n_matched"),
+          count_if(col("matched_key") === col("truth_key")).as("n_correct"),
+          count_if(col("best_dist") === 1).as("n_via_typo"))
+        .crossJoin(broadcast(dirty.agg(count(lit(1)).as("n_records"))))
+        .select(col("n_records"), col("n_matched"), col("n_correct"),
+          col("n_via_typo"))
+    }),
+
     // Triangle counting on the condensed trade graph: undirected distinct
     // nation-nation edges (canonical a<b), then the classic ordered
     // 3-way self-join a<b<c — each triangle found exactly once, no
@@ -327,6 +360,34 @@ object Analytics4 {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
+
+    "q71_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS truth_key,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
+        |      ELSE c_name END AS d_name
+        |  FROM c),
+        |cand AS (
+        |  SELECT d.truth_key, c.c_custkey,
+        |    levenshtein(d.d_name, c.c_name) AS dist
+        |  FROM dirty d
+        |  JOIN c ON substr(d.d_name, 15, 4) = substr(c.c_name, 15, 4)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 1),
+        |matched AS (
+        |  SELECT truth_key,
+        |    arg_min(c_custkey, dist * 10000000 + c_custkey) AS matched_key,
+        |    min(dist) AS best_dist
+        |  FROM cand GROUP BY truth_key)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dirty) AS n_records,
+        |  CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(count(*) FILTER (WHERE matched_key = truth_key) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(count(*) FILTER (WHERE best_dist = 1) AS BIGINT)
+        |    AS n_via_typo
+        |FROM matched""".stripMargin,
 
     "q70_ratio_to_report" ->
       """WITH g AS (
