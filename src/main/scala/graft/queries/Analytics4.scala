@@ -193,6 +193,43 @@ object Analytics4 {
         .orderBy("o_orderpriority", "o_orderstatus")
     }),
 
+    // Two-sample distribution drift (binned Kolmogorov-Smirnov): how far
+    // apart are the 1995 vs 1996 order-value distributions? The exact KS
+    // needs a full sort of every distinct value — a single-task window
+    // at scale — so this is the scale-shape variant: global min/max
+    // broadcast, 1000 equi-width bins (map-side), cumulative CDFs over
+    // the BOUNDED 1000-row bin frame, sup-norm of the difference. The
+    // drift monitor every training-data refresh runs before shipping a
+    // new snapshot. All counts are integers; the CDF ratios divide
+    // exact integers, so the statistic replays bit-identically.
+    "q72_ks_drift" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .filter(col("yr").isin(1995, 1996))
+      val stats = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val binned = o.crossJoin(broadcast(stats))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 1000)), lit(999L)).cast("int"))
+        .groupBy("bin")
+        .agg(count_if(col("yr") === 1995).as("c_a"),
+          count_if(col("yr") === 1996).as("c_b"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      binned
+        .withColumn("cum_a", sum(col("c_a")).over(w))
+        .withColumn("cum_b", sum(col("c_b")).over(w))
+        .withColumn("n_a", sum(col("c_a")).over(wAll))
+        .withColumn("n_b", sum(col("c_b")).over(wAll))
+        .agg(max(col("n_a")).as("n_1995"), max(col("n_b")).as("n_1996"),
+          round(max(abs(
+            col("cum_a").cast("double") / col("n_a") -
+              col("cum_b").cast("double") / col("n_b"))), 6).as("ks_stat"))
+    }),
+
     // Fuzzy entity-resolution join (record linkage): a "dirty" customer
     // roster (deterministic mid-digit typo on every even key) links
     // back to the clean table WITHOUT a shared key — suffix blocking
@@ -360,6 +397,34 @@ object Analytics4 {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
+
+    "q72_ks_drift" ->
+      """WITH o AS (
+        |  SELECT o_totalprice, year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM o),
+        |binned AS (
+        |  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 1000)),
+        |           999) AS INTEGER) AS bin,
+        |    CAST(count(*) FILTER (WHERE yr = 1995) AS BIGINT) AS c_a,
+        |    CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS c_b
+        |  FROM o CROSS JOIN s GROUP BY 1),
+        |cdf AS (
+        |  SELECT
+        |    CAST(sum(c_a) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b
+        |  FROM binned)
+        |SELECT max(n_a) AS n_1995, max(n_b) AS n_1996,
+        |  round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+        |    - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+        |FROM cdf""".stripMargin,
 
     "q71_fuzzy_join" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),
