@@ -75,6 +75,29 @@ object SketchOps {
       set.toArray(new Array[UTF8String](set.size())).asInstanceOf[Array[Any]])
   }
 
+  /** Distinct character n-grams of a string (codepoint windows, first-
+    * occurrence order) — the unit of Cavnar–Trenkle-style language ID.
+    * One fused loop per row for the same reason as [[shingleArr]]: the
+    * transform(sequence(...)) + substring formulation runs its lambda
+    * interpreted per window. DISTINCT per row means downstream counts
+    * are document frequencies, replayed in DuckDB with
+    * `SELECT DISTINCT doc_id, substr(s, i, n)` over an unnested range.
+    * Strings shorter than n (and NULLs) yield an empty set.
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return EmptyArr
+    val len = s.numChars()
+    if (len < n) return EmptyArr
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      set.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(
+      set.toArray(new Array[UTF8String](set.size())).asInstanceOf[Array[Any]])
+  }
+
   /** k Kirsch–Mitzenmacher minhash values h_i = (h1 + (i+1)·h2) mod p
     * over the [[Md5Hash.pack]]-packed hashes (h1 = top 31 bits, h2 = low
     * 31) of a token array. Null when the array holds no non-null token —
@@ -370,4 +393,44 @@ case class RepStatsOf(child: Expression) extends UnaryExpression {
 object RepStatsOf {
   def apply(tokens: Column): Column =
     graftbridge.column(RepStatsOf(graftbridge.expression(tokens)))
+}
+
+/** Distinct character n-grams of a string (see [[SketchOps.charNgrams]]).
+  * NULL and too-short inputs yield an EMPTY array, so the expression is
+  * never null and explode() simply drops such rows.
+  */
+case class CharNgramsOf(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams_of"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any =
+    SketchOps.charNgrams(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.SketchOps.charNgrams(
+            ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNgramsOf =
+    copy(child = c)
+}
+
+object CharNgramsOf {
+  def apply(s: Column, n: Int): Column =
+    graftbridge.column(CharNgramsOf(graftbridge.expression(s), n))
 }

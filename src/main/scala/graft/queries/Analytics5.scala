@@ -187,6 +187,42 @@ object Analytics5 {
           round(col("n_active").cast("double") / col("cohort_size"), 6))
         .orderBy("cohort_week", "week_offset")
     }),
+
+    // Schema-driven column profiling over an ingestion batch (orders
+    // plus a planted nullable column so the null census has something
+    // to count) — one shared scan, every metric map-side combinable,
+    // exact distincts through the Expand rewrite. The profiler itself
+    // is the reusable operators.ColumnProfiler.
+    "q77_column_profile" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders").withColumn("o_clerk_note",
+        when(col("o_orderkey") % 10 < 3, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      graft.operators.ColumnProfiler.profile(o)
+    }),
+
+    // Sweep-line concurrency: synthetic order-fulfilment intervals
+    // (30/60/90 days by key) → +1/−1 boundary deltas → running sum.
+    // The deltas AGGREGATE to one row per boundary date first (map-side
+    // combinable), so the one global running-sum window orders a
+    // bounded frame — distinct calendar dates, ~2.4k rows — never the
+    // fact table, the same bounded-window device as q72's binned CDF.
+    "q78_open_interval_peaks" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .withColumn("d0", to_date(col("o_orderdate")))
+        .withColumn("d1", date_add(col("d0"),
+          (lit(30) * (lit(1) + col("o_orderkey") % 3)).cast("int")))
+      val deltas = o.select(col("d0").as("d"), lit(1L).as("delta"))
+        .unionAll(o.select(col("d1").as("d"), lit(-1L).as("delta")))
+        .groupBy("d").agg(sum("delta").as("net"))
+      val run = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("open", sum("net").over(run))
+        .groupBy(year(col("d")).as("yr"))
+        .agg(count(lit(1)).as("n_boundary_days"),
+          max("open").cast("long").as("peak_open"),
+          min("open").cast("long").as("trough_open"))
+        .orderBy("yr")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -308,5 +344,58 @@ object Analytics5 {
         |    / max(CASE WHEN week_offset = 0 THEN n_active END)
         |      OVER (PARTITION BY cohort_week), 6) AS retention
         |FROM counts ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q77_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS num_min,
+           |  CAST(max($c) AS DOUBLE) AS num_max,
+           |  CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+           |FROM src""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+           |FROM src""".stripMargin
+      def dt(c: String) =
+        s"""SELECT '$c', CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(CAST(min($c) AS DATE) AS VARCHAR),
+           |  CAST(CAST(max($c) AS DATE) AS VARCHAR)
+           |FROM src""".stripMargin
+      s"""WITH src AS (
+         |  SELECT *, CASE WHEN o_orderkey % 10 < 3 THEN NULL
+         |    ELSE o_orderpriority END AS o_clerk_note
+         |  FROM orders)
+         |SELECT * FROM (
+         |${num("o_orderkey")} UNION ALL ${num("o_custkey")}
+         |UNION ALL ${str("o_orderstatus")} UNION ALL ${num("o_totalprice")}
+         |UNION ALL ${dt("o_orderdate")} UNION ALL ${str("o_orderpriority")}
+         |UNION ALL ${str("o_clerk_note")})
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "q78_open_interval_peaks" ->
+      """WITH iv AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d0,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(30 * (1 + o_orderkey % 3) AS INTEGER) AS d1
+        |  FROM orders),
+        |deltas AS (
+        |  SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT d0 AS d, 1 AS delta FROM iv
+        |    UNION ALL SELECT d1, -1 FROM iv)
+        |  GROUP BY d),
+        |run AS (
+        |  SELECT d, sum(net) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM deltas)
+        |SELECT year(d) AS yr, CAST(count(*) AS BIGINT) AS n_boundary_days,
+        |  CAST(max(open) AS BIGINT) AS peak_open,
+        |  CAST(min(open) AS BIGINT) AS trough_open
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
