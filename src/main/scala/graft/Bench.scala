@@ -56,17 +56,28 @@ object Bench {
     // compact: short query ids (the unique prefix before the first '_')
     // and 3-decimal seconds; if it would still overflow, keep only the
     // slowest entries that fit.
-    val shortIds = results.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
-    def render(entries: Seq[(String, Double)]): String = {
-      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Short ids = the prefix before the first '_'. Two queries sharing a
+    // prefix (q7_x / q7_y) would silently emit duplicate JSON keys, so
+    // colliding entries keep their FULL name instead.
+    val prefixes = results.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dupPrefix = prefixes.groupBy(identity).filter(_._2.size > 1).keySet
+    val shortIds = results.toSeq.map { case (k, v) =>
+      val p = k.takeWhile(_ != '_')
+      (if (dupPrefix(p)) k else p, v)
     }
-    var line = render(shortIds)
+    def render(entries: Seq[(String, Double)], truncated: Boolean): String = {
+      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val trunc = if (truncated) "\"truncated\":true," else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$trunc"queries":$qs,"sf":"$sfDir"}"""
+    }
+    var line = render(shortIds, truncated = false)
     if (line.length > 1500) {
+      // Keep only the slowest entries that fit, and SAY SO: without the
+      // truncated flag a partial list parses identically to a full one.
       val slowestFirst = shortIds.sortBy(-_._2)
       var keep = slowestFirst.length
-      while (keep > 1 && render(slowestFirst.take(keep)).length > 1500) keep -= 1
-      line = render(slowestFirst.take(keep))
+      while (keep > 1 && render(slowestFirst.take(keep), truncated = true).length > 1500) keep -= 1
+      line = render(slowestFirst.take(keep), truncated = true)
     }
     println(line)
     spark.stop()

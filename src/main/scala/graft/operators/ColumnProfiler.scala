@@ -19,10 +19,21 @@ import org.apache.spark.sql.types._
   */
 object ColumnProfiler {
 
+  /** SQL string literal for a column name: backslash-escape \ and '. */
+  private def strLit(name: String): String =
+    "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Backtick-quoted identifier: inner backticks double, per the parser. */
+  private def ident(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields
+    require(fields.nonEmpty, "ColumnProfiler.profile: input has no columns")
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      // col() PARSES its argument (dots, backticks) — quote the raw
+      // field name so hostile names resolve literally.
+      val c = col(ident(f.name))
       val distinct =
         if (exact) countDistinct(c) else approx_count_distinct(c)
       Seq(
@@ -44,16 +55,17 @@ object ColumnProfiler {
     val stackArgs = fields.map { f =>
       val (numMin, numMax, strMin, strMax) = f.dataType match {
         case _: NumericType =>
-          (s"`${f.name}__nmin`", s"`${f.name}__nmax`",
+          (ident(s"${f.name}__nmin"), ident(s"${f.name}__nmax"),
             "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         case DateType | TimestampType | TimestampNTZType | StringType =>
           ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-            s"`${f.name}__smin`", s"`${f.name}__smax`")
+            ident(s"${f.name}__smin"), ident(s"${f.name}__smax"))
         case _ =>
           ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
             "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
       }
-      s"'${f.name}', `${f.name}__nulls`, `${f.name}__distinct`, " +
+      s"${strLit(f.name)}, ${ident(s"${f.name}__nulls")}, " +
+        s"${ident(s"${f.name}__distinct")}, " +
         s"$numMin, $numMax, $strMin, $strMax"
     }.mkString(", ")
     wide.select(expr(

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: callers CONDENSE the graph first (aggregate the fact
   * table to an edge list); the iterations then run on node/edge-bounded
-  * frames where every rank join broadcasts. BIGINT holds to
-  * rank·w ≈ 9e18; past that (single edges of ~1e9 rows) swap the
-  * multiply into DECIMAL(38,0).
+  * frames where every rank join broadcasts. The rank·w multiply runs in
+  * DECIMAL(38,0) (headroom to ~1e38), so per-edge weights up to ~1e26
+  * are safe — BIGINT would have overflowed at w ≈ 9e6 with rank mass
+  * ~1e12 on a node.
   */
 object PageRank {
 
@@ -55,7 +56,13 @@ object PageRank {
       val contrib = e
         .join(broadcast(ranks), col("node") === col("src"))
         .join(broadcast(outw), "src")
-        .select(col("dst"), expr("(r * w) div out_w").as("c"))
+        // The multiply runs in DECIMAL(38,0): rank mass is ≤ Scale (1e12)
+        // per node, so r·w as BIGINT would overflow once per-edge weights
+        // reach ~9e6 (ANSI mode throws mid-iteration). DECIMAL(38,0) holds
+        // to r·w ≈ 1e38; the `div` truncates back to BIGINT with identical
+        // semantics wherever BIGINT wouldn't have overflowed.
+        .select(col("dst"),
+          expr("(cast(r as decimal(38,0)) * w) div out_w").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       // rank parked on nodes without out-edges redistributes uniformly —
       // without this, dangling nodes leak 85% of their mass every step

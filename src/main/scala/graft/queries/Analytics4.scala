@@ -250,10 +250,19 @@ object Analytics4 {
         .join(c.withColumn("blk", substring(col("c_name"), 15, 4)), "blk")
         .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
         .filter(col("dist") <= 1)
-      val matched = cand.groupBy("truth_key")
-        .agg(min_by(col("c_custkey"),
-            col("dist") * 10000000L + col("c_custkey")).as("matched_key"),
-          min(col("dist")).as("best_dist"))
+      // Best match = lowest dist, then lowest custkey — computed as a
+      // per-block window min + filter + group min rather than a packed
+      // numeric key (dist*K + custkey breaks silently once custkey ≥ K).
+      // The window partitions by truth_key, whose groups are bounded by
+      // the suffix-block collision count, so no skewed/global sort.
+      val wTruth = org.apache.spark.sql.expressions.Window
+        .partitionBy("truth_key")
+      val matched = cand
+        .withColumn("best_dist", min(col("dist")).over(wTruth))
+        .filter(col("dist") === col("best_dist"))
+        .groupBy("truth_key")
+        .agg(min(col("c_custkey")).as("matched_key"),
+          min(col("best_dist")).as("best_dist"))
       matched.agg(
           count(lit(1)).as("n_matched"),
           count_if(col("matched_key") === col("truth_key")).as("n_correct"),
@@ -440,11 +449,14 @@ object Analytics4 {
         |  FROM dirty d
         |  JOIN c ON substr(d.d_name, 15, 4) = substr(c.c_name, 15, 4)
         |  WHERE levenshtein(d.d_name, c.c_name) <= 1),
+        |ranked AS (
+        |  SELECT truth_key, c_custkey, dist,
+        |    min(dist) OVER (PARTITION BY truth_key) AS best_dist
+        |  FROM cand),
         |matched AS (
-        |  SELECT truth_key,
-        |    arg_min(c_custkey, dist * 10000000 + c_custkey) AS matched_key,
-        |    min(dist) AS best_dist
-        |  FROM cand GROUP BY truth_key)
+        |  SELECT truth_key, min(c_custkey) AS matched_key,
+        |    min(best_dist) AS best_dist
+        |  FROM ranked WHERE dist = best_dist GROUP BY truth_key)
         |SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM dirty) AS n_records,
         |  CAST(count(*) AS BIGINT) AS n_matched,

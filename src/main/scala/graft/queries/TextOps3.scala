@@ -129,7 +129,12 @@ object TextOps3 {
           coalesce(col("component"), col("doc_id")).as("cluster"))
       // Composite numeric argmax key (DuckDB arg_max has no struct
       // ordering): content length dominates, lower doc_id breaks ties.
-      val canonKey = col("nc") * lit(1000000000000L) - col("doc_id")
+      // n_chars is clamped at 1e6 so the packed key can never overflow
+      // Long (unclamped, a ~9 MB doc would): docs past 1 MB tie on the
+      // clamp and the lower doc_id wins — a documented, sane semantic
+      // for "most content" on web-corpus outliers.
+      val canonKey =
+        least(col("nc"), lit(1000000L)) * lit(1000000000000L) - col("doc_id")
       val canon = clustered.groupBy("cluster")
         .agg(max_by(col("doc_id"), canonKey).as("keeper"),
           count(lit(1)).as("n_members"))
@@ -630,7 +635,8 @@ object TextOps3 {
          |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
          |canon AS (
          |  SELECT cluster,
-         |    arg_max(doc_id, nc * 1000000000000 - doc_id) AS keeper,
+         |    arg_max(doc_id, least(nc, 1000000) * 1000000000000 - doc_id)
+         |      AS keeper,
          |    CAST(count(*) AS BIGINT) AS n_members
          |  FROM clustered GROUP BY cluster)
          |SELECT c.doc_id, c.cluster, c.doc_id = canon.keeper AS keep,

@@ -191,4 +191,23 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ColumnProfiler: hostile column names (quotes/backticks) profile cleanly") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (2L, null))
+      .toDF("it's`bad`", "plain")
+    val prof = ColumnProfiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === Set("it's`bad`", "plain"))
+    assert(prof("it's`bad`").getLong(1) === 0L)   // n_nulls
+    assert(prof("it's`bad`").getLong(2) === 2L)   // n_distinct
+    assert(prof("plain").getLong(1) === 1L)
+    assert(prof("plain").getString(5) === "a")    // str_min
+  }
+
+  test("ColumnProfiler: empty schema is rejected with a clear message") {
+    val empty = spark.emptyDataFrame
+    val e = intercept[IllegalArgumentException](ColumnProfiler.profile(empty))
+    assert(e.getMessage.contains("no columns"))
+  }
 }

@@ -66,4 +66,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(spokeRanks.size == 1, "symmetric spokes diverged")
     assert(got(0L) < spokeRanks.head, "hub should rank below spokes here")
   }
+
+  test("huge edge weights (rank·w past Long.MAX) run exactly via the decimal path") {
+    import spark.implicits._
+    // w = 1e9 with rank mass ~5e11 per node puts r·w ≈ 5e20 — 50× past
+    // Long.MAX. The decimal(38,0) multiply must neither throw (ANSI)
+    // nor wrap; the BigInt sequential model is the exact oracle.
+    val nodes = (0L to 3L).toSeq
+    val edges = Seq((0L, 1L, 1000000000L), (1L, 2L, 2000000000L),
+      (2L, 0L, 1500000000L), (3L, 0L, 900000000L))
+    val got = PageRank.ranks(
+        edges.toDF("src", "dst", "w"), nodes.toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = nodes.length
+    val init = BigInt(PageRank.Scale / n)
+    val teleport = BigInt((PageRank.Scale * 15L / 100L) / n)
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> BigInt(es.map(_._3).sum) }
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val contrib = collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+      edges.foreach { case (s, d, w) => contrib(d) += (r(s) * w) / outw(s) }
+      val dang = nodes.filterNot(outw.contains).map(r).sum
+      r = nodes.map(v =>
+        v -> (teleport + (BigInt(850) * (contrib(v) + dang / n)) / 1000)).toMap
+    }
+    assert(got == r.map { case (k, v) => k -> v.toLong },
+      "decimal-path ranks diverged from the BigInt model")
+  }
 }
