@@ -39,8 +39,16 @@ object ConnectedComponents {
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Materialize the caller's edge pipeline ONCE before symmetrizing:
+    // EliminateSorts does not recurse under Union, and the two union
+    // branches would otherwise each re-execute the full upstream plan
+    // (for d4/d10 pairs that is the whole LSH candidate+verify pipeline,
+    // measured as a 2× re-run inside the first CC job). The checkpointed
+    // frame is pair-count bounded — cheap at any corpus size.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var lab = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
