@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
-      graft.queries.TextOps4.queries
+      graft.queries.TextOps4.queries ++
+      graft.queries.TextOps5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
-      graft.queries.TextOps4.oracleSql
+      graft.queries.TextOps4.oracleSql ++
+      graft.queries.TextOps5.oracleSql
 }

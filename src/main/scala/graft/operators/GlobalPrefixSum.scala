@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global running total (prefix sum / scan) — the primitive
+  * behind corpus layout jobs: sequence packing (token stream offsets),
+  * shard manifests (cumulative bytes per output file), curriculum
+  * ordering (cumulative quality mass).
+  *
+  * A naive `SUM(x) OVER (ORDER BY k)` window has an empty PARTITION BY,
+  * so Spark plans a SINGLE-task window — the whole corpus sorts through
+  * one thread (the q38-style anti-pattern at 100 TB). This operator is
+  * the classic two-phase scan instead:
+  *
+  *  1. range-repartition by the order key (each partition holds a
+  *     contiguous key range; range partition ids are ordered),
+  *  2. per-partition running totals via a window PARTITIONED by the
+  *     range-partition id — every task scans only its own slice,
+  *  3. per-partition totals (one row per partition — bounded by the
+  *     partition count, not the data) prefix-summed into starting
+  *     offsets on the tiny frame and broadcast-joined back.
+  *
+  * The per-partition-total aggregation reuses the range exchange
+  * (ReusedExchange), so the input shuffles exactly once. Equal order
+  * keys land in one range partition, preserving the SQL default RANGE
+  * frame semantics (ties aggregate together) — identical to the
+  * single-window formulation an oracle runs.
+  */
+object GlobalPrefixSum {
+
+  /** Adds `cumCol` = running total of `valCol` in ascending `orderCol`
+    * order (SQL `SUM(valCol) OVER (ORDER BY orderCol)` semantics,
+    * default RANGE frame: rows with equal keys share the total).
+    *
+    * @param partitions scan width; defaults to the session's shuffle
+    *                   partition count
+    */
+  def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
+      cumCol: String, partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("_gps_pid", spark_partition_id())
+    // Starting offset per partition: totals are one row per partition
+    // (constant-size at any corpus scale), so the offset prefix-walk on
+    // the tiny frame — and its broadcast back — never grows with data.
+    val totals = ranged.groupBy("_gps_pid")
+      .agg(sum(col(valCol)).as("_gps_psum"))
+    val wOff = Window.orderBy("_gps_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_gps_off",
+        coalesce(sum(col("_gps_psum")).over(wOff), lit(0L)))
+      .select("_gps_pid", "_gps_off")
+    val wIn = Window.partitionBy("_gps_pid").orderBy(orderCol)
+    ranged
+      .withColumn("_gps_incum", sum(col(valCol)).over(wIn))
+      .join(broadcast(offsets), "_gps_pid")
+      .withColumn(cumCol, col("_gps_incum") + col("_gps_off"))
+      .drop("_gps_pid", "_gps_incum", "_gps_off")
+  }
+}

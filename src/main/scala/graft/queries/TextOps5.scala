@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-layout additions (SURVEY.md §2.4 north-star surface):
+  *
+  *  - d16: sequence packing — the concat-and-chunk layout step that
+  *    turns a filtered corpus into fixed-capacity training sequences
+  *    (every pretraining data loader performs it). The global token
+  *    offset of each document comes from the distributed two-phase scan
+  *    ([[graft.operators.GlobalPrefixSum]]) rather than an empty-
+  *    PARTITION-BY window, so the corpus never funnels through one task.
+  *  - q79: leakage-safe GROUP split — train/val/test assignment hashed
+  *    at the SOURCE level, so near-duplicate documents from one source
+  *    can never straddle a split boundary (row-level splits leak; the
+  *    q39 hash-sample machinery lifted from rows to groups). The output
+  *    carries its own witness: n_leaky_sources, the count of sources
+  *    seen in more than one split, provably 0 by construction.
+  *  - q80: token-budget water-filling — given a per-source token census
+  *    and a target budget (half the corpus), find the unique per-source
+  *    cap T with Σ min(tokens_s, T) = budget and emit each source's
+  *    quota + sampling rate. The levelling walk runs entirely on the
+  *    per-source frame (bounded by the source vocabulary — broadcast
+  *    scale), so the only corpus-scale work is the token count.
+  *    Complements t18 (temperature mixture): t18 reshapes SHARES,
+  *    q80 enforces an absolute BUDGET.
+  */
+object TextOps5 {
+  import Tables.t
+
+  /** Tokens per packed training sequence (d16). */
+  val SeqCap = 256L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Concat-and-chunk sequence packing: documents are laid out in
+    // doc_id order as one token stream; sequence k owns stream
+    // positions [k*Cap, (k+1)*Cap). Each doc reports the sequences it
+    // lands in and whether it crosses a boundary (the fraction of
+    // boundary-crossing docs is the packing's attention-contamination
+    // metric). cum rides the two-phase scan: one range shuffle over the
+    // corpus, per-slice windows, bounded offset frame — no single-task
+    // global window at any scale.
+    "d16_sequence_packing" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.operators.GlobalPrefixSum
+        .withRunningTotal(docs, "doc_id", "n_tok", "cum")
+        .select(col("doc_id"), col("n_tok"), col("cum"),
+          expr(s"(cum - n_tok) div $SeqCap").as("first_seq"),
+          expr(s"(cum - 1) div $SeqCap").as("last_seq"))
+        .withColumn("crosses", col("first_seq") =!= col("last_seq"))
+        .orderBy("doc_id")
+    }),
+
+    // Group-level split: md5(source) mod 10 → 8/1/1 train/val/test.
+    // Per-split census (docs, sources, tokens) + the leakage witness.
+    // The leak check aggregates the per-source frame (bounded), the
+    // census is one corpus aggregation — both map-side combinable.
+    "q79_group_split" -> ((spark, dir) => {
+      val bucket = pmod(graft.functions.Md5Pack(col("source")), lit(10))
+      val assigned = t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+      val leaks = assigned.groupBy("source")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(count_if(col("ns") > 1).as("n_leaky_sources"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tok")).as("n_tokens"))
+        .crossJoin(broadcast(leaks))
+        .orderBy("split")
+    }),
+
+    // Water-filling: sources ascending by token count; at row i the
+    // candidate cap (budget − smaller-source mass) / #remaining is
+    // valid when it fits under the row's own count, and the true cap is
+    // the largest valid candidate (rows past the levelling point emit
+    // strictly smaller candidates). No valid candidate ⇔ budget covers
+    // everything ⇒ every rate is 1. Integer cumsums stay exact; the
+    // single division to double is the last step, identical IEEE in
+    // both engines.
+    "q80_token_budget" -> ((spark, dir) => {
+      val per = t(spark, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+      val tot = per.agg(sum(col("n_tok")).cast("long").as("tok_total"),
+        count(lit(1)).as("n_src"))
+      val w = Window.orderBy(col("n_tok"), col("source"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val stats = per.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tok_total div 2"))
+        .withColumn("i", row_number().over(w))
+        .withColumn("prev_cum",
+          coalesce(sum(col("n_tok")).over(wPrev), lit(0L)))
+        .withColumn("cap_cand",
+          (col("budget") - col("prev_cum")).cast("double") /
+            (col("n_src") - col("i") + 1).cast("double"))
+      val capT = stats
+        .filter(col("cap_cand") <= col("n_tok").cast("double"))
+        .agg(max(col("cap_cand")).as("cap_t"))
+      val eff = coalesce(col("cap_t"), col("n_tok").cast("double"))
+      stats.crossJoin(broadcast(capT))
+        .select(col("source"), col("n_tok"), col("budget"),
+          round(least(col("n_tok").cast("double"), eff), 2).as("quota"),
+          round(least(lit(1.0), eff / col("n_tok").cast("double")), 6)
+            .as("rate"))
+        .orderBy("source")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d16_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tok, cum,
+         |  (cum - n_tok) // $SeqCap AS first_seq,
+         |  (cum - 1) // $SeqCap AS last_seq,
+         |  (cum - n_tok) // $SeqCap <> (cum - 1) // $SeqCap AS crosses
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q79_group_split" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CASE WHEN (${Tables.duckMd5Pack("source")}) % 10 < 8 THEN 'train'
+         |         WHEN (${Tables.duckMd5Pack("source")}) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |leak AS (
+         |  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT)
+         |    AS n_leaky_sources
+         |  FROM (SELECT source, count(DISTINCT split) AS ns
+         |        FROM a GROUP BY source))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, leak.n_leaky_sources
+         |FROM a CROSS JOIN leak
+         |GROUP BY split, leak.n_leaky_sources
+         |ORDER BY split""".stripMargin,
+
+    "q80_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        |    CAST(count(*) AS BIGINT) AS n_src
+        |  FROM per),
+        |stats AS (
+        |  SELECT source, n_tok, tok_total // 2 AS budget,
+        |    row_number() OVER (ORDER BY n_tok, source) AS i,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY n_tok, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prev_cum,
+        |    n_src
+        |  FROM per CROSS JOIN tot),
+        |c AS (
+        |  SELECT *, CAST(budget - prev_cum AS DOUBLE)
+        |      / CAST(n_src - i + 1 AS DOUBLE) AS cap_cand
+        |  FROM stats),
+        |capt AS (
+        |  SELECT max(cap_cand) AS cap_t FROM c
+        |  WHERE cap_cand <= CAST(n_tok AS DOUBLE))
+        |SELECT source, n_tok, budget,
+        |  round(least(CAST(n_tok AS DOUBLE),
+        |    coalesce(cap_t, CAST(n_tok AS DOUBLE))), 2) AS quota,
+        |  round(least(1.0, coalesce(cap_t, CAST(n_tok AS DOUBLE))
+        |    / CAST(n_tok AS DOUBLE)), 6) AS rate
+        |FROM c CROSS JOIN capt
+        |ORDER BY source""".stripMargin,
+  )
+}

@@ -192,6 +192,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("nfc_normalize"), "custom expression not in the plan")
   }
 
+  test("d16's prefix sum never plans a single-task global window") {
+    // The two-phase scan must keep every corpus-scale window PARTITIONED
+    // (by the range-partition id); an empty-PARTITION-BY window over the
+    // doc frame would funnel 100 TB through one task. The only permitted
+    // unpartitioned window runs on the per-partition totals frame —
+    // identified by its _gps_psum input.
+    val p = plan("d16_sequence_packing")
+    val globalWindows = p.linesIterator
+      .filter(l => l.contains("Window ") && !l.contains("_gps_pid#"))
+      .filterNot(_.contains("_gps_psum"))
+      .toList
+    assert(globalWindows.isEmpty,
+      s"unpartitioned corpus-scale window planned:\n${globalWindows.mkString("\n")}")
+    assert(p.contains("rangepartitioning"),
+      "prefix sum lost its range repartition")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
