@@ -223,6 +223,37 @@ object Analytics5 {
           min("open").cast("long").as("trough_open"))
         .orderBy("yr")
     }),
+
+    // Single-source BFS hop distances (operators.BfsHops) over a
+    // SPARSIFIED trade graph: nations trade only along a ±2-key
+    // "corridor" band, turning the near-complete trade clique into a
+    // path-like network with real multi-hop structure (source
+    // eccentricity ~12 instead of 1). Same condense-first shape as
+    // q64/q67 — the fact join aggregates to a nodes²-bounded edge list
+    // before any iteration; unreachable nations surface as NULL.
+    "q81_bfs_hops" -> ((spark, dir) => {
+      val raw = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey") &&
+          abs(col("s_nationkey") - col("c_nationkey")) <= 2)
+        .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
+          greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+        .distinct()
+      val dist = graft.operators.BfsHops
+        .hops(raw, "a", "b", source = 0L, undirected = true)
+      t(spark, dir, "nation")
+        .join(broadcast(dist), col("n_nationkey") === col("node"), "left")
+        .select(col("n_name"), col("dist").as("hops"))
+        .orderBy("n_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -397,5 +428,29 @@ object Analytics5 {
         |  CAST(max(open) AS BIGINT) AS peak_open,
         |  CAST(min(open) AS BIGINT) AS trough_open
         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_bfs_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+        |    greatest(s_nationkey, c_nationkey) AS b
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |    AND abs(s_nationkey - c_nationkey) <= 2),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM raw
+        |  UNION SELECT b, a FROM raw),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.dist < 30),
+        |hops AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT n_name, hops.dist AS hops
+        |FROM nation LEFT JOIN hops ON n_nationkey = hops.node
+        |ORDER BY n_name""".stripMargin,
   )
 }

@@ -26,12 +26,24 @@ import org.apache.spark.sql.functions._
   *    scale), so the only corpus-scale work is the token count.
   *    Complements t18 (temperature mixture): t18 reshapes SHARES,
   *    q80 enforces an absolute BUDGET.
+  *  - t20: n-gram novelty scoring — per-document fraction of 4-gram
+  *    spans first seen in that document (min-doc_id ownership over the
+  *    span partition), the curation metric complementing d13's
+  *    duplicated-span census.
   */
 object TextOps5 {
   import Tables.t
 
   /** Tokens per packed training sequence (d16). */
   val SeqCap = 256L
+
+  /** n-gram width for the t20 novelty score. */
+  val NovelN = 4
+
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Concat-and-chunk sequence packing: documents are laid out in
@@ -114,6 +126,30 @@ object TextOps5 {
             .as("rate"))
         .orderBy("source")
     }),
+
+    // n-gram novelty scoring — the data-curation metric that prices a
+    // document by how much of it is FIRST SEEN there (docs full of
+    // already-seen spans add little signal; the complement of d13's
+    // duplicated-span census). A span's first owner is min(doc_id) OVER
+    // the span partition — the d11 window-instead-of-join-back idiom —
+    // so the exploded span stream shuffles exactly once, and the
+    // per-doc rollup is one map-side-combinable aggregation.
+    "t20_ngram_novelty" -> ((spark, dir) => {
+      val wSpan = Window.partitionBy("span")
+      spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull &&
+          size(split(col("text"), " ")) >= NovelN)
+        .select(col("doc_id"),
+          explode(graft.functions.ShinglesOf(
+            split(col("text"), " "), NovelN)).as("span"))
+        .withColumn("first_doc", min(col("doc_id")).over(wSpan))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count_if(col("first_doc") === col("doc_id")).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_spans"), 6))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -183,5 +219,26 @@ object TextOps5 {
         |    / CAST(n_tok AS DOUBLE)), 6) AS rate
         |FROM c CROSS JOIN capt
         |ORDER BY source""".stripMargin,
+
+    "t20_ngram_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(tk) - ${NovelN - 1}),
+         |    i -> array_to_string(list_slice(tk, i+1, i+$NovelN), ' '))))
+         |    AS span
+         |  FROM d WHERE len(tk) >= $NovelN),
+         |f AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY span) AS first_doc
+         |  FROM sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
