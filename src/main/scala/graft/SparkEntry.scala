@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Analytics3.queries ++
       graft.queries.Analytics4.queries ++
       graft.queries.Analytics5.queries ++
+      graft.queries.Analytics6.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.queries.Analytics3.oracleSql ++
       graft.queries.Analytics4.oracleSql ++
       graft.queries.Analytics5.oracleSql ++
+      graft.queries.Analytics6.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

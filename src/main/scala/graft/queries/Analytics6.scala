@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics additions (SURVEY.md §2.2 engine stance):
+  *
+  *  - q82: Markov transition matrix over per-user event sequences — the
+  *    behavioral-model census (what follows what, with probabilities).
+  *    One user-keyed window for sequence adjacency, one event-type²-
+  *    bounded aggregation; probabilities normalize on the bounded pair
+  *    frame.
+  *  - q83: correlation matrix — all pairwise Pearson correlations in
+  *    ONE aggregation pass (shared scan, every co-moment map-side
+  *    combinable), melted to tidy rows through the q52 stack device.
+  *  - q84: winsorized robust statistics — clip at exact p01/p99 (the
+  *    q63 percentile machinery), then per-group raw-vs-clipped means
+  *    with clip-count attribution; the outlier-handling step ahead of
+  *    any numeric feature pipeline.
+  *  - q85: deterministic per-group reservoir — fixed k samples per
+  *    group by md5 priority through the bounded min-k aggregate (at
+  *    most k rows per group per map partition cross the shuffle; a
+  *    row_number window would sort entire groups in single tasks).
+  *    Complements q39 (rate sample) and q62 (stratified rates) with a
+  *    fixed-SIZE per-group contract.
+  */
+object Analytics6 {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Adjacent-event transitions: lead() inside the user partition
+    // (event_id breaks timestamp ties deterministically), counts on the
+    // (from, to) key — a frame bounded by event-type², so the
+    // row-probability window runs on a broadcast-scale frame.
+    "q82_markov_transitions" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy("from_type")
+      t(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wFrom), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // All 6 pairwise correlations of the lineitem quantity/price/
+    // discount/tax columns in one agg; corr merges co-moments across
+    // partitions, so the cross-engine boundary is rounded (q43 recipe).
+    "q83_correlation_matrix" -> ((spark, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+      }
+      val wide = t(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+        .mkString(", ")
+      wide.select(expr(
+          s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, corr)"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // Winsorization: exact p01/p99 bounds broadcast to the clipping
+    // scan; clipped values re-enter DECIMAL after a 2-decimal round so
+    // the per-group means stay order-independent. Two passes over the
+    // input (bounds, then clip+aggregate), no sort anywhere.
+    "q84_winsorize" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, 0.01)").as("lo"),
+        expr("percentile(l_extendedprice, 0.99)").as("hi"))
+      val clipped = least(greatest(col("l_extendedprice"), col("lo")),
+        col("hi"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("cl",
+          round(clipped, 2).cast("decimal(18,2)"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("l_extendedprice") < col("lo")).as("n_clip_low"),
+          count_if(col("l_extendedprice") > col("hi")).as("n_clip_high"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / count(lit(1)), 4).as("mean_raw"),
+          round(sum(col("cl")).cast("double") / count(lit(1)), 4)
+            .as("mean_winsor"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-group reservoir: md5 priority + the bounded min-k aggregate;
+    // posexplode recovers the within-group rank. The sampled frame is
+    // k × |groups| — broadcast-scale regardless of corpus size.
+    "q85_group_reservoir" -> ((spark, dir) => {
+      val pri = graft.functions.Md5Pack(col("event_id").cast("string"))
+      t(spark, dir, "events")
+        .select(col("event_type"), pri.as("pri"), col("event_id"))
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg
+          .minK(struct(col("pri"), col("event_id")), 5).as("sample"))
+        .select(col("event_type"), posexplode(col("sample")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.event_id").as("event_id"), col("col.pri").as("pri"))
+        .orderBy("event_type", "rk")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q82_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+
+    "q83_correlation_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+                 |  round(corr(${cols(i)}, ${cols(j)}), 6) AS corr
+                 |FROM lineitem""".stripMargin
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+
+    "q84_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT)
+        |    AS n_clip_high,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS mean_raw,
+        |  round(CAST(sum(CAST(round(least(greatest(l_extendedprice, lo), hi),
+        |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q85_group_reservoir" ->
+      s"""SELECT event_type, CAST(rn AS INTEGER) AS rk, event_id, pri
+         |FROM (
+         |  SELECT event_type, event_id, pri,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY pri, event_id) AS rn
+         |  FROM (
+         |    SELECT event_type, event_id,
+         |      ${Tables.duckMd5Pack("CAST(event_id AS VARCHAR)")} AS pri
+         |    FROM events))
+         |WHERE rn <= 5 ORDER BY event_type, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the q82–q85 batch: transition-probability rows
+  * normalize, the correlation matrix is a valid correlation set, the
+  * winsorized mean moves toward the center, and the reservoir honors
+  * its fixed-size contract.
+  */
+class Round5bSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q82: outgoing probabilities sum to ~1 per from_type") {
+    val rows = q("q82_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from probabilities sum to $pSum")
+    }
+  }
+
+  test("q83: correlations are in [-1,1] and the pair set is complete") {
+    val rows = q("q83_correlation_matrix").collect()
+    assert(rows.length === 6) // C(4,2) upper triangle
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"${r.getString(0)}~${r.getString(1)}: $c")
+    }
+    // every unordered column pair appears exactly once
+    val pairs = rows.map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(pairs.size === 6, "duplicate or missing pairs")
+  }
+
+  test("q84: winsorized mean lies between the clip bounds; ~2% rows clipped") {
+    val rows = q("q84_winsorize").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val clipped = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    val frac = clipped.toDouble / n
+    assert(frac > 0.005 && frac < 0.05, s"clip fraction $frac out of band")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 || r.getLong(3) > 0 || r.getLong(1) < 100,
+        "groups of this size should clip something")
+    }
+  }
+
+  test("q85: exactly k rows per group, ranks contiguous, priorities ascending") {
+    val rows = q("q85_group_reservoir").collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.length === 5, s"$et sampled ${rs.length} rows")
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 5).toSeq)
+      val pris = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(pris.sameElements(pris.sorted), s"$et priorities not ascending")
+    }
+  }
+}
