@@ -93,6 +93,39 @@ object Analytics6 {
         .orderBy("l_returnflag")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click/view within the 3-day lookback (else 'direct') — the
+    // marketing-attribution join expressed as ONE user-keyed window
+    // (last touch rides an ignoreNulls last() over the preceding-rows
+    // frame), never an event×event self-join. Value sums re-enter
+    // DECIMAL after a 6-decimal round (the q1 events recipe) so the
+    // per-channel totals are order-independent.
+    "q86_attribution" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      val touched = t(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(isTouch,
+            struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          // interval comparison on raw timestamps — epoch-seconds
+          // truncation would disagree between engines at sub-second
+          // boundaries
+          when(col("touch").isNotNull &&
+            col("ts") <= col("touch.t_ts") + expr("INTERVAL 3 DAYS"),
+            col("touch.t_type")).otherwise(lit("direct")))
+      touched.groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
     // Per-group reservoir: md5 priority + the bounded min-k aggregate;
     // posexplode recovers the within-group rank. The sampled frame is
     // k × |groups| — broadcast-scale regardless of corpus size.
@@ -151,6 +184,25 @@ object Analytics6 {
         |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
         |FROM lineitem CROSS JOIN b
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q86_attribution" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN struct_pack(t_ts := ts, t_type := event_type) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE WHEN touch IS NOT NULL
+        |      AND ts <= touch.t_ts + INTERVAL 3 DAY
+        |    THEN touch.t_type ELSE 'direct' END AS channel, value
+        |  FROM seq WHERE event_type = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS attributed_value
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q85_group_reservoir" ->
       s"""SELECT event_type, CAST(rn AS INTEGER) AS rk, event_id, pri

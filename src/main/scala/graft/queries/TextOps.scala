@@ -182,6 +182,54 @@ object TextOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // Incremental dedup — the batch-arrival shape of d4: the newest 20%
+    // of the corpus (doc_id ≥ max·4/5, the "incoming batch") checks
+    // itself against the existing 80% (the "index") WITHOUT re-verifying
+    // old↔old or new↔new pairs. Signatures and band buckets are the d4
+    // pipeline unchanged (at scale the old side's signatures would be
+    // precomputed and persisted); the candidate frame filters to
+    // CROSS-boundary pairs before any verification work, so the exact-
+    // Jaccard step costs O(crossing candidates) — the economics that
+    // make nightly corpus refreshes affordable. The boundary is a
+    // one-row broadcast, never a driver literal.
+    "d17_incremental_dedup" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val bref = docs.agg(expr("max(doc_id) * 4 div 5").as("bmax"))
+      val sig = minhashSignature(docs)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumHashes / 2).map(bnd =>
+          struct(lit(bnd).as("band"),
+            col(s"mh${2 * bnd}").as("ba"),
+            col(s"mh${2 * bnd + 1}").as("bb"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.ba").as("ba"), col("b.bb").as("bb"))
+      val cand = graft.operators.BucketedPairs
+        .pairs(bands, Seq("band", "ba", "bb"), col("doc_id"), maxBucket = 100)
+        .select(col("x").as("old_id"), col("y").as("new_id"))
+        .distinct()
+        .crossJoin(broadcast(bref))
+        .filter(col("old_id") < col("bmax") && col("new_id") >= col("bmax"))
+        .select("old_id", "new_id")
+        .persist()
+      cand.count()
+      val candIds = cand.select(col("old_id").as("doc_id"))
+        .union(cand.select(col("new_id").as("doc_id")))
+        .distinct()
+      val candToks = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("tk"))
+      cand
+        .join(candToks.select(col("doc_id").as("old_id"), col("tk").as("a_tk")),
+          "old_id")
+        .join(candToks.select(col("doc_id").as("new_id"), col("tk").as("b_tk")),
+          "new_id")
+        .select(col("old_id"), col("new_id"),
+          (size(array_intersect(col("a_tk"), col("b_tk"))) /
+            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("old_id", "new_id")
+    }),
+
     // Dedup cluster assignment: the verified d4 near-dup PAIRS collapse
     // into connected components (min-label propagation,
     // operators.ConnectedComponents); the component id doubles as the
@@ -568,7 +616,24 @@ object TextOps {
       |  (sqrt(list_dot_product(da, da)) * sqrt(list_dot_product(db, db)))""".stripMargin
 
   val oracleSql: Map[String, String] =
-    oracleSqlBase ++ recallOracle ++ clusterOracle
+    oracleSqlBase ++ recallOracle ++ clusterOracle ++ incrementalOracle
+
+  /** d17's oracle: the d4 pair replay restricted to pairs that CROSS the
+    * old/new boundary — band buckets are side-agnostic, so the crossing
+    * subset of the all-pairs result equals the asymmetric old↔new join
+    * the engine runs (candidates filter before verification; verification
+    * is per-pair, so pre- and post-filtering agree exactly).
+    */
+  private def incrementalOracle: Map[String, String] =
+    Map("d17_incremental_dedup" ->
+      s"""WITH allpairs AS (
+         |  SELECT a_id, b_id, jaccard
+         |  FROM (${oracleSqlBase("d4_minhash_pairs")}) t),
+         |b AS (SELECT max(doc_id) * 4 // 5 AS bmax FROM documents)
+         |SELECT a_id AS old_id, b_id AS new_id, jaccard
+         |FROM allpairs CROSS JOIN b
+         |WHERE a_id < bmax AND b_id >= bmax
+         |ORDER BY old_id, new_id""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->

@@ -47,6 +47,33 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("d17: pairs cross the boundary and are exactly d4's crossing subset") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val bmax = Tables.t(spark, Sf, "documents")
+      .agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val inc = q("d17_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc.foreach { case (o, n) =>
+      assert(o < bmax && n >= bmax, s"pair ($o,$n) does not cross $bmax")
+    }
+    val d4cross = q("d4_minhash_pairs")
+      .filter(col("a_id") < bmax && col("b_id") >= bmax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === d4cross, "incremental pairs diverge from d4's crossing subset")
+  }
+
+  test("q86: attributed purchases cover every purchase exactly once") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q86_attribution").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val purchases = Tables.t(spark, Sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(
+      Set("click", "view", "direct")))
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
   test("q85: exactly k rows per group, ranks contiguous, priorities ascending") {
     val rows = q("q85_group_reservoir").collect()
     rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
