@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,11 +38,21 @@ object GlobalPrefixSum {
     *                   partition count
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
+      cumCol: String, partitions: Int = 0): DataFrame =
+    withRunningTotalBy(df, col(orderCol), valCol, cumCol, partitions)
+
+  /** As [[withRunningTotal]] but over an arbitrary order EXPRESSION —
+    * e.g. `struct(-score, id)` for a descending-score curriculum order
+    * with a unique tiebreak. The expression must totally order the rows
+    * (ties share the running total, per RANGE frame semantics).
+    */
+  def withRunningTotalBy(df: DataFrame, orderExpr: Column, valCol: String,
       cumCol: String, partitions: Int = 0): DataFrame = {
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, col(orderCol))
+    val ranged = df.withColumn("_gps_key", orderExpr)
+      .repartitionByRange(n, col("_gps_key"))
       .withColumn("_gps_pid", spark_partition_id())
     // Starting offset per partition: totals are one row per partition
     // (constant-size at any corpus scale), so the offset prefix-walk on
@@ -55,11 +65,11 @@ object GlobalPrefixSum {
       .withColumn("_gps_off",
         coalesce(sum(col("_gps_psum")).over(wOff), lit(0L)))
       .select("_gps_pid", "_gps_off")
-    val wIn = Window.partitionBy("_gps_pid").orderBy(orderCol)
+    val wIn = Window.partitionBy("_gps_pid").orderBy("_gps_key")
     ranged
       .withColumn("_gps_incum", sum(col(valCol)).over(wIn))
       .join(broadcast(offsets), "_gps_pid")
       .withColumn(cumCol, col("_gps_incum") + col("_gps_off"))
-      .drop("_gps_pid", "_gps_incum", "_gps_off")
+      .drop("_gps_pid", "_gps_incum", "_gps_off", "_gps_key")
   }
 }

@@ -127,6 +127,29 @@ object TextOps5 {
         .orderBy("source")
     }),
 
+    // Curriculum sharding: order the corpus by lexical richness
+    // (type-token ratio, descending; doc_id tiebreak) and cut it into
+    // equal-token shards — the layout step that turns a curated corpus
+    // into a quality-ordered training schedule. The global order rides
+    // [[graft.operators.GlobalPrefixSum]] over the composite key
+    // struct(-ttr, doc_id) (negation = descending without a sort-order
+    // flag crossing the range partitioner), so no single-task window at
+    // any scale; a doc belongs to the shard its first token lands in.
+    "d18_curriculum_shards" -> ((spark, dir) => {
+      val ShardTok = 512L
+      val tk = split(col("text"), " ")
+      val scored = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(tk).cast("long").as("n_tok"),
+          (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
+      graft.operators.GlobalPrefixSum
+        .withRunningTotalBy(scored, struct(negate(col("ttr")), col("doc_id")),
+          "n_tok", "cum")
+        .select(col("doc_id"), col("n_tok"), round(col("ttr"), 6).as("ttr"),
+          expr(s"(cum - n_tok) div $ShardTok").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram novelty scoring — the data-curation metric that prices a
     // document by how much of it is FIRST SEEN there (docs full of
     // already-seen spans add little signal; the complement of d13's
@@ -219,6 +242,21 @@ object TextOps5 {
         |    / CAST(n_tok AS DOUBLE)), 6) AS rate
         |FROM c CROSS JOIN capt
         |ORDER BY source""".stripMargin,
+
+    "d18_curriculum_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n_tok, ttr,
+        |    CAST(sum(n_tok) OVER (ORDER BY -ttr, doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
+        |  (cum - n_tok) // 512 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t20_ngram_novelty" ->
       s"""WITH d AS (

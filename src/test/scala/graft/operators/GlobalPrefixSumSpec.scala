@@ -60,6 +60,28 @@ class GlobalPrefixSumSpec extends AnyFunSuite {
     assert(out.last.getLong(4) === (totalTok - 1) / cap)
   }
 
+  test("d18 curriculum: shards are contiguous token ranges in quality order") {
+    val out = graft.SparkEntry
+      .queries("d18_curriculum_shards")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // walk docs in curriculum order (ttr desc, doc_id): shard ids must be
+    // non-decreasing and each shard's token mass ≈ 512 (± one doc)
+    val cur = out.sortBy { case (id, _, ttr, _) => (-ttr, id) }
+    var prevShard = 0L
+    var tokInShard = 0L
+    cur.foreach { case (id, nTok, _, shard) =>
+      assert(shard >= prevShard, s"doc $id shard $shard after $prevShard")
+      if (shard != prevShard) { prevShard = shard; tokInShard = 0L }
+      tokInShard += nTok
+    }
+    val shardTotals = cur.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    shardTotals.toSeq.sortBy(_._1).dropRight(1).foreach { case (s, tot) =>
+      assert(tot >= 512 - cur.map(_._2).max && tot < 512 + cur.map(_._2).max,
+        s"shard $s holds $tot tokens")
+    }
+  }
+
   test("q79: splits partition the corpus with zero group leakage") {
     val out = graft.SparkEntry
       .queries("q79_group_split")(spark, "/root/testdata/sf0.001")
