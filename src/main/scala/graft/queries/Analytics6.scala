@@ -93,6 +93,75 @@ object Analytics6 {
         .orderBy("l_returnflag")
     }),
 
+    // SCD2 version history from the q73 changelog rules: each non-delete
+    // change opens a version valid [seq, next-change-seq); the latest
+    // open version is current; a delete closes history without opening.
+    // One key-partitioned window over ≤3-row groups — the warehouse
+    // dimension-history builder next to q73's latest-image MERGE.
+    "q87_scd2_intervals" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val key = col("o_orderkey")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val ins = o.filter(key % 3 === 0 && key % 2 === 1)
+        .select(key.as("k"), lit("I").as("op"), lit(0L).as("seq"),
+          col("o_orderstatus").as("status"), price.as("price"))
+      val upd1 = o.filter(key % 5 === 0)
+        .select(key.as("k"), lit("U").as("op"), lit(1L).as("seq"),
+          col("o_orderstatus").as("status"),
+          (price + 100).cast("decimal(18,2)").as("price"))
+      val del = o.filter(key % 7 === 0 && key % 5 =!= 0)
+        .select(key.as("k"), lit("D").as("op"), lit(1L).as("seq"),
+          lit("X").as("status"), lit(0).cast("decimal(18,2)").as("price"))
+      val upd2 = o.filter(key % 10 === 0)
+        .select(key.as("k"), lit("U").as("op"), lit(2L).as("seq"),
+          col("o_orderstatus").as("status"),
+          (price + 200).cast("decimal(18,2)").as("price"))
+      val w = Window.partitionBy("k").orderBy("seq")
+      ins.unionByName(upd1).unionByName(del).unionByName(upd2)
+        .withColumn("valid_to", lead(col("seq"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("k"), col("seq").as("valid_from"), col("valid_to"),
+          col("status"), col("price").cast("double").as("price"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("k", "valid_from")
+    }),
+
+    // Two-proportion A/B analysis: md5-deterministic user-level variant
+    // assignment (the q39/q79 machinery at the experiment layer).
+    // "Converted" = the user's purchase SHARE exceeds 20% (an integer
+    // compare, n_purch·5 > n_events, so the split point is exact in
+    // both engines and lands near the corpus median at any SF — every
+    // user purchases at least once, so any-purchase would saturate).
+    // The pooled two-proportion z-statistic computes from one
+    // conditional aggregation — integer counts cross engines, doubles
+    // only in the final closed-form expression, NULL when the pooled
+    // variance degenerates (all or no users converted).
+    "q88_ab_test" -> ((spark, dir) => {
+      val conv = t(spark, dir, "events")
+        .groupBy("user_id")
+        .agg(count_if(col("event_type") === "purchase").as("n_purch"),
+          count(lit(1)).as("n_ev"))
+        .withColumn("variant",
+          when(pmod(graft.functions.Md5Pack(col("user_id").cast("string")),
+            lit(2)) === 0, "A").otherwise("B"))
+        .withColumn("converted", col("n_purch") * 5 > col("n_ev"))
+      val agged = conv.agg(
+        count_if(col("variant") === "A").as("n_a"),
+        count_if(col("variant") === "A" && col("converted")).as("conv_a"),
+        count_if(col("variant") === "B").as("n_b"),
+        count_if(col("variant") === "B" && col("converted")).as("conv_b"))
+      val crA = col("conv_a").cast("double") / col("n_a")
+      val crB = col("conv_b").cast("double") / col("n_b")
+      val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val denom = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      agged.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(crA, 6).as("cr_a"), round(crB, 6).as("cr_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && denom > 0,
+          round((crA - crB) / denom, 4)).as("z_score"))
+    }),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent click/view within the 3-day lookback (else 'direct') — the
     // marketing-attribution join expressed as ONE user-keyed window
@@ -184,6 +253,64 @@ object Analytics6 {
         |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
         |FROM lineitem CROSS JOIN b
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q87_scd2_intervals" ->
+      """WITH cl AS (
+        |  SELECT o_orderkey AS k, 'I' AS op, 0 AS seq,
+        |    o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 1, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 1, 'X', CAST(0 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 2, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 200 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |v AS (
+        |  SELECT k, op, seq, status, price,
+        |    lead(seq, 1) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+        |  FROM cl)
+        |SELECT k, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, status,
+        |  CAST(price AS DOUBLE) AS price, valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'D' ORDER BY k, valid_from""".stripMargin,
+
+    "q88_ab_test" -> {
+      val pri = Tables.duckMd5Pack("CAST(user_id AS VARCHAR)")
+      s"""WITH conv AS (
+         |  SELECT user_id,
+         |    CASE WHEN ($pri) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         |    count(*) FILTER (WHERE event_type = 'purchase') * 5 > count(*)
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |agged AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+         |    CAST(count(*) FILTER (WHERE variant = 'A' AND converted)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+         |    CAST(count(*) FILTER (WHERE variant = 'B' AND converted)
+         |      AS BIGINT) AS conv_b
+         |  FROM conv),
+         |z AS (
+         |  SELECT n_a, conv_a, n_b, conv_b,
+         |    CAST(conv_a AS DOUBLE) / n_a AS cr_a,
+         |    CAST(conv_b AS DOUBLE) / n_b AS cr_b,
+         |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 / n_a + 1.0 / n_b)) AS denom
+         |  FROM agged)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  round(cr_a, 6) AS cr_a, round(cr_b, 6) AS cr_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND denom > 0
+         |    THEN round((cr_a - cr_b) / denom, 4) END AS z_score
+         |FROM z""".stripMargin
+    },
 
     "q86_attribution" ->
       """WITH seq AS (

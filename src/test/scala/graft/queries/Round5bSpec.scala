@@ -47,6 +47,41 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("q87: version chains are well-formed (contiguous, one current, no post-delete versions)") {
+    val rows = q("q87_scd2_intervals").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val chain = vs.sortBy(_._2)
+      // every non-final version is closed, and closed at a later seq
+      chain.init.foreach { case (_, from, to, _) =>
+        assert(to != -1L && to > from, s"key $k broken chain")
+      }
+      // at most one open (current) version, and only the last can be open
+      val open = chain.filter(_._3 == -1L)
+      assert(open.length <= 1, s"key $k has ${open.length} open versions")
+      open.foreach(o => assert(o == chain.last, s"key $k open version not last"))
+      assert(chain.count(_._4) === open.length, "is_current flag mismatch")
+    }
+  }
+
+  test("q88: counts partition users; z-score is finite and consistent") {
+    val r = q("q88_ab_test").head()
+    val (nA, convA, nB, convB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nA > 0 && nB > 0)
+    assert(convA <= nA && convB <= nB)
+    val users = Tables.t(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(nA + nB === users)
+    // z is NULL only when the pooled variance degenerates (all or no
+    // users converted) — legal on tiny slices, never NaN/infinite
+    if (!r.isNullAt(6)) {
+      val z = r.getDouble(6)
+      assert(!z.isNaN && math.abs(z) < 20.0, s"z=$z")
+    }
+  }
+
   test("d17: pairs cross the boundary and are exactly d4's crossing subset") {
     import org.apache.spark.sql.functions.{col, expr}
     val bmax = Tables.t(spark, Sf, "documents")
