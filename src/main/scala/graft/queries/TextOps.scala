@@ -230,6 +230,35 @@ object TextOps {
         .orderBy("old_id", "new_id")
     }),
 
+    // Asymmetric containment over the verified near-dup pairs:
+    // |A∩B|/|A| vs |A∩B|/|B| distinguishes "B quotes/extends A" from
+    // symmetric duplication (Jaccard alone cannot — a 10× longer doc
+    // fully containing a short one scores J ≈ 0.1 but containment 1.0).
+    // Reuses d4's pair pipeline; only pair members re-shingle via the
+    // semi-join, so the scoring step is O(pairs) at any corpus size.
+    "d19_containment" -> ((spark, dir) => {
+      val pairs = queries("d4_minhash_pairs")(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      val ids = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      val ptk = t(spark, dir, "documents")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("tk"))
+      val inter = size(array_intersect(col("a_tk"), col("b_tk")))
+        .cast("double")
+      pairs
+        .join(ptk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")),
+          "a_id")
+        .join(ptk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(inter / size(col("a_tk")), 6).as("cont_in_a"),
+          round(inter / size(col("b_tk")), 6).as("cont_in_b"))
+        .withColumn("quote_like",
+          greatest(col("cont_in_a"), col("cont_in_b")) >= 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Dedup cluster assignment: the verified d4 near-dup PAIRS collapse
     // into connected components (min-label propagation,
     // operators.ConnectedComponents); the component id doubles as the
@@ -633,7 +662,28 @@ object TextOps {
          |SELECT a_id AS old_id, b_id AS new_id, jaccard
          |FROM allpairs CROSS JOIN b
          |WHERE a_id < bmax AND b_id >= bmax
-         |ORDER BY old_id, new_id""".stripMargin)
+         |ORDER BY old_id, new_id""".stripMargin,
+
+      "d19_containment" ->
+        s"""WITH dpairs AS (
+           |  SELECT a_id, b_id FROM (${oracleSqlBase("d4_minhash_pairs")}) t),
+           |shing AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(len(tk)-2),
+           |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+           |        FROM documents)),
+           |j AS (
+           |  SELECT a_id, b_id,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+           |    len(a.sh) AS sa, len(b.sh) AS sb
+           |  FROM dpairs
+           |  JOIN shing a ON a.doc_id = a_id
+           |  JOIN shing b ON b.doc_id = b_id)
+           |SELECT a_id, b_id, round(inter / sa, 6) AS cont_in_a,
+           |  round(inter / sb, 6) AS cont_in_b,
+           |  greatest(round(inter / sa, 6), round(inter / sb, 6)) >= 0.8
+           |    AS quote_like
+           |FROM j ORDER BY a_id, b_id""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
