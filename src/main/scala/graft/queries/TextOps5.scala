@@ -150,6 +150,30 @@ object TextOps5 {
         .orderBy("doc_id")
     }),
 
+    // Character-level Shannon entropy — the degenerate-content detector
+    // (binary junk ~8 bits, mono-character spam ~0, natural text ~4):
+    // chars explode positionally (substring mirrors the oracle exactly;
+    // regex-split edge semantics differ between engines), histogram +
+    // entropy are two doc-keyed aggregations with a charset-bounded
+    // window in between.
+    "t21_char_entropy" -> ((spark, dir) => {
+      val wDoc = Window.partitionBy("doc_id")
+      spread(t(spark, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(wDoc))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          round(-sum((col("c") / col("n")) *
+            log2(col("c") / col("n"))), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram novelty scoring — the data-curation metric that prices a
     // document by how much of it is FIRST SEEN there (docs full of
     // already-seen spans add little signal; the complement of d13's
@@ -257,6 +281,24 @@ object TextOps5 {
         |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
         |  (cum - n_tok) // 512 AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t21_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(length(text)),
+        |    i -> substr(text, CAST(i + 1 AS INTEGER), 1))) AS ch
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY doc_id, ch),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id, max(n) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+        |    6) AS entropy
+        |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin,
 
     "t20_ngram_novelty" ->
       s"""WITH d AS (
