@@ -93,6 +93,24 @@ object Analytics6 {
         .orderBy("l_returnflag")
     }),
 
+    // Top 3-step user journeys: the q82 adjacency extended to length-3
+    // paths (two leads in ONE window pass — same partition, same sort),
+    // counts on the path key (event-type³-bounded), deterministic
+    // top-10 via TakeOrderedAndProject.
+    "q89_event_paths" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // SCD2 version history from the q73 changelog rules: each non-delete
     // change opens a version valid [seq, next-change-seq); the latest
     // open version is current; a delete closes history without opening.
@@ -253,6 +271,19 @@ object Analytics6 {
         |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
         |FROM lineitem CROSS JOIN b
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q89_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q87_scd2_intervals" ->
       """WITH cl AS (

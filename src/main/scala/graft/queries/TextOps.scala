@@ -259,6 +259,30 @@ object TextOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // MinHash calibration witness — the sketch-accuracy discipline s4
+    // applies to ANN, applied to the dedup sketch: for every verified
+    // pair, the signature-agreement estimate (matching minhash fraction,
+    // E[est] = J) sits next to the exact Jaccard, with the absolute
+    // error as the oracle-checked accuracy record. Joins are pair-keyed
+    // against the node-bounded signature frame.
+    "t22_minhash_calibration" -> ((spark, dir) => {
+      val pairs = queries("d4_minhash_pairs")(spark, dir)
+      val sig = minhashSignature(t(spark, dir, "documents"))
+      def side(p: String) = sig.select(
+        col("doc_id").as(s"${p}_id") +:
+          (0 until NumHashes).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
+      val est = (0 until NumHashes)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / NumHashes
+      pairs
+        .join(side("a"), "a_id").join(side("b"), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 6).as("true_jaccard"),
+          round(est, 6).as("est_jaccard"),
+          round(abs(est - col("jaccard")), 6).as("abs_err"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Dedup cluster assignment: the verified d4 near-dup PAIRS collapse
     // into connected components (min-label propagation,
     // operators.ConnectedComponents); the component id doubles as the
@@ -683,7 +707,25 @@ object TextOps {
            |  round(inter / sb, 6) AS cont_in_b,
            |  greatest(round(inter / sa, 6), round(inter / sb, 6)) >= 0.8
            |    AS quote_like
-           |FROM j ORDER BY a_id, b_id""".stripMargin)
+           |FROM j ORDER BY a_id, b_id""".stripMargin,
+
+      "t22_minhash_calibration" -> {
+        val matches = (0 until NumHashes)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH dpairs AS (
+           |  SELECT a_id, b_id, jaccard
+           |  FROM (${oracleSqlBase("d4_minhash_pairs")}) t),
+           |s AS (SELECT * FROM (${oracleSqlBase("d3_minhash_sig")}) t)
+           |SELECT a_id, b_id, round(jaccard, 6) AS true_jaccard,
+           |  round(CAST($matches AS DOUBLE) / $NumHashes, 6) AS est_jaccard,
+           |  round(abs(CAST($matches AS DOUBLE) / $NumHashes - jaccard), 6)
+           |    AS abs_err
+           |FROM dpairs
+           |JOIN s a ON a.doc_id = a_id
+           |JOIN s b ON b.doc_id = b_id
+           |ORDER BY a_id, b_id""".stripMargin
+      })
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
