@@ -392,6 +392,7 @@ object TextOps {
       }
       recallOf("lsh", queries("s2_ann_lsh")(spark, dir))
         .unionByName(recallOf("ivf", queries("s3_ann_ivf")(spark, dir)))
+        .unionByName(recallOf("pq", TextOps5.queries("s5_ann_pq")(spark, dir)))
         .orderBy("method")
     }),
 
@@ -1190,6 +1191,8 @@ object TextOps {
       s"""WITH exact AS (SELECT probe_id, cand_id FROM (${pairs("s1_cosine_topk")}) t),
          |lsh AS (SELECT probe_id, cand_id FROM (${pairs("s2_ann_lsh")}) t),
          |ivf AS (SELECT probe_id, cand_id FROM (${pairs("s3_ann_ivf")}) t),
+         |pq AS (SELECT probe_id, cand_id
+         |       FROM (${TextOps5.oracleSql("s5_ann_pq")}) t),
          |ex_n AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
          |SELECT method, hits, exact_pairs, hits / exact_pairs AS recall FROM (
          |  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits
@@ -1198,7 +1201,11 @@ object TextOps {
          |  UNION ALL
          |  SELECT 'lsh', CAST(count(*) AS BIGINT)
          |  FROM lsh JOIN exact ON lsh.probe_id = exact.probe_id
-         |                     AND lsh.cand_id = exact.cand_id)
+         |                     AND lsh.cand_id = exact.cand_id
+         |  UNION ALL
+         |  SELECT 'pq', CAST(count(*) AS BIGINT)
+         |  FROM pq JOIN exact ON pq.probe_id = exact.probe_id
+         |                    AND pq.cand_id = exact.cand_id)
          |CROSS JOIN ex_n ORDER BY method""".stripMargin)
   }
 }

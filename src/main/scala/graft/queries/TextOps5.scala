@@ -150,6 +150,45 @@ object TextOps5 {
         .orderBy("doc_id")
     }),
 
+    // Product-quantization ANN (operators.AnnPq): the memory-compressed
+    // third ANN family next to s2's hyperplane buckets and s3's inverted
+    // lists — 32 subspaces × 16 codewords quantize each L2-normalized
+    // 64-dim vector to 32 nibbles (16 bytes vs 256 — 16× compression);
+    // probes score candidates against the RECONSTRUCTION (asymmetric
+    // distance computation). At this granularity the s4 witness puts PQ
+    // recall ABOVE the inverted-list path (0.48 vs 0.42 at sf0.01)
+    // while the candidate side ships 16 bytes/vector. Encoding is one
+    // map-only pass over literal codeword arrays (no shuffle in the
+    // build); scoring mirrors s1's bounded-probe join shape with the
+    // estimated L2 in place of exact cosine.
+    "s5_ann_pq" -> ((spark, dir) => {
+      // L2-normalize first: on unit vectors ‖p−c‖² = 2 − 2·cos, so the
+      // PQ-estimated L2 ordering approximates the cosine ordering the
+      // exact baseline (s1) and the recall witness (s4) use.
+      val raw = graft.functions.VectorOps.toDouble(col("embedding"))
+      val vecs = t(spark, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          transform(raw, x => x / graft.functions.VectorOps.norm(raw))
+            .as("emb"))
+      val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
+      val cands = graft.operators.AnnPq
+        .withReconstruction(vecs, "emb", cb, m = 32)
+        .select(col("vec_id").as("cand_id"), col("recon"))
+      val probes = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val scored = probes
+        .join(cands, col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(graft.operators.AnnPq.l2sq(col("p_emb"), col("recon")), 6)
+            .as("est_l2sq"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("est_l2sq"), col("cand_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Character-level Shannon entropy — the degenerate-content detector
     // (binary junk ~8 bits, mono-character spam ~0, natural text ~4):
     // chars explode positionally (substring mirrors the oracle exactly;
@@ -281,6 +320,59 @@ object TextOps5 {
         |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
         |  (cum - n_tok) // 512 AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "s5_ann_pq" -> {
+      val M = 32
+      val Sub = 64 / M
+      val l2 = (a: String, b: String) =>
+        s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      val encScore =
+        "list_dot_product(cs, cs) - 2 * list_dot_product(vs, cs)"
+      s"""WITH vecs0 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |vecs AS (
+         |  SELECT vec_id, list_transform(e0,
+         |    x -> x / sqrt(list_dot_product(e0, e0))) AS emb
+         |  FROM vecs0),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS k, emb
+         |  FROM (
+         |    SELECT vec_id, emb,
+         |      ${Tables.duckMd5Pack("CAST(vec_id AS VARCHAR)")} AS h
+         |    FROM vecs ORDER BY h, vec_id LIMIT 16)),
+         |enc AS (
+         |  SELECT vec_id, m, k, rn FROM (
+         |    SELECT v.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY v.vec_id, s.m
+         |        ORDER BY $encScore, c.k) AS rn
+         |    FROM vecs v
+         |    CROSS JOIN (SELECT unnest(range($M)) AS m) s
+         |    CROSS JOIN cb c,
+         |    LATERAL (SELECT list_slice(v.emb, CAST(s.m*$Sub+1 AS INTEGER),
+         |        CAST(s.m*$Sub+$Sub AS INTEGER)) AS vs,
+         |      list_slice(c.emb, CAST(s.m*$Sub+1 AS INTEGER),
+         |        CAST(s.m*$Sub+$Sub AS INTEGER)) AS cs) x)
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT e.vec_id,
+         |    flatten(list(list_slice(c.emb, CAST(e.m*$Sub+1 AS INTEGER),
+         |      CAST(e.m*$Sub+$Sub AS INTEGER)) ORDER BY e.m)) AS recon
+         |  FROM enc e JOIN cb c ON c.k = e.k
+         |  GROUP BY e.vec_id),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, r.vec_id AS cand_id,
+         |    round(${l2("p.emb", "r.recon")}, 6) AS est_l2sq
+         |  FROM vecs p JOIN recon r
+         |    ON p.vec_id < 10 AND p.vec_id <> r.vec_id)
+         |SELECT probe_id, cand_id, est_l2sq, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY est_l2sq, cand_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
 
     "t21_char_entropy" ->
       """WITH ch AS (

@@ -192,6 +192,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AnnPq: reconstruction picks the argmin codeword per subspace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val rows = (0L until 40L).map(id =>
+      (id, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("vec_id", "emb")
+    val cb = AnnPq.codebook(df, "vec_id", "emb", 4)
+    assert(cb.length === 4 && cb.forall(_.length === dim))
+    val m = 4
+    val sub = dim / m
+    val got = AnnPq.withReconstruction(df, "emb", cb, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val want = (0 until m).flatMap { mi =>
+        val vs = v.slice(mi * sub, (mi + 1) * sub)
+        val best = cb.zipWithIndex.minBy { case (cw, ki) =>
+          val cs = cw.slice(mi * sub, (mi + 1) * sub)
+          val d = vs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, ki)
+        }._1.slice(mi * sub, (mi + 1) * sub)
+        best
+      }.toArray
+      assert(got(id).sameElements(want), s"vec $id reconstruction diverged")
+    }
+  }
+
   test("ColumnProfiler: hostile column names (quotes/backticks) profile cleanly") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (2L, null))
