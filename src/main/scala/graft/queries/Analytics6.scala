@@ -93,6 +93,31 @@ object Analytics6 {
         .orderBy("l_returnflag")
     }),
 
+    // Rank-distribution windows — percent_rank / cume_dist / ntile, the
+    // three ranking functions the rest of the window surface doesn't
+    // exercise — as a per-nation balance-quartile profile. These
+    // functions intrinsically sort their partition (unlike min-k there
+    // is no bounded-aggregate shortcut), so the partition key is the
+    // nation (customer-count/25 per partition); a corpus-scale
+    // distribution would bin through q63's broadcast equi-depth
+    // boundaries instead. Output rolls up to nation×quartile.
+    "q90_rank_distributions" -> ((spark, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("bal_min"),
+          max(col("c_acctbal")).as("bal_max"),
+          round(max(col("pr")), 6).as("pr_max"),
+          round(max(col("cd")), 6).as("cd_max"))
+        .orderBy("c_nationkey", "quartile")
+    }),
+
     // Top 3-step user journeys: the q82 adjacency extended to length-3
     // paths (two leads in ONE window pass — same partition, same sort),
     // counts on the path key (event-type³-bounded), deterministic
@@ -271,6 +296,21 @@ object Analytics6 {
         |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
         |FROM lineitem CROSS JOIN b
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q90_rank_distributions" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey))
+        |SELECT c_nationkey, quartile, CAST(count(*) AS BIGINT) AS n,
+        |  min(c_acctbal) AS bal_min, max(c_acctbal) AS bal_max,
+        |  round(max(pr), 6) AS pr_max, round(max(cd), 6) AS cd_max
+        |FROM r GROUP BY c_nationkey, quartile
+        |ORDER BY c_nationkey, quartile""".stripMargin,
 
     "q89_event_paths" ->
       """WITH seq AS (
