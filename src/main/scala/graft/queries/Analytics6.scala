@@ -93,6 +93,48 @@ object Analytics6 {
         .orderBy("l_returnflag")
     }),
 
+    // Ordered string aggregation (LISTAGG): per nation, the 5
+    // alphabetically-first customer names as one csv — the membership
+    // comes from the bounded min-k aggregate (at most 5 names per
+    // nation per map partition cross the shuffle), the concatenation
+    // from an in-row transform+join, so no collect_list of unbounded
+    // groups anywhere.
+    "q91_listagg" -> ((spark, dir) => {
+      t(spark, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(graft.functions.TopKAgg
+          .minK(struct(col("c_name")), 5).as("arr"),
+          count(lit(1)).as("n_customers"))
+        .select(col("c_nationkey"),
+          array_join(transform(col("arr"), x => x.getField("c_name")), ",")
+            .as("first_names"),
+          col("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Nested result types: per returnflag, the per-status counts as a
+    // SORTED array of structs plus the total — the shape a catalog/API
+    // layer returns for drill-down without a second query. The inner
+    // rollup aggregates first (map-side combinable), so collect_list
+    // only ever sees the status-bounded frame; array_sort makes the
+    // nested ordering deterministic across partitioning.
+    "q92_nested_rollup" -> ((spark, dir) => {
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(array_sort(collect_list(
+            struct(col("l_linestatus").as("status"), col("n"))))
+            .as("nested"),
+          sum(col("n")).cast("long").as("total"))
+        // the driver's comparator handles scalars only — the nested
+        // array serializes to canonical JSON at the output edge (both
+        // engines emit compact {"status":...,"n":...} in array order)
+        .select(col("l_returnflag"), to_json(col("nested")).as("by_status"),
+          col("total"))
+        .orderBy("l_returnflag")
+    }),
+
     // Rank-distribution windows — percent_rank / cume_dist / ntile, the
     // three ranking functions the rest of the window surface doesn't
     // exercise — as a per-nation balance-quartile profile. These
@@ -296,6 +338,34 @@ object Analytics6 {
         |    2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
         |FROM lineitem CROSS JOIN b
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q91_listagg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name)
+        |      AS rn
+        |  FROM customer),
+        |agg AS (
+        |  SELECT c_nationkey,
+        |    string_agg(c_name, ',' ORDER BY c_name) AS first_names
+        |  FROM r WHERE rn <= 5 GROUP BY c_nationkey),
+        |n AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT agg.c_nationkey, first_names, n_customers
+        |FROM agg JOIN n ON agg.c_nationkey = n.c_nationkey
+        |ORDER BY agg.c_nationkey""".stripMargin,
+
+    "q92_nested_rollup" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(to_json(list(struct_pack(status := l_linestatus, n := n)
+        |    ORDER BY l_linestatus, n)) AS VARCHAR) AS by_status,
+        |  CAST(sum(n) AS BIGINT) AS total
+        |FROM cnt GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q90_rank_distributions" ->
       """WITH r AS (
