@@ -24,11 +24,13 @@ object SparkEntry {
       graft.queries.Analytics4.queries ++
       graft.queries.Analytics5.queries ++
       graft.queries.Analytics6.queries ++
+      graft.queries.Analytics7.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
       graft.queries.TextOps4.queries ++
-      graft.queries.TextOps5.queries
+      graft.queries.TextOps5.queries ++
+      graft.queries.TextOps6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -43,9 +45,11 @@ object SparkEntry {
       graft.queries.Analytics4.oracleSql ++
       graft.queries.Analytics5.oracleSql ++
       graft.queries.Analytics6.oracleSql ++
+      graft.queries.Analytics7.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
       graft.queries.TextOps4.oracleSql ++
-      graft.queries.TextOps5.oracleSql
+      graft.queries.TextOps5.oracleSql ++
+      graft.queries.TextOps6.oracleSql
 }

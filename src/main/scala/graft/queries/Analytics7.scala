@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics additions, batch 2 (SURVEY.md §2.2 engine stance):
+  *
+  *  - q93: deterministic HyperLogLog — the third cardinality sketch next
+  *    to KMV (q38) and the engine-native HLL (q19), and the only one of
+  *    the three that is BOTH mergeable-register-shaped and exactly
+  *    replayable by the DuckDB oracle. 64 registers per group, trailing-
+  *    zero rank of the md5-packed hash, harmonic mean + linear-counting
+  *    small-range correction. The register frame is 64 rows per group
+  *    regardless of input size — the canonical "sketch crosses the
+  *    shuffle, not the data" shape.
+  *  - q94: exponentially-weighted moving average as a BOUNDED analytic
+  *    recurrence: y_t = Σ_{i<10} a(1-a)^i x_{t-i}, renormalized over the
+  *    lags actually present. EMA's infinite recurrence cannot run
+  *    distributed without a sequential pass; the 10-lag truncation (tail
+  *    weight 0.7^10 ≈ 2.8%) turns it into a fixed-frame window — same
+  *    shape at any scale.
+  *  - q95: chi-square independence test (event_type × hour-of-day
+  *    quadrant) — the categorical-drift / A-B companion to q72's KS test
+  *    and q88's two-proportion z. Contingency cells via one aggregation;
+  *    row/col/grand totals via windows over the bounded cell frame.
+  *  - q96: mergeable-bitmap EXACT distinct: per-day per-64-bucket user
+  *    bitmaps (bit_or of 1<<(id%64)), popcount for daily uniques, then
+  *    bit_or re-merge across days for period uniques — the exact
+  *    re-aggregatable distinct that count(DISTINCT) cannot give an
+  *    incremental rollup (yesterday's bitmaps merge with today's;
+  *    yesterday's count-distincts cannot).
+  */
+object Analytics7 {
+  import Tables.t
+
+  /** 2^57 — the scale factor that turns the HLL harmonic-mean terms
+    * 2^-M (M ∈ 1..57) into exact integers for order-independent DECIMAL
+    * summation. Double powers of two are exact, so the pow→DECIMAL cast
+    * is lossless in both engines.
+    */
+  private val Pow57 = "144115188075855872"
+
+  /** α_64 · m² · 2^57 — the full numerator of the HLL harmonic-mean
+    * estimate, folded to ONE double in Scala and rendered verbatim to
+    * both engines. Leaving the factors inline would let each engine
+    * apply its own decimal-literal typing rules (DuckDB runs `0.7213/…`
+    * in DECIMAL arithmetic, Spark in another scale) and the two drift in
+    * the 4th decimal.
+    */
+  private val HllNum: String =
+    f"${0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 1.44115188075855872e17}%.17g"
+
+  /** Truncated-EMA lag weights a(1-a)^i, a = 0.3, i = 0..9 — rendered to
+    * full-precision literals once and embedded in BOTH the Spark and the
+    * DuckDB expression so each engine parses the identical decimal (a
+    * live pow() could differ in the last ulp between libm and the JVM).
+    */
+  private val EmaWd: Seq[Double] =
+    (0 until 10).map(i => 0.3 * math.pow(0.7, i))
+  private val EmaW: Seq[String] = EmaWd.map(w => f"$w%.17g")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HyperLogLog, exact-replay variant: register index = hash % 64,
+    // rank = trailing zeros of hash/64 (+1; empty-suffix cap 57). Only
+    // (group, register) → max(rank) crosses the shuffle. The harmonic
+    // mean sums 2^(57-M) as DECIMAL so register order can't perturb the
+    // float result; absent registers enter as zeros · 2^57.
+    "q93_hll_distinct" -> ((spark, dir) => {
+      val h = graft.functions.Md5Pack(col("l_orderkey").cast("string"))
+      val regs = t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), h.as("h"))
+        .select(col("l_returnflag"),
+          expr("CAST(h % 64 AS INT)").as("bucket"),
+          expr("h div 64").as("w"))
+        .withColumn("rho",
+          when(col("w") === 0, lit(57))
+            .otherwise(log2(expr("w & -w")).cast("int") + 1))
+        .groupBy("l_returnflag", "bucket")
+        .agg(max("rho").as("m"))
+      val agged = regs.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("int").as("v"),
+          sum(expr("CAST(pow(2, 57 - m) AS DECIMAL(38,0))")).as("s_present"))
+        .withColumn("zeros", lit(64) - col("v"))
+        .withColumn("s_total",
+          col("s_present") +
+            col("zeros").cast("decimal(38,0)") * expr(s"CAST($Pow57 AS DECIMAL(38,0))"))
+        .withColumn("e_raw",
+          expr(s"CAST($HllNum AS DOUBLE) / CAST(s_total AS DOUBLE)"))
+        .withColumn("est_distinct",
+          round(when(col("zeros") > 0 && col("e_raw") <= 160.0,
+            expr("64.0 * ln(64.0 / zeros)")).otherwise(col("e_raw")), 4))
+      val exact = t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("exact_distinct"))
+      agged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("est_distinct"),
+          col("exact_distinct"), col("zeros"),
+          round((col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct"), 6).as("rel_err"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Truncated EMA over the per-type daily mean series. The daily mean
+    // is fixed in DECIMAL first (order-independent), so the lag inputs
+    // are bit-identical across engines; the weighted combination is a
+    // single fixed-association expression, not an aggregation.
+    "q94_ema" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(
+          sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val num = EmaWd.zipWithIndex.map { case (wi, i) =>
+        lit(wi) * coalesce(lag(col("v"), i).over(w), lit(0.0))
+      }.reduce(_ + _)
+      val den = EmaWd.zipWithIndex.map { case (wi, i) =>
+        lit(wi) * when(lag(col("v"), i).over(w).isNotNull, 1.0).otherwise(0.0)
+      }.reduce(_ + _)
+      daily
+        .withColumn("ema", round(num / den, 6))
+        .orderBy("event_type", "day")
+    }),
+
+    // Chi-square independence over the event_type × hour-quadrant
+    // contingency table. Expected counts from window totals over the
+    // bounded cell frame; per-cell terms rounded into DECIMAL before the
+    // final sum so cell order can't wobble the statistic.
+    "q95_chi2" -> ((spark, dir) => {
+      val cells = t(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(hour(ts) div 6 AS INT)").as("q"))
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy("event_type")
+      val wCol = Window.partitionBy("q")
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("e",
+          (sum("n").over(wRow) * sum("n").over(wCol)).cast("double") /
+            sum("n").over(wAll).cast("double"))
+        .withColumn("term",
+          round((col("n").cast("double") - col("e")) *
+            (col("n").cast("double") - col("e")) / col("e"), 8)
+            .cast("decimal(28,8)"))
+        .agg(
+          sum("n").as("n_events"),
+          count(lit(1)).cast("int").as("n_cells"),
+          ((countDistinct("event_type") - 1) *
+            (countDistinct("q") - 1)).cast("int").as("dof"),
+          round(sum("term").cast("double"), 4).as("chi2"))
+    }),
+
+    // Mergeable-bitmap exact distinct: daily (type, id/64) bitmaps via
+    // bit_or, popcounted for daily uniques, re-merged with a second
+    // bit_or for period uniques. Both levels are map-side combinable;
+    // the bitmap frame is |ids|/64 rows — 64× smaller than the input,
+    // and mergeable where a count-distinct result is not.
+    "q96_bitmap_distinct" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("day"),
+          expr("user_id div 64").as("bucket"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))").as("bm"))
+      val dailyUnique = daily.groupBy("event_type", "day")
+        .agg(sum(bit_count(col("bm"))).as("day_unique"))
+        .groupBy("event_type")
+        .agg(sum("day_unique").as("sum_daily"),
+          count(lit(1)).as("n_days"))
+      val periodUnique = daily.groupBy("event_type", "bucket")
+        .agg(expr("bit_or(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("bm"))).as("period_unique"))
+      periodUnique.join(dailyUnique, "event_type")
+        .select(col("event_type"), col("period_unique"), col("sum_daily"),
+          col("n_days"),
+          round(col("sum_daily").cast("double") / col("period_unique"), 6)
+            .as("revisit_factor"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q93_hll_distinct" -> {
+      val h = Tables.duckMd5Pack("CAST(l_orderkey AS VARCHAR)")
+      s"""WITH hashed AS (
+         |  SELECT l_returnflag, ($h) AS h FROM lineitem),
+         |regs AS (
+         |  SELECT l_returnflag, CAST(h % 64 AS INTEGER) AS bucket,
+         |    max(CASE WHEN h // 64 = 0 THEN 57
+         |      ELSE CAST(log2((h // 64) & -(h // 64)) AS INTEGER) + 1 END) AS m
+         |  FROM hashed GROUP BY 1, 2),
+         |agged AS (
+         |  SELECT l_returnflag, CAST(count(*) AS INTEGER) AS v,
+         |    sum(CAST(pow(2, 57 - m) AS DECIMAL(38,0))) AS s_present
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT l_returnflag, 64 - v AS zeros,
+         |    s_present + CAST(64 - v AS DECIMAL(38,0))
+         |      * CAST($Pow57 AS DECIMAL(38,0)) AS s_total
+         |  FROM agged),
+         |est2 AS (
+         |  SELECT l_returnflag, zeros,
+         |    CAST($HllNum AS DOUBLE) / CAST(s_total AS DOUBLE) AS e_raw
+         |  FROM est),
+         |est3 AS (
+         |  SELECT l_returnflag, CAST(zeros AS INTEGER) AS zeros,
+         |    round(CASE WHEN zeros > 0 AND e_raw <= 160.0
+         |      THEN 64.0 * ln(64.0 / zeros) ELSE e_raw END, 4)
+         |      AS est_distinct
+         |  FROM est2),
+         |exact AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem GROUP BY 1)
+         |SELECT e3.l_returnflag, est_distinct, exact_distinct, zeros,
+         |  round((est_distinct - exact_distinct) / exact_distinct, 6)
+         |    AS rel_err
+         |FROM est3 e3 JOIN exact USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q94_ema" -> {
+      val num = EmaW.zipWithIndex.map { case (wi, i) =>
+        s"CAST($wi AS DOUBLE) * coalesce(lag(v, $i) OVER w, CAST(0 AS DOUBLE))"
+      }.mkString(" + ")
+      val den = EmaW.zipWithIndex.map { case (wi, i) =>
+        s"CAST($wi AS DOUBLE) * (CASE WHEN lag(v, $i) OVER w IS NOT NULL" +
+          " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+         |      AS DOUBLE) / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, v,
+         |  round(($num) / ($den), 6) AS ema
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    },
+
+    "q95_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS q,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |exp AS (
+        |  SELECT event_type, q, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type)
+        |      * sum(n) OVER (PARTITION BY q) AS DOUBLE)
+        |      / CAST(sum(n) OVER () AS DOUBLE) AS e
+        |  FROM cells)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS INTEGER) AS n_cells,
+        |  CAST((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT q) - 1) AS INTEGER) AS dof,
+        |  round(CAST(sum(CAST(round(
+        |    (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 8)
+        |    AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2
+        |FROM exp""".stripMargin,
+
+    "q96_bitmap_distinct" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id // 64 AS bucket,
+        |    bit_or(CASE WHEN user_id % 64 = 63
+        |      THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER) END) AS bm
+        |  FROM events GROUP BY 1, 2, 3),
+        |du AS (
+        |  SELECT event_type,
+        |    CAST(sum(day_unique) AS BIGINT) AS sum_daily,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM (
+        |    SELECT event_type, day,
+        |      sum(bit_count(bm)) AS day_unique
+        |    FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |pu AS (
+        |  SELECT event_type,
+        |    CAST(sum(bit_count(bm)) AS BIGINT) AS period_unique
+        |  FROM (
+        |    SELECT event_type, bucket, bit_or(bm) AS bm
+        |    FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT event_type, period_unique, sum_daily, n_days,
+        |  round(CAST(sum_daily AS DOUBLE) / period_unique, 6)
+        |    AS revisit_factor
+        |FROM pu JOIN du USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the q93–q96 / s6 / t23 batch: the HLL estimate
+  * lands inside its error envelope, the truncated EMA stays inside the
+  * lag window's value range, the chi-square pieces reconcile, the bitmap
+  * distinct is EXACTLY count-distinct, hybrid-RRF ranks are well-formed,
+  * and the diversity ratios obey their algebraic bounds.
+  */
+class Round5cSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q93: HLL estimate within the m=64 error envelope; registers sane") {
+    val rows = q("q93_hll_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(1)
+      val exact = r.getLong(2)
+      val zeros = r.getInt(3)
+      assert(zeros >= 0 && zeros <= 64)
+      assert(est > 0.0)
+      // standard error 1.04/sqrt(64) ≈ 13%; 3σ envelope
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr < 0.4, s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q94: EMA bounded by the lag window's min/max; first row equals v") {
+    val rows = q("q94_ema").collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val series = rs.sortBy(_._2.toString)
+      // first day: only lag 0 exists → renormalized EMA is v itself
+      assert(math.abs(series.head._4 - series.head._3) < 1e-5)
+      series.zipWithIndex.foreach { case ((_, _, _, ema), i) =>
+        val window = series.slice(math.max(0, i - 9), i + 1).map(_._3)
+        assert(ema >= window.min - 1e-5 && ema <= window.max + 1e-5,
+          s"ema $ema outside lag-window range [${window.min},${window.max}]")
+      }
+    }
+  }
+
+  test("q95: chi2 non-negative; totals and dof reconcile with the input") {
+    val r = q("q95_chi2").head()
+    val nEvents = Tables.t(spark, Sf, "events").count()
+    assert(r.getLong(0) === nEvents)
+    assert(r.getDouble(3) >= 0.0)
+    val types = Tables.t(spark, Sf, "events")
+      .select("event_type").distinct().count().toInt
+    // 4 hour-quadrants are always populated on this data
+    assert(r.getInt(2) === (types - 1) * 3)
+    assert(r.getInt(1) <= types * 4)
+  }
+
+  test("q96: bitmap distinct is EXACT count-distinct; merge dedups") {
+    val rows = q("q96_bitmap_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val exact = Tables.t(spark, Sf, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq === exact.toSeq)
+    rows.foreach { case (t, period, sumDaily) =>
+      assert(sumDaily >= period, s"$t: daily sum below period unique")
+    }
+  }
+
+  test("s6: fused top-20 is well-formed (ranks in 1..100, rrf descending)") {
+    val rows = q("s6_hybrid_rrf").collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).distinct.length === 20)
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)), "rrf not descending")
+    rows.foreach { r =>
+      val kw = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(kw.nonEmpty || vec.nonEmpty, "row on neither rank list")
+      (kw ++ vec).foreach(rk => assert(rk >= 1 && rk <= 100))
+      val expect = kw.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        vec.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-7)
+    }
+  }
+
+  test("t23: diversity ratios obey their algebraic bounds") {
+    val rows = q("t23_lexical_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types) = (r.getLong(1), r.getLong(2))
+      assert(types <= n && types >= 1)
+      val ttr = r.getDouble(3)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      if (!r.isNullAt(4)) {
+        val simpson = r.getDouble(4)
+        assert(simpson >= 0.0 && simpson <= 1.0)
+      }
+      val topShare = r.getDouble(5)
+      // top_share is rounded to 6 decimals → half-ulp slack of 5e-7
+      assert(topShare >= 1.0 / types - 1e-6 && topShare <= 1.0)
+    }
+  }
+}
