@@ -24,7 +24,13 @@ object Bench {
     // 2.1s). The min is the stable estimator of a query's actual cost —
     // the noise is strictly additive (GC pauses, compilation stalls).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only: SPARK_GRAFT_BENCH_ONLY=s5_ann_pq,... restricts the run
+    // for fast iteration on one query's cost; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

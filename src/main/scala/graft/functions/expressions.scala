@@ -105,6 +105,89 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two float/double-array columns in ONE codegen'd
+  * pass, via the dot identity (x·x − 2 x·y) + y·y — the exact association
+  * the DuckDB oracle writes, with each accumulator folded sequentially in
+  * index order, so results are bit-identical to three separate HOF dots
+  * (`VectorOps.dot`). NULL on length mismatch, like [[CosineSim]].
+  * Replaces the interpreted zip_with/aggregate formulation on the ANN
+  * scoring path (s5's probe×candidate asymmetric-distance loop).
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+  override def nullable: Boolean = true
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      val lf = elemType(left) == FloatType
+      val rf = elemType(right) == FloatType
+      var xx = 0.0; var xy = 0.0; var yy = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        xx += xv * xv; xy += xv * yv; yy += yv * yv
+        i += 1
+      }
+      xx - 2.0 * xy + yy
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xx = ctx.freshName("xx")
+      val xy = ctx.freshName("xy")
+      val yy = ctx.freshName("yy")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      def get(arr: String, e: Expression, idx: String) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($idx)"
+        else s"$arr.getDouble($idx)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $xx = 0.0, $xy = 0.0, $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${get(a, left, i)};
+         |    double $yv = ${get(b, right, i)};
+         |    $xx += $xv * $xv; $xy += $xv * $yv; $yy += $yv * $yv;
+         |  }
+         |  ${ev.value} = $xx - 2.0 * $xy + $yy;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-random-projection LSH bucket of an embedding column: for each
   * hyperplane row of `planes`, the sign of the dot product contributes one
   * bit; the packed bit pattern is the bucket id.
@@ -272,6 +355,10 @@ object GraftFunctions {
     graftbridge.column(
       CosineSim(graftbridge.expression(a), graftbridge.expression(b)))
 
+  def l2Sq(a: Column, b: Column): Column =
+    graftbridge.column(
+      L2Sq(graftbridge.expression(a), graftbridge.expression(b)))
+
   def krFingerprint(c: Column): Column =
     graftbridge.column(KarpRabin(graftbridge.expression(c)))
 
@@ -311,6 +398,7 @@ object GraftFunctions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "l2_sq" -> (exprs => L2Sq(exprs(0), exprs(1))),
     "kr_fingerprint" -> (exprs => KarpRabin(exprs.head)),
     "md5_pack" -> (exprs => Md5Pack(exprs.head)),
     "shingles_of" -> (exprs =>

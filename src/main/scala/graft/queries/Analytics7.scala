@@ -157,6 +157,10 @@ object Analytics7 {
     // bit_or for period uniques. Both levels are map-side combinable;
     // the bitmap frame is |ids|/64 rows — 64× smaller than the input,
     // and mergeable where a count-distinct result is not.
+    // Contract: ids are non-negative (the harness generator's invariant;
+    // on negatives Spark's `div` truncates toward zero while DuckDB's
+    // `//` floors, so bucket math would diverge — md5-pack ids first if
+    // a real corpus ever carries signed keys).
     "q96_bitmap_distinct" -> ((spark, dir) => {
       val daily = t(spark, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),

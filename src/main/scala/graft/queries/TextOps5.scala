@@ -165,12 +165,17 @@ object TextOps5 {
       // L2-normalize first: on unit vectors ‖p−c‖² = 2 − 2·cos, so the
       // PQ-estimated L2 ordering approximates the cosine ordering the
       // exact baseline (s1) and the recall witness (s4) use.
+      // Hoist the norm to its own column: inlined in the transform
+      // lambda it would re-evaluate the HOF dot once PER ELEMENT (64×
+      // per row — measured as a large share of the prep cost). Same
+      // doubles, one evaluation.
       val raw = graft.functions.VectorOps.toDouble(col("embedding"))
       val vecs = t(spark, dir, "embeddings")
         .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), raw.as("e0"))
+        .withColumn("nrm", graft.functions.VectorOps.norm(col("e0")))
         .select(col("vec_id"),
-          transform(raw, x => x / graft.functions.VectorOps.norm(raw))
-            .as("emb"))
+          transform(col("e0"), x => x / col("nrm")).as("emb"))
       val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
       val cands = graft.operators.AnnPq
         .withReconstruction(vecs, "emb", cb, m = 32)

@@ -93,6 +93,44 @@ object TextOps6 {
         .select("id", "kw_rank", "vec_rank", "rrf")
     }),
 
+    // Semantic blocked dedup (SemDeDup-style): vectors sharing their
+    // ENTIRE 4-subspace PQ code are near-duplicate candidates — the
+    // code equality is the blocking key, cosine the verifier. Encode is
+    // the same map-only literal-codebook argmin s5 uses (no shuffle to
+    // build the index), candidate expansion runs through the capped
+    // BucketedPairs walk, verification joins embeddings back only for
+    // candidates. The third embedding-dedup scale path next to d10
+    // (hyperplane LSH) and d14 (keep list) — PQ codes block FAR tighter
+    // than 6-bit LSH buckets, so the verify set stays small even where
+    // LSH buckets saturate.
+    "d20_semantic_block_dedup" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+      // norm hoisted to a column — inlined in the lambda it re-evaluates
+      // per element (the s5 lesson); same doubles, one evaluation
+      val raw = graft.functions.VectorOps.toDouble(col("embedding"))
+      val vecs = e.select(col("vec_id"), raw.as("e0"))
+        .withColumn("nrm", graft.functions.VectorOps.norm(col("e0")))
+        .select(col("vec_id"),
+          transform(col("e0"), x => x / col("nrm")).as("emb"))
+      val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
+      val coded = graft.operators.AnnPq.withCodes(vecs, "emb", cb, m = 4)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), "-").as("ckey"))
+      val cand = graft.operators.BucketedPairs
+        .pairs(coded, Seq("ckey"), col("vec_id"), maxBucket = 500)
+        .select(col("x").as("a_id"), col("y").as("b_id"))
+      val emb = e.select(col("vec_id"), col("embedding"))
+      cand
+        .join(emb.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.VectorOps.cosine(col("a_emb"), col("b_emb")),
+            6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Lexical diversity: per-doc token frequency spectrum folded to
     // type-token ratio, Simpson concentration, and top-token share.
     // Integer counts cross the shuffle; divisions happen once per doc.
@@ -173,6 +211,57 @@ object TextOps6 {
          |  FROM kw FULL OUTER JOIN vr ON kw.id = vr.id)
          |SELECT id, kw_rank, vec_rank, rrf FROM f
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+
+    "d20_semantic_block_dedup" -> {
+      val M = 4
+      val Sub = 64 / M
+      val encScore =
+        "list_dot_product(cs, cs) - 2 * list_dot_product(vs, cs)"
+      s"""WITH vecs0 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |vecs AS (
+         |  SELECT vec_id, e0, list_transform(e0,
+         |    x -> x / sqrt(list_dot_product(e0, e0))) AS emb
+         |  FROM vecs0),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS k, emb
+         |  FROM (
+         |    SELECT vec_id, emb,
+         |      ${Tables.duckMd5Pack("CAST(vec_id AS VARCHAR)")} AS h
+         |    FROM vecs ORDER BY h, vec_id LIMIT 16)),
+         |enc AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT v.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY v.vec_id, s.m
+         |        ORDER BY $encScore, c.k) AS rn
+         |    FROM vecs v
+         |    CROSS JOIN (SELECT unnest(range($M)) AS m) s
+         |    CROSS JOIN cb c,
+         |    LATERAL (SELECT list_slice(v.emb, CAST(s.m*$Sub+1 AS INTEGER),
+         |        CAST(s.m*$Sub+$Sub AS INTEGER)) AS vs,
+         |      list_slice(c.emb, CAST(s.m*$Sub+1 AS INTEGER),
+         |        CAST(s.m*$Sub+$Sub AS INTEGER)) AS cs) x)
+         |  WHERE rn = 1),
+         |keys AS (
+         |  SELECT vec_id,
+         |    string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS ckey
+         |  FROM enc GROUP BY vec_id),
+         |buck AS (
+         |  SELECT ckey FROM keys
+         |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(va.e0, vb.e0) /
+         |    (sqrt(list_dot_product(va.e0, va.e0)) *
+         |     sqrt(list_dot_product(vb.e0, vb.e0))), 6) AS cos
+         |FROM keys a JOIN keys b ON a.ckey = b.ckey
+         |                       AND a.vec_id < b.vec_id
+         |JOIN buck ON a.ckey = buck.ckey
+         |JOIN vecs va ON va.vec_id = a.vec_id
+         |JOIN vecs vb ON vb.vec_id = b.vec_id
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "t23_lexical_diversity" ->

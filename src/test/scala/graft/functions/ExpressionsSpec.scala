@@ -20,6 +20,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diffs === 0)
   }
 
+  test("L2Sq expression is bit-identical to the three-HOF-dot formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map(_ =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("a", "b")
+    val (da, db) = (VectorOps.toDouble(col("a")), VectorOps.toDouble(col("b")))
+    val hof = VectorOps.dot(da, da) - lit(2.0) * VectorOps.dot(da, db) +
+      VectorOps.dot(db, db)
+    val diffs = df.select(
+        GraftFunctions.l2Sq(da, db).as("fast"), hof.as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("L2Sq returns NULL on mismatched lengths and null inputs") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(GraftFunctions.l2Sq(col("a"), col("b"))).first().isNullAt(0))
+    val nulls = Seq((null: Array[Double], Array(1.0, 2.0))).toDF("a", "b")
+    assert(nulls.select(GraftFunctions.l2Sq(col("a"), col("b"))).first().isNullAt(0))
+    // identical vectors → exactly zero
+    val same = Seq((Array(1.5, -2.5), Array(1.5, -2.5))).toDF("a", "b")
+    assert(same.select(GraftFunctions.l2Sq(col("a"), col("b"))).first().getDouble(0) === 0.0)
+  }
+
   test("CosineSim handles double arrays and null inputs") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0)))

@@ -87,6 +87,31 @@ class Round5cSpec extends AnyFunSuite {
     }
   }
 
+  test("d20: every emitted pair shares its ENTIRE 4-subspace PQ code") {
+    val rows = q("d20_semantic_block_dedup").collect()
+    assert(rows.nonEmpty, "no code-block pairs at sf0.001")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1), "pair not ordered"))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      === rows.length, "duplicate pairs")
+    // Independent re-encode: the pair invariant is CODE equality (the
+    // blocking contract), not a cosine floor — the synthetic embeddings
+    // hold no true near-duplicates, so d20's output is the scored
+    // candidate frame a threshold would then cut.
+    val e = Tables.t(spark, Sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val raw = graft.functions.VectorOps.toDouble(col("embedding"))
+    val vecs = e.select(col("vec_id"),
+      transform(raw, x => x / graft.functions.VectorOps.norm(raw)).as("emb"))
+    val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
+    val codes = graft.operators.AnnPq.withCodes(vecs, "emb", cb, m = 4)
+      .select(col("vec_id"), col("codes").cast("array<string>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(codes(a) === codes(b), s"pair ($a,$b) codes differ")
+    }
+  }
+
   test("t23: diversity ratios obey their algebraic bounds") {
     val rows = q("t23_lexical_diversity").collect()
     assert(rows.nonEmpty)
