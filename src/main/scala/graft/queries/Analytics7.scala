@@ -137,8 +137,12 @@ object Analytics7 {
       val wCol = Window.partitionBy("q")
       val wAll = Window.partitionBy()
       cells
+        // expected = row·col/N with each total cast to DOUBLE BEFORE the
+        // multiply: the BIGINT product row_tot·col_tot overflows Long
+        // once the table passes ~3e9 rows (ANSI throw at 100 TB scale)
         .withColumn("e",
-          (sum("n").over(wRow) * sum("n").over(wCol)).cast("double") /
+          sum("n").over(wRow).cast("double") *
+            sum("n").over(wCol).cast("double") /
             sum("n").over(wAll).cast("double"))
         .withColumn("term",
           round((col("n").cast("double") - col("e")) *
@@ -253,8 +257,8 @@ object Analytics7 {
         |  FROM events GROUP BY 1, 2),
         |exp AS (
         |  SELECT event_type, q, n,
-        |    CAST(sum(n) OVER (PARTITION BY event_type)
-        |      * sum(n) OVER (PARTITION BY q) AS DOUBLE)
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      * CAST(sum(n) OVER (PARTITION BY q) AS DOUBLE)
         |      / CAST(sum(n) OVER () AS DOUBLE) AS e
         |  FROM cells)
         |SELECT CAST(sum(n) AS BIGINT) AS n_events,

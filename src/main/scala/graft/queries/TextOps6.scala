@@ -51,7 +51,10 @@ object TextOps6 {
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf
         .join(broadcast(df), "tok")
-        .join(broadcast(dl), "doc_id")
+        // dl is corpus-sized (one row per doc) — NO broadcast hint; the
+        // doc-keyed join shuffles at scale and AQE broadcasts it at
+        // small SF on its own
+        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
