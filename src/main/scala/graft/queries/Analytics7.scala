@@ -188,9 +188,201 @@ object Analytics7 {
             .as("revisit_factor"))
         .orderBy("event_type")
     }),
+
+    // Key-skew census — the diagnostic that decides salting/AQE-skew
+    // handling before a big join: per-key row counts folded into a
+    // log2-bucketed frequency histogram (≤64 rows regardless of key
+    // count) with each bucket's share of all rows and the cumulative
+    // share from the heavy end. The per-key count is one map-side-
+    // combinable aggregation; everything after runs on the bounded
+    // histogram frame.
+    "q97_skew_census" -> ((spark, dir) => {
+      val cnt = t(spark, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val hist = cnt
+        .groupBy(floor(log2(col("n"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+          min("n").as("min_n"), max("n").as("max_n"))
+      val wAll = Window.partitionBy()
+      val wHeavy = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("row_share",
+          round(col("n_rows").cast("double") /
+            sum("n_rows").over(wAll).cast("double"), 6))
+        .withColumn("cum_heavy_share",
+          round(sum("n_rows").over(wHeavy).cast("double") /
+            sum("n_rows").over(wAll).cast("double"), 6))
+        .orderBy("bucket")
+    }),
+
+    // Rolling median (15-day lower median) — the robust smoother next to
+    // q94's EMA: the window gathers at most 15 values (bounded frame),
+    // sorts in-row, and indexes the lower median — no percentile
+    // aggregate, no full-partition sort. The same explicit formula runs
+    // in both engines (DuckDB's median() averages middle pairs, so the
+    // oracle replays the index arithmetic instead).
+    "q98_rolling_median" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(
+          sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-14, Window.currentRow)
+      daily
+        .withColumn("win", sort_array(collect_list(col("v")).over(w)))
+        .withColumn("n_win", size(col("win")))
+        .withColumn("med",
+          element_at(col("win"), ((col("n_win") + 1) / 2).cast("int")))
+        .select("event_type", "day", "v", "n_win", "med")
+        .orderBy("event_type", "day")
+    }),
+
+    // Rolling z-score anomaly flags — mean/variance over the TRAILING
+    // 14 days (current day excluded, so a spike can't mask itself),
+    // variance from decimal-exact Σv and Σv² via the explicit
+    // (Σv² − (Σv)²/n)/(n−1) identity rather than an incremental window
+    // stddev whose accumulation order differs between engines.
+    "q99_rolling_zscore" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(
+          sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+        .withColumn("vd", col("v").cast("decimal(18,6)"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-14, -1)
+      val s1c = sum(col("vd")).over(w).cast("double")
+      val s2c = sum((col("vd") * col("vd")).cast("decimal(38,12)")).over(w)
+        .cast("double")
+      val nW = count(col("vd")).over(w).cast("double")
+      daily
+        .withColumn("n_ref", nW.cast("int"))
+        .withColumn("mean_ref",
+          when(nW >= 2, s1c / nW))
+        .withColumn("var_ref",
+          when(nW >= 2, (s2c - s1c * s1c / nW) / (nW - 1.0)))
+        .withColumn("z",
+          when(col("var_ref") > 0,
+            round((col("v") - col("mean_ref")) / sqrt(col("var_ref")), 4)))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 3.0, lit(false)))
+        .select(col("event_type"), col("day"), col("v"), col("n_ref"),
+          round(col("mean_ref"), 6).as("mean_ref"), col("z"),
+          col("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // NDJSON (JSON-Lines) ingestion — the interchange format web-corpus
+    // dumps actually arrive in (one JSON object per line, splittable,
+    // unlike the claims loader's multiLine arrays): round-trip a doc
+    // subset through .json(), plant one deterministically corrupt line,
+    // and census the read-back per lang with PERMISSIVE corrupt-record
+    // isolation (the O20 recovery contract on the line-delimited path).
+    // The corrupt row surfaces as the NULL-lang group with its raw line
+    // preserved — counted, never dropped, never failing the batch.
+    "q100_jsonl_ingest" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q100", Paths.get(dir).getFileName.toString)
+      t(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(scratch.toString)
+      Files.write(scratch.resolve("zz_corrupt.json"),
+        "{\"doc_id\": 999999, \"lang\": BROKEN}\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, " +
+          "_corrupt_record STRING")
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(scratch.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("_corrupt_record").isNotNull).as("n_corrupt"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q100_jsonl_ingest" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 200 GROUP BY lang
+        |UNION ALL
+        |SELECT NULL, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q97_skew_census" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |hist AS (
+        |  SELECT CAST(floor(log2(n)) AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(min(n) AS BIGINT) AS min_n,
+        |    CAST(max(n) AS BIGINT) AS max_n
+        |  FROM cnt GROUP BY 1)
+        |SELECT bucket, n_keys, n_rows, min_n, max_n,
+        |  round(CAST(n_rows AS DOUBLE)
+        |    / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS row_share,
+        |  round(CAST(sum(n_rows) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS cum_heavy_share
+        |FROM hist ORDER BY bucket""".stripMargin,
+
+    "q98_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, v,
+        |    list_sort(list(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily)
+        |SELECT event_type, day, v,
+        |  CAST(len(win) AS INTEGER) AS n_win,
+        |  win[CAST((len(win) + 1) // 2 AS INTEGER)] AS med
+        |FROM win ORDER BY event_type, day""".stripMargin,
+
+    "q99_rolling_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |winstats AS (
+        |  SELECT event_type, day, v,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))
+        |      AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2,
+        |    CAST(count(v) OVER w AS DOUBLE) AS n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT event_type, day, v, CAST(n AS INTEGER) AS n_ref,
+        |    CASE WHEN n >= 2 THEN s1 / n END AS mean_ref,
+        |    CASE WHEN n >= 2 THEN (s2 - s1 * s1 / n) / (n - 1.0) END
+        |      AS var_ref
+        |  FROM winstats)
+        |SELECT event_type, day, v, n_ref,
+        |  round(mean_ref, 6) AS mean_ref,
+        |  CASE WHEN var_ref > 0
+        |    THEN round((v - mean_ref) / sqrt(var_ref), 4) END AS z,
+        |  coalesce(CASE WHEN var_ref > 0
+        |    THEN abs(round((v - mean_ref) / sqrt(var_ref), 4)) > 3.0 END,
+        |    FALSE) AS is_anomaly
+        |FROM scored ORDER BY event_type, day""".stripMargin,
+
     "q93_hll_distinct" -> {
       val h = Tables.duckMd5Pack("CAST(l_orderkey AS VARCHAR)")
       s"""WITH hashed AS (

@@ -112,6 +112,91 @@ class Round5cSpec extends AnyFunSuite {
     }
   }
 
+  test("q97: histogram partitions the key population; shares reconcile") {
+    val rows = q("q97_skew_census").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getLong(1)).sum
+    val exact = Tables.t(spark, Sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(keys === exact, "histogram drops or double-counts keys")
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "min_n > max_n")
+      // bucket b holds counts in [2^b, 2^(b+1))
+      val b = r.getInt(0)
+      assert(r.getLong(3) >= (1L << b) && r.getLong(4) < (1L << (b + 1)))
+    }
+    // cumulative-from-heavy share reaches 1.0 at the lightest bucket
+    val lightest = rows.minBy(_.getInt(0))
+    assert(math.abs(lightest.getDouble(6) - 1.0) < 1e-4)
+  }
+
+  test("q98: rolling median is a window member and robust to the frame") {
+    val rows = q("q98_rolling_median").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val series = rs.sortBy(_._2)
+      series.zipWithIndex.foreach { case ((_, _, _, nWin, med), i) =>
+        val window = series.slice(math.max(0, i - 14), i + 1).map(_._3)
+        assert(nWin === window.length)
+        // the lower median is an actual member of the window
+        assert(window.contains(med), s"median $med not in window")
+        val sorted = window.sorted
+        assert(med === sorted((window.length - 1) / 2))
+      }
+    }
+  }
+
+  test("q99: z-scores reconcile with a direct trailing-window model") {
+    val rows = q("q99_rolling_zscore").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getInt(3), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val series = rs.sortBy(_._2)
+      // first row has no reference window → no z, never anomalous
+      assert(series.head._5.isEmpty && !series.head._6)
+      series.zipWithIndex.foreach { case ((_, _, v, nRef, z, flag), i) =>
+        val ref = series.slice(math.max(0, i - 14), i).map(_._3)
+        assert(nRef === ref.length)
+        if (ref.length >= 2 && z.nonEmpty) {
+          val mean = ref.sum / ref.length
+          val varr = ref.map(x => (x - mean) * (x - mean)).sum / (ref.length - 1)
+          if (varr > 0) {
+            val zModel = (v - mean) / math.sqrt(varr)
+            assert(math.abs(z.get - zModel) < 1e-3,
+              s"z ${z.get} vs model $zModel")
+            assert(flag === (math.abs(z.get) > 3.0))
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked > 50, s"only $checked z-scores checked")
+  }
+
+  test("q100: JSONL round-trip preserves the census; corrupt line isolated") {
+    val rows = q("q100_jsonl_ingest").collect()
+    val byLang = rows.map(r => (if (r.isNullAt(0)) null else r.getString(0))
+      -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the planted corrupt line is its own NULL-lang group: counted once,
+    // flagged once, and it never aborts the read
+    assert(byLang(null) === ((1L, 1L)))
+    val expected = Tables.t(spark, Sf, "documents")
+      .filter(col("doc_id") < 200)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (lang, n) =>
+      assert(byLang(lang) === ((n, 0L)), s"lang $lang census drifted")
+    }
+    assert(rows.length === expected.size + 1)
+  }
+
   test("t23: diversity ratios obey their algebraic bounds") {
     val rows = q("t23_lexical_diversity").collect()
     assert(rows.nonEmpty)
