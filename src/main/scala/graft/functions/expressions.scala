@@ -188,6 +188,75 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2-normalize an array<float|double> column to unit length in ONE pass:
+  * norm accumulates sequentially (index order — the fold `VectorOps.dot`
+  * and DuckDB's list_dot_product perform), then each element divides by
+  * it. Replaces `transform(e0, x => x / norm(e0))`, which is quadratic:
+  * the optimizer's CollapseProject inlines a hoisted norm column back
+  * into the lambda (its static reference count is 1), and an interpreted
+  * HOF body re-evaluates the whole norm aggregate once PER ELEMENT.
+  * A zero vector yields NaN elements, any null element nulls the whole
+  * output array — both exactly the HOF formulation's semantics.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "l2_normalize"
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> argument, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    L2Normalize.normalize(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.L2Normalize.normalize($a, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): L2Normalize =
+    copy(child = c)
+}
+
+object L2Normalize {
+  /** Static entry shared by the interpreted and generated paths. */
+  def normalize(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) {
+        // HOF parity: one null element nulls the norm, so every output
+        // element is null
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n))
+      }
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ss += v * v
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v / nrm
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 /** Sign-random-projection LSH bucket of an embedding column: for each
   * hyperplane row of `planes`, the sign of the dot product contributes one
   * bit; the packed bit pattern is the bucket id.
@@ -359,6 +428,9 @@ object GraftFunctions {
     graftbridge.column(
       L2Sq(graftbridge.expression(a), graftbridge.expression(b)))
 
+  def l2Normalize(c: Column): Column =
+    graftbridge.column(L2Normalize(graftbridge.expression(c)))
+
   def krFingerprint(c: Column): Column =
     graftbridge.column(KarpRabin(graftbridge.expression(c)))
 
@@ -399,6 +471,7 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
     "l2_sq" -> (exprs => L2Sq(exprs(0), exprs(1))),
+    "l2_normalize" -> (exprs => L2Normalize(exprs.head)),
     "kr_fingerprint" -> (exprs => KarpRabin(exprs.head)),
     "md5_pack" -> (exprs => Md5Pack(exprs.head)),
     "shingles_of" -> (exprs =>

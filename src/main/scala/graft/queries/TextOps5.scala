@@ -165,18 +165,26 @@ object TextOps5 {
       // L2-normalize first: on unit vectors ‖p−c‖² = 2 − 2·cos, so the
       // PQ-estimated L2 ordering approximates the cosine ordering the
       // exact baseline (s1) and the recall witness (s4) use.
-      // Hoist the norm to its own column: inlined in the transform
-      // lambda it would re-evaluate the HOF dot once PER ELEMENT (64×
-      // per row — measured as a large share of the prep cost). Same
-      // doubles, one evaluation.
-      val raw = graft.functions.VectorOps.toDouble(col("embedding"))
+      // One-pass codegen'd normalization: the HOF form re-evaluated the
+      // norm aggregate per element (CollapseProject inlines any hoisted
+      // norm column back into the lambda — static refcount 1).
       val vecs = t(spark, dir, "embeddings")
         .filter(col("embedding").isNotNull)
-        .select(col("vec_id"), raw.as("e0"))
-        .withColumn("nrm", graft.functions.VectorOps.norm(col("e0")))
         .select(col("vec_id"),
-          transform(col("e0"), x => x / col("nrm")).as("emb"))
-      val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
+          graft.functions.GraftFunctions.l2Normalize(col("embedding"))
+            .as("emb"))
+      // Codebook ids depend only on vec_id: collect the 16 md5-smallest
+      // (bounded, the IVF-centroid device) and FILTER before the
+      // normalize projection — the codebook action normalizes 16 rows,
+      // not the corpus; at 100 TB that is a whole pass saved.
+      val cbIds = t(spark, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.Md5Pack(col("vec_id").cast("string")).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(16)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val cb = graft.operators.AnnPq.codebook(
+        vecs.filter(col("vec_id").isin(cbIds: _*)), "vec_id", "emb", 16)
       val cands = graft.operators.AnnPq
         .withReconstruction(vecs, "emb", cb, m = 32)
         .select(col("vec_id").as("cand_id"), col("recon"))

@@ -108,14 +108,17 @@ object TextOps6 {
     // LSH buckets saturate.
     "d20_semantic_block_dedup" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
-      // norm hoisted to a column — inlined in the lambda it re-evaluates
-      // per element (the s5 lesson); same doubles, one evaluation
-      val raw = graft.functions.VectorOps.toDouble(col("embedding"))
-      val vecs = e.select(col("vec_id"), raw.as("e0"))
-        .withColumn("nrm", graft.functions.VectorOps.norm(col("e0")))
-        .select(col("vec_id"),
-          transform(col("e0"), x => x / col("nrm")).as("emb"))
-      val cb = graft.operators.AnnPq.codebook(vecs, "vec_id", "emb", 16)
+      // one-pass codegen'd normalize + bounded-id codebook filter — the
+      // s5 devices (see TextOps5 for why the HOF/hoist forms regress)
+      val vecs = e.select(col("vec_id"),
+        graft.functions.GraftFunctions.l2Normalize(col("embedding"))
+          .as("emb"))
+      val cbIds = e.select(col("vec_id"),
+          graft.functions.Md5Pack(col("vec_id").cast("string")).as("_h"))
+        .orderBy(col("_h"), col("vec_id")).limit(16)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val cb = graft.operators.AnnPq.codebook(
+        vecs.filter(col("vec_id").isin(cbIds: _*)), "vec_id", "emb", 16)
       val coded = graft.operators.AnnPq.withCodes(vecs, "emb", cb, m = 4)
         .select(col("vec_id"),
           array_join(col("codes").cast("array<string>"), "-").as("ckey"))

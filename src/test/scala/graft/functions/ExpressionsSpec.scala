@@ -47,6 +47,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(same.select(GraftFunctions.l2Sq(col("a"), col("b"))).first().getDouble(0) === 0.0)
   }
 
+  test("L2Normalize is bit-identical to the transform/norm HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(_ =>
+      Tuple1(Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("a")
+    val e0 = VectorOps.toDouble(col("a"))
+    val hof = transform(e0, x => x / VectorOps.norm(e0))
+    val diffs = df.select(
+        GraftFunctions.l2Normalize(col("a")).as("fast"), hof.as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("L2Normalize null/zero semantics match the HOF formulation") {
+    import spark.implicits._
+    // null input → null output
+    val nulls = Seq(Tuple1(null: Array[Double])).toDF("a")
+    assert(nulls.select(GraftFunctions.l2Normalize(col("a"))).first().isNullAt(0))
+    // zero vector → NaN elements (0/0), exactly like the HOF division
+    val zero = Seq(Tuple1(Array(0.0, 0.0))).toDF("a")
+    val z = zero.select(GraftFunctions.l2Normalize(col("a"))).first()
+      .getSeq[Double](0)
+    assert(z.forall(_.isNaN))
+    // a null ELEMENT nulls every output element (null norm propagates)
+    val withNullElem = Seq(Tuple1(Array[java.lang.Double](1.0, null, 2.0)))
+      .toDF("a")
+    val r = withNullElem.select(GraftFunctions.l2Normalize(col("a"))).first()
+      .getSeq[Any](0)
+    assert(r.forall(_ == null))
+  }
+
   test("CosineSim handles double arrays and null inputs") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0)))
