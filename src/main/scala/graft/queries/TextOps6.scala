@@ -137,6 +137,32 @@ object TextOps6 {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup yield curve — the economics view of dedup over arriving
+    // batches: each unique content hash is attributed to the batch that
+    // FIRST contributed it (min-batch per hash, one map-side-combinable
+    // aggregation), giving per-batch new-unique counts, the cumulative
+    // distinct curve, and the duplicate rate. The window runs on the
+    // batch frame (bounded by batch count), never the corpus; this is
+    // the report that decides whether the next crawl increment is still
+    // worth ingesting.
+    "d21_dedup_yield" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(expr("CAST(doc_id div 100 AS INT)").as("batch"),
+          md5(col("text")).as("h"))
+      val perBatch = docs.groupBy("batch").agg(count(lit(1)).as("n_docs"))
+      val firstPer = docs.groupBy("h").agg(min("batch").as("first_batch"))
+        .groupBy(col("first_batch").as("batch"))
+        .agg(count(lit(1)).as("n_new_unique"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("batch")
+      perBatch.join(firstPer, Seq("batch"), "left")
+        .withColumn("n_new_unique", coalesce(col("n_new_unique"), lit(0L)))
+        .withColumn("cum_unique", sum("n_new_unique").over(wCum))
+        .withColumn("dup_rate", round(lit(1.0) -
+          col("n_new_unique").cast("double") / col("n_docs"), 6))
+        .orderBy("batch")
+    }),
+
     // Lexical diversity: per-doc token frequency spectrum folded to
     // type-token ratio, Simpson concentration, and top-token share.
     // Integer counts cross the shuffle; divisions happen once per doc.
@@ -269,6 +295,28 @@ object TextOps6 {
          |JOIN vecs vb ON vb.vec_id = b.vec_id
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    "d21_dedup_yield" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id // 100 AS INTEGER) AS batch, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |pb AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1),
+        |fp AS (
+        |  SELECT first_batch AS batch,
+        |    CAST(count(*) AS BIGINT) AS n_new_unique
+        |  FROM (SELECT h, min(batch) AS first_batch FROM d GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT pb.batch, n_docs,
+        |  coalesce(n_new_unique, 0) AS n_new_unique,
+        |  CAST(sum(coalesce(n_new_unique, 0)) OVER (ORDER BY pb.batch)
+        |    AS BIGINT) AS cum_unique,
+        |  round(CAST(1 AS DOUBLE)
+        |    - CAST(coalesce(n_new_unique, 0) AS DOUBLE) / n_docs, 6)
+        |    AS dup_rate
+        |FROM pb LEFT JOIN fp USING (batch)
+        |ORDER BY batch""".stripMargin,
 
     "t23_lexical_diversity" ->
       """WITH freq AS (

@@ -209,6 +209,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "prefix sum lost its range repartition")
   }
 
+  test("s6's rank lists come from bounded aggregates, not windows") {
+    // Both retrieval legs (BM25 and cosine) select their top-100 through
+    // the bounded min-k aggregate; a Window here would mean a global
+    // row_number sort over the scored corpus regressed back in.
+    val p = plan("s6_hybrid_rrf")
+    assert(!p.contains("Window"), "s6 plans a Window over scored docs")
+    assert(p.contains("min_k"), "s6 no longer ranks through min-k")
+  }
+
+  test("q93's HLL registers aggregate without windows or Expand") {
+    // The estimate side is (flag, register) → max(rank): two hash
+    // aggregations. Only the exact-count witness column may Expand.
+    val p = plan("q93_hll_distinct")
+    assert(!p.contains("Window"), "q93 plans a Window")
+  }
+
+  test("q96's bitmap distinct never falls back to count-distinct Expand") {
+    // bit_or bitmaps are the POINT (mergeable, 64x smaller than the
+    // input); a countDistinct rewrite would reintroduce the Expand fan-
+    // out and lose re-aggregatability.
+    val p = plan("q96_bitmap_distinct")
+    assert(!p.contains("Expand"), "q96 regressed to count-distinct Expand")
+    assert(p.contains("bit_or"), "q96 lost its bitmap aggregation")
+  }
+
+  test("d20 blocks pairs via aggregates — no window, no cross join") {
+    val p = plan("d20_semantic_block_dedup")
+    assert(!p.contains("Window"), "d20 plans a Window")
+    assert(!p.contains("CartesianProduct"), "d20 plans a cartesian")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)

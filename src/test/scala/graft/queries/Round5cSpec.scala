@@ -197,6 +197,25 @@ class Round5cSpec extends AnyFunSuite {
     assert(rows.length === expected.size + 1)
   }
 
+  test("d21: yield curve reconciles with direct distinct counts") {
+    val rows = q("d21_dedup_yield").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docs = Tables.t(spark, Sf, "documents").filter(col("text").isNotNull)
+    assert(rows.map(_._2).sum === docs.count())
+    val totalUnique = docs.select(md5(col("text"))).distinct().count()
+    assert(rows.last._4 === totalUnique, "cumulative curve misses uniques")
+    var cum = 0L
+    rows.foreach { case (_, nDocs, nNew, cumU, dupRate) =>
+      assert(nNew <= nDocs)
+      cum += nNew
+      assert(cumU === cum, "cumulative sum broken")
+      assert(dupRate >= 0.0 && dupRate <= 1.0)
+      assert(math.abs(dupRate - (1.0 - nNew.toDouble / nDocs)) < 1e-6)
+    }
+  }
+
   test("t23: diversity ratios obey their algebraic bounds") {
     val rows = q("t23_lexical_diversity").collect()
     assert(rows.nonEmpty)
