@@ -305,9 +305,58 @@ object Analytics7 {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
     }),
+
+    // Referential-integrity audit — the warehouse-quality census over
+    // every FK edge of the star schema: per edge, the non-null child key
+    // count and the orphan count via a LEFT ANTI join (the exact
+    // complement of q7's semi join). Each anti join shuffles (or
+    // broadcasts, dim-sized) on its key — the same shape the joins
+    // themselves take, so the audit costs what one pass of the joins
+    // costs. The harness data is referentially clean on every edge
+    // (including events→customer: user ids are a custkey subset), so the
+    // all-zero orphan column is a VERIFIED result — the spec plants a
+    // broken edge to prove the formulation reports violations when they
+    // exist.
+    "q101_fk_audit" -> ((spark, dir) => {
+      FkEdges.map { case (label, ct, ck, pt, pk) =>
+        val child = t(spark, dir, ct).filter(col(ck).isNotNull)
+        val orphans = child.select(col(ck).as("k"))
+          .join(t(spark, dir, pt).select(col(pk).as("k")), Seq("k"),
+            "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(label).as("edge"), col("n_child"), col("n_orphans"))
+      }.reduce(_.unionByName(_)).orderBy("edge")
+    }),
   )
 
+  /** FK edges audited by q101 — one shared definition drives BOTH the
+    * Spark plan and the generated oracle SQL.
+    * (edge label, child table, child key, parent table, parent key)
+    */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
   val oracleSql: Map[String, String] = Map(
+    "q101_fk_audit" -> {
+      val rows = FkEdges.map { case (label, ct, ck, pt, pk) =>
+        s"""SELECT '$label' AS edge,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $ct
+           |   WHERE $ck IS NOT NULL) AS n_child,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $ct c
+           |   WHERE c.$ck IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+
     "q100_jsonl_ingest" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(0 AS BIGINT) AS n_corrupt,

@@ -216,6 +216,33 @@ class Round5cSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: audit reports clean edges as clean and broken edges as broken") {
+    val rows = q("q101_fk_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 8)
+    // harness data is referentially clean — every orphan count must be a
+    // VERIFIED zero, with child counts matching the direct census
+    rows.foreach { case (edge, _, orphans) =>
+      assert(orphans === 0L, s"$edge reports $orphans orphans on clean data")
+    }
+    val li = Tables.t(spark, Sf, "lineitem").count()
+    assert(rows.map { case (e, n, _) => e -> n }.toMap
+      .apply("lineitem.l_orderkey->orders") === li)
+    // the same anti-join formulation MUST surface violations when they
+    // exist: drop half the parent side and recount one edge
+    import org.apache.spark.sql.functions.col
+    val child = Tables.t(spark, Sf, "orders")
+      .filter(col("o_custkey").isNotNull)
+    val halfParent = Tables.t(spark, Sf, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+    val orphans = child.select(col("o_custkey").as("k"))
+      .join(halfParent.select(col("c_custkey").as("k")), Seq("k"), "left_anti")
+      .count()
+    val direct = child.filter(col("o_custkey") % 2 =!= 0).count()
+    assert(orphans === direct && orphans > 0,
+      s"planted violation not detected ($orphans vs $direct)")
+  }
+
   test("t23: diversity ratios obey their algebraic bounds") {
     val rows = q("t23_lexical_diversity").collect()
     assert(rows.nonEmpty)
