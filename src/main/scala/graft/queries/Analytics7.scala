@@ -306,6 +306,56 @@ object Analytics7 {
         .orderBy("lang")
     }),
 
+    // Per-group trend estimation — least-squares slope/intercept/R² of
+    // the daily value series against a day index, from EXACT sums: x is
+    // an integer day offset, v is DECIMAL-fixed, so Σx, Σv, Σxv, Σx²,
+    // Σv² are all exact and the normal-equation arithmetic happens once
+    // in double at the end — deterministic where a built-in regr_slope's
+    // float co-moment merge is partition-order-dependent. The daily
+    // frame is bounded (days × types); the sums are one map-side-
+    // combinable aggregation over it.
+    "q102_trend_slope" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(
+          sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+        .withColumn("x", datediff(col("day"), to_date(lit("2025-01-01"))))
+        .withColumn("vd", col("v").cast("decimal(18,6)"))
+      daily.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("x").cast("long")).as("sx"),
+          sum(col("x").cast("long") * col("x").cast("long")).as("sxx"),
+          sum(col("vd")).as("sv"),
+          sum((col("vd") * col("vd")).cast("decimal(38,12)")).as("svv"),
+          sum((col("x").cast("decimal(10,0)") * col("vd"))
+            .cast("decimal(38,6)")).as("sxv"))
+        .select(
+          col("event_type"), col("n_days"),
+          round((col("n_days") * col("sxv").cast("double") -
+            col("sx") * col("sv").cast("double")) /
+            (col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6).as("slope"),
+          round((col("sv").cast("double") -
+            ((col("n_days") * col("sxv").cast("double") -
+              col("sx") * col("sv").cast("double")) /
+              (col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) * col("sx")) /
+            col("n_days"), 6).as("intercept"),
+          round(
+            ((col("n_days") * col("sxv").cast("double") -
+              col("sx") * col("sv").cast("double")) *
+              (col("n_days") * col("sxv").cast("double") -
+                col("sx") * col("sv").cast("double"))) /
+            ((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_days") * col("svv").cast("double") -
+                col("sv").cast("double") * col("sv").cast("double"))), 6)
+            .as("r2"))
+        .orderBy("event_type")
+    }),
+
     // Referential-integrity audit — the warehouse-quality census over
     // every FK edge of the star schema: per edge, the non-null child key
     // count and the orphan count via a LEFT ANTI join (the exact
@@ -356,6 +406,39 @@ object Analytics7 {
       }
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
     },
+
+    "q102_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2025-01-01', day) AS x,
+        |    CAST(v AS DECIMAL(18,6)) AS vd
+        |  FROM daily),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(vd) AS sv,
+        |    sum(CAST(vd * vd AS DECIMAL(38,12))) AS svv,
+        |    sum(CAST(CAST(x AS DECIMAL(10,0)) * vd AS DECIMAL(38,6))) AS sxv
+        |  FROM pts GROUP BY 1),
+        |terms AS (
+        |  SELECT event_type, n,
+        |    n * CAST(sxv AS DOUBLE) - sx * CAST(sv AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |    CAST(sv AS DOUBLE) AS svd, sx,
+        |    n * CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS vden
+        |  FROM sums)
+        |SELECT event_type, n AS n_days,
+        |  round(num / den, 6) AS slope,
+        |  round((svd - (num / den) * sx) / n, 6) AS intercept,
+        |  round((num * num) / (den * vden), 6) AS r2
+        |FROM terms ORDER BY event_type""".stripMargin,
 
     "q100_jsonl_ingest" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

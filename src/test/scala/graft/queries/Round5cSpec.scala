@@ -243,6 +243,31 @@ class Round5cSpec extends AnyFunSuite {
       s"planted violation not detected ($orphans vs $direct)")
   }
 
+  test("q102: trend fits reconcile with a direct least-squares model") {
+    val rows = q("q102_trend_slope").collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.t(spark, Sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+        .cast("double") / count(lit(1)), 6).as("v"))
+      .withColumn("x", datediff(col("day"), to_date(lit("2025-01-01"))))
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (et, n, slope, icept, r2) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val pts = daily(et).map(p => (p._2.toDouble, p._3))
+      assert(n === pts.length)
+      val (mx, mv) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val sxy = pts.map(p => (p._1 - mx) * (p._2 - mv)).sum
+      val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      assert(math.abs(slope - sxy / sxx) < 1e-4, s"$et slope drifted")
+      assert(math.abs(icept - (mv - sxy / sxx * mx)) < 1e-2,
+        s"$et intercept drifted")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$et r2 $r2 out of range")
+    }
+  }
+
   test("t23: diversity ratios obey their algebraic bounds") {
     val rows = q("t23_lexical_diversity").collect()
     assert(rows.nonEmpty)
