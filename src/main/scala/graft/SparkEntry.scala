@@ -25,12 +25,14 @@ object SparkEntry {
       graft.queries.Analytics5.queries ++
       graft.queries.Analytics6.queries ++
       graft.queries.Analytics7.queries ++
+      graft.queries.Analytics8.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
       graft.queries.TextOps4.queries ++
       graft.queries.TextOps5.queries ++
-      graft.queries.TextOps6.queries
+      graft.queries.TextOps6.queries ++
+      graft.queries.TextOps7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -46,10 +48,12 @@ object SparkEntry {
       graft.queries.Analytics5.oracleSql ++
       graft.queries.Analytics6.oracleSql ++
       graft.queries.Analytics7.oracleSql ++
+      graft.queries.Analytics8.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
       graft.queries.TextOps4.oracleSql ++
       graft.queries.TextOps5.oracleSql ++
-      graft.queries.TextOps6.oracleSql
+      graft.queries.TextOps6.oracleSql ++
+      graft.queries.TextOps7.oracleSql
 }

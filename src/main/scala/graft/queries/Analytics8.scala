@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 relational additions, batch 4 (SURVEY.md §2.4):
+  *
+  *  - q103: Merkle-style replica reconciliation — the anti-entropy
+  *    primitive behind cross-region table sync at 100 TB. Each replica is
+  *    folded to (bucket → row-count, XOR of row fingerprints); only
+  *    buckets whose digests disagree surface, so the network cost of a
+  *    full-table diff collapses from O(rows) to O(buckets + skew). Both
+  *    digests are map-side-combinable aggregates over one scan each; XOR
+  *    is order-free, so no sort anywhere.
+  *  - q104: half-life decay aggregation — time-decayed customer value,
+  *    the standard recency feature for training pipelines. The decay
+  *    weight is 0.5^(age div 90): an EXACT power of two, so the
+  *    double multiply never rounds and both engines agree bit-for-bit
+  *    before the per-row round→DECIMAL makes the sum order-free.
+  */
+object Analytics8 {
+  import Tables.t
+
+  /** Deterministic "replica drift" for q103, derived purely from the key
+    * hash so both engines reproduce it: ~1% of rows deleted (kh%97==0),
+    * ~1% price-corrupted (kh%89==1).
+    */
+  private val DropMod = 97
+  private val CorruptMod = 89
+  private val Buckets = 512
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Replica reconciliation: fingerprint each row canonically
+    // (key|custkey|status|price as DECIMAL(18,2) text — a rendering both
+    // engines share), bucket rows by key-hash, and compare per-bucket
+    // (count, XOR-digest) across the two replicas. Only differing
+    // buckets are emitted, classified count_skew vs content_skew. At
+    // scale each side is one scan + one bounded-width aggregation; the
+    // join is on the bucket id (Buckets rows per side).
+    "q103_bucket_reconcile" -> ((spark, dir) => {
+      val base = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          graft.functions.Md5Pack(col("o_orderkey").cast("string")).as("kh"))
+      def digest(df: DataFrame): DataFrame = df
+        .select((col("kh") % Buckets).as("bucket"),
+          graft.functions.Md5Pack(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("price"), 2).cast("decimal(18,2)").cast("string")))
+            .as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      val a = digest(base.withColumn("price", col("o_totalprice")))
+      val b = digest(base
+        .filter(col("kh") % DropMod =!= 0)
+        .withColumn("price",
+          when(col("kh") % CorruptMod === 1, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))))
+      a.select(col("bucket"), col("n").as("n_a"), col("x").as("x_a"))
+        .join(b.select(col("bucket"), col("n").as("n_b"), col("x").as("x_b")),
+          Seq("bucket"), "full_outer")
+        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+        .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+        .filter(col("n_a") =!= col("n_b") ||
+          !(col("x_a") <=> col("x_b")))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          when(col("n_a") =!= col("n_b"), lit("count_skew"))
+            .otherwise(lit("content_skew")).as("status"))
+        .orderBy("bucket")
+    }),
+
+    // Half-life decayed customer value: weight = 0.5^(age_days div 90)
+    // relative to the corpus anchor date. Power-of-two weights keep the
+    // per-row product exact across engines; round→DECIMAL before the sum
+    // makes aggregation order immaterial. One map-side-combinable
+    // aggregation over one scan — the shape survives any scale factor.
+    "q104_decay_halflife" -> ((spark, dir) =>
+      t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") *
+            pow(lit(0.5), expr(
+              "datediff(DATE'2001-08-01', CAST(o_orderdate AS DATE)) div 90")),
+            6).cast("decimal(28,6)").as("term"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("term").as("decayed_value"),
+          max(col("o_orderdate").cast("date")).as("last_order"))
+        .orderBy("o_custkey")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q103_bucket_reconcile" -> {
+      def digest(pricePred: String, filter: String) =
+        s"""SELECT kh % $Buckets AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    bit_xor(${Tables.duckMd5Pack(
+               s"concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+                 s"CAST(CAST(round($pricePred, 2) AS DECIMAL(18,2)) AS VARCHAR))")}) AS x
+           |  FROM base $filter GROUP BY 1""".stripMargin
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |    ${Tables.duckMd5Pack("CAST(o_orderkey AS VARCHAR)")} AS kh
+         |  FROM orders),
+         |a AS (
+         |  ${digest("o_totalprice", "")}),
+         |b AS (
+         |  ${digest(
+             s"o_totalprice + CASE WHEN kh % $CorruptMod = 1 THEN 1.0 ELSE 0.0 END",
+             s"WHERE kh % $DropMod <> 0")})
+         |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |  coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+         |  CASE WHEN coalesce(a.n, 0) <> coalesce(b.n, 0) THEN 'count_skew'
+         |       ELSE 'content_skew' END AS status
+         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+         |WHERE coalesce(a.n, 0) <> coalesce(b.n, 0)
+         |   OR a.x IS DISTINCT FROM b.x
+         |ORDER BY bucket""".stripMargin
+    },
+
+    "q104_decay_halflife" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(CAST(round(o_totalprice * power(0.5,
+        |      date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01')
+        |        // 90), 6) AS DECIMAL(28,6))) AS decayed_value,
+        |  max(CAST(o_orderdate AS DATE)) AS last_order
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+  )
+}

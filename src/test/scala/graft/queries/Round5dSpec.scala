@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the q103/q104/s7 batch: the reconciliation digest
+  * finds exactly the injected drift, the decay weights obey their
+  * power-of-two algebra, and the k-NN vote is well-formed.
+  */
+class Round5dSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q103: digest diff accounts for exactly the injected drift") {
+    val rows = q("q103_bucket_reconcile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // deletions only ever remove rows from replica B
+    rows.foreach { case (b, nA, nB, status) =>
+      assert(nA >= nB, s"bucket $b gained rows in the damaged replica")
+      assert(status == (if (nA != nB) "count_skew" else "content_skew"))
+    }
+    // total count delta == number of key-hash-deleted rows
+    val kh = Tables.t(spark, Sf, "orders")
+      .select(graft.functions.Md5Pack(col("o_orderkey").cast("string"))
+        .as("kh"))
+    val deleted = kh.filter(col("kh") % 97 === 0).count()
+    assert(rows.map(r => r._2 - r._3).sum === deleted)
+    // every bucket holding a corrupted-but-not-deleted row must surface
+    val corruptBuckets = kh
+      .filter(col("kh") % 89 === 1 && col("kh") % 97 =!= 0)
+      .select((col("kh") % 512).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(corruptBuckets.subsetOf(rows.map(_._1).toSet))
+  }
+
+  test("q104: decay bounded by raw sum and the 0.5^(age div 90) algebra") {
+    val rows = q("q104_decay_halflife").collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.t(spark, Sf, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ck = r.getLong(0)
+      val dv = r.getDecimal(2).doubleValue()
+      assert(dv > 0.0 && dv <= raw(ck) + 1e-6,
+        s"cust $ck decayed $dv outside (0, ${raw(ck)}]")
+      // max age ~6.6y → smallest weight 0.5^26 > 0: every order contributes
+      assert(dv >= raw(ck) * math.pow(0.5, 27) - 1e-9)
+    }
+  }
+
+  test("s7: one vote row per probe, votes in 1..10, correct flag honest") {
+    val rows = q("s7_knn_classify").collect()
+    val nProbes = Tables.t(spark, Sf, "embeddings")
+      .filter(col("embedding").isNotNull && col("vec_id") % 25 === 0)
+      .count()
+    assert(rows.length.toLong === nProbes)
+    rows.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 10)
+      assert(r.getBoolean(4) === (r.getInt(1) == r.getInt(2)))
+    }
+  }
+}
