@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *    weight is 0.5^(age div 90): an EXACT power of two, so the
   *    double multiply never rounds and both engines agree bit-for-bit
   *    before the per-row round→DECIMAL makes the sum order-free.
+  *  - q105: k-anonymity / l-diversity audit — the pre-release privacy
+  *    gate over a table's quasi-identifiers: every equivalence class
+  *    (nation × segment) reports its size k and the diversity l of the
+  *    sensitive attribute (acctbal binned window-free via floor/1000);
+  *    classes failing k≥10 or l≥3 are the rows a release would have to
+  *    suppress. One map-side-combinable aggregation over one scan.
   */
 object Analytics8 {
   import Tables.t
@@ -86,6 +92,24 @@ object Analytics8 {
           sum("term").as("decayed_value"),
           max(col("o_orderdate").cast("date")).as("last_order"))
         .orderBy("o_custkey")),
+
+    // Privacy audit: per quasi-identifier class, size k and sensitive-
+    // attribute diversity l, with the suppression verdicts a release
+    // pipeline would enforce. The sensitive bin is a row-local floor —
+    // no window, no second shuffle beyond the distinct-aggregate's
+    // standard two-level expansion.
+    "q105_k_anonymity" -> ((spark, dir) =>
+      t(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("sens_bin"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("sens_bin")).as("l_div"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("k_size"),
+          col("l_div"),
+          (col("k_size") >= 10).as("k_anon"),
+          (col("l_div") >= 3).as("l_diverse"))
+        .orderBy("c_nationkey", "c_mktsegment")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -125,5 +149,15 @@ object Analytics8 {
         |        // 90), 6) AS DECIMAL(28,6))) AS decayed_value,
         |  max(CAST(o_orderdate AS DATE)) AS last_order
         |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q105_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS k_size,
+        |  CAST(count(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT)
+        |    AS l_div,
+        |  count(*) >= 10 AS k_anon,
+        |  count(DISTINCT floor(c_acctbal / 1000.0)) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

@@ -52,6 +52,18 @@ class Round5dSpec extends AnyFunSuite {
     }
   }
 
+  test("q105: class sizes partition the table; flags match thresholds") {
+    val rows = q("q105_k_anonymity").collect()
+    val total = Tables.t(spark, Sf, "customer").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      val (k, l) = (r.getLong(2), r.getLong(3))
+      assert(l >= 1 && l <= k)
+      assert(r.getBoolean(4) === (k >= 10))
+      assert(r.getBoolean(5) === (l >= 3))
+    }
+  }
+
   test("s7: one vote row per probe, votes in 1..10, correct flag honest") {
     val rows = q("s7_knn_classify").collect()
     val nProbes = Tables.t(spark, Sf, "embeddings")
