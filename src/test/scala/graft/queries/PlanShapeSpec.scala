@@ -240,6 +240,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "d20 plans a cartesian")
   }
 
+  test("q103/q104/q105 reconcile and aggregate without any Window") {
+    // All three are single-pass aggregation shapes; a Window anywhere
+    // means a global-sort formulation crept in.
+    Seq("q103_bucket_reconcile", "q104_decay_halflife", "q105_k_anonymity")
+      .foreach { name =>
+        assert(!plan(name).contains("Window"), s"$name plans a Window")
+      }
+  }
+
+  test("s7 broadcasts the probe slice and votes through bounded aggregates") {
+    // The corpus scan must stream past a BROADCAST probe set (shuffling
+    // the corpus against 4% probes would be the wrong direction), and
+    // both top-k selections stay bounded aggregates — no Window.
+    val p = plan("s7_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "s7 lost the probe broadcast")
+    assert(!p.contains("Window"), "s7 plans a Window")
+  }
+
   test("scans prune to the referenced columns (q5 reads 3 of 6 order columns)") {
     val p = plan("q5_topk_orders")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
