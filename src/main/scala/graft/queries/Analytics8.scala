@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *    sensitive attribute (acctbal binned window-free via floor/1000);
   *    classes failing k≥10 or l≥3 are the rows a release would have to
   *    suppress. One map-side-combinable aggregation over one scan.
+  *  - q106: incremental aggregate maintenance (IVM) — the base partition
+  *    of a summary and the delta partition are aggregated SEPARATELY and
+  *    merged by combining partial states (count/sum add, avg re-derived
+  *    from the merged sums — never averaged averages). At 100 TB this is
+  *    the difference between re-scanning the world and scanning today's
+  *    delta; the oracle computes the full aggregate directly, proving
+  *    merge-equals-recompute.
   */
 object Analytics8 {
   import Tables.t
@@ -110,6 +117,37 @@ object Analytics8 {
           (col("k_size") >= 10).as("k_anon"),
           (col("l_div") >= 3).as("l_diverse"))
         .orderBy("c_nationkey", "c_mktsegment")),
+
+    // IVM merge: base summary (orders < 2000-01-01) + delta summary
+    // (orders ≥ cutoff) combined by partial-state addition. DECIMAL sums
+    // are order-free, so base+delta lands on exactly the oracle's
+    // full-recompute bits; avg is re-derived from merged sums.
+    "q106_incremental_agg" -> ((spark, dir) => {
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("o_orderdate"),
+          round(col("o_totalprice"), 2).cast("decimal(18,2)").as("p"))
+      def summarize(df: DataFrame): DataFrame = df
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("p").as("s"))
+      val cutoff = lit("2000-01-01").cast("date")
+      val base = summarize(orders.filter(col("o_orderdate") < cutoff))
+      val delta = summarize(orders.filter(col("o_orderdate") >= cutoff))
+      base.select(col("o_orderpriority"), col("o_orderstatus"),
+          col("n").as("n_b"), col("s").as("s_b"))
+        .join(delta.select(col("o_orderpriority"), col("o_orderstatus"),
+          col("n").as("n_d"), col("s").as("s_d")),
+          Seq("o_orderpriority", "o_orderstatus"), "full_outer")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("s_b"), lit(BigDecimal(0)).cast("decimal(28,2)")) +
+            coalesce(col("s_d"), lit(BigDecimal(0)).cast("decimal(28,2)")))
+            .as("total"))
+        .withColumn("avg_price",
+          round(col("total").cast("double") / col("n_orders"), 6))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,5 +197,16 @@ object Analytics8 {
         |  count(DISTINCT floor(c_acctbal / 1000.0)) >= 3 AS l_diverse
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Full recompute — the merged incremental result must land on
+    // exactly these bits.
+    "q106_incremental_agg" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS total,
+        |  round(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |      AS DOUBLE) / count(*), 6) AS avg_price
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
   )
 }

@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   *    the neighbor top-k and the final arg-max run through the bounded
   *    TopKAgg, so nothing global is ever sorted and at most k rows per
   *    probe cross each shuffle.
+  *  - s8: maximum-inner-product search (MIPS) with the norm-augmentation
+  *    reduction — retrieval under UNnormalized scores (recommendation /
+  *    reward-model use cases where magnitude matters). The query reports
+  *    each probe's top-k by raw dot product alongside the rank the
+  *    classic augmented-space reduction assigns (append sqrt(M²−‖x‖²),
+  *    rank by augmented cosine): the agreement column is the oracle-
+  *    checked witness that the reduction preserves MIPS order. Same
+  *    bounded shape as s7 — broadcast probes, min-k aggregates.
   */
 object TextOps7 {
   import Tables.t
 
   private val K = 10
   private val ProbeMod = 25
+  private val MipsProbeMod = 100
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_knn_classify" -> ((spark, dir) => {
@@ -59,6 +68,50 @@ object TextOps7 {
           (col("w")(0)("lbl") === col("true_label")).as("correct"))
         .orderBy("vec_id")
     }),
+
+    "s8_mips" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+        .withColumn("d2",
+          graft.functions.VectorOps.dot(col("emb"), col("emb")))
+      // corpus max squared norm — the augmentation constant (1 row)
+      val m2 = e.agg(max("d2").as("m2"))
+      val probes = e.filter(col("vec_id") % MipsProbeMod === 0)
+        .select(col("vec_id").as("p_id"),
+          concat(col("emb"), array(lit(0.0))).as("p_aug"), col("emb").as("p_emb"))
+      // augment each corpus vector to constant norm sqrt(M2): MIPS order
+      // becomes cosine order in the lifted space
+      val neigh = e.crossJoin(broadcast(m2))
+        .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          concat(col("emb"),
+            array(sqrt(greatest(col("m2") - col("d2"), lit(0.0))))).as("n_aug"))
+      // scored is read by BOTH rank legs — persist once (the d4 recipe)
+      val scored = neigh.crossJoin(broadcast(probes))
+        .filter(col("n_id") =!= col("p_id"))
+        .select(col("p_id"), col("n_id"),
+          round(graft.functions.VectorOps.dot(col("p_emb"), col("n_emb")), 6)
+            .as("dot"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("p_aug"), col("n_aug")), 6).as("augc"))
+        .persist()
+      scored.count()
+      def ranks(score: String, rank: String) = scored
+        .groupBy("p_id")
+        .agg(graft.functions.TopKAgg.minK(
+          struct((-col(score)).as("neg"), col("n_id").as("id")), K).as("top"))
+        .select(col("p_id"), posexplode(col("top")))
+        .select(col("p_id"), col("col.id").as("n_id"),
+          (col("pos") + 1).cast("int").as(rank))
+      ranks("dot", "rank_dot")
+        .join(scored.select("p_id", "n_id", "dot"), Seq("p_id", "n_id"))
+        .join(ranks("augc", "rank_aug"), Seq("p_id", "n_id"), "left")
+        .select(col("p_id"), col("n_id"), col("dot"), col("rank_dot"),
+          col("rank_aug"),
+          coalesce(col("rank_aug") === col("rank_dot"), lit(false))
+            .as("agree"))
+        .orderBy("p_id", "rank_dot")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,5 +145,43 @@ object TextOps7 {
          |    ORDER BY votes DESC, cand) AS rv
          |  FROM votes) WHERE rv = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "s8_mips" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |en AS (
+         |  SELECT vec_id, emb, list_dot_product(emb, emb) AS d2 FROM e),
+         |m AS (SELECT max(d2) AS m2 FROM en),
+         |p AS (
+         |  SELECT vec_id AS p_id, emb AS p_emb,
+         |    list_append(emb, 0.0) AS p_aug
+         |  FROM en WHERE vec_id % $MipsProbeMod = 0),
+         |n AS (
+         |  SELECT vec_id AS n_id, emb AS n_emb,
+         |    list_append(emb, sqrt(greatest(m2 - d2, 0.0))) AS n_aug
+         |  FROM en CROSS JOIN m),
+         |scored AS (
+         |  SELECT p_id, n_id,
+         |    round(list_dot_product(p_emb, n_emb), 6) AS dot,
+         |    round(list_dot_product(p_aug, n_aug) /
+         |      (sqrt(list_dot_product(p_aug, p_aug))
+         |        * sqrt(list_dot_product(n_aug, n_aug))), 6) AS augc
+         |  FROM n CROSS JOIN p WHERE n_id <> p_id),
+         |rd AS (
+         |  SELECT p_id, n_id, dot,
+         |    CAST(row_number() OVER (PARTITION BY p_id
+         |      ORDER BY dot DESC, n_id) AS INTEGER) AS rank_dot
+         |  FROM scored QUALIFY rank_dot <= $K),
+         |ra AS (
+         |  SELECT p_id, n_id,
+         |    CAST(row_number() OVER (PARTITION BY p_id
+         |      ORDER BY augc DESC, n_id) AS INTEGER) AS rank_aug
+         |  FROM scored QUALIFY rank_aug <= $K)
+         |SELECT p_id, n_id, dot, rank_dot, rank_aug,
+         |  coalesce(rank_aug = rank_dot, false) AS agree
+         |FROM rd LEFT JOIN ra USING (p_id, n_id)
+         |ORDER BY p_id, rank_dot""".stripMargin,
   )
 }

@@ -64,6 +64,37 @@ class Round5dSpec extends AnyFunSuite {
     }
   }
 
+  test("q106: merged base+delta partials equal a direct full recompute") {
+    val got = q("q106_incremental_agg").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+    val full = Tables.t(spark, Sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("decimal(18,2)").as("p"))
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("p").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+    assert(got.keySet === full.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert((n, BigDecimal(s)) === (full(k)._1, BigDecimal(full(k)._2)),
+        s"group $k: incremental merge diverged from recompute")
+    }
+  }
+
+  test("s8: K rows per probe; augmented-space ranking preserves MIPS order") {
+    val rows = q("s8_mips").collect()
+    val perProbe = rows.groupBy(_.getLong(0))
+    perProbe.foreach { case (p, rs) =>
+      assert(rs.length === 10, s"probe $p has ${rs.length} rows")
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 10))
+    }
+    // the norm-augmentation reduction is order-preserving up to rounding
+    // ties; on this data it is exact
+    assert(rows.forall(_.getBoolean(5)), "augmented ranking diverged")
+  }
+
   test("s7: one vote row per probe, votes in 1..10, correct flag honest") {
     val rows = q("s7_knn_classify").collect()
     val nProbes = Tables.t(spark, Sf, "embeddings")
