@@ -219,6 +219,49 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("row_j"), col("bucket"), col("c"))
 
+  /** One micro-batch's partial summary states per event_type — count plus
+    * an order-free DECIMAL sum, the mergeable half of the incremental-
+    * view-maintenance law (the streaming counterpart of batch q106).
+    */
+  def summarizeBatch(batch: DataFrame): DataFrame =
+    batch.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 2).cast("decimal(18,2)")).as("s"))
+
+  /** Merge a batch's partials into the running summary by partial-state
+    * addition. Associative and commutative (counts/sums add, DECIMAL is
+    * order-free), so the summary is independent of how the stream was cut
+    * into micro-batches — pinned in EventStreamSpec against a direct
+    * batch recompute. At scale this map lives in a keyed sink (an upsert
+    * target); per-type partials are bounded by the type cardinality.
+    */
+  def mergeSummary(acc: Map[String, (Long, BigDecimal)],
+      partials: Array[org.apache.spark.sql.Row])
+      : Map[String, (Long, BigDecimal)] =
+    partials.foldLeft(acc) { (m, r) =>
+      val k = r.getString(0)
+      val (n0, s0) = m.getOrElse(k, (0L, BigDecimal(0)))
+      m.updated(k, (n0 + r.getLong(1), s0 + BigDecimal(r.getDecimal(2))))
+    }
+
+  /** foreachBatch IVM driver: each micro-batch is folded to its bounded
+    * per-type partials (distributed aggregation), then merged into the
+    * running summary on the sink side; `onUpdate` sees every new summary
+    * image.
+    */
+  def incrementalSummary(events: DataFrame)(
+      onUpdate: Map[String, (Long, BigDecimal)] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var summary = Map.empty[String, (Long, BigDecimal)]
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        summary = mergeSummary(summary, summarizeBatch(batch).collect())
+        onUpdate(summary)
+      }
+      .start()
+  }
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

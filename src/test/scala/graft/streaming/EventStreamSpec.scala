@@ -318,6 +318,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch IVM summary is independent of micro-batch boundaries") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    var images = List.empty[Map[String, (Long, BigDecimal)]]
+    val q = EventStream.incrementalSummary(input.toDF())(s => images ::= s)
+    try {
+      input.addData(batch.take(2): _*)
+      q.processAllAvailable()
+      input.addData(batch.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = images.head
+    // direct recompute over ALL events in one batch — the IVM law says
+    // the two-batch merge must land on the same states
+    val direct = EventStream
+      .summarizeBatch(batch.toDF())
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toMap
+    assert(merged === direct, "incremental merge diverged from recompute")
+    assert(images.length >= 2, "onUpdate not called per micro-batch")
+  }
+
   test("file-based streaming read of the harness events table works end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
