@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   *    the neighbor top-k and the final arg-max run through the bounded
   *    TopKAgg, so nothing global is ever sorted and at most k rows per
   *    probe cross each shuffle.
+  *  - d22: passage-level dedup verdicts — documents are cut into
+  *    16-token chunks at stride 8 (the RAG passage grain) and a chunk
+  *    found verbatim in ≥2 distinct documents marks boilerplate; each
+  *    doc reports its duplicated-chunk ratio and the keep/drop verdict a
+  *    corpus build would apply. Chunking is a row-local native
+  *    sequence/slice transform (no shuffle); the only shuffles are the
+  *    chunk-hash groupBy and the per-doc rollup, both map-side
+  *    combinable, with dup chunks flowing back through a left_semi join.
   *  - s8: maximum-inner-product search (MIPS) with the norm-augmentation
   *    reduction — retrieval under UNnormalized scores (recommendation /
   *    reward-model use cases where magnitude matters). The query reports
@@ -67,6 +75,30 @@ object TextOps7 {
           (-col("w")(0)("nv")).as("votes"),
           (col("w")(0)("lbl") === col("true_label")).as("correct"))
         .orderBy("vec_id")
+    }),
+
+    "d22_passage_dedup" -> ((spark, dir) => {
+      val chunks = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-16, 8), " +
+            "i -> array_join(slice(tk, i+1, 16), ' '))")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+      val shared = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+      val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val dupPer = chunks.join(shared.select("h"), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      perDoc.join(dupPer, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_ratio",
+          round(col("n_dup").cast("double") / col("n_chunks"), 6))
+        .withColumn("keep", col("dup_ratio") < 0.5)
+        .orderBy("doc_id")
     }),
 
     "s8_mips" -> ((spark, dir) => {
@@ -145,6 +177,32 @@ object TextOps7 {
          |    ORDER BY votes DESC, cand) AS rv
          |  FROM votes) WHERE rv = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "d22_passage_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(tk, i+1, i+16), ' ')) AS h
+        |  FROM d, UNNEST(range(0, len(tk)-15, 8)) AS t(i)
+        |  WHERE len(tk) >= 16),
+        |shared AS (
+        |  SELECT h FROM ch GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM ch GROUP BY 1),
+        |dp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM ch JOIN shared USING (h) GROUP BY 1)
+        |SELECT doc_id, n_chunks, coalesce(n_dup, 0) AS n_dup,
+        |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_chunks, 6)
+        |    AS dup_ratio,
+        |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_chunks, 6) < 0.5
+        |    AS keep
+        |FROM pd LEFT JOIN dp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "s8_mips" ->
       s"""WITH e AS (

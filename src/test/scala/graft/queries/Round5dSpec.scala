@@ -95,6 +95,23 @@ class Round5dSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(5)), "augmented ranking diverged")
   }
 
+  test("d22: chunk counts obey the stride formula; verdicts consistent") {
+    val rows = q("d22_passage_dedup").collect()
+    assert(rows.nonEmpty)
+    val expected = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 16)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1) - 16) / 8 + 1)).toMap
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (id, nc, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nc === expected(id).toLong, s"doc $id chunk count")
+      assert(nd >= 0 && nd <= nc)
+      assert(r.getBoolean(4) === (r.getDouble(3) < 0.5))
+    }
+  }
+
   test("s7: one vote row per probe, votes in 1..10, correct flag honest") {
     val rows = q("s7_knn_classify").collect()
     val nProbes = Tables.t(spark, Sf, "embeddings")
