@@ -55,31 +55,19 @@ object Analytics8 {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"),
           graft.functions.Md5Pack(col("o_orderkey").cast("string")).as("kh"))
-      def digest(df: DataFrame): DataFrame = df
-        .select((col("kh") % Buckets).as("bucket"),
-          graft.functions.Md5Pack(concat_ws("|",
+      def digest(df: DataFrame): DataFrame = graft.operators.Reconcile
+        .digest(df,
+          fingerprint = graft.functions.Md5Pack(concat_ws("|",
             col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            round(col("price"), 2).cast("decimal(18,2)").cast("string")))
-            .as("h"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+            round(col("price"), 2).cast("decimal(18,2)").cast("string"))),
+          bucketKey = col("kh") % Buckets)
       val a = digest(base.withColumn("price", col("o_totalprice")))
       val b = digest(base
         .filter(col("kh") % DropMod =!= 0)
         .withColumn("price",
           when(col("kh") % CorruptMod === 1, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice"))))
-      a.select(col("bucket"), col("n").as("n_a"), col("x").as("x_a"))
-        .join(b.select(col("bucket"), col("n").as("n_b"), col("x").as("x_b")),
-          Seq("bucket"), "full_outer")
-        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-        .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
-        .filter(col("n_a") =!= col("n_b") ||
-          !(col("x_a") <=> col("x_b")))
-        .select(col("bucket"), col("n_a"), col("n_b"),
-          when(col("n_a") =!= col("n_b"), lit("count_skew"))
-            .otherwise(lit("content_skew")).as("status"))
-        .orderBy("bucket")
+      graft.operators.Reconcile.diff(a, b).orderBy("bucket")
     }),
 
     // Half-life decayed customer value: weight = 0.5^(age_days div 90)

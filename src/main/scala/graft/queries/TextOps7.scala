@@ -135,9 +135,12 @@ object TextOps7 {
         .select(col("p_id"), posexplode(col("top")))
         .select(col("p_id"), col("col.id").as("n_id"),
           (col("pos") + 1).cast("int").as(rank))
-      ranks("dot", "rank_dot")
+      // both rank frames are bounded (probes × K rows) — broadcast them
+      // so the assembly never shuffles the persisted score frame
+      broadcast(ranks("dot", "rank_dot"))
         .join(scored.select("p_id", "n_id", "dot"), Seq("p_id", "n_id"))
-        .join(ranks("augc", "rank_aug"), Seq("p_id", "n_id"), "left")
+        .join(broadcast(ranks("augc", "rank_aug")),
+          Seq("p_id", "n_id"), "left")
         .select(col("p_id"), col("n_id"), col("dot"), col("rank_dot"),
           col("rank_aug"),
           coalesce(col("rank_aug") === col("rank_dot"), lit(false))
