@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.TextOps4.queries ++
       graft.queries.TextOps5.queries ++
       graft.queries.TextOps6.queries ++
-      graft.queries.TextOps7.queries
+      graft.queries.TextOps7.queries ++
+      graft.queries.TextOps8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.TextOps4.oracleSql ++
       graft.queries.TextOps5.oracleSql ++
       graft.queries.TextOps6.oracleSql ++
-      graft.queries.TextOps7.oracleSql
+      graft.queries.TextOps7.oracleSql ++
+      graft.queries.TextOps8.oracleSql
 }

@@ -329,6 +329,81 @@ case class SrpBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Dense matrix-vector projection of an embedding column: one dot product
+  * per `planes` row, emitted as an array<double> — the random-projection
+  * dimensionality-reduction kernel (Achlioptas ±1 matrices, PCA loadings,
+  * learned projections alike).
+  *
+  * Same fused codegen'd loop as [[SrpBucket]] (which keeps only the sign
+  * bit); accumulation is index-order, so each output element is
+  * bit-identical to DuckDB's `list_dot_product(x, plane_row)` and results
+  * replay exactly in the oracle.
+  */
+case class ProjectVec(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "project_vec"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val f = isFloat
+    val out = new Array[Double](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val m = math.min(w.length, x.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < m) {
+        dot += w(j) * (if (f) x.getFloat(j).toDouble else x.getDouble(j))
+        j += 1
+      }
+      out(p) = dot
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val mat = ctx.addReferenceObj("projPlanes", planes, "double[][]")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val w = ctx.freshName("w")
+      val dot = ctx.freshName("dot")
+      val out = ctx.freshName("out")
+      val get = if (isFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
+      s"""
+         |double[] $out = new double[$mat.length];
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $w = $mat[$p];
+         |  int $m = java.lang.Math.min($w.length, $x.numElements());
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $dot += $w[$j] * $get;
+         |  }
+         |  $out[$p] = $dot;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ProjectVec =
+    copy(child = c)
+}
+
 /** Karp-Rabin rolling polynomial fingerprint of a string: fold over UTF-8
   * bytes, h = (h * 256 + byte) mod (2^31 - 1). The content-defined-chunking
   * primitive for document fingerprinting at scale; deterministic and cheap
@@ -433,6 +508,9 @@ object GraftFunctions {
 
   def krFingerprint(c: Column): Column =
     graftbridge.column(KarpRabin(graftbridge.expression(c)))
+
+  def projectVec(c: Column, planes: Array[Array[Double]]): Column =
+    graftbridge.column(ProjectVec(graftbridge.expression(c), planes))
 
   def nfcNormalize(c: Column): Column =
     graftbridge.column(NfcNormalize(graftbridge.expression(c)))

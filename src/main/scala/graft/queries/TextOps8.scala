@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions, batch 4 (SURVEY.md §2.4):
+  *
+  *  - s9: random-projection dimensionality reduction — the 64-d embedding
+  *    corpus is projected to 16-d through a deterministic Achlioptas ±1
+  *    matrix (md5-seeded signs, rendered ONCE into both engines). The
+  *    projection itself is a map-only pass through the codegen'd
+  *    [[graft.functions.ProjectVec]] kernel — at 100 TB it writes a 4×
+  *    smaller corpus with no shuffle at all. The query's output is the
+  *    JL-lemma witness: for a bounded probe-pair set, squared L2 distance
+  *    in the original space vs the (1/k)-scaled projected space, plus the
+  *    distortion ratio the reduction promises to keep near 1.
+  *  - t24: readability scoring (Flesch reading ease) — words, sentences
+  *    and vowel-group syllables counted with portable (Java∩RE2) regexes,
+  *    folded into the classic 206.835/1.015/84.6 formula with every
+  *    constant rendered once to both engines. Row-local map; the
+  *    latin-script heuristic excludes docs with zero [A-Za-z] words.
+  *  - d23: URL-canonicalization dedup — the metadata-based dedup path a
+  *    web corpus applies before any content hashing: scheme/www/query-
+  *    string/trailing-slash variants collapse to one canonical URL
+  *    (anchored regex rewrites, identical in Java and RE2), then a
+  *    canonical-key groupBy yields cluster size, variant count and the
+  *    min-doc_id keeper. URLs are a deterministic synthetic overlay on
+  *    `documents` (the t10 recipe — the testdata carries no URL column).
+  *  - q107: KMV set-intersection estimate — pre-join cardinality
+  *    estimation from two k-minimum-values sketches (orders custkeys ×
+  *    BUILDING-segment custkeys): the union sketch's k-th minimum hash
+  *    estimates |A∪B|, the sketch's both-sides fraction estimates the
+  *    Jaccard, and their product estimates the join's distinct-key
+  *    intersection — O(k) state per side instead of a full shuffle, with
+  *    the exact counts reported beside the estimates as the accuracy
+  *    witness. Deterministic md5 hashing + the bounded min-k aggregate,
+  *    so the sketch replays exactly in DuckDB (the q38/q44 recipe).
+  */
+object TextOps8 {
+  import Tables.{t, duckMd5Pack}
+
+  // ---- s9: deterministic ±1 projection matrix (16 × 64), md5-seeded ----
+  private val RpOut = 16
+  private val RpIn = 64
+  private val rpSigns: Array[Array[Double]] = Array.tabulate(RpOut, RpIn) {
+    (k, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$k:$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+  }
+  private def rpLit(k: Int): String =
+    rpSigns(k).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+  private val RpProbeMod = 25
+
+  // ---- t24: Flesch constants, rendered once for both engines ----
+  private val FleschBase = "206.835"
+  private val FleschWps = "1.015"
+  private val FleschSpw = "84.6"
+
+  // ---- q107: KMV sketch size + hash-range scale ----
+  private val KmvK = 128
+  private val KmvRange = 2147483647.0 * 2147483648.0
+  private val KmvScale = ((KmvK - 1).toDouble * KmvRange).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_random_projection" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+      // the actual reduction: one fused codegen'd matrix-vector pass per
+      // row (matrix ships once per task) — zero shuffles, 4x smaller out
+      val proj = e.select(col("vec_id"), col("emb"),
+          graft.functions.GraftFunctions.projectVec(col("emb"), rpSigns)
+            .as("pv"))
+        .withColumn("d2",
+          graft.functions.VectorOps.dot(col("emb"), col("emb")))
+        .withColumn("p2",
+          graft.functions.VectorOps.dot(col("pv"), col("pv")))
+      // JL witness over a bounded probe set: E[proj_dist²/k] = orig_dist²
+      val probes = proj.filter(col("vec_id") % RpProbeMod === 0)
+      val a = probes.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+        col("pv").as("a_pv"), col("d2").as("a_d2"), col("p2").as("a_p2"))
+      val b = probes.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("pv").as("b_pv"), col("d2").as("b_d2"), col("p2").as("b_p2"))
+      // ‖x−y‖² = ‖x‖² − 2⟨x,y⟩ + ‖y‖²: everything is a dot product, so
+      // both engines accumulate in the same index order (exact parity)
+      val dOrig = col("a_d2") -
+        lit(2.0) * graft.functions.VectorOps.dot(col("a_emb"), col("b_emb")) +
+        col("b_d2")
+      val dProj = (col("a_p2") -
+        lit(2.0) * graft.functions.VectorOps.dot(col("a_pv"), col("b_pv")) +
+        col("b_p2")) / lit(RpOut.toDouble)
+      a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          dOrig.as("d2_orig"), dProj.as("d2_proj"))
+        .filter(col("d2_orig") > 0)
+        .select(col("a_id"), col("b_id"),
+          round(col("d2_orig"), 6).as("d2_orig"),
+          round(col("d2_proj"), 6).as("d2_proj"),
+          round(col("d2_proj") / col("d2_orig"), 6).as("distortion"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "t24_readability" -> ((spark, dir) => {
+      val counted = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+            .cast("long").as("n_words"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("n_syllables"),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+            .cast("long").as("n_sentences"))
+        .filter(col("n_words") > 0)
+      val wps = col("n_words").cast("double") /
+        greatest(col("n_sentences"), lit(1L))
+      val spw = col("n_syllables").cast("double") / col("n_words")
+      counted
+        .withColumn("flesch", round(
+          lit(FleschBase.toDouble) - lit(FleschWps.toDouble) * wps -
+            lit(FleschSpw.toDouble) * spw, 4))
+        .withColumn("band",
+          when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium")
+            .otherwise("hard"))
+        .orderBy("doc_id")
+    }),
+
+    "d23_url_canonical" -> ((spark, dir) => {
+      // deterministic synthetic URL overlay (no URL column in testdata):
+      // scheme/www/trailing-slash/tracking-query variants by doc_id mod
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("https://www."))
+          .otherwise(lit("http://")),
+        lit("ex"), col("source"), lit(".org/page/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 < 2,
+          concat(lit("?utm_source=feed&sid="), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      // canonicalize: strip scheme, www., query string, trailing slash —
+      // all anchored patterns, so first-match (DuckDB) ≡ all-match (Spark)
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("url"), "^https?://", ""),
+        "^www\\.", ""), "\\?.*$", ""), "/$", "")
+      t(spark, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", canon)
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("keeper_id"))
+        .orderBy("canon_url")
+    }),
+
+    "q107_kmv_intersect" -> ((spark, dir) => {
+      val a = t(spark, dir, "orders")
+        .select(col("o_custkey").as("key")).distinct()
+      val b = t(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key")).distinct()
+      val u = a.select(col("key"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(b.select(col("key"), lit(0).as("in_a"),
+          lit(1).as("in_b")))
+        .groupBy("key").agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+        .select(graft.functions.Md5Pack(col("key").cast("string")).as("h"),
+          col("in_a"), col("in_b"))
+      // union KMV sketch through the bounded min-k aggregate: at most k
+      // (hash, membership) rows per map partition enter the final merge
+      val sk = u.agg(graft.functions.TopKAgg.minK(
+          struct(col("h"), col("in_a"), col("in_b")), KmvK).as("mins"))
+        .select(explode(col("mins")).as("m"))
+        .select(col("m.h").as("h"), col("m.in_a").as("in_a"),
+          col("m.in_b").as("in_b"))
+      val est = sk.agg(max("h").as("hk"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      val exactI = a.join(b, Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersect"))
+      val exactU = u.agg(count(lit(1)).as("exact_union"))
+      est.crossJoin(exactI).crossJoin(exactU)
+        .select(col("exact_union"),
+          round(lit(KmvScale.toDouble) / col("hk").cast("double"), 3)
+            .as("est_union"),
+          col("exact_intersect"),
+          round((lit(KmvScale.toDouble) / col("hk").cast("double")) *
+            (col("n_both").cast("double") / lit(KmvK.toDouble)), 3)
+            .as("est_intersect"),
+          round(col("n_both").cast("double") / lit(KmvK.toDouble), 6)
+            .as("jaccard_est"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s9_random_projection" -> {
+      val projList = (0 until RpOut)
+        .map(k => s"list_dot_product(emb, ${rpLit(k)})")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |pr AS (
+         |  SELECT vec_id, emb, $projList AS pv,
+         |    list_dot_product(emb, emb) AS d2
+         |  FROM e),
+         |p AS (
+         |  SELECT vec_id, emb, pv, d2, list_dot_product(pv, pv) AS p2
+         |  FROM pr WHERE vec_id % $RpProbeMod = 0),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    a.d2 - 2.0 * list_dot_product(a.emb, b.emb) + b.d2 AS d2_orig,
+         |    (a.p2 - 2.0 * list_dot_product(a.pv, b.pv) + b.p2)
+         |      / ${RpOut.toDouble} AS d2_proj
+         |  FROM p a CROSS JOIN p b WHERE a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(d2_orig, 6) AS d2_orig,
+         |  round(d2_proj, 6) AS d2_proj,
+         |  round(d2_proj / d2_orig, 6) AS distortion
+         |FROM pairs WHERE d2_orig > 0
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "t24_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         |    len(regexp_extract_all(text, '[.!?]+')) AS n_sentences
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id, n_words, n_syllables, n_sentences,
+         |    round(CAST($FleschBase AS DOUBLE)
+         |      - CAST($FleschWps AS DOUBLE) *
+         |        (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+         |      - CAST($FleschSpw AS DOUBLE) *
+         |        (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+         |  FROM c WHERE n_words > 0)
+         |SELECT doc_id, n_words, n_syllables, n_sentences, flesch,
+         |  CASE WHEN flesch >= 60 THEN 'easy'
+         |       WHEN flesch >= 30 THEN 'medium'
+         |       ELSE 'hard' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "d23_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
+        |          ELSE 'http://' END)
+        |    || 'ex' || source || '.org/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 < 2
+        |          THEN '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      url, '^https?://', ''), '^www\.', ''), '\?.*$', ''),
+        |      '/$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  min(doc_id) AS keeper_id
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "q107_kmv_intersect" ->
+      s"""WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |b AS (SELECT DISTINCT c_custkey AS key FROM customer
+         |      WHERE c_mktsegment = 'BUILDING'),
+         |u AS (
+         |  SELECT key, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |    SELECT key, 1 AS in_a, 0 AS in_b FROM a
+         |    UNION ALL
+         |    SELECT key, 0 AS in_a, 1 AS in_b FROM b)
+         |  GROUP BY key),
+         |uh AS (
+         |  SELECT ${duckMd5Pack("CAST(key AS VARCHAR)")} AS h, in_a, in_b
+         |  FROM u),
+         |sk AS (SELECT h, in_a, in_b FROM uh
+         |       ORDER BY h, in_a, in_b LIMIT $KmvK),
+         |est AS (SELECT max(h) AS hk,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM sk),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+         |       FROM a JOIN b USING (key)),
+         |exu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union FROM u)
+         |SELECT exact_union,
+         |  round($KmvScale / CAST(hk AS DOUBLE), 3) AS est_union,
+         |  exact_intersect,
+         |  round(($KmvScale / CAST(hk AS DOUBLE)) *
+         |    (CAST(n_both AS DOUBLE) / ${KmvK.toDouble}), 3)
+         |      AS est_intersect,
+         |  round(CAST(n_both AS DOUBLE) / ${KmvK.toDouble}, 6) AS jaccard_est
+         |FROM est, ex, exu""".stripMargin,
+  )
+}
