@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Analytics6.queries ++
       graft.queries.Analytics7.queries ++
       graft.queries.Analytics8.queries ++
+      graft.queries.Analytics9.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.Analytics6.oracleSql ++
       graft.queries.Analytics7.oracleSql ++
       graft.queries.Analytics8.oracleSql ++
+      graft.queries.Analytics9.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

@@ -26,6 +26,67 @@ import org.apache.spark.sql.functions._
   *    fixed-SIZE per-group contract.
   */
 object Analytics6 {
+
+  /** SCD2 version frame shared by q87 (history build) and q108
+    * (point-in-time lookup): the q73 changelog rules rendered as
+    * `(k, valid_from, valid_to, status, price)` validity intervals,
+    * delete-closed, unordered. [[Scd2VersionsSql]] is its DuckDB replica.
+    */
+  private[queries] def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+    val key = col("o_orderkey")
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    val ins = o.filter(key % 3 === 0 && key % 2 === 1)
+      .select(key.as("k"), lit("I").as("op"), lit(0L).as("seq"),
+        col("o_orderstatus").as("status"), price.as("price"))
+    val upd1 = o.filter(key % 5 === 0)
+      .select(key.as("k"), lit("U").as("op"), lit(1L).as("seq"),
+        col("o_orderstatus").as("status"),
+        (price + 100).cast("decimal(18,2)").as("price"))
+    val del = o.filter(key % 7 === 0 && key % 5 =!= 0)
+      .select(key.as("k"), lit("D").as("op"), lit(1L).as("seq"),
+        lit("X").as("status"), lit(0).cast("decimal(18,2)").as("price"))
+    val upd2 = o.filter(key % 10 === 0)
+      .select(key.as("k"), lit("U").as("op"), lit(2L).as("seq"),
+        col("o_orderstatus").as("status"),
+        (price + 200).cast("decimal(18,2)").as("price"))
+    val w = Window.partitionBy("k").orderBy("seq")
+    ins.unionByName(upd1).unionByName(del).unionByName(upd2)
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("seq").as("valid_from"), col("valid_to"),
+        col("status"), col("price").cast("double").as("price"))
+  }
+
+  /** DuckDB CTE chain ending in `versions` — the oracle replica of
+    * [[scd2Versions]]; splice after WITH.
+    */
+  private[queries] val Scd2VersionsSql: String =
+    """cl AS (
+      |  SELECT o_orderkey AS k, 'I' AS op, 0 AS seq,
+      |    o_orderstatus AS status,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 1, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 1, 'X', CAST(0 AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 2, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 200 AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |v AS (
+      |  SELECT k, op, seq, status, price,
+      |    lead(seq, 1) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+      |  FROM cl),
+      |versions AS (
+      |  SELECT k, CAST(seq AS BIGINT) AS valid_from,
+      |    CAST(valid_to AS BIGINT) AS valid_to, status,
+      |    CAST(price AS DOUBLE) AS price
+      |  FROM v WHERE op <> 'D')""".stripMargin
   import Tables.t
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -184,30 +245,8 @@ object Analytics6 {
     // One key-partitioned window over ≤3-row groups — the warehouse
     // dimension-history builder next to q73's latest-image MERGE.
     "q87_scd2_intervals" -> ((spark, dir) => {
-      val o = t(spark, dir, "orders")
-      val key = col("o_orderkey")
-      val price = col("o_totalprice").cast("decimal(18,2)")
-      val ins = o.filter(key % 3 === 0 && key % 2 === 1)
-        .select(key.as("k"), lit("I").as("op"), lit(0L).as("seq"),
-          col("o_orderstatus").as("status"), price.as("price"))
-      val upd1 = o.filter(key % 5 === 0)
-        .select(key.as("k"), lit("U").as("op"), lit(1L).as("seq"),
-          col("o_orderstatus").as("status"),
-          (price + 100).cast("decimal(18,2)").as("price"))
-      val del = o.filter(key % 7 === 0 && key % 5 =!= 0)
-        .select(key.as("k"), lit("D").as("op"), lit(1L).as("seq"),
-          lit("X").as("status"), lit(0).cast("decimal(18,2)").as("price"))
-      val upd2 = o.filter(key % 10 === 0)
-        .select(key.as("k"), lit("U").as("op"), lit(2L).as("seq"),
-          col("o_orderstatus").as("status"),
-          (price + 200).cast("decimal(18,2)").as("price"))
-      val w = Window.partitionBy("k").orderBy("seq")
-      ins.unionByName(upd1).unionByName(del).unionByName(upd2)
-        .withColumn("valid_to", lead(col("seq"), 1).over(w))
-        .filter(col("op") =!= "D")
-        .select(col("k"), col("seq").as("valid_from"), col("valid_to"),
-          col("status"), col("price").cast("double").as("price"),
-          col("valid_to").isNull.as("is_current"))
+      scd2Versions(spark, dir)
+        .withColumn("is_current", col("valid_to").isNull)
         .orderBy("k", "valid_from")
     }),
 
@@ -396,30 +435,10 @@ object Analytics6 {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q87_scd2_intervals" ->
-      """WITH cl AS (
-        |  SELECT o_orderkey AS k, 'I' AS op, 0 AS seq,
-        |    o_orderstatus AS status,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
-        |  UNION ALL
-        |  SELECT o_orderkey, 'U', 1, o_orderstatus,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'D', 1, 'X', CAST(0 AS DECIMAL(18,2))
-        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'U', 2, o_orderstatus,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 200 AS DECIMAL(18,2))
-        |  FROM orders WHERE o_orderkey % 10 = 0),
-        |v AS (
-        |  SELECT k, op, seq, status, price,
-        |    lead(seq, 1) OVER (PARTITION BY k ORDER BY seq) AS valid_to
-        |  FROM cl)
-        |SELECT k, CAST(seq AS BIGINT) AS valid_from,
-        |  CAST(valid_to AS BIGINT) AS valid_to, status,
-        |  CAST(price AS DOUBLE) AS price, valid_to IS NULL AS is_current
-        |FROM v WHERE op <> 'D' ORDER BY k, valid_from""".stripMargin,
+      s"""WITH $Scd2VersionsSql
+         |SELECT k, valid_from, valid_to, status, price,
+         |  valid_to IS NULL AS is_current
+         |FROM versions ORDER BY k, valid_from""".stripMargin,
 
     "q88_ab_test" -> {
       val pri = Tables.duckMd5Pack("CAST(user_id AS VARCHAR)")

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *    the exact counts reported beside the estimates as the accuracy
   *    witness. Deterministic md5 hashing + the bounded min-k aggregate,
   *    so the sketch replays exactly in DuckDB (the q38/q44 recipe).
+  *  - s10: int8 scalar quantization of the embedding corpus — per-vector
+  *    min/max linear quantize → dequantize (row-local, no global pass;
+  *    4× compression next to s5's 16× PQ), scored by the asymmetric
+  *    recall@10 witness: full-precision probes against the dequantized
+  *    corpus vs the exact top-10. floor/least on identically-associated
+  *    doubles, so the quantized vectors replay bit-for-bit in DuckDB.
   */
 object TextOps8 {
   import Tables.{t, duckMd5Pack}
@@ -57,6 +63,9 @@ object TextOps8 {
   private val FleschBase = "206.835"
   private val FleschWps = "1.015"
   private val FleschSpw = "84.6"
+
+  // ---- s10: recall witness top-k ----
+  private val K = 10
 
   // ---- q107: KMV sketch size + hash-range scale ----
   private val KmvK = 128
@@ -189,6 +198,49 @@ object TextOps8 {
           round(col("n_both").cast("double") / lit(KmvK.toDouble), 6)
             .as("jaccard_est"))
     }),
+
+    "s10_scalar_quant" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+        .withColumn("vmin", array_min(col("emb")))
+        .withColumn("vmax", array_max(col("emb")))
+      // per-vector int8 quantize→dequantize, row-local: q = the 0..255
+      // bin, reconstructed at the bin midpoint (flat vectors stay put)
+      val deq = expr(
+        "CASE WHEN vmax = vmin THEN transform(emb, x -> vmin) " +
+          "ELSE transform(emb, x -> vmin + " +
+          "(least(floor((x - vmin) * 255.0 / (vmax - vmin)), 255.0) + 0.5)" +
+          " * ((vmax - vmin) / 256.0)) END")
+      val corpus = e.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+        deq.as("n_deq"))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+      // one corpus pass scores BOTH legs; persist once (the s8 recipe)
+      val scored = corpus.crossJoin(broadcast(probes))
+        .filter(col("n_id") =!= col("p_id"))
+        .select(col("p_id"), col("n_id"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("p_emb"), col("n_emb")), 6).as("ec"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("p_emb"), col("n_deq")), 6).as("qc"))
+        .persist()
+      scored.count()
+      def leg(score: String) = scored.groupBy("p_id")
+        .agg(graft.functions.TopKAgg.minK(
+          struct((-col(score)).as("neg"), col("n_id").as("id")), K).as("top"))
+        .select(col("p_id"), explode(col("top")).as("m"))
+        .select(col("p_id"), col("m.id").as("n_id"))
+      val overlap = leg("ec").join(leg("qc"), Seq("p_id", "n_id"))
+        .groupBy("p_id").agg(count(lit(1)).as("n_overlap"))
+      probes.select(col("p_id"))
+        .join(overlap, Seq("p_id"), "left")
+        .select(col("p_id").as("vec_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            lit(10.0), 2).as("recall10"))
+        .orderBy("vec_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -290,5 +342,50 @@ object TextOps8 {
          |      AS est_intersect,
          |  round(CAST(n_both AS DOUBLE) / ${KmvK.toDouble}, 6) AS jaccard_est
          |FROM est, ex, exu""".stripMargin,
+
+    "s10_scalar_quant" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |mm AS (
+         |  SELECT vec_id, emb, list_aggregate(emb, 'min') AS vmin,
+         |    list_aggregate(emb, 'max') AS vmax
+         |  FROM e),
+         |dq AS (
+         |  SELECT vec_id, emb,
+         |    CASE WHEN vmax = vmin THEN list_transform(emb, x -> vmin)
+         |    ELSE list_transform(emb, x -> vmin +
+         |      (least(floor((x - vmin) * 255.0 / (vmax - vmin)), 255.0) + 0.5)
+         |      * ((vmax - vmin) / 256.0)) END AS deq
+         |  FROM mm),
+         |p AS (SELECT vec_id AS p_id, emb AS p_emb FROM e
+         |      WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT p_id, d.vec_id AS n_id,
+         |    round(list_dot_product(p_emb, d.emb) /
+         |      (sqrt(list_dot_product(p_emb, p_emb))
+         |        * sqrt(list_dot_product(d.emb, d.emb))), 6) AS ec,
+         |    round(list_dot_product(p_emb, d.deq) /
+         |      (sqrt(list_dot_product(p_emb, p_emb))
+         |        * sqrt(list_dot_product(d.deq, d.deq))), 6) AS qc
+         |  FROM dq d CROSS JOIN p WHERE d.vec_id <> p_id),
+         |el AS (
+         |  SELECT p_id, n_id FROM (
+         |    SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY ec DESC, n_id) AS rn FROM scored)
+         |  WHERE rn <= $K),
+         |ql AS (
+         |  SELECT p_id, n_id FROM (
+         |    SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY qc DESC, n_id) AS rn FROM scored)
+         |  WHERE rn <= $K),
+         |ov AS (
+         |  SELECT p_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM el JOIN ql USING (p_id, n_id) GROUP BY p_id)
+         |SELECT p.p_id AS vec_id, coalesce(n_overlap, 0) AS n_overlap,
+         |  round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 10.0, 2)
+         |    AS recall10
+         |FROM p LEFT JOIN ov ON p.p_id = ov.p_id
+         |ORDER BY vec_id""".stripMargin,
   )
 }
