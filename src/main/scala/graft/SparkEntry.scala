@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.TextOps5.queries ++
       graft.queries.TextOps6.queries ++
       graft.queries.TextOps7.queries ++
-      graft.queries.TextOps8.queries
+      graft.queries.TextOps8.queries ++
+      graft.queries.TextOps9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.TextOps5.oracleSql ++
       graft.queries.TextOps6.oracleSql ++
       graft.queries.TextOps7.oracleSql ++
-      graft.queries.TextOps8.oracleSql
+      graft.queries.TextOps8.oracleSql ++
+      graft.queries.TextOps9.oracleSql
 }

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *    DuckDB oracle replays |V|−1 = 24 unrolled relaxation rounds
   *    (generated CTE chain), which provably reaches the same unique
   *    fixpoint the iterative side converges to.
+  *  - q110: MAD robust outlier detection — per-group median absolute
+  *    deviation with a 4.4478·MAD (≈3σ) threshold; exact medians over
+  *    integer-valued quantities, so the whole chain replays bit-for-bit.
   */
 object Analytics9 {
   import Tables.t
@@ -49,6 +52,34 @@ object Analytics9 {
           col("v.status").as("status"), col("v.price").as("price"),
           col("v.status").isNotNull.as("matched"))
         .orderBy("k")
+    }),
+
+    // MAD robust outliers: median absolute deviation per group — the
+    // robust complement of q99's mean/σ z-scores (one wild day can't
+    // inflate its own threshold). l_quantity is integer-valued, so both
+    // medians (and every |x−med| deviation) are exact in double and the
+    // 4.4478·MAD (≈3σ) threshold compare replays bit-for-bit. Two
+    // bounded aggregations + two 3-row broadcast joins — no windows.
+    "q110_mad_outliers" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val med = li.groupBy("l_returnflag").agg(median(col("q")).as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("q") - col("med")))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(median(col("adev")).as("mad"), min(col("med")).as("med"),
+          count(lit(1)).as("n"))
+      dev.join(broadcast(mad.select(col("l_returnflag"),
+          col("mad").as("mad_v"))), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count_if(col("adev") > col("mad_v") * lit(4.4478))
+          .as("n_outliers"))
+        .join(mad, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 6)
+            .as("outlier_frac"))
+        .orderBy("l_returnflag")
     }),
 
     "q109_weighted_paths" -> ((spark, dir) => {
@@ -90,6 +121,28 @@ object Analytics9 {
          |  ON p.k = v.k AND v.valid_from <= p.t
          |  AND (v.valid_to IS NULL OR p.t < v.valid_to)
          |ORDER BY p.k""".stripMargin,
+
+    "q110_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS f, CAST(l_quantity AS DOUBLE) AS q
+        |  FROM lineitem),
+        |med AS (SELECT f, median(q) AS med FROM li GROUP BY f),
+        |dev AS (
+        |  SELECT li.f, q, med, abs(q - med) AS adev
+        |  FROM li JOIN med USING (f)),
+        |mad AS (
+        |  SELECT f, median(adev) AS mad, min(med) AS med,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM dev GROUP BY f),
+        |outl AS (
+        |  SELECT dev.f, CAST(count(*) FILTER (
+        |      WHERE adev > mad * CAST(4.4478 AS DOUBLE)) AS BIGINT)
+        |    AS n_outliers
+        |  FROM dev JOIN mad ON dev.f = mad.f GROUP BY dev.f)
+        |SELECT mad.f AS l_returnflag, n, med, mad, n_outliers,
+        |  round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_frac
+        |FROM mad JOIN outl ON mad.f = outl.f
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q109_weighted_paths" -> {
       // |V|−1 unrolled Bellman-Ford rounds: d_i(n) = min(d_{i-1}(n),
