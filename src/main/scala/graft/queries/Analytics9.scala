@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   *  - q110: MAD robust outlier detection — per-group median absolute
   *    deviation with a 4.4478·MAD (≈3σ) threshold; exact medians over
   *    integer-valued quantities, so the whole chain replays bit-for-bit.
+  *  - q111: rolling 7-day distinct users (DAU/WAU) through mergeable
+  *    id/64 bitmaps — q96's bitmap trick inside a bounded RANGE window:
+  *    a COUNT(DISTINCT) over a sliding frame is not decomposable, but
+  *    bit_or of per-(bucket, day) bitmaps is, so the window state is 64
+  *    ids per long instead of a per-frame distinct sort. Dense
+  *    (bucket × day) grid via the q45 spine recipe so silent days still
+  *    carry their trailing window.
+  *  - q112: delete-one-fold jackknife CI for the mean — 10 deterministic
+  *    md5 folds, leave-one-out means from exact DECIMAL partial sums,
+  *    variance terms rounded→DECIMAL before the order-free sum (the
+  *    cross-engine float-merge recipe), normal 95% interval.
   */
 object Analytics9 {
   import Tables.t
@@ -80,6 +91,74 @@ object Analytics9 {
           round(col("n_outliers").cast("double") / col("n"), 6)
             .as("outlier_frac"))
         .orderBy("l_returnflag")
+    }),
+
+    "q111_rolling_distinct" -> ((spark, dir) => {
+      val daily = t(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"), expr("user_id div 64").as("bucket"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(user_id % 64 AS INT)))").as("bm"))
+      // dense (bucket × day) grid: a bucket silent on day d still owes
+      // day d its trailing-6-day members (the q45 spine recipe)
+      val days = daily.select("day").distinct()
+      val buckets = daily.select("bucket").distinct()
+      val grid = days.join(broadcast(buckets))
+      val filled = grid.join(daily, Seq("day", "bucket"), "left")
+        .select(col("day"), col("bucket"),
+          coalesce(col("bm"), lit(0L)).as("bm"),
+          datediff(col("day"), lit(java.sql.Date.valueOf("1992-01-01")))
+            .as("dn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("dn").rangeBetween(-6, 0)
+      filled
+        .withColumn("rbm", expr("bit_or(bm)").over(w))
+        .groupBy("day")
+        .agg(sum(bit_count(col("bm"))).as("users_1d"),
+          sum(bit_count(col("rbm"))).as("users_7d"))
+        .select(col("day"), col("users_1d"), col("users_7d"),
+          round(col("users_1d").cast("double") / col("users_7d"), 6)
+            .as("dau_wau"))
+        .orderBy("day")
+    }),
+
+    "q112_jackknife_ci" -> ((spark, dir) => {
+      val F = 10
+      val o = t(spark, dir, "orders")
+        .select(graft.functions.Md5Pack(col("o_orderkey").cast("string"))
+          .mod(F).as("fold"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val folds = o.groupBy("fold")
+        .agg(sum("p").as("s_f"), count(lit(1)).as("n_f"))
+      val tot = o.agg(sum("p").as("s"), count(lit(1)).as("n"))
+      // leave-one-out means from exact decimal partials; each float
+      // value is rounded→DECIMAL before any re-aggregation so the
+      // 10-row sums stay order-free in both engines
+      val loo = folds.crossJoin(broadcast(tot))
+        .select(col("fold"), col("s"), col("n"),
+          ((col("s") - col("s_f")).cast("double") /
+            (col("n") - col("n_f")).cast("double")).as("m_f"))
+        .withColumn("m_f_d", round(col("m_f"), 8).cast("decimal(20,8)"))
+      val mbar = loo.agg(sum("m_f_d").as("sm"), count(lit(1)).as("nf"),
+        min("s").as("s"), min("n").as("n"))
+        .select(col("s"), col("n"), col("nf"),
+          (col("sm").cast("double") / col("nf").cast("double")).as("mbar"))
+      loo.crossJoin(broadcast(mbar.select(col("mbar"), col("nf"))))
+        .select(col("fold"), col("s"), col("n"), col("nf"), col("mbar"),
+          round((col("m_f_d").cast("double") - col("mbar")) *
+            (col("m_f_d").cast("double") - col("mbar")), 12)
+            .cast("decimal(28,12)").as("term"))
+        .groupBy("s", "n", "nf", "mbar")
+        .agg(sum("term").as("ssq"))
+        .select(col("n"),
+          round(col("s").cast("double") / col("n").cast("double"), 6)
+            .as("mean"),
+          round(sqrt(col("ssq").cast("double") *
+            ((col("nf") - 1).cast("double") / col("nf").cast("double"))), 6)
+            .as("jk_se"))
+        .select(col("n"), col("mean"), col("jk_se"),
+          round(col("mean") - lit(1.96) * col("jk_se"), 6).as("ci_lo"),
+          round(col("mean") + lit(1.96) * col("jk_se"), 6).as("ci_hi"))
     }),
 
     "q109_weighted_paths" -> ((spark, dir) => {
@@ -143,6 +222,79 @@ object Analytics9 {
         |  round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_frac
         |FROM mad JOIN outl ON mad.f = outl.f
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q111_rolling_distinct" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id // 64 AS bucket,
+        |    bit_or(CASE WHEN user_id % 64 = 63
+        |      THEN CAST(-9223372036854775808 AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER) END)
+        |      AS bm
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, b.bucket
+        |  FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM daily) b),
+        |filled AS (
+        |  SELECT g.day, g.bucket, coalesce(bm, 0) AS bm,
+        |    g.day - DATE '1992-01-01' AS dn
+        |  FROM grid g LEFT JOIN daily USING (day, bucket)),
+        |rolled AS (
+        |  SELECT day, bm,
+        |    bit_or(bm) OVER (PARTITION BY bucket ORDER BY dn
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rbm
+        |  FROM filled)
+        |SELECT day, CAST(sum(bit_count(bm)) AS BIGINT) AS users_1d,
+        |  CAST(sum(bit_count(rbm)) AS BIGINT) AS users_7d,
+        |  round(CAST(sum(bit_count(bm)) AS DOUBLE)
+        |    / sum(bit_count(rbm)), 6) AS dau_wau
+        |FROM rolled GROUP BY day ORDER BY day""".stripMargin,
+
+    "q112_jackknife_ci" -> {
+      val fold = Tables.duckMd5Pack("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH o AS (
+         |  SELECT ($fold) % 10 AS fold,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+         |  FROM orders),
+         |folds AS (
+         |  SELECT fold, CAST(sum(p) AS DECIMAL(38,2)) AS s_f,
+         |    CAST(count(*) AS BIGINT) AS n_f
+         |  FROM o GROUP BY fold),
+         |tot AS (
+         |  SELECT CAST(sum(p) AS DECIMAL(38,2)) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM o),
+         |loo AS (
+         |  SELECT fold, s, n,
+         |    CAST(round(CAST(s - s_f AS DOUBLE) / CAST(n - n_f AS DOUBLE),
+         |      8) AS DECIMAL(20,8)) AS m_f_d
+         |  FROM folds CROSS JOIN tot),
+         |mb AS (
+         |  SELECT min(s) AS s, min(n) AS n,
+         |    CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(m_f_d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mbar
+         |  FROM loo),
+         |terms AS (
+         |  SELECT mb.s, mb.n, mb.nf, mb.mbar,
+         |    CAST(round((CAST(m_f_d AS DOUBLE) - mbar)
+         |      * (CAST(m_f_d AS DOUBLE) - mbar), 12) AS DECIMAL(28,12))
+         |      AS term
+         |  FROM loo CROSS JOIN mb),
+         |agged AS (
+         |  SELECT s, n, nf, mbar, sum(term) AS ssq
+         |  FROM terms GROUP BY s, n, nf, mbar),
+         |se AS (
+         |  SELECT n, round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |      AS mean,
+         |    round(sqrt(CAST(ssq AS DOUBLE)
+         |      * (CAST(nf - 1 AS DOUBLE) / CAST(nf AS DOUBLE))), 6)
+         |      AS jk_se
+         |  FROM agged)
+         |SELECT n, mean, jk_se,
+         |  round(mean - CAST(1.96 AS DOUBLE) * jk_se, 6) AS ci_lo,
+         |  round(mean + CAST(1.96 AS DOUBLE) * jk_se, 6) AS ci_hi
+         |FROM se""".stripMargin
+    },
 
     "q109_weighted_paths" -> {
       // |V|−1 unrolled Bellman-Ford rounds: d_i(n) = min(d_{i-1}(n),
