@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   *    md5 folds, leave-one-out means from exact DECIMAL partial sums,
   *    variance terms rounded→DECIMAL before the order-free sum (the
   *    cross-engine float-merge recipe), normal 95% interval.
+  *  - q113: Theil–Sen robust trend — median of all pairwise slopes over
+  *    the per-month aggregate frame (one outlier month can't tilt the
+  *    fit, unlike q102's least squares). The pair join runs on the
+  *    SF-independent monthly frame (~84 rows per group), never on raw
+  *    rows; medians are exact so the whole chain replays.
   */
 object Analytics9 {
   import Tables.t
@@ -159,6 +164,39 @@ object Analytics9 {
         .select(col("n"), col("mean"), col("jk_se"),
           round(col("mean") - lit(1.96) * col("jk_se"), 6).as("ci_lo"),
           round(col("mean") + lit(1.96) * col("jk_se"), 6).as("ci_hi"))
+    }),
+
+    "q113_theil_sen" -> ((spark, dir) => {
+      val mon = t(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          ((year(to_date(col("l_shipdate"))) - 1992) * 12 +
+            month(to_date(col("l_shipdate"))) - 1).cast("long").as("mx"),
+          col("l_quantity").cast("decimal(18,2)").as("qd"))
+        .groupBy("l_returnflag", "mx")
+        .agg(sum("qd").as("yd"))
+        .select(col("l_returnflag"), col("mx"),
+          col("yd").cast("double").as("y"))
+      val a = mon.select(col("l_returnflag"), col("mx").as("x1"),
+        col("y").as("y1"))
+      val b = mon.select(col("l_returnflag").as("f2"), col("mx").as("x2"),
+        col("y").as("y2"))
+      val slopes = a.join(b, col("l_returnflag") === col("f2") &&
+          col("x1") < col("x2"))
+        .select(col("l_returnflag"),
+          ((col("y2") - col("y1")) / (col("x2") - col("x1")).cast("double"))
+            .as("slope"))
+      val medSlope = slopes.groupBy("l_returnflag")
+        .agg(median(col("slope")).as("med_slope"))
+      mon.join(broadcast(medSlope), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_months"),
+          min("med_slope").as("med_slope"),
+          median(col("y") - col("med_slope") * col("mx").cast("double"))
+            .as("intercept"))
+        .select(col("l_returnflag"), col("n_months"),
+          round(col("med_slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("l_returnflag")
     }),
 
     "q109_weighted_paths" -> ((spark, dir) => {
@@ -295,6 +333,26 @@ object Analytics9 {
          |  round(mean + CAST(1.96 AS DOUBLE) * jk_se, 6) AS ci_hi
          |FROM se""".stripMargin
     },
+
+    "q113_theil_sen" ->
+      """WITH mon AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST((year(CAST(l_shipdate AS DATE)) - 1992) * 12
+        |      + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mx,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS DOUBLE) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.f, (b.y - a.y) / CAST(b.mx - a.mx AS DOUBLE) AS slope
+        |  FROM mon a JOIN mon b ON a.f = b.f AND a.mx < b.mx),
+        |ms AS (SELECT f, median(slope) AS med_slope FROM slopes GROUP BY f)
+        |SELECT mon.f AS l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_months,
+        |  round(min(med_slope), 6) AS slope,
+        |  round(median(y - med_slope * CAST(mx AS DOUBLE)), 6) AS intercept
+        |FROM mon JOIN ms ON mon.f = ms.f
+        |GROUP BY mon.f
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q109_weighted_paths" -> {
       // |V|−1 unrolled Bellman-Ford rounds: d_i(n) = min(d_{i-1}(n),

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   *    Headers are a deterministic synthetic overlay on even-numbered
   *    sources (the d23/t10 recipe), leaving odd sources as honest
   *    no-boilerplate negatives.
+  *  - m9: video scene segmentation — frame-diff cuts over m3's sampled
+  *    frames: per-frame diversity scores (m6's metric), a boundary
+  *    wherever the score jumps ≥ 4 against the previous frame, and
+  *    gaps-and-islands (q54's pattern) turning boundary flags into
+  *    scene ids. All windows partition by media_id over ≤8-row frames —
+  *    bounded everywhere.
+  *  - s11: Rocchio pseudo-relevance feedback — each probe's top-10
+  *    first-pass neighbors are centroid-averaged (per-dimension
+  *    rounded→DECIMAL sums, order-free), the query re-runs as
+  *    0.5·q + 0.5·centroid, and the witness reports how much the
+  *    second-pass top-10 moved. The classic query-expansion loop, all
+  *    bounded: probes broadcast, top-k via min-k, centroids via a
+  *    position-exploded aggregation over probes×k×64 rows.
   */
 object TextOps9 {
   import Tables.t
@@ -80,6 +93,81 @@ object TextOps9 {
           (col("lcp_len") >= 10).as("has_boilerplate"))
         .orderBy("source")
     }),
+
+    "m9_scene_cuts" -> ((spark, dir) => {
+      val media = graft.mm.Multimodal
+        .mediaFromDocuments(t(spark, dir, "documents")).toDF()
+      val scored = graft.mm.Multimodal.sampleFrames(media, 8)
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          size(array_distinct(
+            regexp_extract_all(hex(col("frame_bytes")), lit(".."), lit(0))))
+            .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      scored
+        .withColumn("prev", lag(col("score"), 1).over(w))
+        .withColumn("boundary",
+          when(col("prev").isNotNull &&
+            abs(col("score") - col("prev")) >= 4, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("scene_id", sum(col("boundary")).over(wRun))
+        .groupBy("media_id", "scene_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min("frame_idx").as("first_frame"),
+          max("frame_idx").as("last_frame"),
+          max("score").as("peak_score"))
+        .orderBy("media_id", "scene_id")
+    }),
+
+    "s11_rocchio" -> ((spark, dir) => {
+      val K = 10
+      val e = t(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
+      def topk(pFrame: DataFrame, embCol: String) = corpus
+        .crossJoin(broadcast(pFrame))
+        .filter(col("n_id") =!= col("p_id"))
+        .select(col("p_id"), col("n_id"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col(embCol), col("n_emb")), 6).as("cos"))
+        .groupBy("p_id")
+        .agg(graft.functions.TopKAgg.minK(
+          struct((-col("cos")).as("neg"), col("n_id").as("id")), K).as("top"))
+        .select(col("p_id"), explode(col("top")).as("m"))
+        .select(col("p_id"), col("m.id").as("n_id"))
+      val first = topk(probes, "p_emb")
+      // centroid of the first-pass neighbors: per-dimension order-free
+      // DECIMAL sums over the position-exploded (probe × k × dim) frame
+      val cent = first.join(corpus, Seq("n_id"))
+        .select(col("p_id"), posexplode(col("n_emb")))
+        .groupBy(col("p_id"), col("pos"))
+        .agg(sum(round(col("col"), 8).cast("decimal(20,8)")).as("s"))
+        .groupBy("p_id")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("s").cast("double") / lit(K.toDouble)).as("v")))).as("pairs"))
+        .select(col("p_id"), expr("transform(pairs, x -> x.v)").as("c_emb"))
+      // expanded query: 0.5·q + 0.5·centroid, element-wise
+      val expanded = probes.join(cent, Seq("p_id"))
+        .select(col("p_id"), expr(
+          "zip_with(p_emb, c_emb, (a, b) -> 0.5 * a + 0.5 * b)").as("x_emb"))
+      val second = topk(expanded, "x_emb")
+        .select(col("p_id").as("p_id2"), col("n_id").as("n_id2"))
+      first.join(second, col("p_id") === col("p_id2") &&
+          col("n_id") === col("n_id2"), "inner")
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_kept"))
+        .join(probes.select(col("p_id")), Seq("p_id"), "right")
+        .select(col("p_id").as("vec_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (lit(K.toLong) - coalesce(col("n_kept"), lit(0L))).as("n_new"))
+        .orderBy("vec_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +218,98 @@ object TextOps9 {
          |  substring(mn, 1, CAST(lcp_len AS INTEGER)) AS boilerplate,
          |  lcp_len >= 10 AS has_boilerplate
          |FROM l ORDER BY source""".stripMargin,
+
+    // Frame replay as in m3/m6 (hex-string slicing stands in for BLOB
+    // slicing), then lag-diff boundaries and a running-sum islands pass.
+    "m9_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT media_id, n_bytes, hx,
+        |    CAST(floor(n_bytes / 8) AS INTEGER) AS flen,
+        |    unnest(range(8)) AS fi
+        |  FROM m),
+        |scored AS (
+        |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(len(list_distinct(regexp_extract_all(
+        |      substr(hx, CAST(fi * flen * 2 + 1 AS BIGINT),
+        |        CAST(2 * (CASE WHEN fi = 7 THEN n_bytes - flen * 7
+        |          ELSE flen END) AS BIGINT)), '..'))) AS INTEGER) AS score
+        |  FROM f),
+        |cuts AS (
+        |  SELECT media_id, frame_idx, score,
+        |    lag(score) OVER (PARTITION BY media_id ORDER BY frame_idx)
+        |      AS prev
+        |  FROM scored),
+        |fl AS (
+        |  SELECT media_id, frame_idx, score,
+        |    CASE WHEN prev IS NOT NULL AND abs(score - prev) >= 4
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM cuts),
+        |sc AS (
+        |  SELECT media_id, frame_idx, score,
+        |    CAST(sum(boundary) OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS scene_id
+        |  FROM fl)
+        |SELECT media_id, scene_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  min(frame_idx) AS first_frame, max(frame_idx) AS last_frame,
+        |  max(score) AS peak_score
+        |FROM sc GROUP BY media_id, scene_id
+        |ORDER BY media_id, scene_id""".stripMargin,
+
+    "s11_rocchio" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (SELECT vec_id AS p_id, emb AS p_emb FROM e
+        |      WHERE vec_id % 50 = 0),
+        |s1 AS (
+        |  SELECT p_id, e.vec_id AS n_id,
+        |    round(list_dot_product(p_emb, e.emb) /
+        |      (sqrt(list_dot_product(p_emb, p_emb))
+        |        * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM e CROSS JOIN p WHERE e.vec_id <> p_id),
+        |f1 AS (
+        |  SELECT p_id, n_id FROM (
+        |    SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY cos DESC, n_id) AS rn FROM s1)
+        |  WHERE rn <= 10),
+        |cent AS (
+        |  SELECT p_id, list(v ORDER BY pos) AS c_emb FROM (
+        |    SELECT f1.p_id, r.pos,
+        |      CAST(sum(CAST(round(e.emb[CAST(r.pos AS INTEGER)], 8)
+        |        AS DECIMAL(20,8))) AS DOUBLE) / 10.0 AS v
+        |    FROM f1 JOIN e ON f1.n_id = e.vec_id,
+        |      UNNEST(range(1, 65)) AS r(pos)
+        |    GROUP BY f1.p_id, r.pos)
+        |  GROUP BY p_id),
+        |x AS (
+        |  SELECT p.p_id,
+        |    list_transform(range(1, 65), i ->
+        |      0.5 * p_emb[CAST(i AS INTEGER)]
+        |      + 0.5 * c_emb[CAST(i AS INTEGER)]) AS x_emb
+        |  FROM p JOIN cent ON p.p_id = cent.p_id),
+        |s2 AS (
+        |  SELECT x.p_id, e.vec_id AS n_id,
+        |    round(list_dot_product(x_emb, e.emb) /
+        |      (sqrt(list_dot_product(x_emb, x_emb))
+        |        * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM e CROSS JOIN x WHERE e.vec_id <> x.p_id),
+        |f2 AS (
+        |  SELECT p_id, n_id FROM (
+        |    SELECT p_id, n_id, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY cos DESC, n_id) AS rn FROM s2)
+        |  WHERE rn <= 10),
+        |kept AS (
+        |  SELECT p_id, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM f1 JOIN f2 USING (p_id, n_id) GROUP BY p_id)
+        |SELECT p.p_id AS vec_id, coalesce(n_kept, 0) AS n_kept,
+        |  10 - coalesce(n_kept, 0) AS n_new
+        |FROM p LEFT JOIN kept ON p.p_id = kept.p_id
+        |ORDER BY vec_id""".stripMargin,
   )
 }
