@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Analytics7.queries ++
       graft.queries.Analytics8.queries ++
       graft.queries.Analytics9.queries ++
+      graft.queries.Analytics10.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.queries.Analytics7.oracleSql ++
       graft.queries.Analytics8.oracleSql ++
       graft.queries.Analytics9.oracleSql ++
+      graft.queries.Analytics10.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *    second-pass top-10 moved. The classic query-expansion loop, all
   *    bounded: probes broadcast, top-k via min-k, centroids via a
   *    position-exploded aggregation over probes×k×64 rows.
+  *  - m10: audio activity segmentation (VAD-like) — m7's int16-LE PCM
+  *    decode cut into 64-sample windows; a window is "active" when its
+  *    integer-exact energy exceeds the medium's own mean window energy
+  *    (adaptive threshold), and consecutive active windows collapse to
+  *    segments via the islands pass. The sample explode is map-side
+  *    combinable into per-window energies; every window function runs
+  *    over ≤~40-row media partitions.
   */
 object TextOps9 {
   import Tables.t
@@ -167,6 +174,72 @@ object TextOps9 {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (lit(K.toLong) - coalesce(col("n_kept"), lit(0L))).as("n_new"))
         .orderBy("vec_id")
+    }),
+
+    "m10_vad_segments" -> ((spark, dir) => {
+      // m7's in-row PCM decode, then per-64-sample window energies
+      val smp = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          hex(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")).as("hx"),
+          (octet_length(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")) / 2)
+            .cast("long").as("n_smp"))
+        .filter(col("n_smp") > 0)
+        // explode a cheap index sequence FIRST, decode AFTER as plain
+        // codegen'd expressions — zero lambdas. A decode-then-explode
+        // formulation re-evaluates the interpreted transform per
+        // GENERATED row (measured 8.6-16.6s at sf0.1 across three
+        // lambda shapes); this one measures ~1s. hx rides along only
+        // until the per-sample project, never into the shuffle.
+        .select(col("media_id"), col("hx"),
+          posexplode(expr("sequence(0L, n_smp - 1)")))
+      // branch-free int16 sign fold: ((u + 32768) % 65536) − 32768 maps
+      // exactly like the CASE form, but keeps the decode out of
+      // conditional branches so codegen subexpression elimination can
+      // collapse the repeated conv (the CASE shape measured 3.95s)
+      val signed = expr(
+        """((CAST(conv(concat(
+          |  substring(hx, CAST(pos*4+3 AS INT), 2),
+          |  substring(hx, CAST(pos*4+1 AS INT), 2)), 16, 10) AS BIGINT)
+          |  + 32768) % 65536) - 32768""".stripMargin)
+      // the window frame is corpus/128-bounded and feeds four consumers
+      // (threshold, flags, segments, rollup) — persist once or the
+      // decode+explode re-runs per consumer
+      val win = smp.select(col("media_id"),
+          expr("pos div 64").as("w"), (signed * signed).as("v2"))
+        .groupBy("media_id", "w")
+        .agg(sum(col("v2")).as("e"))
+        .persist()
+      win.count()
+      val thresh = win.groupBy("media_id")
+        .agg(sum("e").as("se"), count(lit(1)).as("nw"))
+        .select(col("media_id"),
+          (col("se").cast("double") / col("nw").cast("double")).as("thr"))
+      val byMedia = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("w")
+      val run = byMedia.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val flagged = win.join(thresh, "media_id")
+        .withColumn("active", col("e").cast("double") > col("thr"))
+        .withColumn("prev", lag(col("active"), 1).over(byMedia))
+        .withColumn("starts",
+          when(col("active") &&
+            (col("prev").isNull || !col("prev")), lit(1L)).otherwise(lit(0L)))
+        .withColumn("run_id", sum(col("starts")).over(run))
+      val segLens = flagged.filter(col("active"))
+        .groupBy("media_id", "run_id")
+        .agg(count(lit(1)).as("seg_len"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_segments"), max("seg_len").as("longest"))
+      flagged.groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          count_if(col("active")).as("n_active"))
+        .join(segLens, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_windows"), col("n_active"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest"), lit(0L)).as("longest_segment"))
+        .orderBy("media_id")
     }),
   )
 
@@ -311,5 +384,61 @@ object TextOps9 {
         |  10 - coalesce(n_kept, 0) AS n_new
         |FROM p LEFT JOIN kept ON p.p_id = kept.p_id
         |ORDER BY vec_id""".stripMargin,
+
+    // m7's PCM replay, then window energies + adaptive threshold +
+    // islands — the audio twin of m9's scene cuts.
+    "m10_vad_segments" ->
+      ("WITH m AS (\n" +
+      "  SELECT doc_id AS media_id, hex(encode(text || 'ÿÿ')) AS hx,\n" +
+      "    octet_length(encode(text || 'ÿÿ')) // 2 AS n_smp\n" +
+      "  FROM documents WHERE text IS NOT NULL),\n" +
+      "s AS (\n" +
+      "  SELECT media_id, n_smp,\n" +
+      "    list_transform(\n" +
+      "      list_transform(range(n_smp),\n" +
+      "        i -> CAST(concat('0x',\n" +
+      "               substr(hx, CAST(i*4+3 AS BIGINT), 2),\n" +
+      "               substr(hx, CAST(i*4+1 AS BIGINT), 2)) AS BIGINT)),\n" +
+      "      v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS smp\n" +
+      "  FROM m WHERE n_smp > 0),\n" +
+      "px AS (\n" +
+      "  SELECT media_id, CAST(r.i AS BIGINT) // 64 AS w,\n" +
+      "    smp[CAST(r.i + 1 AS INTEGER)] AS v\n" +
+      "  FROM s, UNNEST(range(n_smp)) AS r(i)),\n" +
+      "win AS (\n" +
+      "  SELECT media_id, w, CAST(sum(v * v) AS BIGINT) AS e\n" +
+      "  FROM px GROUP BY media_id, w),\n" +
+      "thr AS (\n" +
+      "  SELECT media_id,\n" +
+      "    CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS thr\n" +
+      "  FROM win GROUP BY media_id),\n" +
+      "fl AS (\n" +
+      "  SELECT win.media_id, w, e,\n" +
+      "    CAST(e AS DOUBLE) > thr AS active\n" +
+      "  FROM win JOIN thr ON win.media_id = thr.media_id),\n" +
+      "st AS (\n" +
+      "  SELECT media_id, w, active,\n" +
+      "    CASE WHEN active AND coalesce(NOT lag(active) OVER (\n" +
+      "      PARTITION BY media_id ORDER BY w), true)\n" +
+      "      THEN 1 ELSE 0 END AS starts\n" +
+      "  FROM fl),\n" +
+      "rid AS (\n" +
+      "  SELECT media_id, w, active,\n" +
+      "    CAST(sum(starts) OVER (PARTITION BY media_id ORDER BY w\n" +
+      "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)\n" +
+      "      AS run_id\n" +
+      "  FROM st),\n" +
+      "seg AS (\n" +
+      "  SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,\n" +
+      "    CAST(max(seg_len) AS BIGINT) AS longest FROM (\n" +
+      "    SELECT media_id, run_id, count(*) AS seg_len\n" +
+      "    FROM rid WHERE active GROUP BY media_id, run_id)\n" +
+      "  GROUP BY media_id)\n" +
+      "SELECT rid.media_id, CAST(count(*) AS BIGINT) AS n_windows,\n" +
+      "  CAST(count(*) FILTER (WHERE active) AS BIGINT) AS n_active,\n" +
+      "  coalesce(max(n_segments), 0) AS n_segments,\n" +
+      "  coalesce(max(longest), 0) AS longest_segment\n" +
+      "FROM rid LEFT JOIN seg ON rid.media_id = seg.media_id\n" +
+      "GROUP BY rid.media_id ORDER BY rid.media_id"),
   )
 }
