@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.TextOps6.queries ++
       graft.queries.TextOps7.queries ++
       graft.queries.TextOps8.queries ++
-      graft.queries.TextOps9.queries
+      graft.queries.TextOps9.queries ++
+      graft.queries.TextOps10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.TextOps6.oracleSql ++
       graft.queries.TextOps7.oracleSql ++
       graft.queries.TextOps8.oracleSql ++
-      graft.queries.TextOps9.oracleSql
+      graft.queries.TextOps9.oracleSql ++
+      graft.queries.TextOps10.oracleSql
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *    Entry/exit come from row_number over per-session windows (bounded
   *    partitions); per-session durations are rounded→DECIMAL before the
   *    cross-session sum, so the averages replay exactly.
+  *  - q116: small-file compaction planner — the lakehouse maintenance
+  *    job that bins a partition's files into target-size rewrite groups:
+  *    cumulative bytes in (partition, file) order through ONE
+  *    GlobalPrefixSum scan (the m8 recipe — per-partition bases come
+  *    from a bounded groupBy, no per-partition single-task windows),
+  *    batch = cumulative-end div target. File inventory is simulated
+  *    from orders (exact integer cent sums as byte proxies).
   */
 object Analytics10 {
   import Tables.t
@@ -57,6 +64,25 @@ object Analytics10 {
         .unionByName(row(l, "lineitem", "shipdate_in_range", "v_date"))
         .unionByName(row(c, "customer", "mktsegment_domain", "v_domain"))
         .orderBy("constraint_name")
+    }),
+
+    "q116_compaction_plan" -> ((spark, dir) => {
+      val target = 50000000000L
+      val files = t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority").as("part"),
+          (col("o_orderkey") % 40).as("file_id"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("bytes"))
+      val cum = graft.operators.GlobalPrefixSum.withRunningTotalBy(
+        files, struct(col("part"), col("file_id")), "bytes", "cum")
+      val bases = cum.groupBy("part")
+        .agg(min(col("cum") - col("bytes")).as("base"))
+      cum.join(broadcast(bases), Seq("part"))
+        .withColumn("batch_id", expr(s"(cum - base - 1) div $target"))
+        .groupBy("part", "batch_id")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("batch_bytes"),
+          min("file_id").as("first_file"), max("file_id").as("last_file"))
+        .orderBy("part", "batch_id")
     }),
 
     "q115_session_kpis" -> ((spark, dir) => {
@@ -145,6 +171,23 @@ object Analytics10 {
         |  UNION ALL SELECT 'customer.mktsegment_domain', 'customer', n,
         |    v_domain, v_domain = 0 FROM c)
         |ORDER BY constraint_name""".stripMargin,
+
+    "q116_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT o_orderpriority AS part, o_orderkey % 40 AS file_id,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) * 100 AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT part, file_id, bytes,
+        |    sum(bytes) OVER (PARTITION BY part ORDER BY file_id) AS cum
+        |  FROM files)
+        |SELECT part, CAST((cum - 1) // 50000000000 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS batch_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM c GROUP BY part, (cum - 1) // 50000000000
+        |ORDER BY part, batch_id""".stripMargin,
 
     "q115_session_kpis" ->
       """WITH s AS (
