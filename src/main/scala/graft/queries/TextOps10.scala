@@ -19,12 +19,35 @@ import org.apache.spark.sql.functions._
   *    Planted same-length single-byte variants guarantee true positives
   *    whose hashes differ only near the edit. The multimodal member of
   *    the dedup family (d1 exact / d4 MinHash / d5 SimHash / d20 PQ).
+  *  - d24: consistent-hash shard assignment + rebalancing audit — docs
+  *    land on the clockwise-successor virtual node of a 32-vnodes-per-
+  *    shard ring (md5-packed positions rendered once into both
+  *    engines); growing the ring 8→10 shards moves only the slices the
+  *    new shards claim, and the report contrasts that with the ~80%
+  *    churn a mod-N scheme costs. Rings are constant literal frames
+  *    broadcast against one corpus scan; arg-mins via bounded min-k.
   */
 object TextOps10 {
   import Tables.t
 
   private val MmrPool = 20
   private val HamMax = 6
+
+  // ---- d24: virtual-node ring positions (md5-packed, rendered once) ----
+  private val RingSpace = 1L << 62
+  private def vnodeHash(config: String, shard: Int, v: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ring:$config:$shard:$v".getBytes("UTF-8"))
+    val hx = d.map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hx.substring(0, 15), 16) % 2147483647L) *
+      2147483648L +
+      (java.lang.Long.parseLong(hx.substring(15, 30), 16) % 2147483647L)
+  }
+  private def ring(config: String, nShards: Int): Seq[(Long, Int)] =
+    for (s <- 0 until nShards; v <- 0 until 32)
+      yield (vnodeHash(config, s, v), s)
+  private def ringValuesSql(r: Seq[(Long, Int)]): String =
+    r.map { case (vh, s) => s"($vh, $s)" }.mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_mmr" -> ((spark, dir) => {
@@ -91,6 +114,41 @@ object TextOps10 {
         .unionByName(sel3.select(col("p_id"), lit(3).as("rank"),
           col("sel_id"), col("sel_score").cast("double").as("score")))
         .orderBy("p_id", "rank")
+    }),
+
+    "d24_consistent_shards" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Md5Pack(col("doc_id").cast("string")).as("h"))
+      def assign(config: String, nShards: Int, out: String) = {
+        val vn = ring(config, nShards).toDF("vh", "shard")
+        // clockwise successor on the ring: min (vh − h) mod 2^62
+        docs.crossJoin(broadcast(vn))
+          .select(col("doc_id"), col("h"),
+            expr(s"((vh - h) % $RingSpace + $RingSpace) % $RingSpace")
+              .as("dist"), col("shard"))
+          .groupBy("doc_id", "h")
+          .agg(graft.functions.TopKAgg.minK(
+            struct(col("dist"), col("shard")), 1).as("w"))
+          .select(col("doc_id"), col("h"),
+            col("w")(0)("shard").as(out))
+      }
+      // the grown ring KEEPS the original vnodes (same hash namespace)
+      // and only adds shards 8-9 — that containment is what makes
+      // consistent hashing move ~2/10 of keys instead of ~4/5
+      val a = assign("A", 8, "shard_a")
+      val b = assign("A", 10, "shard_b").select(col("doc_id").as("d2"),
+        col("shard_b"))
+      a.join(b, col("doc_id") === col("d2"))
+        .select(col("doc_id"), col("h"), col("shard_a"), col("shard_b"))
+        .groupBy("shard_a")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("shard_a") =!= col("shard_b")).as("n_moved_ring"),
+          count_if((col("h") % 8) =!= (col("h") % 10)).as("n_moved_mod"))
+        .withColumn("ring_moved_frac",
+          round(col("n_moved_ring").cast("double") / col("n_docs"), 6))
+        .orderBy("shard_a")
     }),
 
     "m11_phash_neardup" -> ((spark, dir) => {
@@ -210,6 +268,37 @@ object TextOps10 {
          |  UNION ALL
          |  SELECT p_id, 3, s3_id, CAST(s3_score AS DOUBLE) FROM s3)
          |ORDER BY p_id, rank""".stripMargin,
+
+    "d24_consistent_shards" -> {
+      val docHash = Tables.duckMd5Pack("CAST(doc_id AS VARCHAR)")
+      s"""WITH docs AS (
+         |  SELECT doc_id, $docHash AS h FROM documents),
+         |va(vh, shard) AS (VALUES ${ringValuesSql(ring("A", 8))}),
+         |vb(vh, shard) AS (VALUES ${ringValuesSql(ring("A", 10))}),
+         |da AS (
+         |  SELECT doc_id, h, shard AS shard_a FROM (
+         |    SELECT doc_id, h, shard, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY
+         |        ((vh - h) % $RingSpace + $RingSpace) % $RingSpace, shard)
+         |      AS rn
+         |    FROM docs CROSS JOIN va) WHERE rn = 1),
+         |db AS (
+         |  SELECT doc_id, shard AS shard_b FROM (
+         |    SELECT doc_id, shard, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY
+         |        ((vh - h) % $RingSpace + $RingSpace) % $RingSpace, shard)
+         |      AS rn
+         |    FROM docs CROSS JOIN vb) WHERE rn = 1)
+         |SELECT shard_a, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE shard_a <> shard_b) AS BIGINT)
+         |    AS n_moved_ring,
+         |  CAST(count(*) FILTER (WHERE h % 8 <> h % 10) AS BIGINT)
+         |    AS n_moved_mod,
+         |  round(CAST(count(*) FILTER (WHERE shard_a <> shard_b)
+         |    AS DOUBLE) / count(*), 6) AS ring_moved_frac
+         |FROM da JOIN db USING (doc_id)
+         |GROUP BY shard_a ORDER BY shard_a""".stripMargin
+    },
 
     "m11_phash_neardup" ->
       s"""WITH base AS (

@@ -71,6 +71,20 @@ class Round5kSpec extends AnyFunSuite {
       "MMR rank 2 identical to relevance rank 2 on every probe")
   }
 
+  test("d24: ring rebalance moves a small minority; mod churns most") {
+    val rows = q("d24_consistent_shards").collect()
+    assert(rows.length === 8, "a ring shard received no documents")
+    val (n, ring, mod) = (rows.map(_.getLong(1)).sum,
+      rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(n === Tables.t(spark, Sf, "documents").count())
+    // consistent hashing: ~2/10 of keys move when 8 shards become 10;
+    // mod-N reassigns ~4/5 of them
+    assert(ring.toDouble / n < 0.45, s"ring moved $ring of $n")
+    assert(mod.toDouble / n > 0.6, s"mod moved only $mod of $n")
+    assert(ring < mod)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("m11: all planted single-byte variants found at low Hamming") {
     val rows = q("m11_phash_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
