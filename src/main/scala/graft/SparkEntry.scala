@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Analytics10.queries ++
       graft.queries.Analytics11.queries ++
       graft.queries.Analytics12.queries ++
+      graft.queries.Analytics13.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.queries.Analytics10.oracleSql ++
       graft.queries.Analytics11.oracleSql ++
       graft.queries.Analytics12.oracleSql ++
+      graft.queries.Analytics13.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
