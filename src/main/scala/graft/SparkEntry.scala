@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Analytics11.queries ++
       graft.queries.Analytics12.queries ++
       graft.queries.Analytics13.queries ++
+      graft.queries.Analytics14.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       graft.queries.Analytics11.oracleSql ++
       graft.queries.Analytics12.oracleSql ++
       graft.queries.Analytics13.oracleSql ++
+      graft.queries.Analytics14.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
