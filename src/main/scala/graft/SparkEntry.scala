@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.Analytics14.queries ++
       graft.queries.Analytics15.queries ++
       graft.queries.Analytics16.queries ++
+      graft.queries.Analytics17.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.queries.Analytics14.oracleSql ++
       graft.queries.Analytics15.oracleSql ++
       graft.queries.Analytics16.oracleSql ++
+      graft.queries.Analytics17.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
