@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Analytics15.queries ++
       graft.queries.Analytics16.queries ++
       graft.queries.Analytics17.queries ++
+      graft.queries.Analytics18.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.queries.Analytics15.oracleSql ++
       graft.queries.Analytics16.oracleSql ++
       graft.queries.Analytics17.oracleSql ++
+      graft.queries.Analytics18.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
