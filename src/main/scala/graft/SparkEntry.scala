@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.Analytics16.queries ++
       graft.queries.Analytics17.queries ++
       graft.queries.Analytics18.queries ++
+      graft.queries.Analytics19.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
       graft.queries.Analytics16.oracleSql ++
       graft.queries.Analytics17.oracleSql ++
       graft.queries.Analytics18.oracleSql ++
+      graft.queries.Analytics19.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
