@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Analytics17.queries ++
       graft.queries.Analytics18.queries ++
       graft.queries.Analytics19.queries ++
+      graft.queries.Analytics20.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.queries.Analytics17.oracleSql ++
       graft.queries.Analytics18.oracleSql ++
       graft.queries.Analytics19.oracleSql ++
+      graft.queries.Analytics20.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

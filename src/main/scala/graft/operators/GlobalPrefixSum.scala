@@ -51,9 +51,20 @@ object GlobalPrefixSum {
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persist + eager count: `ranged` feeds BOTH the totals branch and
+    // the main branch. Without the barrier each branch re-executes the
+    // repartitionByRange, and RangePartitioner's sampling seed differs
+    // per execution (it derives from the RDD id) — the two executions
+    // can draw DIFFERENT range boundaries, so the offsets describe a
+    // partitioning the main branch doesn't have. Small frames rarely
+    // diverge (few candidate boundaries); at ~60k rows the drift is
+    // reliably observable. The d4/s12 persist-once pattern pins one
+    // materialization for both consumers.
     val ranged = df.withColumn("_gps_key", orderExpr)
       .repartitionByRange(n, col("_gps_key"))
       .withColumn("_gps_pid", spark_partition_id())
+      .persist()
+    ranged.count()
     // Starting offset per partition: totals are one row per partition
     // (constant-size at any corpus scale), so the offset prefix-walk on
     // the tiny frame — and its broadcast back — never grows with data.

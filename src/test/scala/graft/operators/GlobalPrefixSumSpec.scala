@@ -19,6 +19,31 @@ class GlobalPrefixSumSpec extends AnyFunSuite {
     keys.zip(cums).toMap
   }
 
+  test("large frame: rank agrees with row_number (one-materialization pin)") {
+    // Regression: `ranged` feeds both the totals branch and the main
+    // branch; before the persist barrier each branch re-executed
+    // repartitionByRange with a different sampling seed and could draw
+    // DIFFERENT range boundaries — offsets for a partitioning the main
+    // branch didn't have. Small frames rarely diverged; ~60k rows make
+    // the drift reliable, so this pin runs at sf0.01 scale.
+    import org.apache.spark.sql.expressions.Window
+    val vals = spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"),
+        col("l_linenumber"))
+    val ranked = GlobalPrefixSum.withRunningTotalBy(
+      vals.withColumn("one", lit(1L)),
+      struct(col("v").as("s"), col("l_orderkey").as("k1"),
+        col("l_linenumber").as("k2")), "one", "rnk")
+    val rn = vals.withColumn("rn", row_number().over(
+      Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+    val mismatches = ranked
+      .join(rn, Seq("v", "l_orderkey", "l_linenumber"))
+      .filter(col("rnk") =!= col("rn")).count()
+    assert(mismatches === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("matches the single-window model on randomized data, any width") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
