@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.TextOps9.queries ++
       graft.queries.TextOps10.queries ++
       graft.queries.TextOps11.queries ++
-      graft.queries.TextOps12.queries
+      graft.queries.TextOps12.queries ++
+      graft.queries.TextOps13.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -91,5 +92,6 @@ object SparkEntry {
       graft.queries.TextOps9.oracleSql ++
       graft.queries.TextOps10.oracleSql ++
       graft.queries.TextOps11.oracleSql ++
-      graft.queries.TextOps12.oracleSql
+      graft.queries.TextOps12.oracleSql ++
+      graft.queries.TextOps13.oracleSql
 }
