@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.Analytics19.queries ++
       graft.queries.Analytics20.queries ++
       graft.queries.Analytics21.queries ++
+      graft.queries.Analytics22.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       graft.queries.Analytics19.oracleSql ++
       graft.queries.Analytics20.oracleSql ++
       graft.queries.Analytics21.oracleSql ++
+      graft.queries.Analytics22.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
