@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.Analytics20.queries ++
       graft.queries.Analytics21.queries ++
       graft.queries.Analytics22.queries ++
+      graft.queries.Analytics23.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -83,6 +84,7 @@ object SparkEntry {
       graft.queries.Analytics20.oracleSql ++
       graft.queries.Analytics21.oracleSql ++
       graft.queries.Analytics22.oracleSql ++
+      graft.queries.Analytics23.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
