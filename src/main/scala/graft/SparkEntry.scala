@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Analytics21.queries ++
       graft.queries.Analytics22.queries ++
       graft.queries.Analytics23.queries ++
+      graft.queries.Analytics24.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -85,6 +86,7 @@ object SparkEntry {
       graft.queries.Analytics21.oracleSql ++
       graft.queries.Analytics22.oracleSql ++
       graft.queries.Analytics23.oracleSql ++
+      graft.queries.Analytics24.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
