@@ -42,6 +42,10 @@ object SparkEntry {
       graft.queries.Analytics22.queries ++
       graft.queries.Analytics23.queries ++
       graft.queries.Analytics24.queries ++
+      graft.queries.Analytics25.queries ++
+      graft.queries.Analytics26.queries ++
+      graft.queries.Analytics27.queries ++
+      graft.queries.Analytics28.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -54,7 +58,8 @@ object SparkEntry {
       graft.queries.TextOps10.queries ++
       graft.queries.TextOps11.queries ++
       graft.queries.TextOps12.queries ++
-      graft.queries.TextOps13.queries
+      graft.queries.TextOps13.queries ++
+      graft.queries.TextOps14.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -87,6 +92,10 @@ object SparkEntry {
       graft.queries.Analytics22.oracleSql ++
       graft.queries.Analytics23.oracleSql ++
       graft.queries.Analytics24.oracleSql ++
+      graft.queries.Analytics25.oracleSql ++
+      graft.queries.Analytics26.oracleSql ++
+      graft.queries.Analytics27.oracleSql ++
+      graft.queries.Analytics28.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -99,5 +108,6 @@ object SparkEntry {
       graft.queries.TextOps10.oracleSql ++
       graft.queries.TextOps11.oracleSql ++
       graft.queries.TextOps12.oracleSql ++
-      graft.queries.TextOps13.oracleSql
+      graft.queries.TextOps13.oracleSql ++
+      graft.queries.TextOps14.oracleSql
 }
