@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.Analytics26.queries ++
       graft.queries.Analytics27.queries ++
       graft.queries.Analytics28.queries ++
+      graft.queries.Analytics29.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -96,6 +97,7 @@ object SparkEntry {
       graft.queries.Analytics26.oracleSql ++
       graft.queries.Analytics27.oracleSql ++
       graft.queries.Analytics28.oracleSql ++
+      graft.queries.Analytics29.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
