@@ -47,6 +47,12 @@ object SparkEntry {
       graft.queries.Analytics27.queries ++
       graft.queries.Analytics28.queries ++
       graft.queries.Analytics29.queries ++
+      graft.queries.Analytics30.queries ++
+      graft.queries.Analytics31.queries ++
+      graft.queries.Analytics32.queries ++
+      graft.queries.Analytics33.queries ++
+      graft.queries.Analytics34.queries ++
+      graft.queries.Analytics35.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -60,7 +66,11 @@ object SparkEntry {
       graft.queries.TextOps11.queries ++
       graft.queries.TextOps12.queries ++
       graft.queries.TextOps13.queries ++
-      graft.queries.TextOps14.queries
+      graft.queries.TextOps14.queries ++
+      graft.queries.TextOps15.queries ++
+      graft.queries.TextOps16.queries ++
+      graft.queries.TextOps17.queries ++
+      graft.queries.TextOps18.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -98,6 +108,12 @@ object SparkEntry {
       graft.queries.Analytics27.oracleSql ++
       graft.queries.Analytics28.oracleSql ++
       graft.queries.Analytics29.oracleSql ++
+      graft.queries.Analytics30.oracleSql ++
+      graft.queries.Analytics31.oracleSql ++
+      graft.queries.Analytics32.oracleSql ++
+      graft.queries.Analytics33.oracleSql ++
+      graft.queries.Analytics34.oracleSql ++
+      graft.queries.Analytics35.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -111,5 +127,9 @@ object SparkEntry {
       graft.queries.TextOps11.oracleSql ++
       graft.queries.TextOps12.oracleSql ++
       graft.queries.TextOps13.oracleSql ++
-      graft.queries.TextOps14.oracleSql
+      graft.queries.TextOps14.oracleSql ++
+      graft.queries.TextOps15.oracleSql ++
+      graft.queries.TextOps16.oracleSql ++
+      graft.queries.TextOps17.oracleSql ++
+      graft.queries.TextOps18.oracleSql
 }
