@@ -53,6 +53,7 @@ object SparkEntry {
       graft.queries.Analytics33.queries ++
       graft.queries.Analytics34.queries ++
       graft.queries.Analytics35.queries ++
+      graft.queries.Analytics36.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -70,7 +71,8 @@ object SparkEntry {
       graft.queries.TextOps15.queries ++
       graft.queries.TextOps16.queries ++
       graft.queries.TextOps17.queries ++
-      graft.queries.TextOps18.queries
+      graft.queries.TextOps18.queries ++
+      graft.queries.TextOps19.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -114,6 +116,7 @@ object SparkEntry {
       graft.queries.Analytics33.oracleSql ++
       graft.queries.Analytics34.oracleSql ++
       graft.queries.Analytics35.oracleSql ++
+      graft.queries.Analytics36.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -131,5 +134,6 @@ object SparkEntry {
       graft.queries.TextOps15.oracleSql ++
       graft.queries.TextOps16.oracleSql ++
       graft.queries.TextOps17.oracleSql ++
-      graft.queries.TextOps18.oracleSql
+      graft.queries.TextOps18.oracleSql ++
+      graft.queries.TextOps19.oracleSql
 }
