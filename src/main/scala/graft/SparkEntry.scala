@@ -54,6 +54,9 @@ object SparkEntry {
       graft.queries.Analytics34.queries ++
       graft.queries.Analytics35.queries ++
       graft.queries.Analytics36.queries ++
+      graft.queries.Analytics37.queries ++
+      graft.queries.Analytics38.queries ++
+      graft.queries.Analytics39.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -72,7 +75,8 @@ object SparkEntry {
       graft.queries.TextOps16.queries ++
       graft.queries.TextOps17.queries ++
       graft.queries.TextOps18.queries ++
-      graft.queries.TextOps19.queries
+      graft.queries.TextOps19.queries ++
+      graft.queries.TextOps20.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -117,6 +121,9 @@ object SparkEntry {
       graft.queries.Analytics34.oracleSql ++
       graft.queries.Analytics35.oracleSql ++
       graft.queries.Analytics36.oracleSql ++
+      graft.queries.Analytics37.oracleSql ++
+      graft.queries.Analytics38.oracleSql ++
+      graft.queries.Analytics39.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -135,5 +142,6 @@ object SparkEntry {
       graft.queries.TextOps16.oracleSql ++
       graft.queries.TextOps17.oracleSql ++
       graft.queries.TextOps18.oracleSql ++
-      graft.queries.TextOps19.oracleSql
+      graft.queries.TextOps19.oracleSql ++
+      graft.queries.TextOps20.oracleSql
 }
