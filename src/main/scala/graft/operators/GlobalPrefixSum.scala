@@ -47,7 +47,20 @@ object GlobalPrefixSum {
     * (ties share the running total, per RANGE frame semantics).
     */
   def withRunningTotalBy(df: DataFrame, orderExpr: Column, valCol: String,
-      cumCol: String, partitions: Int = 0): DataFrame = {
+      cumCol: String, partitions: Int = 0): DataFrame =
+    withRunningTotalsBy(df, orderExpr, Seq(valCol -> cumCol), partitions)
+
+  /** As [[withRunningTotalBy]] but accumulating SEVERAL value columns in
+    * one scan (`valCols` maps each input column to its running-total
+    * output). The range exchange, the per-partition totals frame, and
+    * the broadcast offsets are all shared — a two-EDF statistic (e.g.
+    * the Cramér–von Mises cum_A/cum_B pair) costs one shuffle instead
+    * of one per column, and the plan tree stays flat instead of nesting
+    * one scan's lineage inside the next.
+    */
+  def withRunningTotalsBy(df: DataFrame, orderExpr: Column,
+      valCols: Seq[(String, String)], partitions: Int = 0): DataFrame = {
+    require(valCols.nonEmpty, "withRunningTotalsBy: no value columns")
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -68,19 +81,27 @@ object GlobalPrefixSum {
     // Starting offset per partition: totals are one row per partition
     // (constant-size at any corpus scale), so the offset prefix-walk on
     // the tiny frame — and its broadcast back — never grows with data.
-    val totals = ranged.groupBy("_gps_pid")
-      .agg(sum(col(valCol)).as("_gps_psum"))
+    val sums = valCols.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v)).as(s"_gps_psum_$i")
+    }
+    val totals = ranged.groupBy("_gps_pid").agg(sums.head, sums.tail: _*)
     val wOff = Window.orderBy("_gps_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("_gps_off",
-        coalesce(sum(col("_gps_psum")).over(wOff), lit(0L)))
-      .select("_gps_pid", "_gps_off")
+    val offsets = valCols.indices
+      .foldLeft(totals) { (t, i) =>
+        t.withColumn(s"_gps_off_$i",
+          coalesce(sum(col(s"_gps_psum_$i")).over(wOff), lit(0L)))
+      }
+      .select(col("_gps_pid") +:
+        valCols.indices.map(i => col(s"_gps_off_$i")): _*)
     val wIn = Window.partitionBy("_gps_pid").orderBy("_gps_key")
-    ranged
-      .withColumn("_gps_incum", sum(col(valCol)).over(wIn))
-      .join(broadcast(offsets), "_gps_pid")
-      .withColumn(cumCol, col("_gps_incum") + col("_gps_off"))
-      .drop("_gps_pid", "_gps_incum", "_gps_off", "_gps_key")
+    val withCums = valCols.zipWithIndex
+      .foldLeft(ranged.join(broadcast(offsets), "_gps_pid")) {
+        case (d, ((v, c), i)) =>
+          d.withColumn(c,
+            sum(col(v)).over(wIn) + col(s"_gps_off_$i"))
+      }
+    withCums.drop("_gps_pid" +: "_gps_key" +:
+      valCols.indices.map(i => s"_gps_off_$i"): _*)
   }
 }

@@ -36,10 +36,9 @@ object Analytics29 {
         .agg(count_if(col("pos")).as("a_s"),
           count_if(!col("pos")).as("b_s"),
           count(lit(1)).as("n_s"))
-      val withA = graft.operators.GlobalPrefixSum.withRunningTotal(
-        g, "cents", "a_s", "cum_a")
-      val withB = graft.operators.GlobalPrefixSum.withRunningTotal(
-        withA, "cents", "b_s", "cum_b")
+      // both EDFs accumulate in ONE range-partitioned scan
+      val withB = graft.operators.GlobalPrefixSum.withRunningTotalsBy(
+        g, col("cents"), Seq("a_s" -> "cum_a", "b_s" -> "cum_b"))
       val nm = g.agg(sum(col("a_s")).as("n"), sum(col("b_s")).as("m"))
       val terms = withB.crossJoin(broadcast(nm))
         .withColumn("d",

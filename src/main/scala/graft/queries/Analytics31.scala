@@ -38,6 +38,12 @@ object Analytics31 {
         .select(col("o_custkey"),
           datediff(col("maxd"), col("last_o")).cast("long").as("rec_days"),
           col("freq"), col("money"))
+      // the three rank scans CHAIN (each consumes the previous result):
+      // measured against the parallel-branch + custkey-join formulation,
+      // chaining moves strictly fewer bytes — the rank columns ride the
+      // next range exchange instead of paying three extra equi-join
+      // shuffles. The nested plan tree stays bounded at three scans and
+      // each scan's internal persist shields re-execution.
       def ranked(df: DataFrame, orderExpr: Column, outCol: String) =
         graft.operators.GlobalPrefixSum.withRunningTotalBy(
           df.withColumn("one", lit(1L)), orderExpr, "one", outCol)
