@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.Analytics37.queries ++
       graft.queries.Analytics38.queries ++
       graft.queries.Analytics39.queries ++
+      graft.queries.Analytics40.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -76,7 +77,8 @@ object SparkEntry {
       graft.queries.TextOps17.queries ++
       graft.queries.TextOps18.queries ++
       graft.queries.TextOps19.queries ++
-      graft.queries.TextOps20.queries
+      graft.queries.TextOps20.queries ++
+      graft.queries.TextOps21.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -124,6 +126,7 @@ object SparkEntry {
       graft.queries.Analytics37.oracleSql ++
       graft.queries.Analytics38.oracleSql ++
       graft.queries.Analytics39.oracleSql ++
+      graft.queries.Analytics40.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -143,5 +146,6 @@ object SparkEntry {
       graft.queries.TextOps17.oracleSql ++
       graft.queries.TextOps18.oracleSql ++
       graft.queries.TextOps19.oracleSql ++
-      graft.queries.TextOps20.oracleSql
+      graft.queries.TextOps20.oracleSql ++
+      graft.queries.TextOps21.oracleSql
 }

@@ -94,15 +94,36 @@ object AnnIvf {
       .toArray
   }
 
-  /** Top-k neighbors per probe over the nProbe nearest inverted lists. */
-  def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
-      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
-      lloydIters: Int = 0): DataFrame = {
+  /** The trained index: sampled (and optionally Lloyd-refined)
+    * centroids as plain data — a few KB regardless of corpus size, so
+    * it persists to a parquet file and reloads bit-exactly (doubles
+    * round-trip parquet unchanged), decoupling index BUILD from query
+    * time the way a production vector store does.
+    */
+  def buildCentroids(vecs: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int, lloydIters: Int): Array[(Any, Array[Double])] = {
     var cent = centroids(vecs, idCol, embCol, nCentroids).collect()
       .map(r => (r.get(0): Any, r.getSeq[Float](1).toArray.map(_.toDouble)))
     (0 until lloydIters).foreach { _ =>
       cent = refine(vecs, cent, idCol, embCol)
     }
+    cent
+  }
+
+  /** Top-k neighbors per probe over the nProbe nearest inverted lists. */
+  def topK(vecs: DataFrame, probes: DataFrame, idCol: String, embCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 2,
+      lloydIters: Int = 0): DataFrame = {
+    val cent = buildCentroids(vecs, idCol, embCol, nCentroids, lloydIters)
+    searchWith(vecs, probes, idCol, embCol, cent, k, nProbe)
+  }
+
+  /** Search with an externally supplied (e.g. persisted-and-reloaded)
+    * centroid index.
+    */
+  def searchWith(vecs: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, cent: Array[(Any, Array[Double])], k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
     if (cent.isEmpty)
       return probes.select(col(idCol).as("probe_id"), col(idCol).as("cand_id"),
         lit(0.0).as("cos"), lit(1).as("rank")).limit(0)
