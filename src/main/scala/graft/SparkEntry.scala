@@ -78,7 +78,8 @@ object SparkEntry {
       graft.queries.TextOps18.queries ++
       graft.queries.TextOps19.queries ++
       graft.queries.TextOps20.queries ++
-      graft.queries.TextOps21.queries
+      graft.queries.TextOps21.queries ++
+      graft.queries.TextOps22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -147,5 +148,6 @@ object SparkEntry {
       graft.queries.TextOps18.oracleSql ++
       graft.queries.TextOps19.oracleSql ++
       graft.queries.TextOps20.oracleSql ++
-      graft.queries.TextOps21.oracleSql
+      graft.queries.TextOps21.oracleSql ++
+      graft.queries.TextOps22.oracleSql
 }
