@@ -58,6 +58,7 @@ object SparkEntry {
       graft.queries.Analytics38.queries ++
       graft.queries.Analytics39.queries ++
       graft.queries.Analytics40.queries ++
+      graft.queries.Analytics41.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -79,7 +80,8 @@ object SparkEntry {
       graft.queries.TextOps19.queries ++
       graft.queries.TextOps20.queries ++
       graft.queries.TextOps21.queries ++
-      graft.queries.TextOps22.queries
+      graft.queries.TextOps22.queries ++
+      graft.queries.TextOps23.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -128,6 +130,7 @@ object SparkEntry {
       graft.queries.Analytics38.oracleSql ++
       graft.queries.Analytics39.oracleSql ++
       graft.queries.Analytics40.oracleSql ++
+      graft.queries.Analytics41.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -149,5 +152,6 @@ object SparkEntry {
       graft.queries.TextOps19.oracleSql ++
       graft.queries.TextOps20.oracleSql ++
       graft.queries.TextOps21.oracleSql ++
-      graft.queries.TextOps22.oracleSql
+      graft.queries.TextOps22.oracleSql ++
+      graft.queries.TextOps23.oracleSql
 }
