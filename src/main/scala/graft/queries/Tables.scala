@@ -9,15 +9,26 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects outright; read them as nanos-since-epoch longs (legacy
-    * conf) and convert to microsecond TimestampType (lossless here — the
-    * generator emits µs-resolution values).
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark 4 rejects outright;
+    * readable only as nanos-since-epoch longs via the legacy conf),
+    * plain TIMESTAMP(MICROS) without the UTC flag (read as
+    * TIMESTAMP_NTZ), or an already-zoned TIMESTAMP. Normalize all three
+    * to microsecond TimestampType so every downstream query sees ONE
+    * schema. The NTZ cast reinterprets wall-clock in the session zone;
+    * every entry point (Verify/Bench/tests/CLI) pins UTC, so the
+    * instants match DuckDB's zone-naive reading of the same parquet.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** DuckDB replica of the graft.functions.Md5Pack 62-bit hash over SQL
