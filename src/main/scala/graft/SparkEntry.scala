@@ -60,6 +60,7 @@ object SparkEntry {
       graft.queries.Analytics40.queries ++
       graft.queries.Analytics41.queries ++
       graft.queries.Analytics42.queries ++
+      graft.queries.Analytics43.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -133,6 +134,7 @@ object SparkEntry {
       graft.queries.Analytics40.oracleSql ++
       graft.queries.Analytics41.oracleSql ++
       graft.queries.Analytics42.oracleSql ++
+      graft.queries.Analytics43.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
