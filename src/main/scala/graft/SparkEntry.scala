@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.Analytics41.queries ++
       graft.queries.Analytics42.queries ++
       graft.queries.Analytics43.queries ++
+      graft.queries.Analytics44.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -83,7 +84,8 @@ object SparkEntry {
       graft.queries.TextOps20.queries ++
       graft.queries.TextOps21.queries ++
       graft.queries.TextOps22.queries ++
-      graft.queries.TextOps23.queries
+      graft.queries.TextOps23.queries ++
+      graft.queries.TextOps24.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -135,6 +137,7 @@ object SparkEntry {
       graft.queries.Analytics41.oracleSql ++
       graft.queries.Analytics42.oracleSql ++
       graft.queries.Analytics43.oracleSql ++
+      graft.queries.Analytics44.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -157,5 +160,6 @@ object SparkEntry {
       graft.queries.TextOps20.oracleSql ++
       graft.queries.TextOps21.oracleSql ++
       graft.queries.TextOps22.oracleSql ++
-      graft.queries.TextOps23.oracleSql
+      graft.queries.TextOps23.oracleSql ++
+      graft.queries.TextOps24.oracleSql
 }

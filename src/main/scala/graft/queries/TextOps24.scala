@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions, batch 44 text ops (SURVEY.md §2.4):
+  *
+  *  - d33: substring-dedup masking — the RefinedWeb-style pass that
+  *    d13's span census only *profiles*: for every document, how many
+  *    tokens sit inside an 8-token span that also appears in another
+  *    document, i.e. how much of the doc substring-level dedup would
+  *    mask? Positions matter here (d13 deduplicates spans per doc;
+  *    masking must count every occurrence), so the pipeline is:
+  *    positional 8-gram explode → cross-doc duplicate span set (one
+  *    shuffle on the span) → per-doc interval merge of the hit spans
+  *    [pos, pos+8) via the q54 islands discipline (running-max window
+  *    PER DOC — bounded by a doc's token count, never global) →
+  *    exact covered-token sums. All integer arithmetic; the mask
+  *    fraction's division is the only float step.
+  */
+object TextOps24 {
+  import Tables.t
+
+  private val SpanN = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_span_mask" -> ((spark, dir) => {
+      val tk = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= SpanN)
+      val pos = tk.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(tk) - $SpanN), " +
+            s"i -> concat_ws(' ', slice(tk, i + 1, $SpanN)))")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "span")
+      // cross-doc duplicate spans: one shuffle keyed on the span text
+      val dup = pos.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("span"))
+      val hits = pos.join(dup, Seq("span"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"), col("p"))
+      // merge overlapping [p, p+8) intervals per doc: break where the
+      // running max end over PRECEDING rows doesn't reach p
+      val wPrev = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val isl = hits
+        .withColumn("brk",
+          when(col("p") > coalesce(max(col("p") + SpanN).over(wPrev),
+            lit(-1)), 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(wRun))
+      isl.groupBy(col("doc_id"), col("island"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          (max(col("p") + SpanN) - min(col("p"))).as("covered"))
+        .groupBy("doc_id")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          sum(col("covered")).cast("long").as("masked_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("masked_tokens"),
+          round(col("masked_tokens").cast("double")
+            / col("n_tokens").cast("double"), 6).as("mask_frac"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d33_span_mask" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS (
+         |  SELECT doc_id, len(tk) AS n_tokens, tk
+         |  FROM d WHERE len(tk) >= $SpanN),
+         |pos AS (
+         |  SELECT doc_id, n_tokens,
+         |    unnest(range(len(tk) - ${SpanN - 1})) AS p,
+         |    unnest(list_transform(range(len(tk) - ${SpanN - 1}),
+         |      i -> array_to_string(list_slice(tk, i + 1, i + $SpanN), ' ')))
+         |      AS span
+         |  FROM tk),
+         |dup AS (
+         |  SELECT span FROM pos GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT doc_id, n_tokens, p FROM pos
+         |  WHERE span IN (SELECT span FROM dup)),
+         |m AS (
+         |  SELECT doc_id, n_tokens, p,
+         |    CASE WHEN p > coalesce(max(p + $SpanN) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, n_tokens, p,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM m),
+         |cov AS (
+         |  SELECT doc_id, island, max(n_tokens) AS n_tokens,
+         |    max(p + $SpanN) - min(p) AS covered
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(covered) AS BIGINT) AS masked_tokens,
+         |  round(CAST(sum(covered) AS DOUBLE)
+         |    / CAST(max(n_tokens) AS DOUBLE), 6) AS mask_frac
+         |FROM cov GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
