@@ -20,26 +20,42 @@ final case class UserRunningTotal(user_id: Long, total_events: Long,
 
 object EventStream {
 
-  /** Raw file schema: ts arrives as TIMESTAMP(NANOS) parquet, which Spark 4
-    * only reads as nanos-since-epoch long (legacy conf) — see Tables.events.
+  /** Raw file schema with `tsType` as the physical type of `ts` — the
+    * testdata generator has emitted TIMESTAMP(NANOS) (readable only as
+    * nanos-since-epoch long under the legacy conf), plain
+    * TIMESTAMP(MICROS) (TIMESTAMP_NTZ), and zoned TIMESTAMP across
+    * generations; see Tables.events.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** Streaming read of event parquet files landing in `dir`. */
+  /** Streaming read of event parquet files landing in `dir`, normalized
+    * to zoned microsecond TimestampType `ts` for every testdata
+    * generation. Streaming sources need a declared schema, so the actual
+    * ts physical type is sniffed ONCE from the files already present via
+    * a batch read — a driver-side, metadata-only probe.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read
+      .option("pathGlobFilter", "events*.parquet").parquet(dir)
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts + sums per event type; 1-hour watermark bounds

@@ -350,5 +350,10 @@ class EventStreamSpec extends AnyFunSuite {
     finally q.stop()
     val n = spark.table("file_hourly").agg(sum("n")).collect()(0).getLong(0)
     assert(n === 1000) // all sf0.001 events accounted for
+    // unit regression guard: a mis-scaled epoch lands windows in 1970
+    val years = spark.table("file_hourly")
+      .select(year(col("hour_start"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(years.forall(_ >= 2020), s"hour windows in wrong era: $years")
   }
 }
