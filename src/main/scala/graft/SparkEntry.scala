@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.Analytics42.queries ++
       graft.queries.Analytics43.queries ++
       graft.queries.Analytics44.queries ++
+      graft.queries.Analytics45.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -138,6 +139,7 @@ object SparkEntry {
       graft.queries.Analytics42.oracleSql ++
       graft.queries.Analytics43.oracleSql ++
       graft.queries.Analytics44.oracleSql ++
+      graft.queries.Analytics45.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

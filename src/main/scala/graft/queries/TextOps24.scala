@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *    PER DOC — bounded by a doc's token count, never global) →
   *    exact covered-token sums. All integer arithmetic; the mask
   *    fraction's division is the only float step.
+  *  - d34: train/val/test split-leakage audit — the check a training
+  *    pipeline runs BEFORE shipping shards: assign every document a
+  *    deterministic content-hash split (md5-pack mod 10 → 8/1/1), then
+  *    cross the d4 near-duplicate pairs against the assignment. Any
+  *    pair straddling two splits is leakage (a val/test doc has a
+  *    near-duplicate in train). Reuses the d4 pipeline verbatim plus
+  *    one broadcastable split join; the oracle wraps d4's full SQL as
+  *    a CTE, so both engines derive the pair set independently.
   */
 object TextOps24 {
   import Tables.t
@@ -64,6 +72,25 @@ object TextOps24 {
             / col("n_tokens").cast("double"), 6).as("mask_frac"))
         .orderBy("doc_id")
     }),
+
+    "d34_split_leakage" -> ((spark, dir) => {
+      val pairs = TextOps.queries("d4_minhash_pairs")(spark, dir)
+        .select(col("a_id"), col("b_id"))
+      val sp = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          (graft.functions.Md5Pack(col("doc_id").cast("string")) % 10)
+            .as("m"))
+        .select(col("doc_id"),
+          when(col("m") < 8, "train").when(col("m") === 8, "val")
+            .otherwise("test").as("split"))
+      val sa = sp.select(col("doc_id").as("a_id"), col("split").as("split_a"))
+      val sb = sp.select(col("doc_id").as("b_id"), col("split").as("split_b"))
+      pairs.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -109,5 +136,25 @@ object TextOps24 {
          |    / CAST(max(n_tokens) AS DOUBLE), 6) AS mask_frac
          |FROM cov GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "d34_split_leakage" -> {
+      val d4 = TextOps.oracleSql("d4_minhash_pairs")
+      s"""WITH pairs AS MATERIALIZED ($d4),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${Tables.duckMd5Pack("CAST(doc_id AS VARCHAR)")} % 10 AS m
+         |  FROM documents))
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  sa.split <> sb.split AS leaky
+         |FROM pairs
+         |JOIN sp sa ON a_id = sa.doc_id
+         |JOIN sp sb ON b_id = sb.doc_id
+         |GROUP BY 1, 2, 4
+         |ORDER BY 1, 2""".stripMargin
+    },
   )
 }
