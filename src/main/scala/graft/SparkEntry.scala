@@ -86,7 +86,8 @@ object SparkEntry {
       graft.queries.TextOps21.queries ++
       graft.queries.TextOps22.queries ++
       graft.queries.TextOps23.queries ++
-      graft.queries.TextOps24.queries
+      graft.queries.TextOps24.queries ++
+      graft.queries.TextOps25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -163,5 +164,6 @@ object SparkEntry {
       graft.queries.TextOps21.oracleSql ++
       graft.queries.TextOps22.oracleSql ++
       graft.queries.TextOps23.oracleSql ++
-      graft.queries.TextOps24.oracleSql
+      graft.queries.TextOps24.oracleSql ++
+      graft.queries.TextOps25.oracleSql
 }
