@@ -63,6 +63,7 @@ object SparkEntry {
       graft.queries.Analytics43.queries ++
       graft.queries.Analytics44.queries ++
       graft.queries.Analytics45.queries ++
+      graft.queries.Analytics46.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -141,6 +142,7 @@ object SparkEntry {
       graft.queries.Analytics43.oracleSql ++
       graft.queries.Analytics44.oracleSql ++
       graft.queries.Analytics45.oracleSql ++
+      graft.queries.Analytics46.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
