@@ -64,6 +64,7 @@ object SparkEntry {
       graft.queries.Analytics44.queries ++
       graft.queries.Analytics45.queries ++
       graft.queries.Analytics46.queries ++
+      graft.queries.Analytics47.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -143,6 +144,7 @@ object SparkEntry {
       graft.queries.Analytics44.oracleSql ++
       graft.queries.Analytics45.oracleSql ++
       graft.queries.Analytics46.oracleSql ++
+      graft.queries.Analytics47.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

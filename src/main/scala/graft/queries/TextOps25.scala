@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *    scene (peak score, earliest frame on ties), the op a video
   *    pipeline runs to pick preview stills. Reuses m9's scored-frame +
   *    islands chain plus one bounded per-scene argmax window.
+  *  - t31: Zipf-head coverage by language — what fraction of all token
+  *    occurrences the top-50 corpus tokens absorb. The token-count
+  *    frame is the t3 shuffle; the head selection is a bounded
+  *    per-lang window over the vocab frame; every mass is an exact
+  *    integer sum. The operational dual of t28's Heaps growth: how
+  *    much a stopword list would cover.
   */
 object TextOps25 {
   import Tables.t
@@ -104,6 +110,27 @@ object TextOps25 {
           col("frame_idx").as("thumb_frame"),
           col("score").as("thumb_score"), col("n_frames"))
         .orderBy("media_id", "scene_id")
+    }),
+
+    "t31_stopword_coverage" -> ((spark, dir) => {
+      val tok = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("tok"))
+      val head = tok.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 50)
+        .groupBy("lang").agg(sum(col("c")).as("head_mass"))
+      val tot = tok.groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"))
+      tot.join(broadcast(head), "lang")
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+          col("head_mass"),
+          round(col("head_mass").cast("double")
+            / col("n_tokens").cast("double"), 6).as("coverage"))
+        .orderBy("lang")
     }),
   )
 
@@ -199,5 +226,28 @@ object TextOps25 {
         |  FROM sc)
         |WHERE rk = 1
         |ORDER BY media_id, scene_id""".stripMargin,
+
+    "t31_stopword_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |head AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS head_mass FROM (
+        |    SELECT lang, c, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, tok) AS rk
+        |    FROM cnt)
+        |  WHERE rk <= 50 GROUP BY 1),
+        |tot AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cnt GROUP BY 1)
+        |SELECT lang, n_tokens, vocab, head_mass,
+        |  round(CAST(head_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS coverage
+        |FROM tot JOIN head USING (lang)
+        |ORDER BY lang""".stripMargin,
   )
 }
