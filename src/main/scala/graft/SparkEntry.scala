@@ -65,6 +65,7 @@ object SparkEntry {
       graft.queries.Analytics45.queries ++
       graft.queries.Analytics46.queries ++
       graft.queries.Analytics47.queries ++
+      graft.queries.Analytics48.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -145,6 +146,7 @@ object SparkEntry {
       graft.queries.Analytics45.oracleSql ++
       graft.queries.Analytics46.oracleSql ++
       graft.queries.Analytics47.oracleSql ++
+      graft.queries.Analytics48.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

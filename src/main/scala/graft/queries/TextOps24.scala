@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    near-duplicate in train). Reuses the d4 pipeline verbatim plus
   *    one broadcastable split join; the oracle wraps d4's full SQL as
   *    a CTE, so both engines derive the pair set independently.
+  *  - d35: dedup threshold-sweep decision table — for each candidate
+  *    Jaccard cutoff, how many d4 pairs survive and how many documents
+  *    the keep-lowest-id greedy would drop. The sweep is a 5-row
+  *    broadcast against the (bounded) verified-pair frame; all counts
+  *    exact. The table a data lead reads before picking "dedup at
+  *    0.8".
   */
 object TextOps24 {
   import Tables.t
@@ -91,6 +97,18 @@ object TextOps24 {
         .withColumn("leaky", col("split_a") =!= col("split_b"))
         .orderBy("split_a", "split_b")
     }),
+
+    "d35_threshold_sweep" -> ((spark, dir) => {
+      val pairs = TextOps.queries("d4_minhash_pairs")(spark, dir)
+      val thr = spark.range(5, 10)
+        .select((col("id").cast("double") / 10.0).as("thr"))
+      pairs.crossJoin(broadcast(thr))
+        .filter(col("jaccard") >= col("thr"))
+        .groupBy("thr")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("docs_removed"))
+        .orderBy("thr")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -155,6 +173,18 @@ object TextOps24 {
          |JOIN sp sb ON b_id = sb.doc_id
          |GROUP BY 1, 2, 4
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    "d35_threshold_sweep" -> {
+      val d4 = TextOps.oracleSql("d4_minhash_pairs")
+      s"""WITH pairs AS MATERIALIZED ($d4)
+         |SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT b_id) AS BIGINT) AS docs_removed
+         |FROM pairs
+         |CROSS JOIN (SELECT CAST(v AS DOUBLE) / 10.0 AS thr
+         |  FROM (VALUES (5), (6), (7), (8), (9)) AS t(v))
+         |WHERE jaccard >= thr
+         |GROUP BY thr ORDER BY thr""".stripMargin
     },
   )
 }
