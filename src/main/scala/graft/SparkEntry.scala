@@ -66,6 +66,7 @@ object SparkEntry {
       graft.queries.Analytics46.queries ++
       graft.queries.Analytics47.queries ++
       graft.queries.Analytics48.queries ++
+      graft.queries.Analytics49.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -147,6 +148,7 @@ object SparkEntry {
       graft.queries.Analytics46.oracleSql ++
       graft.queries.Analytics47.oracleSql ++
       graft.queries.Analytics48.oracleSql ++
+      graft.queries.Analytics49.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
