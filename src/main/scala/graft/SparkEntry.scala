@@ -91,7 +91,8 @@ object SparkEntry {
       graft.queries.TextOps22.queries ++
       graft.queries.TextOps23.queries ++
       graft.queries.TextOps24.queries ++
-      graft.queries.TextOps25.queries
+      graft.queries.TextOps25.queries ++
+      graft.queries.TextOps26.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -173,5 +174,6 @@ object SparkEntry {
       graft.queries.TextOps22.oracleSql ++
       graft.queries.TextOps23.oracleSql ++
       graft.queries.TextOps24.oracleSql ++
-      graft.queries.TextOps25.oracleSql
+      graft.queries.TextOps25.oracleSql ++
+      graft.queries.TextOps26.oracleSql
 }
