@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *    cell aggregates are exact DECIMAL (sum, count) pairs from ONE
   *    pass over the nation-month frame; the four means and the DiD
   *    double difference are the only float arithmetic.
+  *  - q190: order-priority mix entropy per nation — Shannon diversity
+  *    plus the effective-category count exp(H), the assortment-
+  *    diversity index a merchandiser tracks. The ln() terms run on
+  *    the bounded (nation, priority) mix frame and round to 10dp
+  *    DECIMAL before the order-free sum.
   */
 object Analytics48 {
   import Tables.t
@@ -62,6 +67,29 @@ object Analytics48 {
             - col("s_c0").cast("double") / col("n_c0").cast("double")),
           4).as("did_cents"))
     }),
+
+    "q190_mix_entropy" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val mix = t(spark, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val tot = mix.groupBy("c_nationkey")
+        .agg(sum(col("n")).as("nt"), count(lit(1)).as("n_priorities"))
+      mix.join(broadcast(tot), "c_nationkey")
+        .select(col("c_nationkey"), col("nt"), col("n_priorities"),
+          round((col("n").cast("double") / col("nt").cast("double"))
+            * log(col("nt").cast("double") / col("n").cast("double")), 10)
+            .cast("decimal(22,10)").as("term"))
+        .groupBy(col("c_nationkey"), col("nt"), col("n_priorities"))
+        .agg(sum(col("term")).as("h"))
+        .select(col("c_nationkey"), col("nt").as("n_orders"),
+          col("n_priorities"),
+          round(col("h").cast("double"), 6).as("entropy"),
+          round(exp(col("h").cast("double")), 4).as("effective_mix"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,5 +136,27 @@ object Analytics48 {
         |      - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)), 4)
         |    AS did_cents
         |FROM wide""".stripMargin,
+
+    "q190_mix_entropy" ->
+      """WITH mix AS (
+        |  SELECT c_nationkey, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n_priorities
+        |  FROM mix GROUP BY 1),
+        |h AS (
+        |  SELECT c_nationkey, nt, n_priorities,
+        |    sum(CAST(round((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * ln(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+        |      AS DECIMAL(22,10))) AS h
+        |  FROM mix JOIN tot USING (c_nationkey)
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, nt AS n_orders, n_priorities,
+        |  round(CAST(h AS DOUBLE), 6) AS entropy,
+        |  round(exp(CAST(h AS DOUBLE)), 4) AS effective_mix
+        |FROM h ORDER BY c_nationkey""".stripMargin,
   )
 }
