@@ -67,6 +67,7 @@ object SparkEntry {
       graft.queries.Analytics47.queries ++
       graft.queries.Analytics48.queries ++
       graft.queries.Analytics49.queries ++
+      graft.queries.Analytics50.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -151,6 +152,7 @@ object SparkEntry {
       graft.queries.Analytics47.oracleSql ++
       graft.queries.Analytics48.oracleSql ++
       graft.queries.Analytics49.oracleSql ++
+      graft.queries.Analytics50.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   *    DECIMAL before the order-free sums, and only the final
   *    normalization is float. The external-validity companion to
   *    s20's internal coherence.
+  *  - d37: split-balance audit — is the d34 content-hash split
+  *    STRATIFIED across sources, or did hashing skew a source into
+  *    one split? Pearson χ² over the bounded (split, source)
+  *    contingency table, expected counts as exact rationals inside
+  *    each rounded-then-DECIMAL-summed term, plus the worst cell's
+  *    standardized residual. The check that precedes any per-source
+  *    eval claim.
   */
 object TextOps27 {
   import Tables.t
@@ -62,6 +69,38 @@ object TextOps27 {
             / sqrt(col("hc").cast("double") * col("hl").cast("double")), 6)
             .as("nmi"))
     }),
+
+    "d37_split_balance" -> ((spark, dir) => {
+      val sp = t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (graft.functions.Md5Pack(col("doc_id").cast("string")) % 10)
+            .as("m"))
+        .select(col("source"),
+          when(col("m") < 8, "train").when(col("m") === 8, "val")
+            .otherwise("test").as("split"))
+      val cont = sp.groupBy("split", "source").agg(count(lit(1)).as("o"))
+      val bySplit = cont.groupBy("split").agg(sum(col("o")).as("ns"))
+      val bySource = cont.groupBy("source").agg(sum(col("o")).as("nr"))
+      val tot = cont.agg(sum(col("o")).cast("long").as("nn"))
+      val cells = cont.join(broadcast(bySplit), "split")
+        .join(broadcast(bySource), "source")
+        .crossJoin(broadcast(tot))
+        .select(
+          round(pow(col("o").cast("double")
+            - col("ns").cast("double") * col("nr").cast("double")
+              / col("nn").cast("double"), 2)
+            / (col("ns").cast("double") * col("nr").cast("double")
+              / col("nn").cast("double")), 8)
+            .cast("decimal(24,8)").as("term"))
+      val dims = cont.agg(
+        countDistinct(col("split")).as("r"),
+        countDistinct(col("source")).as("c"))
+      cells.agg(sum(col("term")).as("chi2"))
+        .crossJoin(broadcast(dims)).crossJoin(broadcast(tot))
+        .select(col("nn").as("n_docs"),
+          round(col("chi2").cast("double"), 4).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,5 +144,37 @@ object TextOps27 {
          |FROM pur CROSS JOIN hc CROSS JOIN hl CROSS JOIN mi
          |CROSS JOIN ntot""".stripMargin
     },
+
+    "d37_split_balance" ->
+      s"""WITH sp AS (
+         |  SELECT source,
+         |    CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT source,
+         |    ${Tables.duckMd5Pack("CAST(doc_id AS VARCHAR)")} % 10 AS m
+         |  FROM documents)),
+         |cont AS (
+         |  SELECT split, source, CAST(count(*) AS BIGINT) AS o
+         |  FROM sp GROUP BY 1, 2),
+         |bs AS (SELECT split, sum(o) AS ns FROM cont GROUP BY 1),
+         |br AS (SELECT source, sum(o) AS nr FROM cont GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cont),
+         |cells AS (
+         |  SELECT CAST(round(
+         |    pow(CAST(o AS DOUBLE) - CAST(ns AS DOUBLE)
+         |      * CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE), 2)
+         |    / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)
+         |      / CAST(nn AS DOUBLE)), 8) AS DECIMAL(24,8)) AS term
+         |  FROM cont JOIN bs USING (split) JOIN br USING (source)
+         |  CROSS JOIN tot),
+         |dims AS (
+         |  SELECT CAST(count(DISTINCT split) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS c
+         |  FROM cont)
+         |SELECT nn AS n_docs,
+         |  round(CAST(sum(term) AS DOUBLE), 4) AS chi2,
+         |  (r - 1) * (c - 1) AS dof
+         |FROM cells CROSS JOIN dims CROSS JOIN tot
+         |GROUP BY nn, r, c""".stripMargin,
   )
 }
