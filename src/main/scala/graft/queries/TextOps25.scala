@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *    per-lang window over the vocab frame; every mass is an exact
   *    integer sum. The operational dual of t28's Heaps growth: how
   *    much a stopword list would cover.
+  *  - m17: cross-media duplicate frames — byte-identical sampled
+  *    frames shared by two or more media (the shared intro/outro a
+  *    video pipeline stores once). One md5-keyed shuffle over the
+  *    frame sample; groups filtered to distinct-media ≥ 2. The
+  *    exact-hash complement of m11's perceptual pairs.
   */
 object TextOps25 {
   import Tables.t
@@ -131,6 +136,19 @@ object TextOps25 {
           round(col("head_mass").cast("double")
             / col("n_tokens").cast("double"), 6).as("coverage"))
         .orderBy("lang")
+    }),
+
+    "m17_frame_dedup" -> ((spark, dir) => {
+      val media = graft.mm.Multimodal
+        .mediaFromDocuments(t(spark, dir, "documents")).toDF()
+      graft.mm.Multimodal.sampleFrames(media, 8)
+        .select(col("media_id"), md5(hex(col("frame_bytes"))).as("fh"))
+        .groupBy("fh")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_media"),
+          min(col("media_id")).as("first_media"))
+        .filter(col("n_media") >= 2)
+        .orderBy(col("n_frames").desc, col("fh"))
     }),
   )
 
@@ -249,5 +267,28 @@ object TextOps25 {
         |    AS coverage
         |FROM tot JOIN head USING (lang)
         |ORDER BY lang""".stripMargin,
+
+    "m17_frame_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT media_id, n_bytes, hx,
+        |    CAST(floor(n_bytes / 8) AS INTEGER) AS flen,
+        |    unnest(range(8)) AS fi
+        |  FROM m),
+        |frames AS (
+        |  SELECT media_id,
+        |    md5(substr(hx, CAST(fi * flen * 2 + 1 AS BIGINT),
+        |      CAST(2 * (CASE WHEN fi = 7 THEN n_bytes - flen * 7
+        |        ELSE flen END) AS BIGINT))) AS fh
+        |  FROM f)
+        |SELECT fh, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |  min(media_id) AS first_media
+        |FROM frames GROUP BY fh
+        |HAVING count(DISTINCT media_id) >= 2
+        |ORDER BY n_frames DESC, fh""".stripMargin,
   )
 }
