@@ -125,6 +125,74 @@ object EventStream {
         col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseClickJoin]],
+    * but purchases with NO preceding click still emit — with null click
+    * columns — once the click-side watermark proves no match can arrive.
+    * The outer row's emission is therefore watermark-driven (delayed
+    * until the interval is provably closed), which is the semantics
+    * attribution pipelines rely on to count organic conversions.
+    */
+  def purchaseClickLeftJoin(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
+  /** Final state of an idle-closed session. */
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Idle-session closer with EVENT-TIME timeout state: a user's session
+    * accumulates silently in state; nothing is emitted until the event-
+    * time watermark passes last_ts + gap, at which point the closed
+    * session summary emits exactly once and the state is freed. This is
+    * the flatMapGroupsWithState + EventTimeTimeout pattern — the general
+    * escape hatch when session_window's built-in semantics (per-window
+    * aggregates only) aren't enough.
+    */
+  def idleClosedSessions(events: Dataset[UserEvent],
+      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[UserEvent],
+            state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption
+            val first = prev.map(_.first_ts)
+              .getOrElse(evs.map(_.ts).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
+            val last = (prev.map(_.last_ts).toSeq ++ evs.map(_.ts))
+              .max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
+            val next = SessionSummary(userId,
+              prev.map(_.n_events).getOrElse(0L) + evs.size, first, last)
+            state.update(next)
+            state.setTimeoutTimestamp(last.getTime + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * dropDuplicatesWithinWatermark is the variant whose seen-id state is
     * actually purged as the watermark advances (plain dropDuplicates with

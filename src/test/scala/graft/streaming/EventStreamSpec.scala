@@ -341,6 +341,67 @@ class EventStreamSpec extends AnyFunSuite {
     assert(images.length >= 2, "onUpdate not called per micro-batch")
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark closes") {
+    import spark.implicits._
+    val purchases = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val q = EventStream.purchaseClickLeftJoin(
+        purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    try {
+      // user 1: click then purchase (matched); user 2: purchase, no click
+      clicks.addData(Ev(10, ts("2024-01-01 00:30:00"), 1, "click", 1.0))
+      purchases.addData(
+        Ev(11, ts("2024-01-01 01:00:00"), 1, "purchase", 9.0),
+        Ev(12, ts("2024-01-01 01:00:00"), 2, "purchase", 8.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the interval end so the
+      // unmatched purchase is provably closed and the outer row emits
+      clicks.addData(Ev(13, ts("2024-01-01 09:00:00"), 3, "click", 1.0))
+      purchases.addData(Ev(14, ts("2024-01-01 09:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(15, ts("2024-01-01 12:00:00"), 3, "click", 1.0))
+      purchases.addData(Ev(16, ts("2024-01-01 12:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("louter").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((11L, 10L)), "matched purchase must join its click")
+    assert(rows.contains((12L, -1L)),
+      s"unmatched purchase must emit with null click, got $rows")
+  }
+
+  test("event-time-timeout sessions close exactly once after the idle gap") {
+    import spark.implicits._
+    val input = MemoryStream[UserEvent](spark)
+    val q = EventStream.idleClosedSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 7, 1.0),
+        UserEvent(2, ts("2024-01-01 00:10:00"), 7, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").isEmpty,
+        "session must stay open before the gap elapses")
+      // watermark jumps past 00:10 + 30min → user 7's session closes
+      input.addData(UserEvent(3, ts("2024-01-01 02:00:00"), 8, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(4, ts("2024-01-01 05:00:00"), 9, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("idle_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3)))
+    val u7 = rows.filter(_._1 == 7L)
+    assert(u7.length == 1, s"exactly one closed session for user 7: $rows")
+    assert(u7.head._2 == 2L)
+    assert(u7.head._3 == ts("2024-01-01 00:00:00"))
+    assert(u7.head._4 == ts("2024-01-01 00:10:00"))
+  }
+
   test("file-based streaming read of the harness events table works end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
