@@ -95,7 +95,8 @@ object SparkEntry {
       graft.queries.TextOps24.queries ++
       graft.queries.TextOps25.queries ++
       graft.queries.TextOps26.queries ++
-      graft.queries.TextOps27.queries
+      graft.queries.TextOps27.queries ++
+      graft.queries.TextOps28.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -181,5 +182,6 @@ object SparkEntry {
       graft.queries.TextOps24.oracleSql ++
       graft.queries.TextOps25.oracleSql ++
       graft.queries.TextOps26.oracleSql ++
-      graft.queries.TextOps27.oracleSql
+      graft.queries.TextOps27.oracleSql ++
+      graft.queries.TextOps28.oracleSql
 }
