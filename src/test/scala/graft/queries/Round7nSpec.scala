@@ -14,7 +14,7 @@ class Round7nSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1)
-    assert(rows.map(_._1) == Seq(1, 2, 4, 8))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
     rows.foreach { case (_, hits, ex, rec) =>
       assert(hits <= ex)
       assert(rec >= 0.0 && rec <= 1.0)
