@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   *    sweep costs one build plus four bounded routed searches; the
   *    oracle replays the full build+search per point with routing
   *    depth rn ≤ p.
+  *  - t33: cross-language vocabulary overlap matrix — pairwise Jaccard
+  *    of per-language vocabularies, the quick contamination signal
+  *    for "is this 'French' shard actually English?". The vocab
+  *    frames are vocabulary-bounded; the pair frame is |langs|²; all
+  *    counts exact until the final Jaccard division.
   */
 object TextOps28 {
   import Tables.t
@@ -42,6 +47,29 @@ object TextOps28 {
       import spark.implicits._
       rows.toDF("nprobe", "hits", "exact_pairs", "recall")
         .orderBy("nprobe")
+    }),
+
+    "t33_vocab_overlap" -> ((spark, dir) => {
+      val vocab = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("v"))
+      val inter = vocab
+        .join(vocab.select(col("lang").as("lang_b"), col("tok")), "tok")
+        .filter(col("lang") < col("lang_b"))
+        .groupBy(col("lang").as("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("lang").as("lang_a"),
+          col("v").as("va"))), "lang_a")
+        .join(broadcast(sizes.select(col("lang").as("lang_b"),
+          col("v").as("vb"))), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("va") + col("vb") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("lang_a", "lang_b")
     }),
   )
 
@@ -119,5 +147,25 @@ object TextOps28 {
          |FROM arms CROSS JOIN ex_n
          |ORDER BY nprobe""".stripMargin
     },
+
+    "t33_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |sizes AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS v
+        |  FROM vocab GROUP BY 1),
+        |inter AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(sa.v + sb.v - n_shared AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.lang = lang_a
+        |JOIN sizes sb ON sb.lang = lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
   )
 }
