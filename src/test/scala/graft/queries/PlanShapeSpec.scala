@@ -267,4 +267,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cols === Set("o_orderkey", "o_custkey", "o_totalprice"),
       s"scan reads $cols")
   }
+
+  test("d33's duplicate-span filter stays a distributed semi-join") {
+    // the span hit set must reach the positional frame as a LeftSemi
+    // join — a driver-side IN-list over collected spans would be the
+    // d4-round-2 anti-pattern all over again
+    val p = plan("d33_span_mask")
+    assert(p.contains("LeftSemi"), "no semi-join in d33's plan")
+    assert(!p.contains(" INSET "), "driver IN-list in d33's plan")
+  }
+
+  test("d33/q187 windows are partitioned, never global") {
+    // every Window in these plans must carry a partition spec — the
+    // per-doc interval merge and per-nation Pareto scan are the bounded
+    // formulations; an empty PARTITION BY would be the single-task sort
+    Seq("d33_span_mask", "q187_pareto_coverage").foreach { name =>
+      val p = plan(name)
+      "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+        .foreach { m =>
+          assert(m.group(1).nonEmpty, s"$name has an unpartitioned Window")
+        }
+    }
+  }
+
+  test("q194's running backlog scans via range partitioning, not one task") {
+    val p = plan("q194_backlog_curve")
+    assert(p.contains("Exchange rangepartitioning"),
+      "GlobalPrefixSum range exchange missing from q194")
+  }
+
+  test("d34/d35 consume the d4 pair frame through broadcast joins") {
+    Seq("d34_split_leakage", "d35_threshold_sweep").foreach { name =>
+      val p = plan(name)
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 1
+        || "BroadcastNestedLoopJoin".r.findAllIn(p).length >= 1,
+        s"$name has no broadcast join")
+    }
+  }
 }
