@@ -97,7 +97,8 @@ object SparkEntry {
       graft.queries.TextOps25.queries ++
       graft.queries.TextOps26.queries ++
       graft.queries.TextOps27.queries ++
-      graft.queries.TextOps28.queries
+      graft.queries.TextOps28.queries ++
+      graft.queries.TextOps29.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -185,5 +186,6 @@ object SparkEntry {
       graft.queries.TextOps25.oracleSql ++
       graft.queries.TextOps26.oracleSql ++
       graft.queries.TextOps27.oracleSql ++
-      graft.queries.TextOps28.oracleSql
+      graft.queries.TextOps28.oracleSql ++
+      graft.queries.TextOps29.oracleSql
 }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *  - q195: fulfillment completeness — the share of orders whose LAST
   *    lineitem shipped within 90 days, by priority. Exact counts; the
   *    rate division is the only float.
+  *  - q196: supplier-concentration trend — q177's HHI computed per
+  *    (nation, year), then an OLS slope over the calendar-bounded year
+  *    series per nation: is each market concentrating or fragmenting?
+  *    Yearly HHIs round to 6dp DECIMAL before entering the exact
+  *    regression sums, so the slope arithmetic is order-free.
   */
 object Analytics52 {
   import Tables.t
@@ -60,6 +65,39 @@ object Analytics52 {
             / col("n_orders").cast("double"), 6).as("sla_rate"))
         .orderBy("o_orderpriority")
     }),
+
+    "q196_hhi_trend" -> ((spark, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (c.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+      val r = t(spark, dir, "lineitem")
+        .join(t(spark, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), year(col("l_shipdate")).as("yr"),
+          col("s_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).cast("decimal(38,0)")
+          .as("rev"))
+      val hhi = r.groupBy("s_nationkey", "yr").agg(
+          round(lit(10000.0)
+            * sum((col("rev") * col("rev")).cast("decimal(38,0)"))
+              .cast("double")
+            / (sum(col("rev")).cast("double")
+              * sum(col("rev")).cast("double")), 6)
+            .cast("decimal(16,6)").as("h"))
+      val s = hhi.groupBy("s_nationkey").agg(
+        count(lit(1)).as("n_years"),
+        sum(col("yr").cast("decimal(18,0)")).cast("decimal(38,0)").as("sx"),
+        sum(col("h")).cast("decimal(38,6)").as("sy"),
+        sum((col("yr") * col("yr")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum((col("yr").cast("decimal(18,0)") * col("h"))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").as("sxy"))
+      s.select(col("s_nationkey"), col("n_years"),
+          round((col("n_years") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_years") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("hhi_slope_per_year"))
+        .orderBy("s_nationkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -97,5 +135,35 @@ object Analytics52 {
         |  round(CAST(count(*) FILTER (on_time) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS sla_rate
         |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q196_hhi_trend" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, EXTRACT(year FROM l_shipdate) AS yr,
+        |    s_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3),
+        |hhi AS (
+        |  SELECT s_nationkey, yr,
+        |    CAST(round(10000.0
+        |      * CAST(sum(CAST(rev * rev AS DECIMAL(38,0))) AS DOUBLE)
+        |      / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+        |      AS DECIMAL(16,6)) AS h
+        |  FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_years,
+        |    CAST(sum(CAST(yr AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(h) AS DECIMAL(38,6)) AS sy,
+        |    CAST(sum(CAST(yr * yr AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS sxx,
+        |    CAST(sum(CAST(CAST(yr AS DECIMAL(18,0)) * h
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sxy
+        |  FROM hhi GROUP BY 1)
+        |SELECT s_nationkey, n_years,
+        |  round(CAST(n_years * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_years * sxx - sx * sx AS DOUBLE), 6)
+        |    AS hhi_slope_per_year
+        |FROM s ORDER BY s_nationkey""".stripMargin,
   )
 }
