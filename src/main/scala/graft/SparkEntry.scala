@@ -71,6 +71,7 @@ object SparkEntry {
       graft.queries.Analytics51.queries ++
       graft.queries.Analytics52.queries ++
       graft.queries.Analytics53.queries ++
+      graft.queries.Analytics54.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -161,6 +162,7 @@ object SparkEntry {
       graft.queries.Analytics51.oracleSql ++
       graft.queries.Analytics52.oracleSql ++
       graft.queries.Analytics53.oracleSql ++
+      graft.queries.Analytics54.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
