@@ -100,7 +100,8 @@ object SparkEntry {
       graft.queries.TextOps26.queries ++
       graft.queries.TextOps27.queries ++
       graft.queries.TextOps28.queries ++
-      graft.queries.TextOps29.queries
+      graft.queries.TextOps29.queries ++
+      graft.queries.TextOps30.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -191,5 +192,6 @@ object SparkEntry {
       graft.queries.TextOps26.oracleSql ++
       graft.queries.TextOps27.oracleSql ++
       graft.queries.TextOps28.oracleSql ++
-      graft.queries.TextOps29.oracleSql
+      graft.queries.TextOps29.oracleSql ++
+      graft.queries.TextOps30.oracleSql
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *    month span vs the months actually shipped; suppliers with gap
   *    months surface with exact counts. One groupBy; the span/gap
   *    arithmetic is pure integers.
+  *  - q201: Simpson's-paradox detector — the pooled price~quantity
+  *    OLS slope next to each return-flag group's own slope, flagging
+  *    groups whose within-slope sign contradicts the pooled sign (the
+  *    aggregation trap every dashboard metric is one GROUP BY away
+  *    from). All moment sums exact DECIMAL per group and pooled;
+  *    only the two slope divisions are float.
   */
 object Analytics54 {
   import Tables.t
@@ -60,6 +66,41 @@ object Analytics54 {
           col("span_months"), col("n_gap_months"))
         .orderBy(col("n_gap_months").desc, col("l_suppkey"))
     }),
+
+    "q201_simpsons_detector" -> ((spark, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (c.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+      val x = t(spark, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("decimal(18,0)").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      def moments(grouped: Boolean): DataFrame = {
+        val base = if (grouped) x.groupBy("g") else x.groupBy()
+        base.agg(
+          count(lit(1)).cast("decimal(18,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sxy"))
+      }
+      def slope(df: DataFrame) = df.select(
+        (if (df.columns.contains("g")) col("g") else lit("__all"))
+          .as("g"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("slope"))
+      val per = slope(moments(grouped = true))
+      val pooled = slope(moments(grouped = false))
+        .select(col("slope").as("pooled_slope"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("g").as("l_returnflag"), col("slope"),
+          col("pooled_slope"),
+          (signum(col("slope")) =!= signum(col("pooled_slope")))
+            .as("sign_differs"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +134,40 @@ object Analytics54 {
         |  span_months - n_active_months AS n_gap_months
         |FROM g WHERE span_months - n_active_months > 0
         |ORDER BY n_gap_months DESC, l_suppkey""".stripMargin,
+
+    "q201_simpsons_detector" ->
+      """WITH x AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DECIMAL(18,0)) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS y
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT g,
+        |    round(CAST(CAST(count(*) AS DECIMAL(18,0))
+        |        * CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |        - CAST(sum(x) AS DECIMAL(38,0))
+        |          * CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(CAST(count(*) AS DECIMAL(18,0))
+        |        * CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |        - CAST(sum(x) AS DECIMAL(38,0))
+        |          * CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE), 6) AS slope
+        |  FROM x GROUP BY g),
+        |pooled AS (
+        |  SELECT
+        |    round(CAST(CAST(count(*) AS DECIMAL(18,0))
+        |        * CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |        - CAST(sum(x) AS DECIMAL(38,0))
+        |          * CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(CAST(count(*) AS DECIMAL(18,0))
+        |        * CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |        - CAST(sum(x) AS DECIMAL(38,0))
+        |          * CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE), 6)
+        |      AS pooled_slope
+        |  FROM x)
+        |SELECT g AS l_returnflag, slope, pooled_slope,
+        |  sign(slope) <> sign(pooled_slope) AS sign_differs
+        |FROM per CROSS JOIN pooled
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
