@@ -73,6 +73,7 @@ object SparkEntry {
       graft.queries.Analytics53.queries ++
       graft.queries.Analytics54.queries ++
       graft.queries.Analytics55.queries ++
+      graft.queries.Analytics56.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -103,7 +104,8 @@ object SparkEntry {
       graft.queries.TextOps28.queries ++
       graft.queries.TextOps29.queries ++
       graft.queries.TextOps30.queries ++
-      graft.queries.TextOps31.queries
+      graft.queries.TextOps31.queries ++
+      graft.queries.TextOps32.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -167,6 +169,7 @@ object SparkEntry {
       graft.queries.Analytics53.oracleSql ++
       graft.queries.Analytics54.oracleSql ++
       graft.queries.Analytics55.oracleSql ++
+      graft.queries.Analytics56.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -197,5 +200,6 @@ object SparkEntry {
       graft.queries.TextOps28.oracleSql ++
       graft.queries.TextOps29.oracleSql ++
       graft.queries.TextOps30.oracleSql ++
-      graft.queries.TextOps31.oracleSql
+      graft.queries.TextOps31.oracleSql ++
+      graft.queries.TextOps32.oracleSql
 }
