@@ -75,6 +75,7 @@ object SparkEntry {
       graft.queries.Analytics55.queries ++
       graft.queries.Analytics56.queries ++
       graft.queries.Analytics57.queries ++
+      graft.queries.Analytics58.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -107,7 +108,8 @@ object SparkEntry {
       graft.queries.TextOps30.queries ++
       graft.queries.TextOps31.queries ++
       graft.queries.TextOps32.queries ++
-      graft.queries.TextOps33.queries
+      graft.queries.TextOps33.queries ++
+      graft.queries.TextOps34.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -173,6 +175,7 @@ object SparkEntry {
       graft.queries.Analytics55.oracleSql ++
       graft.queries.Analytics56.oracleSql ++
       graft.queries.Analytics57.oracleSql ++
+      graft.queries.Analytics58.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -205,5 +208,6 @@ object SparkEntry {
       graft.queries.TextOps30.oracleSql ++
       graft.queries.TextOps31.oracleSql ++
       graft.queries.TextOps32.oracleSql ++
-      graft.queries.TextOps33.oracleSql
+      graft.queries.TextOps33.oracleSql ++
+      graft.queries.TextOps34.oracleSql
 }
