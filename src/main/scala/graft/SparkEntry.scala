@@ -76,6 +76,7 @@ object SparkEntry {
       graft.queries.Analytics56.queries ++
       graft.queries.Analytics57.queries ++
       graft.queries.Analytics58.queries ++
+      graft.queries.Analytics59.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -176,6 +177,7 @@ object SparkEntry {
       graft.queries.Analytics56.oracleSql ++
       graft.queries.Analytics57.oracleSql ++
       graft.queries.Analytics58.oracleSql ++
+      graft.queries.Analytics59.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
