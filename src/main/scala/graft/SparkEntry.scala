@@ -77,6 +77,7 @@ object SparkEntry {
       graft.queries.Analytics57.queries ++
       graft.queries.Analytics58.queries ++
       graft.queries.Analytics59.queries ++
+      graft.queries.Analytics60.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -110,7 +111,8 @@ object SparkEntry {
       graft.queries.TextOps31.queries ++
       graft.queries.TextOps32.queries ++
       graft.queries.TextOps33.queries ++
-      graft.queries.TextOps34.queries
+      graft.queries.TextOps34.queries ++
+      graft.queries.TextOps35.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -178,6 +180,7 @@ object SparkEntry {
       graft.queries.Analytics57.oracleSql ++
       graft.queries.Analytics58.oracleSql ++
       graft.queries.Analytics59.oracleSql ++
+      graft.queries.Analytics60.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -211,5 +214,6 @@ object SparkEntry {
       graft.queries.TextOps31.oracleSql ++
       graft.queries.TextOps32.oracleSql ++
       graft.queries.TextOps33.oracleSql ++
-      graft.queries.TextOps34.oracleSql
+      graft.queries.TextOps34.oracleSql ++
+      graft.queries.TextOps35.oracleSql
 }
