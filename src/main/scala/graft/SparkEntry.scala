@@ -78,6 +78,7 @@ object SparkEntry {
       graft.queries.Analytics58.queries ++
       graft.queries.Analytics59.queries ++
       graft.queries.Analytics60.queries ++
+      graft.queries.Analytics61.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -112,7 +113,8 @@ object SparkEntry {
       graft.queries.TextOps32.queries ++
       graft.queries.TextOps33.queries ++
       graft.queries.TextOps34.queries ++
-      graft.queries.TextOps35.queries
+      graft.queries.TextOps35.queries ++
+      graft.queries.TextOps36.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -181,6 +183,7 @@ object SparkEntry {
       graft.queries.Analytics58.oracleSql ++
       graft.queries.Analytics59.oracleSql ++
       graft.queries.Analytics60.oracleSql ++
+      graft.queries.Analytics61.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -215,5 +218,6 @@ object SparkEntry {
       graft.queries.TextOps32.oracleSql ++
       graft.queries.TextOps33.oracleSql ++
       graft.queries.TextOps34.oracleSql ++
-      graft.queries.TextOps35.oracleSql
+      graft.queries.TextOps35.oracleSql ++
+      graft.queries.TextOps36.oracleSql
 }
