@@ -79,6 +79,7 @@ object SparkEntry {
       graft.queries.Analytics59.queries ++
       graft.queries.Analytics60.queries ++
       graft.queries.Analytics61.queries ++
+      graft.queries.Analytics62.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -184,6 +185,7 @@ object SparkEntry {
       graft.queries.Analytics59.oracleSql ++
       graft.queries.Analytics60.oracleSql ++
       graft.queries.Analytics61.oracleSql ++
+      graft.queries.Analytics62.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
