@@ -80,6 +80,7 @@ object SparkEntry {
       graft.queries.Analytics60.queries ++
       graft.queries.Analytics61.queries ++
       graft.queries.Analytics62.queries ++
+      graft.queries.Analytics63.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -186,6 +187,7 @@ object SparkEntry {
       graft.queries.Analytics60.oracleSql ++
       graft.queries.Analytics61.oracleSql ++
       graft.queries.Analytics62.oracleSql ++
+      graft.queries.Analytics63.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

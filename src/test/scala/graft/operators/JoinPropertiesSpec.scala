@@ -59,4 +59,60 @@ class JoinPropertiesSpec extends AnyFunSuite {
       assert(got(lid) === want, s"left $lid key $lk t=$lt")
     }
   }
+
+  test("asofForward equals the naive per-row argmin on random rows with ties") {
+    import spark.implicits._
+    def gridTs(): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond((rnd.nextInt(21) - 10) * 30L))
+    val left = (1 to 150).map(i => (i.toLong, s"u${rnd.nextInt(4)}", gridTs()))
+    val right = (1 to 200).map(i => (i.toLong + 500, s"u${rnd.nextInt(4)}", gridTs()))
+    val got = AsOfJoin.asofForward(
+        left.toDF("l_id", "k", "lt"), right.toDF("r_id", "k", "rt"),
+        Seq("k"), "lt", "rt", Seq("r_id"), rightTiebreak = Some("r_id"))
+      .select("l_id", "asof_r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    left.foreach { case (lid, lk, lt) =>
+      val cands = right.filter { case (_, rk, rt) =>
+        rk == lk && !rt.before(lt) }
+      val want =
+        if (cands.isEmpty) None
+        // earliest time; at ties the LOWEST id — the forward contract
+        else Some(cands.minBy { case (rid, _, rt) => (rt.getTime, rid) }._1)
+      assert(got(lid) === want, s"left $lid key $lk t=$lt")
+    }
+  }
+
+  test("asofNearest picks the closer side, backward on exact ties") {
+    import spark.implicits._
+    def gridTs(): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond((rnd.nextInt(21) - 10) * 30L))
+    val left = (1 to 150).map(i => (i.toLong, s"u${rnd.nextInt(4)}", gridTs()))
+    val right = (1 to 200).map(i => (i.toLong + 500, s"u${rnd.nextInt(4)}", gridTs()))
+    val got = AsOfJoin.asofNearest(
+        left.toDF("l_id", "k", "lt"), right.toDF("r_id", "k", "rt"),
+        Seq("k"), "lt", "rt", Seq("r_id"), rightTiebreak = Some("r_id"))
+      .select("l_id", "asof_r_id", "asof_dir").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getString(2)))
+      .toMap
+    left.foreach { case (lid, lk, lt) =>
+      val back = right.filter { case (_, rk, rt) => rk == lk && !rt.after(lt) }
+      val fwd = right.filter { case (_, rk, rt) => rk == lk && !rt.before(lt) }
+      val b = if (back.isEmpty) None
+        else Some(back.maxBy { case (rid, _, rt) => (rt.getTime, rid) })
+      val f = if (fwd.isEmpty) None
+        else Some(fwd.minBy { case (rid, _, rt) => (rt.getTime, rid) })
+      val want: (Option[Long], String) = (b, f) match {
+        case (None, None) => (None, "none")
+        case (Some(bb), None) => (Some(bb._1), "backward")
+        case (None, Some(ff)) => (Some(ff._1), "forward")
+        case (Some(bb), Some(ff)) =>
+          val db = lt.getTime - bb._3.getTime
+          val df = ff._3.getTime - lt.getTime
+          if (db <= df) (Some(bb._1), "backward") else (Some(ff._1), "forward")
+      }
+      assert(got(lid) === want, s"left $lid key $lk t=$lt")
+    }
+  }
 }
