@@ -81,6 +81,7 @@ object SparkEntry {
       graft.queries.Analytics61.queries ++
       graft.queries.Analytics62.queries ++
       graft.queries.Analytics63.queries ++
+      graft.queries.Analytics64.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -116,7 +117,8 @@ object SparkEntry {
       graft.queries.TextOps33.queries ++
       graft.queries.TextOps34.queries ++
       graft.queries.TextOps35.queries ++
-      graft.queries.TextOps36.queries
+      graft.queries.TextOps36.queries ++
+      graft.queries.TextOps37.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -188,6 +190,7 @@ object SparkEntry {
       graft.queries.Analytics61.oracleSql ++
       graft.queries.Analytics62.oracleSql ++
       graft.queries.Analytics63.oracleSql ++
+      graft.queries.Analytics64.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -223,5 +226,6 @@ object SparkEntry {
       graft.queries.TextOps33.oracleSql ++
       graft.queries.TextOps34.oracleSql ++
       graft.queries.TextOps35.oracleSql ++
-      graft.queries.TextOps36.oracleSql
+      graft.queries.TextOps36.oracleSql ++
+      graft.queries.TextOps37.oracleSql
 }
