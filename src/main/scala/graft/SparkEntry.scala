@@ -82,6 +82,7 @@ object SparkEntry {
       graft.queries.Analytics62.queries ++
       graft.queries.Analytics63.queries ++
       graft.queries.Analytics64.queries ++
+      graft.queries.Analytics65.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -191,6 +192,7 @@ object SparkEntry {
       graft.queries.Analytics62.oracleSql ++
       graft.queries.Analytics63.oracleSql ++
       graft.queries.Analytics64.oracleSql ++
+      graft.queries.Analytics65.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++

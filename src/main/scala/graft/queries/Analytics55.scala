@@ -42,6 +42,32 @@ object Analytics55 {
   private def cents(c: Column): Column =
     (c.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
 
+  /** Daily priority snapshots: one priority per (customer, day) —
+    * lowest orderkey wins, same rule as the oracle's arg_min.
+    */
+  private[queries] def prioritySnapshots(
+      spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"))
+      .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+
+  /** SCD2 build over a (o_custkey, valid_from, prio) snapshot frame:
+    * change detection by lag, valid_to = day before the next change,
+    * open (current) version has NULL valid_to. One window pass
+    * partitioned by customer — shared by q203 (full rebuild) and q221
+    * (the incremental path it must equal).
+    */
+  private[queries] def scd2FromSnap(snap: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    snap
+      .withColumn("prev", lag(col("prio"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("valid_to",
+        date_sub(lead(col("valid_from"), 1).over(w), 1))
+      .select(col("o_custkey"), col("prio"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_correlation_matrix" -> ((spark, dir) => {
       val vars = Seq(
@@ -84,23 +110,9 @@ object Analytics55 {
         .orderBy("var_a", "var_b")
     }),
 
-    "q203_scd2_priority" -> ((spark, dir) => {
-      // daily snapshot: one priority per (customer, day) — lowest
-      // orderkey wins, same rule as the oracle's arg_min
-      val snap = t(spark, dir, "orders")
-        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"))
-        .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
-      val w = Window.partitionBy("o_custkey").orderBy("valid_from")
-      val changes = snap
-        .withColumn("prev", lag(col("prio"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("prio"))
-      changes
-        .withColumn("valid_to",
-          date_sub(lead(col("valid_from"), 1).over(w), 1))
-        .select(col("o_custkey"), col("prio"), col("valid_from"),
-          col("valid_to"), col("valid_to").isNull.as("is_current"))
-        .orderBy("o_custkey", "valid_from")
-    }),
+    "q203_scd2_priority" -> ((spark, dir) =>
+      scd2FromSnap(prioritySnapshots(spark, dir))
+        .orderBy("o_custkey", "valid_from")),
 
     "q204_theil_decomposition" -> ((spark, dir) => {
       val sup = broadcast(t(spark, dir, "supplier")
