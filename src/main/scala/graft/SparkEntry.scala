@@ -83,6 +83,7 @@ object SparkEntry {
       graft.queries.Analytics63.queries ++
       graft.queries.Analytics64.queries ++
       graft.queries.Analytics65.queries ++
+      graft.queries.Analytics66.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -193,6 +194,7 @@ object SparkEntry {
       graft.queries.Analytics63.oracleSql ++
       graft.queries.Analytics64.oracleSql ++
       graft.queries.Analytics65.oracleSql ++
+      graft.queries.Analytics66.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
