@@ -84,6 +84,7 @@ object SparkEntry {
       graft.queries.Analytics64.queries ++
       graft.queries.Analytics65.queries ++
       graft.queries.Analytics66.queries ++
+      graft.queries.Analytics67.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -195,6 +196,7 @@ object SparkEntry {
       graft.queries.Analytics64.oracleSql ++
       graft.queries.Analytics65.oracleSql ++
       graft.queries.Analytics66.oracleSql ++
+      graft.queries.Analytics67.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
