@@ -85,6 +85,7 @@ object SparkEntry {
       graft.queries.Analytics65.queries ++
       graft.queries.Analytics66.queries ++
       graft.queries.Analytics67.queries ++
+      graft.queries.Analytics68.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.TextOps2.queries ++
       graft.queries.TextOps3.queries ++
@@ -121,7 +122,8 @@ object SparkEntry {
       graft.queries.TextOps34.queries ++
       graft.queries.TextOps35.queries ++
       graft.queries.TextOps36.queries ++
-      graft.queries.TextOps37.queries
+      graft.queries.TextOps37.queries ++
+      graft.queries.TextOps38.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -197,6 +199,7 @@ object SparkEntry {
       graft.queries.Analytics65.oracleSql ++
       graft.queries.Analytics66.oracleSql ++
       graft.queries.Analytics67.oracleSql ++
+      graft.queries.Analytics68.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.TextOps2.oracleSql ++
       graft.queries.TextOps3.oracleSql ++
@@ -233,5 +236,6 @@ object SparkEntry {
       graft.queries.TextOps34.oracleSql ++
       graft.queries.TextOps35.oracleSql ++
       graft.queries.TextOps36.oracleSql ++
-      graft.queries.TextOps37.oracleSql
+      graft.queries.TextOps37.oracleSql ++
+      graft.queries.TextOps38.oracleSql
 }
