@@ -90,6 +90,7 @@ object SparkEntry {
     (graft.queries.Analytics67.queries, graft.queries.Analytics67.oracleSql),
     (graft.queries.Analytics68.queries, graft.queries.Analytics68.oracleSql),
     (graft.queries.Analytics69.queries, graft.queries.Analytics69.oracleSql),
+    (graft.queries.Analytics70.queries, graft.queries.Analytics70.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
