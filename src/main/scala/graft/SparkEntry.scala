@@ -91,6 +91,7 @@ object SparkEntry {
     (graft.queries.Analytics68.queries, graft.queries.Analytics68.oracleSql),
     (graft.queries.Analytics69.queries, graft.queries.Analytics69.oracleSql),
     (graft.queries.Analytics70.queries, graft.queries.Analytics70.oracleSql),
+    (graft.queries.Analytics71.queries, graft.queries.Analytics71.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -129,7 +130,8 @@ object SparkEntry {
     (graft.queries.TextOps36.queries, graft.queries.TextOps36.oracleSql),
     (graft.queries.TextOps37.queries, graft.queries.TextOps37.oracleSql),
     (graft.queries.TextOps38.queries, graft.queries.TextOps38.oracleSql),
-    (graft.queries.TextOps39.queries, graft.queries.TextOps39.oracleSql))
+    (graft.queries.TextOps39.queries, graft.queries.TextOps39.oracleSql),
+    (graft.queries.TextOps40.queries, graft.queries.TextOps40.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
