@@ -93,6 +93,7 @@ object SparkEntry {
     (graft.queries.Analytics70.queries, graft.queries.Analytics70.oracleSql),
     (graft.queries.Analytics71.queries, graft.queries.Analytics71.oracleSql),
     (graft.queries.Analytics72.queries, graft.queries.Analytics72.oracleSql),
+    (graft.queries.Analytics73.queries, graft.queries.Analytics73.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
