@@ -94,6 +94,7 @@ object SparkEntry {
     (graft.queries.Analytics71.queries, graft.queries.Analytics71.oracleSql),
     (graft.queries.Analytics72.queries, graft.queries.Analytics72.oracleSql),
     (graft.queries.Analytics73.queries, graft.queries.Analytics73.oracleSql),
+    (graft.queries.Analytics74.queries, graft.queries.Analytics74.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -133,7 +134,8 @@ object SparkEntry {
     (graft.queries.TextOps37.queries, graft.queries.TextOps37.oracleSql),
     (graft.queries.TextOps38.queries, graft.queries.TextOps38.oracleSql),
     (graft.queries.TextOps39.queries, graft.queries.TextOps39.oracleSql),
-    (graft.queries.TextOps40.queries, graft.queries.TextOps40.oracleSql))
+    (graft.queries.TextOps40.queries, graft.queries.TextOps40.oracleSql),
+    (graft.queries.TextOps41.queries, graft.queries.TextOps41.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
