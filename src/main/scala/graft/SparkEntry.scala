@@ -96,6 +96,7 @@ object SparkEntry {
     (graft.queries.Analytics73.queries, graft.queries.Analytics73.oracleSql),
     (graft.queries.Analytics74.queries, graft.queries.Analytics74.oracleSql),
     (graft.queries.Analytics75.queries, graft.queries.Analytics75.oracleSql),
+    (graft.queries.Analytics76.queries, graft.queries.Analytics76.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -137,7 +138,8 @@ object SparkEntry {
     (graft.queries.TextOps39.queries, graft.queries.TextOps39.oracleSql),
     (graft.queries.TextOps40.queries, graft.queries.TextOps40.oracleSql),
     (graft.queries.TextOps41.queries, graft.queries.TextOps41.oracleSql),
-    (graft.queries.TextOps42.queries, graft.queries.TextOps42.oracleSql))
+    (graft.queries.TextOps42.queries, graft.queries.TextOps42.oracleSql),
+    (graft.queries.TextOps43.queries, graft.queries.TextOps43.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
