@@ -97,6 +97,7 @@ object SparkEntry {
     (graft.queries.Analytics74.queries, graft.queries.Analytics74.oracleSql),
     (graft.queries.Analytics75.queries, graft.queries.Analytics75.oracleSql),
     (graft.queries.Analytics76.queries, graft.queries.Analytics76.oracleSql),
+    (graft.queries.Analytics77.queries, graft.queries.Analytics77.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -139,7 +140,8 @@ object SparkEntry {
     (graft.queries.TextOps40.queries, graft.queries.TextOps40.oracleSql),
     (graft.queries.TextOps41.queries, graft.queries.TextOps41.oracleSql),
     (graft.queries.TextOps42.queries, graft.queries.TextOps42.oracleSql),
-    (graft.queries.TextOps43.queries, graft.queries.TextOps43.oracleSql))
+    (graft.queries.TextOps43.queries, graft.queries.TextOps43.oracleSql),
+    (graft.queries.TextOps44.queries, graft.queries.TextOps44.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
