@@ -143,7 +143,8 @@ object SparkEntry {
     (graft.queries.TextOps42.queries, graft.queries.TextOps42.oracleSql),
     (graft.queries.TextOps43.queries, graft.queries.TextOps43.oracleSql),
     (graft.queries.TextOps44.queries, graft.queries.TextOps44.oracleSql),
-    (graft.queries.TextOps45.queries, graft.queries.TextOps45.oracleSql))
+    (graft.queries.TextOps45.queries, graft.queries.TextOps45.oracleSql),
+    (graft.queries.TextOps46.queries, graft.queries.TextOps46.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
