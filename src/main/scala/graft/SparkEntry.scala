@@ -100,6 +100,7 @@ object SparkEntry {
     (graft.queries.Analytics77.queries, graft.queries.Analytics77.oracleSql),
     (graft.queries.Analytics78.queries, graft.queries.Analytics78.oracleSql),
     (graft.queries.Analytics79.queries, graft.queries.Analytics79.oracleSql),
+    (graft.queries.Analytics80.queries, graft.queries.Analytics80.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
