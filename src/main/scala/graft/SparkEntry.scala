@@ -102,6 +102,7 @@ object SparkEntry {
     (graft.queries.Analytics79.queries, graft.queries.Analytics79.oracleSql),
     (graft.queries.Analytics80.queries, graft.queries.Analytics80.oracleSql),
     (graft.queries.Analytics81.queries, graft.queries.Analytics81.oracleSql),
+    (graft.queries.Analytics82.queries, graft.queries.Analytics82.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -148,7 +149,8 @@ object SparkEntry {
     (graft.queries.TextOps44.queries, graft.queries.TextOps44.oracleSql),
     (graft.queries.TextOps45.queries, graft.queries.TextOps45.oracleSql),
     (graft.queries.TextOps46.queries, graft.queries.TextOps46.oracleSql),
-    (graft.queries.TextOps47.queries, graft.queries.TextOps47.oracleSql))
+    (graft.queries.TextOps47.queries, graft.queries.TextOps47.oracleSql),
+    (graft.queries.TextOps48.queries, graft.queries.TextOps48.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
