@@ -103,6 +103,7 @@ object SparkEntry {
     (graft.queries.Analytics80.queries, graft.queries.Analytics80.oracleSql),
     (graft.queries.Analytics81.queries, graft.queries.Analytics81.oracleSql),
     (graft.queries.Analytics82.queries, graft.queries.Analytics82.oracleSql),
+    (graft.queries.Analytics83.queries, graft.queries.Analytics83.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
