@@ -104,6 +104,7 @@ object SparkEntry {
     (graft.queries.Analytics81.queries, graft.queries.Analytics81.oracleSql),
     (graft.queries.Analytics82.queries, graft.queries.Analytics82.oracleSql),
     (graft.queries.Analytics83.queries, graft.queries.Analytics83.oracleSql),
+    (graft.queries.Analytics84.queries, graft.queries.Analytics84.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -151,7 +152,8 @@ object SparkEntry {
     (graft.queries.TextOps45.queries, graft.queries.TextOps45.oracleSql),
     (graft.queries.TextOps46.queries, graft.queries.TextOps46.oracleSql),
     (graft.queries.TextOps47.queries, graft.queries.TextOps47.oracleSql),
-    (graft.queries.TextOps48.queries, graft.queries.TextOps48.oracleSql))
+    (graft.queries.TextOps48.queries, graft.queries.TextOps48.oracleSql),
+    (graft.queries.TextOps49.queries, graft.queries.TextOps49.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
