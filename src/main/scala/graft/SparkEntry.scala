@@ -154,7 +154,8 @@ object SparkEntry {
     (graft.queries.TextOps46.queries, graft.queries.TextOps46.oracleSql),
     (graft.queries.TextOps47.queries, graft.queries.TextOps47.oracleSql),
     (graft.queries.TextOps48.queries, graft.queries.TextOps48.oracleSql),
-    (graft.queries.TextOps49.queries, graft.queries.TextOps49.oracleSql))
+    (graft.queries.TextOps49.queries, graft.queries.TextOps49.oracleSql),
+    (graft.queries.TextOps50.queries, graft.queries.TextOps50.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
