@@ -106,6 +106,7 @@ object SparkEntry {
     (graft.queries.Analytics83.queries, graft.queries.Analytics83.oracleSql),
     (graft.queries.Analytics84.queries, graft.queries.Analytics84.oracleSql),
     (graft.queries.Analytics85.queries, graft.queries.Analytics85.oracleSql),
+    (graft.queries.Analytics86.queries, graft.queries.Analytics86.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
