@@ -107,6 +107,7 @@ object SparkEntry {
     (graft.queries.Analytics84.queries, graft.queries.Analytics84.oracleSql),
     (graft.queries.Analytics85.queries, graft.queries.Analytics85.oracleSql),
     (graft.queries.Analytics86.queries, graft.queries.Analytics86.oracleSql),
+    (graft.queries.Analytics87.queries, graft.queries.Analytics87.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
@@ -156,7 +157,8 @@ object SparkEntry {
     (graft.queries.TextOps47.queries, graft.queries.TextOps47.oracleSql),
     (graft.queries.TextOps48.queries, graft.queries.TextOps48.oracleSql),
     (graft.queries.TextOps49.queries, graft.queries.TextOps49.oracleSql),
-    (graft.queries.TextOps50.queries, graft.queries.TextOps50.oracleSql))
+    (graft.queries.TextOps50.queries, graft.queries.TextOps50.oracleSql),
+    (graft.queries.TextOps51.queries, graft.queries.TextOps51.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
