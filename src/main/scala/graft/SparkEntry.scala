@@ -161,7 +161,8 @@ object SparkEntry {
     (graft.queries.TextOps49.queries, graft.queries.TextOps49.oracleSql),
     (graft.queries.TextOps50.queries, graft.queries.TextOps50.oracleSql),
     (graft.queries.TextOps51.queries, graft.queries.TextOps51.oracleSql),
-    (graft.queries.TextOps52.queries, graft.queries.TextOps52.oracleSql))
+    (graft.queries.TextOps52.queries, graft.queries.TextOps52.oracleSql),
+    (graft.queries.TextOps53.queries, graft.queries.TextOps53.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for batch 101: power-iteration PCA invariants. */
+class Round9eSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("s29: unit-norm sign-fixed eigenvector, dominant variance share") {
+    val r = graft.SparkEntry.queries("s29_pca_power")(spark, Sf)
+      .collect().head
+    val n = r.getLong(0)
+    val lambda = r.getDouble(1)
+    val share = r.getDouble(2)
+    val v = (0 until 8).map(i => r.getDouble(3 + i))
+    assert(n > 0)
+    assert(lambda > 0.0, "top eigenvalue of a covariance matrix is > 0")
+    // The top component explains at least the average share (1/d) and
+    // at most everything.
+    assert(share >= 1.0 / 8 - 1e-6 && share <= 1.0 + 1e-6)
+    assert(v.head >= 0.0, "sign convention pins v[0] >= 0")
+    val norm2 = v.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"norm^2 = $norm2")
+  }
+}
