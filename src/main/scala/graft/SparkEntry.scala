@@ -110,6 +110,7 @@ object SparkEntry {
     (graft.queries.Analytics87.queries, graft.queries.Analytics87.oracleSql),
     (graft.queries.Analytics88.queries, graft.queries.Analytics88.oracleSql),
     (graft.queries.Analytics89.queries, graft.queries.Analytics89.oracleSql),
+    (graft.queries.Analytics90.queries, graft.queries.Analytics90.oracleSql),
     (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
     (graft.queries.TextOps2.queries, graft.queries.TextOps2.oracleSql),
     (graft.queries.TextOps3.queries, graft.queries.TextOps3.oracleSql),
