@@ -57,29 +57,64 @@ object TextOps52 {
        |      '(\\d)\\1+', '\\1', 'g'),
        |    2), '0', '') || '000', 1, 3)""".stripMargin
 
+  /** Distinct winnowing fingerprints (doc_id, pos, fp_hash) — shared by
+    * t49 (the selection itself) and d49 (pairing on shared prints).
+    */
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8) // >= w + k - 1 tokens: >= 1 window
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(toks) - 5), i ->
+          |  md5_pack(array_join(slice(toks, i + 1, 5), ' ')))"""
+          .stripMargin))
+      .withColumn("sel", expr(
+        """transform(sequence(0, size(hs) - 4), j ->
+          |  aggregate(sequence(j, j + 3),
+          |    named_struct('h', CAST(9223372036854775807 AS BIGINT),
+          |                 'p', -1),
+          |    (acc, p) -> IF(hs[p] <= acc.h,
+          |      named_struct('h', hs[p], 'p', p), acc)))""".stripMargin))
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .select(col("doc_id"), col("fp.p").cast("long").as("pos"),
+        col("fp.h").as("fp_hash"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t49_winnowing" -> ((spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
-      t(spark, dir, "documents")
-        .filter(col("text").isNotNull)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 8) // >= w + k - 1 tokens: >= 1 window
-        .withColumn("hs", expr(
-          """transform(sequence(0, size(toks) - 5), i ->
-            |  md5_pack(array_join(slice(toks, i + 1, 5), ' ')))"""
-            .stripMargin))
-        .withColumn("sel", expr(
-          """transform(sequence(0, size(hs) - 4), j ->
-            |  aggregate(sequence(j, j + 3),
-            |    named_struct('h', CAST(9223372036854775807 AS BIGINT),
-            |                 'p', -1),
-            |    (acc, p) -> IF(hs[p] <= acc.h,
-            |      named_struct('h', hs[p], 'p', p), acc)))""".stripMargin))
-        .select(col("doc_id"), explode(col("sel")).as("fp"))
-        .select(col("doc_id"), col("fp.p").cast("long").as("pos"),
-          col("fp.h").as("fp_hash"))
+    "t49_winnowing" -> ((spark, dir) =>
+      winnowFps(spark, dir).orderBy("doc_id", "pos")),
+
+    // Near-dup candidate pairs from shared winnowing fingerprints — the
+    // MOSS use-case: two documents sharing any >= w+k−1-token run must
+    // share a fingerprint, so grouping the selected prints by hash and
+    // expanding capped buckets (BucketedPairs: one shuffle, degenerate
+    // hashes dropped whole) finds every such overlap with no pairwise
+    // scan. Pairs are scored by shared-print count and the overlap
+    // coefficient n_shared / min(|A|, |B|).
+    "d49_winnow_pairs" -> ((spark, dir) => {
+      val fp = winnowFps(spark, dir)
+        .select(col("doc_id"), col("fp_hash"))
         .distinct()
-        .orderBy("doc_id", "pos")
+        .localCheckpoint(true) // feeds both the buckets and the sizes
+      val cand = graft.operators.BucketedPairs
+        .pairs(fp, Seq("fp_hash"), col("doc_id"), maxBucket = 20)
+        .groupBy(col("x").as("a_id"), col("y").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      cand
+        .join(sizes.select(col("doc_id").as("a_id"),
+          col("nfp").as("nfp_a")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"),
+          col("nfp").as("nfp_b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / least(col("nfp_a"), col("nfp_b")).cast("double"), 6)
+            .as("overlap"))
+        .orderBy("a_id", "b_id")
     }),
 
     "d48_soundex_blocks" -> ((spark, dir) => {
@@ -108,35 +143,63 @@ object TextOps52 {
     }),
   )
 
+  /** Winnowing-selection CTE chain (d → h → sel), shared by t49/d49. */
+  private val winnowCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 8),
+       |h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(len(toks) - 4), i ->
+       |      ${Tables.duckMd5Pack(
+             "array_to_string(list_slice(toks, i + 1, i + 5), ' ')")}
+       |    ) AS hs
+       |  FROM d),
+       |sel AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(hs) - 3), j ->
+       |    list_reduce(
+       |      list_prepend(
+       |        struct_pack(h := CAST(9223372036854775807 AS BIGINT),
+       |                    p := -1),
+       |        list_transform(range(j, j + 4), p ->
+       |          struct_pack(h := hs[p + 1], p := p))),
+       |      (acc, x) ->
+       |        CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS s
+       |  FROM h)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t49_winnowing" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks
-         |  FROM documents
-         |  WHERE text IS NOT NULL
-         |    AND len(string_split(text, ' ')) >= 8),
-         |h AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    list_transform(range(len(toks) - 4), i ->
-         |      ${Tables.duckMd5Pack(
-               "array_to_string(list_slice(toks, i + 1, i + 5), ' ')")}
-         |    ) AS hs
-         |  FROM d),
-         |sel AS (
-         |  SELECT doc_id, unnest(list_transform(range(len(hs) - 3), j ->
-         |    list_reduce(
-         |      list_prepend(
-         |        struct_pack(h := CAST(9223372036854775807 AS BIGINT),
-         |                    p := -1),
-         |        list_transform(range(j, j + 4), p ->
-         |          struct_pack(h := hs[p + 1], p := p))),
-         |      (acc, x) ->
-         |        CASE WHEN x.h <= acc.h THEN x ELSE acc END))) AS s
-         |  FROM h)
+      s"""WITH $winnowCtes
          |SELECT DISTINCT doc_id, CAST((s).p AS BIGINT) AS pos,
          |  (s).h AS fp_hash
          |FROM sel
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "d49_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fp AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, (s).h AS fp_hash FROM sel),
+         |bk AS (
+         |  SELECT fp_hash FROM fp
+         |  GROUP BY fp_hash HAVING count(*) BETWEEN 2 AND 20),
+         |pr AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fp a
+         |  JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  JOIN bk ON a.fp_hash = bk.fp_hash
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |       FROM fp GROUP BY 1)
+         |SELECT a_id, b_id, n_shared,
+         |  round(CAST(n_shared AS DOUBLE)
+         |    / CAST(least(sa.nfp, sb.nfp) AS DOUBLE), 6) AS overlap
+         |FROM pr
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "d48_soundex_blocks" -> {
       def pkeyOf(c: String): String =

@@ -27,6 +27,18 @@ class Round9dSpec extends AnyFunSuite {
     }
   }
 
+  test("d49: winnow pairs are ordered, scored in (0,1], shared >= 2") {
+    val rows = graft.SparkEntry.queries("d49_winnow_pairs")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, ov) =>
+      assert(a < b)
+      assert(n >= 2)
+      assert(ov > 0.0 && ov <= 1.0)
+    }
+  }
+
   test("d48: vowel swaps always block with their source, liquid swaps never") {
     val rows = graft.SparkEntry.queries("d48_soundex_blocks")(spark, Sf)
       .collect().map(r => r.getString(0) ->
