@@ -26,6 +26,24 @@ object TextOps53 {
   private val D = 8
   private val T = 6
 
+  /** 1/log2(rank+1) discount weights for NDCG@10 — rendered once as
+    * DECIMAL(12,9) literals to both engines, so the per-probe DCG is an
+    * order-free exact DECIMAL sum (a double fold would be
+    * aggregation-order-sensitive).
+    */
+  private val DcgW: Seq[BigDecimal] = (1 to 10).map(i =>
+    BigDecimal(1.0 / (math.log(i + 1) / math.log(2)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+
+  /** Ideal-DCG prefix sums of [[DcgW]] (exact sums of the rounded
+    * weights — identical literals on both sides).
+    */
+  private val IdcgW: Seq[BigDecimal] =
+    DcgW.scanLeft(BigDecimal(0))(_ + _).tail
+
+  private def decLits(xs: Seq[BigDecimal]): String =
+    xs.map(x => s"CAST($x AS DECIMAL(12,9))").mkString(", ")
+
   /** c-name helper over the upper-triangle storage. */
   private def cn(i: Int, j: Int): String =
     if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
@@ -76,9 +94,93 @@ object TextOps53 {
             s"CASE WHEN v${T}_0 < 0 THEN -v${T}_$i ELSE v${T}_$i END"), 6)
             .as(s"v_$i")): _*)
     }),
+
+    // NDCG@10 retrieval-quality audit — the graded complement of s4's
+    // recall: rank the corpus for each probe by exact cosine (the s7
+    // machinery: one map-only scan past the broadcast probes, bounded
+    // min-k, n_id tie-break), score binary relevance (neighbor label =
+    // probe label) under the 1/log2(rank+1) discount, and normalize by
+    // the ideal DCG for min(10, total relevant in corpus). Discount
+    // weights and their prefix sums are shared DECIMAL literals, so
+    // both engines sum identical exact terms in any order.
+    "s30_ndcg" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+          col("label").as("true_label"))
+      val neigh = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("label").as("n_label"))
+      val top = neigh.crossJoin(broadcast(probes))
+        .filter(col("n_id") =!= col("p_id"))
+        .select(col("p_id"), col("true_label"),
+          round(graft.functions.VectorOps.cosine(col("n_emb"),
+            col("p_emb")), 6).as("cos"),
+          col("n_id"), col("n_label"))
+        .groupBy("p_id", "true_label")
+        .agg(graft.functions.TopKAgg.minK(
+          struct((-col("cos")).as("neg"), col("n_id").as("id"),
+            col("n_label").as("lbl")), 10).as("top"))
+        .select(col("p_id"), col("true_label"),
+          posexplode(col("top")))
+        .select(col("p_id"), col("true_label"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          (col("col.lbl") === col("true_label")).as("rel"))
+      val agg = top.groupBy("p_id", "true_label")
+        .agg(sum(when(col("rel"),
+          expr(s"element_at(array(${decLits(DcgW)}), rnk)"))).as("dcg"),
+          count_if(col("rel")).as("n_rel_top"))
+      val lc = e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      agg.join(broadcast(lc), col("true_label") === col("label"))
+        .select(col("p_id").as("vec_id"), col("true_label"),
+          col("n_rel_top"), (col("c") - 1).as("n_rel_total"),
+          expr(s"""CASE WHEN c - 1 = 0 THEN NULL ELSE
+                  |  round(CAST(coalesce(dcg, 0) AS DOUBLE)
+                  |    / CAST(element_at(array(${decLits(IdcgW)}),
+                  |        CAST(least(10, c - 1) AS INT)) AS DOUBLE), 6)
+                  |END""".stripMargin).as("ndcg"))
+        .orderBy("vec_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s30_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT vec_id AS p_id, label AS true_label, emb AS p_emb
+         |  FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT p_id, true_label, e.vec_id AS n_id, e.label AS n_label,
+         |    round(list_dot_product(e.emb, p_emb) /
+         |      (sqrt(list_dot_product(e.emb, e.emb))
+         |        * sqrt(list_dot_product(p_emb, p_emb))), 6) AS cos
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> p_id),
+         |knn AS (
+         |  SELECT p_id, true_label, n_label, rn FROM (
+         |    SELECT p_id, true_label, n_label,
+         |      row_number() OVER (PARTITION BY p_id
+         |        ORDER BY cos DESC, n_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |agg AS (
+         |  SELECT p_id, true_label,
+         |    sum(CASE WHEN n_label = true_label THEN
+         |      list_value(${decLits(DcgW)})[rn] END) AS dcg,
+         |    CAST(count(*) FILTER (n_label = true_label) AS BIGINT)
+         |      AS n_rel_top
+         |  FROM knn GROUP BY 1, 2),
+         |lc AS (SELECT label, count(*) AS c FROM e GROUP BY 1)
+         |SELECT p_id AS vec_id, true_label, n_rel_top,
+         |  CAST(c - 1 AS BIGINT) AS n_rel_total,
+         |  CASE WHEN c - 1 = 0 THEN NULL ELSE
+         |    round(CAST(coalesce(dcg, 0) AS DOUBLE)
+         |      / CAST(list_value(${decLits(IdcgW)})[least(10, c - 1)]
+         |          AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM agg JOIN lc ON true_label = label
+         |ORDER BY vec_id""".stripMargin,
+
     "s29_pca_power" -> {
       def xi(i: Int): String =
         s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE), 8) AS DECIMAL(12,8))"

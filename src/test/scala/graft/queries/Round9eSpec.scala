@@ -7,6 +7,17 @@ class Round9eSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val Sf = "/root/testdata/sf0.001"
 
+  test("s30: ndcg bounded in [0,1], zero exactly when no relevant hits") {
+    val rows = graft.SparkEntry.queries("s30_ndcg")(spark, Sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (hits, total, ndcg) =>
+      assert(hits >= 0 && hits <= 10 && hits <= total)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert((ndcg == 0.0) === (hits == 0L))
+    }
+  }
+
   test("s29: unit-norm sign-fixed eigenvector, dominant variance share") {
     val r = graft.SparkEntry.queries("s29_pca_power")(spark, Sf)
       .collect().head
