@@ -80,6 +80,45 @@ object BfsHops {
     dist
   }
 
+  /** ALL-pairs shortest hop counts over an undirected edge list — the
+    * closeness/eccentricity primitive. The distance frame is the sparse
+    * set of REACHED (src, node, dist) pairs (never a |V|² NULL matrix):
+    * each round extends every reached pair one hop and keeps the
+    * per-(src, node) minimum. In unweighted BFS a pair's first
+    * discovery is already optimal, so the frame only ever GROWS — row
+    * count stability is the fixpoint test. |V|²-bounded throughout;
+    * converges in O(diameter) rounds.
+    */
+  def allPairs(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val base = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    var dist = sym.select(col("a").as("node")).distinct()
+      .select(col("node").as("src"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var prevCount = -1L
+    var curCount = dist.count()
+    var i = 0
+    while (curCount != prevCount && i < maxIter) {
+      val extended = dist
+        .join(sym, col("node") === col("a"))
+        .select(col("src"), col("b").as("node"),
+          (col("dist") + 1).as("dist"))
+      dist = dist.union(extended)
+        .groupBy("src", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      prevCount = curCount
+      curCount = dist.count()
+      i += 1
+    }
+    if (curCount != prevCount)
+      throw new IllegalStateException(
+        s"all-pairs BFS did not converge in $maxIter rounds")
+    dist
+  }
+
   /** Single-source shortest WEIGHTED distances (Bellman-Ford relaxation
     * to a fixpoint) over a directed edge list with a non-negative
     * integer weight column — the generalization of [[hops]] (which is

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
 object Analytics89 {
   import Tables.t
 
-  /** Above-average-weight undirected nation trade edges (a < b). */
-  private def sparseNationEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Above-average-weight undirected nation trade edges (a < b) —
+    * shared with Analytics91's closeness query.
+    */
+  private[queries] def sparseNationEdges(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -56,7 +58,7 @@ object Analytics89 {
     * each — unmaterialized, every round would re-expand the whole fact
     * join (and re-open the parquet scans).
     */
-  private val sparseSql: String =
+  private[queries] val sparseSql: String =
     """raw AS (
       |  SELECT s_nationkey AS u, c_nationkey AS v
       |  FROM lineitem

@@ -62,22 +62,29 @@ object TextOps52 {
     */
   private def winnowFps(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // toks and hs are bound ONCE per row via single-element
+    // transform(array(..), v -> ..) wrappers — as withColumn aliases,
+    // CollapseProject would inline the md5 array into the selection
+    // lambda, and interpreted HOF evaluation re-computes an inlined
+    // subtree on EVERY hs[p] access (measured: ~90 windows × 4 probes
+    // × 90 md5s per doc; the sf0.1 bench ran minutes instead of
+    // seconds).
     t(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 8) // >= w + k - 1 tokens: >= 1 window
-      .withColumn("hs", expr(
-        """transform(sequence(0, size(toks) - 5), i ->
-          |  md5_pack(array_join(slice(toks, i + 1, 5), ' ')))"""
-          .stripMargin))
-      .withColumn("sel", expr(
-        """transform(sequence(0, size(hs) - 4), j ->
-          |  aggregate(sequence(j, j + 3),
-          |    named_struct('h', CAST(9223372036854775807 AS BIGINT),
-          |                 'p', -1),
-          |    (acc, p) -> IF(hs[p] <= acc.h,
-          |      named_struct('h', hs[p], 'p', p), acc)))""".stripMargin))
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 8) // >= w+k-1 tokens: >= 1 window
+      .select(col("doc_id"), explode(expr(
+        """element_at(transform(array(split(text, ' ')), toks ->
+          |  element_at(transform(array(
+          |      transform(sequence(0, size(toks) - 5), i ->
+          |        md5_pack(array_join(slice(toks, i + 1, 5), ' ')))),
+          |    hs ->
+          |      transform(sequence(0, size(hs) - 4), j ->
+          |        aggregate(sequence(j, j + 3),
+          |          named_struct('h', CAST(9223372036854775807 AS BIGINT),
+          |                       'p', -1),
+          |          (acc, p) -> IF(hs[p] <= acc.h,
+          |            named_struct('h', hs[p], 'p', p), acc)))), 1)), 1)"""
+          .stripMargin)).as("fp"))
       .select(col("doc_id"), col("fp.p").cast("long").as("pos"),
         col("fp.h").as("fp_hash"))
       .distinct()
