@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions, batch 107 (SURVEY.md §2.4):
+  *
+  *  - q261: exact betweenness centrality on the sparse nation graph —
+  *    the broker-role complement of the centrality suite (degree q256,
+  *    PageRank q64, HITS q257, closeness q259). Pipeline: all-pairs
+  *    hop distances ([[graft.operators.BfsHops.allPairs]]), then
+  *    shortest-path COUNTS σ(s,t) by layered DP (σ at distance d sums
+  *    the σ of distance-(d−1) neighbors — exact integers, one bounded
+  *    round per diameter step), then B(v) = Σ_{s<t} σ_sv·σ_vt/σ_st
+  *    over triples where the distances compose. Every pair term is
+  *    rounded to DECIMAL(18,9) BEFORE the sum, so the aggregation is
+  *    order-free and replays exactly; the oracle unrolls both the
+  *    distance matrix and 24 σ layers as generated CTEs. Scale stance:
+  *    everything after the one fact-table condense is nodes²-bounded
+  *    frames and a nodes³ composition join — the same condensed-graph
+  *    posture as q67's triangle join.
+  */
+object Analytics92 {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_betweenness" -> ((spark, dir) => {
+      val edges = Analytics89.sparseNationEdges(spark, dir)
+        .localCheckpoint(true)
+      val sym = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      val dist = graft.operators.BfsHops.allPairs(edges, "a", "b")
+        .localCheckpoint(true)
+      val diam = dist.agg(max(col("dist"))).head().getLong(0).toInt
+      // σ(s,s) = 1; layer d sums the layer-(d−1) σ of t's neighbors
+      var layer = dist.filter(col("dist") === 0)
+        .select(col("src"), col("node"), lit(1L).as("sigma"))
+        .localCheckpoint(true)
+      var sig = layer
+      for (d <- 1 to diam) {
+        layer = layer
+          .join(sym, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"), col("sigma"))
+          .join(dist.filter(col("dist") === d)
+            .select(col("src"), col("node")), Seq("src", "node"),
+            "left_semi")
+          .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint(true)
+        sig = sig.union(layer)
+      }
+      val sd = sig.join(dist, Seq("src", "node"))
+        .select(col("src"), col("node"), col("sigma"), col("dist"))
+        .localCheckpoint(true)
+      // compose s→v→t where the hop counts add up; each unordered
+      // {s, t} pair counted once via s < t
+      val terms = sd.as("sv")
+        .join(sd.as("vt"), col("sv.node") === col("vt.src"))
+        .join(sd.as("st"),
+          col("sv.src") === col("st.src") &&
+            col("vt.node") === col("st.node"))
+        .filter(col("sv.src") < col("vt.node") &&
+          col("sv.node") =!= col("sv.src") &&
+          col("sv.node") =!= col("vt.node") &&
+          col("sv.dist") + col("vt.dist") === col("st.dist"))
+        .select(col("sv.node").as("v"),
+          expr("""cast(round(cast(sv.sigma * vt.sigma as double)
+                 |  / cast(st.sigma as double), 9) as decimal(18,9))"""
+            .stripMargin).as("term"))
+      val per = terms.groupBy("v").agg(sum(col("term")).as("b"))
+      dist.select(col("src").as("v")).distinct()
+        .join(per, Seq("v"), "left")
+        .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("v") === col("n_nationkey"))
+        .select(col("n_name"),
+          round(coalesce(col("b"), lit(0)).cast("double"), 6)
+            .as("betweenness"))
+        .orderBy("n_name")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q261_betweenness" -> {
+      val distRounds = (1 to 24).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT p.src, p.node,
+           |    CASE WHEN o.od IS NULL THEN p.d
+           |         WHEN p.d IS NULL THEN o.od
+           |         ELSE least(p.d, o.od) END AS d
+           |  FROM d${r - 1} p LEFT JOIN (
+           |    SELECT p2.src, e.b AS node, min(p2.d + 1) AS od
+           |    FROM d${r - 1} p2 JOIN sym e ON p2.node = e.a
+           |    WHERE p2.d IS NOT NULL GROUP BY 1, 2) o
+           |  ON p.src = o.src AND p.node = o.node)""".stripMargin
+      }.mkString(",\n")
+      val sigLayers = (1 to 24).map { r =>
+        s"""lay$r AS MATERIALIZED (
+           |  SELECT s.src, e.b AS node, CAST(sum(s.sigma) AS BIGINT)
+           |    AS sigma
+           |  FROM lay${r - 1} s JOIN sym e ON s.node = e.a
+           |  JOIN dm m ON m.src = s.src AND m.node = e.b AND m.d = $r
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val sigUnion = (0 to 24)
+        .map(r => s"SELECT src, node, sigma FROM lay$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${Analytics89.sparseSql},
+         |d0 AS (
+         |  SELECT x.node AS src, y.node AS node,
+         |    CASE WHEN x.node = y.node THEN CAST(0 AS BIGINT) END AS d
+         |  FROM nodes x CROSS JOIN nodes y),
+         |$distRounds,
+         |dm AS MATERIALIZED (
+         |  SELECT src, node, d FROM d24 WHERE d IS NOT NULL),
+         |lay0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+         |         FROM nodes),
+         |$sigLayers,
+         |sd AS MATERIALIZED (
+         |  SELECT s.src, s.node, s.sigma, m.d
+         |  FROM ($sigUnion) s
+         |  JOIN dm m ON m.src = s.src AND m.node = s.node),
+         |terms AS (
+         |  SELECT sv.node AS v,
+         |    CAST(round(CAST(sv.sigma * vt.sigma AS DOUBLE)
+         |      / CAST(st.sigma AS DOUBLE), 9) AS DECIMAL(18,9)) AS term
+         |  FROM sd sv
+         |  JOIN sd vt ON sv.node = vt.src
+         |  JOIN sd st ON sv.src = st.src AND vt.node = st.node
+         |  WHERE sv.src < vt.node AND sv.node <> sv.src
+         |    AND sv.node <> vt.node AND sv.d + vt.d = st.d),
+         |per AS (SELECT v, sum(term) AS b FROM terms GROUP BY v)
+         |SELECT n_name,
+         |  round(CAST(coalesce(b, 0) AS DOUBLE), 6) AS betweenness
+         |FROM nodes nd
+         |LEFT JOIN per ON nd.node = per.v
+         |JOIN nation ON nd.node = n_nationkey
+         |ORDER BY n_name""".stripMargin
+    },
+  )
+}

@@ -60,7 +60,12 @@ object TextOps52 {
   /** Distinct winnowing fingerprints (doc_id, pos, fp_hash) — shared by
     * t49 (the selection itself) and d49 (pairing on shared prints).
     */
-  private def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+  /** @param withPos false drops the position column BEFORE the distinct
+    *                 (d49 pairs on hashes only — keeping pos would force
+    *                 a second full distinct shuffle downstream)
+    */
+  private def winnowFps(spark: SparkSession, dir: String,
+      withPos: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // toks and hs are bound ONCE per row via single-element
     // transform(array(..), v -> ..) wrappers — as withColumn aliases,
@@ -85,8 +90,9 @@ object TextOps52 {
           |          (acc, p) -> IF(hs[p] <= acc.h,
           |            named_struct('h', hs[p], 'p', p), acc)))), 1)), 1)"""
           .stripMargin)).as("fp"))
-      .select(col("doc_id"), col("fp.p").cast("long").as("pos"),
-        col("fp.h").as("fp_hash"))
+      .select(Seq(col("doc_id")) ++
+        (if (withPos) Seq(col("fp.p").cast("long").as("pos")) else Nil) ++
+        Seq(col("fp.h").as("fp_hash")): _*)
       .distinct()
   }
 
@@ -102,9 +108,7 @@ object TextOps52 {
     // scan. Pairs are scored by shared-print count and the overlap
     // coefficient n_shared / min(|A|, |B|).
     "d49_winnow_pairs" -> ((spark, dir) => {
-      val fp = winnowFps(spark, dir)
-        .select(col("doc_id"), col("fp_hash"))
-        .distinct()
+      val fp = winnowFps(spark, dir, withPos = false)
         .localCheckpoint(true) // feeds both the buckets and the sizes
       val cand = graft.operators.BucketedPairs
         .pairs(fp, Seq("fp_hash"), col("doc_id"), maxBucket = 20)
