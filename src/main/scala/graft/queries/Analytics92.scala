@@ -24,6 +24,65 @@ object Analytics92 {
   import Tables.t
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Critical path (longest weighted path) over the key-ordered trade
+    // DAG — the scheduling primitive: orient every canonical nation
+    // pair low→high key (acyclic by construction), weight = trade
+    // count, then max-relaxation DP lp(t) = max(lp(t), lp(s) + w) to a
+    // fixpoint (≤ |V| rounds on any DAG; same iterative shape as
+    // BfsHops with max/+ in place of min/+1, all-integer so the 24
+    // unrolled oracle rounds replay exactly). Output: per-node longest
+    // inbound path weight, the global critical-path weight, and
+    // whether the node is that path's sink.
+    "q262_critical_path" -> ((spark, dir) => {
+      val dag = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("s_nationkey").as("u"), col("c_nationkey").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val nodes = dag.select(col("a").as("node"))
+        .union(dag.select(col("b").as("node"))).distinct()
+        .localCheckpoint(true)
+      var lp = nodes.withColumn("lp", lit(0L))
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < 30) {
+        val offer = dag
+          .join(lp.select(col("node").as("a"), col("lp")), "a")
+          .groupBy(col("b").as("node"))
+          .agg(max(col("lp") + col("w")).as("mx"))
+        val next = lp.join(offer, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("lp"), coalesce(col("mx"), lit(0L))).as("lp"),
+            (coalesce(col("mx"), lit(0L)) > col("lp")).as("_chg"))
+          .localCheckpoint(true)
+        changed = next.filter(col("_chg")).count()
+        lp = next.select("node", "lp")
+        i += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException("critical path did not converge")
+      val crit = lp.agg(max(col("lp")).as("crit_w"))
+      lp.crossJoin(broadcast(crit))
+        .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("lp").as("longest_w"), col("crit_w"),
+          (col("lp") === col("crit_w")).as("is_crit_sink"))
+        .orderBy("n_name")
+    }),
+
     "q261_betweenness" -> ((spark, dir) => {
       val edges = Analytics89.sparseNationEdges(spark, dir)
         .localCheckpoint(true)
@@ -80,6 +139,39 @@ object Analytics92 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q262_critical_path" -> {
+      val rounds = (1 to 24).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT n.node, greatest(n.lp, coalesce(o.mx, 0)) AS lp
+           |  FROM l${r - 1} n LEFT JOIN (
+           |    SELECT e.b AS node, max(l.lp + e.w) AS mx
+           |    FROM l${r - 1} l JOIN dag e ON l.node = e.a
+           |    GROUP BY 1) o
+           |  ON n.node = o.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT s_nationkey AS u, c_nationkey AS v
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE s_nationkey <> c_nationkey),
+         |dag AS MATERIALIZED (
+         |  SELECT least(u, v) AS a, greatest(u, v) AS b,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM raw GROUP BY 1, 2),
+         |dnodes AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node FROM dag
+         |  UNION SELECT DISTINCT b FROM dag),
+         |l0 AS (SELECT node, CAST(0 AS BIGINT) AS lp FROM dnodes),
+         |$rounds
+         |SELECT n_name, lp AS longest_w,
+         |  (SELECT max(lp) FROM l24) AS crit_w,
+         |  lp = (SELECT max(lp) FROM l24) AS is_crit_sink
+         |FROM l24 JOIN nation ON node = n_nationkey
+         |ORDER BY n_name""".stripMargin
+    },
+
     "q261_betweenness" -> {
       val distRounds = (1 to 24).map { r =>
         s"""d$r AS MATERIALIZED (
