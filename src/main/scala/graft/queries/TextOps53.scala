@@ -50,7 +50,60 @@ object TextOps53 {
 
   /** Left-associated matvec row i against vector columns `v<t>_j`. */
   private def matvec(i: Int, vPrefix: String): String =
-    (0 until D).map(j => s"${cn(i, j)} * ${vPrefix}_$j").mkString(" + ")
+    matvecWith(i, vPrefix, cn)
+
+  /** Matvec against an arbitrary upper-triangle matrix naming. */
+  private def matvecWith(i: Int, vPrefix: String,
+      c: (Int, Int) => String): String =
+    (0 until D).map(j => s"${c(i, j)} * ${vPrefix}_$j").mkString(" + ")
+
+  /** Deflated-matrix accessor (s31). */
+  private def en(i: Int, j: Int): String =
+    if (i <= j) s"e_${i}_$j" else s"e_${j}_$i"
+
+  /** T unrolled DuckDB power-iteration CTEs over matrix `cNm`, vector
+    * columns `<vp><t>_<i>`, starting at CTE `start` (which must expose
+    * `<vp>0_<i>`).
+    */
+  /** @param orthoTo when set (e.g. Some("u6")), each iteration
+    *                 Gram–Schmidt-projects that vector back out of the
+    *                 matvec result BEFORE normalizing — without this,
+    *                 deflation alone leaves a first-component residue
+    *                 whenever the spectrum is flat (measured −0.086 on
+    *                 the near-isotropic synthetic embeddings).
+    */
+  private def duckChain(cNm: (Int, Int) => String, vp: String,
+      start: String, orthoTo: Option[String] = None): String =
+    (1 to T).map { tt =>
+      val prev = if (tt == 1) start else s"${vp}t${tt - 1}"
+      val ws = (0 until D)
+        .map(i => s"${matvecWith(i, s"$vp${tt - 1}", cNm)} AS ${vp}w${tt}_$i")
+        .mkString(",\n    ")
+      val base = orthoTo match {
+        case None => s"(SELECT * FROM ${vp}tw$tt)"
+        case Some(u) =>
+          val dot = (0 until D).map(i => s"${u}_$i * ${vp}w${tt}_$i")
+            .mkString(" + ")
+          s"""(SELECT *, ${(0 until D)
+               .map(i => s"${vp}w${tt}_$i - ${vp}d$tt * ${u}_$i" +
+                 s" AS ${vp}o${tt}_$i").mkString(", ")}
+             |   FROM (SELECT *, $dot AS ${vp}d$tt FROM ${vp}tw$tt))"""
+            .stripMargin
+      }
+      val wc = (i: Int) =>
+        if (orthoTo.isDefined) s"${vp}o${tt}_$i" else s"${vp}w${tt}_$i"
+      val nrm = "sqrt(" + (0 until D)
+        .map(i => s"${wc(i)} * ${wc(i)}").mkString(" + ") + ")"
+      s"""${vp}tw$tt AS (SELECT *,
+         |    $ws
+         |  FROM $prev),
+         |${vp}t$tt AS (SELECT *,
+         |    ${(0 until D)
+              .map(i => s"${wc(i)} / ${vp}nrm$tt AS $vp${tt}_$i")
+              .mkString(", ")}
+         |  FROM (SELECT *, $nrm AS ${vp}nrm$tt FROM $base))"""
+        .stripMargin
+    }.mkString(",\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s29_pca_power" -> ((spark, dir) => {
@@ -93,6 +146,87 @@ object TextOps53 {
           (0 until D).map(i => round(expr(
             s"CASE WHEN v${T}_0 < 0 THEN -v${T}_$i ELSE v${T}_$i END"), 6)
             .as(s"v_$i")): _*)
+    }),
+
+    // Second principal component via deflation — s29's power iteration
+    // on C' = C − λ1·v1·v1ᵀ (Hotelling deflation). Both chains run on
+    // the same one-row exact-moment frame; each unrolled iteration ends
+    // in an eager localCheckpoint (without it CollapseProject inlines
+    // the whole previous chain into every matvec — s29's 6 iterations
+    // survive, 13 do not). Output: λ2, its variance share, the v1·v2
+    // orthogonality witness (≈0 by construction), and the sign-fixed
+    // second component.
+    "s31_pca_two" -> ((spark, dir) => {
+      def xi(i: Int): String =
+        s"CAST(round(CAST(embedding[$i] AS DOUBLE), 8) AS DECIMAL(12,8))"
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("n")) ++
+          (0 until D).map(i => sum(expr(xi(i))).as(s"s_$i")) ++
+          (for (i <- 0 until D; j <- i until D)
+            yield sum(expr(s"${xi(i)} * ${xi(j)}")).as(s"p_${i}_$j"))
+      var fr = t(spark, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .agg(aggs.head, aggs.tail: _*)
+      for (i <- 0 until D; j <- i until D)
+        fr = fr.withColumn(s"c_${i}_$j", expr(
+          s"""(CAST(p_${i}_$j AS DOUBLE)
+             | - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE)
+             |   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)""".stripMargin))
+      fr = fr.localCheckpoint(true)
+      def chain(vp: String, c: (Int, Int) => String,
+          orthoTo: Option[String] = None): Unit = {
+        for (i <- 0 until D)
+          fr = fr.withColumn(s"${vp}0_$i", expr("1.0 / sqrt(8.0)"))
+        for (tt <- 1 to T) {
+          for (i <- 0 until D)
+            fr = fr.withColumn(s"${vp}w${tt}_$i",
+              expr(matvecWith(i, s"$vp${tt - 1}", c)))
+          val wc: Int => String = orthoTo match {
+            case None => i => s"${vp}w${tt}_$i"
+            case Some(u) =>
+              fr = fr.withColumn(s"${vp}d$tt", expr(
+                (0 until D).map(i => s"${u}_$i * ${vp}w${tt}_$i")
+                  .mkString(" + ")))
+              for (i <- 0 until D)
+                fr = fr.withColumn(s"${vp}o${tt}_$i",
+                  expr(s"${vp}w${tt}_$i - ${vp}d$tt * ${u}_$i"))
+              i => s"${vp}o${tt}_$i"
+          }
+          fr = fr.withColumn(s"${vp}nrm$tt", expr("sqrt(" +
+            (0 until D).map(i => s"${wc(i)} * ${wc(i)}")
+              .mkString(" + ") + ")"))
+          for (i <- 0 until D)
+            fr = fr.withColumn(s"$vp${tt}_$i",
+              expr(s"${wc(i)} / ${vp}nrm$tt"))
+          fr = fr.localCheckpoint(true)
+        }
+      }
+      chain("u", cn)
+      for (i <- 0 until D)
+        fr = fr.withColumn(s"r_$i", expr(matvecWith(i, s"u$T", cn)))
+      fr = fr.withColumn("lam1", expr(
+          (0 until D).map(i => s"u${T}_$i * r_$i").mkString(" + ")))
+        .localCheckpoint(true)
+      for (i <- 0 until D; j <- i until D)
+        fr = fr.withColumn(s"e_${i}_$j",
+          expr(s"${cn(i, j)} - lam1 * u${T}_$i * u${T}_$j"))
+      fr = fr.localCheckpoint(true)
+      chain("z", en, orthoTo = Some(s"u$T"))
+      for (i <- 0 until D)
+        fr = fr.withColumn(s"r2_$i", expr(matvecWith(i, s"z$T", en)))
+      val lam2 = (0 until D).map(i => s"z${T}_$i * r2_$i").mkString(" + ")
+      val ortho = (0 until D).map(i => s"u${T}_$i * z${T}_$i")
+        .mkString(" + ")
+      val trace = (0 until D).map(i => s"c_${i}_$i").mkString(" + ")
+      fr.select(
+        Seq(col("n").as("n_vectors"),
+          round(col("lam1"), 6).as("lambda1"),
+          round(expr(lam2), 6).as("lambda2"),
+          round(expr(s"($lam2) / ($trace)"), 6).as("share2"),
+          round(expr(ortho), 6).as("ortho")) ++
+          (0 until D).map(i => round(expr(
+            s"CASE WHEN z${T}_0 < 0 THEN -z${T}_$i ELSE z${T}_$i END"), 6)
+            .as(s"v2_$i")): _*)
     }),
 
     // NDCG@10 retrieval-quality audit — the graded complement of s4's
@@ -144,6 +278,66 @@ object TextOps53 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s31_pca_two" -> {
+      def xi(i: Int): String =
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE), 8) AS DECIMAL(12,8))"
+      val moments =
+        (Seq("CAST(count(*) AS BIGINT) AS n") ++
+          (0 until D).map(i => s"sum(${xi(i)}) AS s_$i") ++
+          (for (i <- 0 until D; j <- i until D)
+            yield s"sum(${xi(i)} * ${xi(j)}) AS p_${i}_$j")).mkString(",\n    ")
+      val covs = (for (i <- 0 until D; j <- i until D) yield
+        s"""(CAST(p_${i}_$j AS DOUBLE)
+           | - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE)
+           |   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS c_${i}_$j"""
+          .stripMargin).mkString(",\n    ")
+      val lam2 = (0 until D).map(i => s"z${T}_$i * r2_$i").mkString(" + ")
+      val ortho = (0 until D).map(i => s"u${T}_$i * z${T}_$i")
+        .mkString(" + ")
+      val trace = (0 until D).map(i => s"c_${i}_$i").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT
+         |    $moments
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cov AS (SELECT *,
+         |    $covs
+         |  FROM m),
+         |u0 AS (SELECT *, ${(0 until D)
+              .map(i => s"1.0 / sqrt(8.0) AS u0_$i").mkString(", ")}
+         |  FROM cov),
+         |${duckChain(cn, "u", "u0")},
+         |ray AS (SELECT *,
+         |    ${(0 until D).map(i => s"${matvecWith(i, s"u$T", cn)} AS r_$i")
+              .mkString(", ")}
+         |  FROM ut$T),
+         |lam AS (SELECT *,
+         |    ${(0 until D).map(i => s"u${T}_$i * r_$i").mkString(" + ")}
+         |      AS lam1
+         |  FROM ray),
+         |defl AS (SELECT *,
+         |    ${(for (i <- 0 until D; j <- i until D) yield
+                s"${cn(i, j)} - lam1 * u${T}_$i * u${T}_$j AS e_${i}_$j")
+              .mkString(",\n    ")}
+         |  FROM lam),
+         |z0 AS (SELECT *, ${(0 until D)
+              .map(i => s"1.0 / sqrt(8.0) AS z0_$i").mkString(", ")}
+         |  FROM defl),
+         |${duckChain(en, "z", "z0", orthoTo = Some(s"u$T"))},
+         |ray2 AS (SELECT *,
+         |    ${(0 until D).map(i => s"${matvecWith(i, s"z$T", en)} AS r2_$i")
+              .mkString(", ")}
+         |  FROM zt$T)
+         |SELECT n AS n_vectors,
+         |  round(lam1, 6) AS lambda1,
+         |  round($lam2, 6) AS lambda2,
+         |  round(($lam2) / ($trace), 6) AS share2,
+         |  round($ortho, 6) AS ortho,
+         |  ${(0 until D).map(i =>
+             s"round(CASE WHEN z${T}_0 < 0 THEN -z${T}_$i ELSE z${T}_$i END, 6) AS v2_$i")
+            .mkString(",\n  ")}
+         |FROM ray2""".stripMargin
+    },
+
     "s30_ndcg" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,
