@@ -20,7 +20,55 @@ import org.apache.spark.sql.functions._
 object TextOps54 {
   import Tables.t
 
+  /** Shared per-token probability SQL for t50 — rendered once to both
+    * engines so every ln/sqrt evaluates in identical order. Terms are
+    * rounded to DECIMAL(18,12) BEFORE the sum: the only
+    * engine-sensitive ops (libm ln) differ by at most 1 ulp on values
+    * < 1, far below the rounding grain, and the DECIMAL sum is
+    * order-free.
+    */
+  private val pExpr = "(CAST(ca + 1 AS DOUBLE)) / (CAST(na + v AS DOUBLE)) AS p"
+  private val qExpr = "(CAST(cb + 1 AS DOUBLE)) / (CAST(nb + v AS DOUBLE)) AS q"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distribution-divergence suite between the two corpus halves
+    // (doc_id parity): add-1-smoothed unigram distributions compared by
+    // KL both ways, Jensen–Shannon, Hellinger, and total variation in
+    // ONE pass over the per-token joint counts. The drift-metric
+    // complement of q72 (KS) and q120 (PSI).
+    "t50_divergence" -> ((spark, dir) => {
+      val cnt = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select((col("doc_id") % 2).as("side"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count_if(col("side") === 0).as("ca"),
+          count_if(col("side") === 1).as("cb"))
+      val scalars = cnt.agg(sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"), count(lit(1)).as("v"))
+      cnt.crossJoin(broadcast(scalars))
+        .selectExpr("ca", "cb", "na", "nb", "v", pExpr, qExpr)
+        .selectExpr("na", "nb", "v",
+          "CAST(round(p * ln(p / q), 12) AS DECIMAL(18,12)) AS klab_t",
+          "CAST(round(q * ln(q / p), 12) AS DECIMAL(18,12)) AS klba_t",
+          "CAST(round(0.5 * p * ln(p / ((p + q) / 2)) " +
+            "+ 0.5 * q * ln(q / ((p + q) / 2)), 12) AS DECIMAL(18,12))" +
+            " AS js_t",
+          "CAST(round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 12) " +
+            "AS DECIMAL(18,12)) AS hel_t",
+          "CAST(round(abs(p - q), 12) AS DECIMAL(18,12)) AS tv_t")
+        .groupBy("na", "nb", "v")
+        .agg(sum(col("klab_t")).as("skl"), sum(col("klba_t")).as("slk"),
+          sum(col("js_t")).as("sjs"), sum(col("hel_t")).as("shel"),
+          sum(col("tv_t")).as("stv"))
+        .select(col("v").as("vocab"), col("na"), col("nb"),
+          round(col("skl").cast("double"), 6).as("kl_ab"),
+          round(col("slk").cast("double"), 6).as("kl_ba"),
+          round(col("sjs").cast("double"), 6).as("js"),
+          round(sqrt(col("shel").cast("double") / 2), 6).as("hellinger"),
+          round(col("stv").cast("double") / 2, 6).as("tv"))
+    }),
+
     "d50_sorted_neighborhood" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
         .filter(col("text").isNotNull)
@@ -54,6 +102,41 @@ object TextOps54 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t50_divergence" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 AS side,
+         |    unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |cnt AS (
+         |  SELECT token,
+         |    CAST(count(*) FILTER (side = 0) AS BIGINT) AS ca,
+         |    CAST(count(*) FILTER (side = 1) AS BIGINT) AS cb
+         |  FROM tok GROUP BY token),
+         |sc AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |              CAST(sum(cb) AS BIGINT) AS nb,
+         |              CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |pq AS (
+         |  SELECT na, nb, v, $pExpr, $qExpr
+         |  FROM cnt CROSS JOIN sc),
+         |terms AS (
+         |  SELECT na, nb, v,
+         |    CAST(round(p * ln(p / q), 12) AS DECIMAL(18,12)) AS klab_t,
+         |    CAST(round(q * ln(q / p), 12) AS DECIMAL(18,12)) AS klba_t,
+         |    CAST(round(0.5 * p * ln(p / ((p + q) / 2))
+         |      + 0.5 * q * ln(q / ((p + q) / 2)), 12) AS DECIMAL(18,12))
+         |      AS js_t,
+         |    CAST(round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 12)
+         |      AS DECIMAL(18,12)) AS hel_t,
+         |    CAST(round(abs(p - q), 12) AS DECIMAL(18,12)) AS tv_t
+         |  FROM pq)
+         |SELECT v AS vocab, na, nb,
+         |  round(CAST(sum(klab_t) AS DOUBLE), 6) AS kl_ab,
+         |  round(CAST(sum(klba_t) AS DOUBLE), 6) AS kl_ba,
+         |  round(CAST(sum(js_t) AS DOUBLE), 6) AS js,
+         |  round(sqrt(CAST(sum(hel_t) AS DOUBLE) / 2), 6) AS hellinger,
+         |  round(CAST(sum(tv_t) AS DOUBLE) / 2, 6) AS tv
+         |FROM terms GROUP BY na, nb, v""".stripMargin,
+
     "d50_sorted_neighborhood" ->
       """WITH d AS (
         |  SELECT doc_id,

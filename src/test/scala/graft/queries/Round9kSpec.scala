@@ -27,6 +27,20 @@ class Round9kSpec extends AnyFunSuite {
     }
   }
 
+  test("t50: divergence identities hold between the corpus halves") {
+    val r = graft.SparkEntry.queries("t50_divergence")(spark, Sf)
+      .collect().head
+    val (klab, klba, js, hel, tv) = (r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    Seq(klab, klba, js, hel, tv).foreach(x => assert(x >= 0.0))
+    assert(js <= math.log(2) + 1e-6, "JS is bounded by ln 2")
+    assert(js <= (klab + klba) / 2 + 1e-6, "mixture KL never exceeds direct")
+    assert(tv <= 1.0 && hel <= 1.0)
+    // Hellinger–TV sandwich: H^2 <= TV <= sqrt(2)*H.
+    assert(hel * hel <= tv + 1e-6)
+    assert(tv <= math.sqrt(2) * hel + 1e-6)
+  }
+
   test("q264: one rule per event type, bounded accuracy") {
     val rows = graft.SparkEntry.queries("q264_markov_accuracy")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
