@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   *    The clustering step is the classic grid-DBSCAN reduction: with
   *    cell size eps/√2 every two points in ONE cell are provably
   *    within eps, so point-level core connectivity equals CELL-level
-  *    connectivity — and the cell graph is GEOMETRY-bounded (≤ ~36²
-  *    cells whatever the corpus size), so its transitive closure
-  *    ([[graft.operators.TransitiveClosure]], O(log diameter)
-  *    doubling rounds) replaces an O(diameter)-round label
+  *    connectivity — and the cell graph is GEOMETRY-bounded (≤ ~37²
+  *    cells whatever the corpus size), so its components are a
+  *    constant-size driver union-find (the IVF-centroid class of
+  *    justified collect) instead of an O(diameter)-round label
   *    propagation over the point graph. The oracle replays the
   *    equivalent point-level definition recursively.
   */
@@ -122,13 +122,34 @@ object Analytics98 {
         .join(core.select(col("pid").as("qid")), "qid")
         .localCheckpoint(true) // cell edges + the core cell map
       val cellEdges = corePairs.select(col("cell"), col("qcell")).distinct()
-      val cellReach = graft.operators.TransitiveClosure
-        .reach(cellEdges, "cell", "qcell")
+      // The cell contact graph is GEOMETRY-bounded: ≤ (10000/G + 1)² ≈
+      // 37² nodes and ≤ 25 neighbors each, WHATEVER the corpus size —
+      // so its components are a constant-size driver computation (the
+      // same justified-constant collect as the IVF centroid frame; a
+      // path-doubling closure here composes ~cells³ rows per round,
+      // measured 216 s at sf0.1 vs <0.1 s for this union-find).
+      val edgeArr = cellEdges.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      require(edgeArr.length <= 200000,
+        s"cell graph unexpectedly large (${edgeArr.length} edges) — " +
+          "the eps grid bound no longer holds")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent.update(x, r); r }
+      }
+      edgeArr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+      }
       // Component id per cell → cluster id = min CORE pid in the
       // component (matches the oracle's point-level min labeling).
-      val cellComp = cellReach.groupBy("src")
-        .agg(min(col("dst")).as("comp"))
-        .select(col("src").as("cell"), col("comp"))
+      val cellComp = {
+        import spark.implicits._
+        edgeArr.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(c => (c, find(c))).toSeq.toDF("cell", "comp")
+      }
       val coreCells = corePairs.filter(col("pid") === col("qid"))
         .select(col("pid"), col("cell"))
       val compMin = coreCells.join(broadcast(cellComp), "cell")
