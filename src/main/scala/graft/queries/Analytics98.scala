@@ -49,7 +49,9 @@ object Analytics98 {
           .select(col("r_regionkey"), col("r_name"))),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "mon")
-        .agg(sum(col("o_totalprice")).as("rev"))
+        // o_totalprice is a parquet DOUBLE — quantize per row to
+        // DECIMAL(18,2) so the monthly sum is exact and order-free.
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
         .localCheckpoint(true) // region×month-bounded; feeds both join sides
       // Bounded self-join (months² per region, SF-independent): every
       // (target month, contributing month ≤ target) pair carries its
@@ -185,7 +187,7 @@ object Analytics98 {
     "q273_ewma" -> """
       WITH monthly AS (
         SELECT r_name, date_trunc('month', o_orderdate) AS mon,
-          sum(o_totalprice) AS rev
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
