@@ -611,5 +611,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectOptimizerRule(_ => NfcIdempotence)
+    // Whole-operator rung of the extensibility ladder: the native as-of
+    // join's planner strategy (custom LogicalPlan -> custom SparkPlan).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a (possibly custom) LogicalPlan — the constructor a
+    * custom whole-operator node needs to surface as a Dataset.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
