@@ -214,6 +214,104 @@ object SketchOps {
   * when(n >= 3, ...).otherwise(array()) guard this replaces, so the
   * expression itself is never null.
   */
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003) in
+  * one JVM loop: width-`ngram` word n-grams hash through the portable
+  * packed-md5, and each length-`window` window of consecutive hashes
+  * contributes its RIGHTMOST minimum as (h, p). Semantics are
+  * bit-identical to the declarative transform/aggregate formulation it
+  * replaces — whose nested higher-order functions are CodegenFallback
+  * and re-dispatch an interpreted lambda per element (measured as
+  * d49's dominant cost). Token arrays shorter than ngram + window − 1
+  * (no full window) yield an empty result; callers filter those rows
+  * anyway.
+  */
+object WinnowOps {
+  private val Space = UTF8String.fromString(" ")
+  private val EmptyArr: ArrayData = new GenericArrayData(new Array[Any](0))
+
+  def winnowArr(words: ArrayData, ngram: Int, window: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < ngram + window - 1) return EmptyArr
+    val nh = n - ngram + 1
+    val hs = new Array[Long](nh)
+    val parts = new Array[UTF8String](ngram)
+    var i = 0
+    while (i < nh) {
+      var j = 0
+      while (j < ngram) {
+        parts(j) =
+          if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      // concatWs skips nulls — same as array_join's default behavior.
+      hs(i) = Md5Hash.pack(UTF8String.concatWs(Space, parts: _*).getBytes)
+      i += 1
+    }
+    val nw = nh - window + 1
+    val out = new Array[Any](nw)
+    var w = 0
+    while (w < nw) {
+      var bestH = Long.MaxValue
+      var bestP = -1
+      var p = w
+      while (p < w + window) {
+        if (hs(p) <= bestH) { bestH = hs(p); bestP = p } // rightmost min
+        p += 1
+      }
+      out(w) = InternalRow(bestH, bestP)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Catalyst expression over [[WinnowOps.winnowArr]]: array&lt;string&gt;
+  * tokens → array&lt;struct&lt;h: long, p: int&gt;&gt; winnowing prints.
+  */
+case class WinnowPrints(child: Expression, ngram: Int, window: Int)
+    extends UnaryExpression {
+  require(ngram > 0 && window > 0, "ngram and window must be positive")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("p", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_prints"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WinnowOps.winnowArr(new GenericArrayData(new Array[Any](0)), ngram, window)
+    else WinnowOps.winnowArr(v.asInstanceOf[ArrayData], ngram, window)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val empty =
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])"
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $empty :
+            graft.functions.WinnowOps.winnowArr(${c.value}, $ngram, $window);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowPrints =
+    copy(child = c)
+}
+
+object WinnowPrints {
+  def apply(words: Column, ngram: Int, window: Int): Column =
+    graftbridge.column(
+      WinnowPrints(graftbridge.expression(words), ngram, window))
+}
+
 case class ShinglesOf(child: Expression, width: Int) extends UnaryExpression {
   require(width > 0, "width must be positive")
 

@@ -27,19 +27,36 @@ object BucketedPairs {
       graft.functions.TopKAgg(
         org.apache.spark.sql.graftbridge.expression(struct(member.as("m"))),
         maxBucket + 1).toAggregateExpression())
+    // Size pre-filter FIRST, with a plain codegen'd count: the member
+    // gather below is a TypedImperativeAggregate, and ObjectHashAggregate
+    // falls back to SORT-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // groups — running it over every singleton bucket was measured at
+    // ~7s for d49's 97k mostly-size-1 buckets at sf0.1. Counting is a
+    // cheap hash aggregate; the object aggregate then only sees buckets
+    // already inside [2, maxBucket], and the semi join + final groupBy
+    // reuse the count's hash partitioning (no extra exchange).
+    val inRange = df
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn").between(2, maxBucket))
+      .select(bucketCols.map(col): _*)
     val buckets = df
+      .join(inRange, bucketCols, "left_semi")
       .groupBy(bucketCols.map(col): _*)
       .agg(gathered.as("_mk"))
       .filter(size(col("_mk")).between(2, maxBucket))
       // TopKAgg emits descending; ascending member order matches the
       // previous sort_array(collect_list) formulation exactly.
       .withColumn("_ms", reverse(col("_mk")))
-    val n = size(col("_ms"))
-    buckets.select(explode(flatten(
-        transform(sequence(lit(1), n - 1), i =>
-          transform(sequence(i + 1, n), j =>
-            struct(element_at(col("_ms"), i).getField("m").as("x"),
-              element_at(col("_ms"), j).getField("m").as("y")))))).as("p"))
-      .select(col("p.x").as("x"), col("p.y").as("y"))
+    // Pair expansion as two codegen'd generates (posexplode + slice):
+    // the transform(sequence)×transform(sequence) formulation ran its
+    // nested lambdas through the interpreted HOF path per element —
+    // measured as the dominant cost of d11's candidate stage at sf0.1.
+    buckets
+      .select(col("_ms"), posexplode(col("_ms")).as(Seq("_i", "_mx")))
+      .select(col("_mx").getField("m").as("x"),
+        explode(expr("slice(_ms, _i + 2, size(_ms))")).as("_my"))
+      .select(col("x"), col("_my").getField("m").as("y"))
   }
 }

@@ -31,24 +31,17 @@ object TextOps23 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m15_audio_fingerprint" -> ((spark, dir) => {
-      val smp = t(spark, dir, "documents")
+      val win = t(spark, dir, "documents")
         .filter(col("text").isNotNull)
+        // Native PCM kernel: per-window energies fold inside the row
+        // (one JVM loop over the bytes), so the frame that leaves the
+        // scan is WINDOW-granular — the per-sample posexplode+conv
+        // formulation generated one row and a hex parse per sample.
         .select(col("doc_id").as("media_id"),
-          hex(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")).as("hx"),
-          (octet_length(encode(concat(col("text"), lit("ÿÿ")), "UTF-8"))
-            / 2).cast("long").as("n_smp"))
-        .filter(col("n_smp") > 0)
-        .select(col("media_id"), col("hx"),
-          posexplode(expr("sequence(0L, n_smp - 1)")))
-      val signed = expr(
-        """((CAST(conv(concat(
-          |  substring(hx, CAST(pos*4+3 AS INT), 2),
-          |  substring(hx, CAST(pos*4+1 AS INT), 2)), 16, 10) AS BIGINT)
-          |  + 32768) % 65536) - 32768""".stripMargin)
-      val win = smp.select(col("media_id"),
-          expr(s"pos div $WinSmp").as("w"), (signed * signed).as("v2"))
-        .groupBy("media_id", "w")
-        .agg(sum(col("v2")).as("e"))
+          posexplode(graft.functions.Pcm16WindowEnergies(
+            encode(concat(col("text"), lit("\u00ff\u00ff")), "UTF-8"), WinSmp))
+            .as(Seq("w0", "e")))
+        .select(col("media_id"), col("w0").cast("long").as("w"), col("e"))
         .persist()
       win.count()
       val byM = org.apache.spark.sql.expressions.Window

@@ -41,35 +41,23 @@ object TextOps34 {
     }),
 
     "m19_loudness_gain" -> ((spark, dir) => {
-      val pcm = t(spark, dir, "documents")
+      // Native PCM loudness kernel: decode, Σv², the rounded rms/gain,
+      // and the clip count all fold inside the row — the hex+conv
+      // per-sample lambda formulation paid a string slice and a radix
+      // parse per sample (bit-equality pinned in Round9vSpec).
+      t(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id").as("media_id"),
-          hex(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")).as("hx"),
-          (octet_length(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")) / 2)
-            .cast("long").as("n_smp"))
-        .filter(col("n_smp") > 0)
-        .withColumn("smp", expr(
-          """transform(
-            |  transform(sequence(0L, n_smp - 1),
-            |    i -> CAST(conv(concat(
-            |           substring(hx, CAST(i*4+3 AS INT), 2),
-            |           substring(hx, CAST(i*4+1 AS INT), 2)), 16, 10)
-            |         AS BIGINT)),
-            |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)"""
-            .stripMargin))
-        .withColumn("energy_sq",
-          expr("aggregate(smp, 0L, (a, v) -> a + v * v)"))
-        .filter(col("energy_sq") > 0)
-      pcm
-        .withColumn("rms",
-          round(sqrt(col("energy_sq").cast("double")
-            / col("n_smp").cast("double")), 6))
-        .withColumn("gain", round(lit(3276.8) / col("rms"), 6))
-        .select(col("media_id"), col("n_smp"), col("rms"), col("gain"),
-          expr("aggregate(smp, 0L, (a, v) -> a + CASE WHEN " +
-            "abs(CAST(v AS DOUBLE) * gain) > 32767.0 THEN 1 ELSE 0 END)")
-            .as("n_would_clip"))
-        .withColumn("safe", col("n_would_clip") === 0)
+          graft.functions.Pcm16Loudness(
+            encode(concat(col("text"), lit("\u00ff\u00ff")), "UTF-8"))
+            .as("st"))
+        .filter(col("st")("n_smp") > 0 && col("st")("energy_sq") > 0)
+        .select(col("media_id"),
+          col("st")("n_smp").as("n_smp"),
+          col("st")("rms").as("rms"),
+          col("st")("gain").as("gain"),
+          col("st")("n_would_clip").as("n_would_clip"),
+          (col("st")("n_would_clip") === 0).as("safe"))
         .orderBy("media_id")
     }),
   )

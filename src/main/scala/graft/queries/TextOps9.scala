@@ -178,37 +178,17 @@ object TextOps9 {
 
     "m10_vad_segments" -> ((spark, dir) => {
       // m7's in-row PCM decode, then per-64-sample window energies
-      val smp = t(spark, dir, "documents")
+      val win = t(spark, dir, "documents")
         .filter(col("text").isNotNull)
+        // Native PCM kernel: per-window energies fold inside the row
+        // (one JVM loop over the bytes), so the frame that leaves the
+        // scan is WINDOW-granular — the per-sample posexplode+conv
+        // formulation generated one row and a hex parse per sample.
         .select(col("doc_id").as("media_id"),
-          hex(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")).as("hx"),
-          (octet_length(encode(concat(col("text"), lit("ÿÿ")), "UTF-8")) / 2)
-            .cast("long").as("n_smp"))
-        .filter(col("n_smp") > 0)
-        // explode a cheap index sequence FIRST, decode AFTER as plain
-        // codegen'd expressions — zero lambdas. A decode-then-explode
-        // formulation re-evaluates the interpreted transform per
-        // GENERATED row (measured 8.6-16.6s at sf0.1 across three
-        // lambda shapes); this one measures ~1s. hx rides along only
-        // until the per-sample project, never into the shuffle.
-        .select(col("media_id"), col("hx"),
-          posexplode(expr("sequence(0L, n_smp - 1)")))
-      // branch-free int16 sign fold: ((u + 32768) % 65536) − 32768 maps
-      // exactly like the CASE form, but keeps the decode out of
-      // conditional branches so codegen subexpression elimination can
-      // collapse the repeated conv (the CASE shape measured 3.95s)
-      val signed = expr(
-        """((CAST(conv(concat(
-          |  substring(hx, CAST(pos*4+3 AS INT), 2),
-          |  substring(hx, CAST(pos*4+1 AS INT), 2)), 16, 10) AS BIGINT)
-          |  + 32768) % 65536) - 32768""".stripMargin)
-      // the window frame is corpus/128-bounded and feeds four consumers
-      // (threshold, flags, segments, rollup) — persist once or the
-      // decode+explode re-runs per consumer
-      val win = smp.select(col("media_id"),
-          expr("pos div 64").as("w"), (signed * signed).as("v2"))
-        .groupBy("media_id", "w")
-        .agg(sum(col("v2")).as("e"))
+          posexplode(graft.functions.Pcm16WindowEnergies(
+            encode(concat(col("text"), lit("\u00ff\u00ff")), "UTF-8"), 64))
+            .as(Seq("w0", "e")))
+        .select(col("media_id"), col("w0").cast("long").as("w"), col("e"))
         .persist()
       win.count()
       val thresh = win.groupBy("media_id")
