@@ -104,4 +104,36 @@ object GlobalPrefixSum {
     withCums.drop("_gps_pid" +: "_gps_key" +:
       valCols.indices.map(i => s"_gps_off_$i"): _*)
   }
+
+  /** Adds `cumCol` = running MAXIMUM of `valCol` in ascending `orderCol`
+    * order (`MAX(valCol) OVER (ORDER BY orderCol)` semantics) — the
+    * out-of-orderness / high-watermark primitive. Same two-phase scan
+    * as [[withRunningTotal]]: range partition, per-partition window max,
+    * and the per-partition maxima (one row each) prefix-combined into
+    * broadcast starting offsets — never a single-task global window.
+    */
+  def withRunningMax(df: DataFrame, orderCol: String, valCol: String,
+      cumCol: String, partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.withColumn("_gps_key", col(orderCol))
+      .repartitionByRange(n, col("_gps_key"))
+      .withColumn("_gps_pid", spark_partition_id())
+      .persist()
+    ranged.count() // one materialization for both consumers (see above)
+    val totals = ranged.groupBy("_gps_pid")
+      .agg(max(col(valCol)).as("_gps_pmax"))
+    val wOff = Window.orderBy("_gps_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_gps_moff", max(col("_gps_pmax")).over(wOff))
+      .select("_gps_pid", "_gps_moff")
+    val wIn = Window.partitionBy("_gps_pid").orderBy("_gps_key")
+    ranged.join(broadcast(offsets), "_gps_pid")
+      .withColumn(cumCol,
+        greatest(max(col(valCol)).over(wIn),
+          coalesce(col("_gps_moff"), max(col(valCol)).over(wIn))))
+      .drop("_gps_pid", "_gps_key", "_gps_moff")
+  }
 }
