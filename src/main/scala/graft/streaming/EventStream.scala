@@ -72,6 +72,26 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming bounded top-k: per tumbling hour, the 3 highest-value
+    * events via the custom [[graft.functions.TopKAgg]] — the
+    * TypedImperativeAggregate's serialize/deserialize is exactly what
+    * the state store persists between micro-batches, so the same
+    * bounded-memory aggregate that replaces window+filter top-k in
+    * batch ALSO maintains streaming per-window top-k with k-bounded
+    * state. Works identically on batch frames (watermark no-op).
+    */
+  def hourlyTopK(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg(
+        struct(round(col("value"), 6).as("v"), col("event_id")), k)
+        .as("top"))
+      .select(col("window.start").as("hour_start"),
+        posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("hour_start"), (col("r") + 1).as("rank"),
+        col("t")("event_id").as("event_id"), col("t")("v").as("value"))
+
   /** Running per-user counters with custom state (flatMapGroupsWithState):
     * emits an updated (user_id, total_events, total_value, batches_seen)
     * row per user per trigger. The state survives across micro-batches —

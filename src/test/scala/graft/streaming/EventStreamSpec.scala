@@ -46,6 +46,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 5)
   }
 
+  test("streaming bounded top-k (TopKAgg state) equals the batch answer") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    input.addData(batch.take(2): _*)
+    val q = EventStream.hourlyTopK(input.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      input.addData(batch.drop(2): _*) // second micro-batch: state merges
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("topk")
+      .orderBy("hour_start", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val batchRes = EventStream.hourlyTopK(batch.toDF(), k = 2)
+      .orderBy("hour_start", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed === batchRes)
+    // Hour 02 holds events 4 (v=4) and 5 (v=5): rank 1 must be event 5.
+    val h2 = streamed.filter(_._1 == ts("2024-01-01 02:00:00"))
+    assert(h2.map(t => (t._2, t._3)).toSeq === Seq((1, 5L), (2, 4L)))
+  }
+
   test("session_window splits on >30min gaps per user") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
