@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions, batch 127 (SURVEY.md §2.2 sources):
+  *
+  *  - q293: custom DataSource V2 end-to-end — the supplier dim rendered
+  *    to fixed-width records, re-ingested through
+  *    `graft.sources.FixedWidth` (column pruning + filter pushdown +
+  *    record-aligned splits), and oracle-checked against the parquet
+  *    original. The fixture write is a bounded driver loop over the
+  *    DIM table (supplier — 10k rows/SF), the same discipline as
+  *    m5_binary_ingest; the read path is the real connector code.
+  */
+object Analytics110 {
+  import Tables.t
+
+  private val FwSchema =
+    "s_suppkey:long:8,s_name:string:18,s_nationkey:int:4,s_acctbal:double:24"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_fixedwidth_source" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val schema = graft.sources.FixedWidth.parseSchema(FwSchema)
+      // Double.toString → parse round-trips exactly, so the re-read
+      // acctbal is bit-identical to the parquet value DuckDB reads.
+      val rows = t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getInt(2),
+          r.getDouble(3)))
+      // Two files: planInputPartitions must merge multi-file listings.
+      val (half1, half2) = rows.splitAt(rows.length / 2)
+      Files.write(base.resolve("part0.fw"),
+        graft.sources.FixedWidthWriter.render(schema, half1.toSeq))
+      Files.write(base.resolve("part1.fw"),
+        graft.sources.FixedWidthWriter.render(schema, half2.toSeq))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .option("recordsPerSplit", "64")
+        .load(base.toString)
+        // both predicates reach the reader (see FixedWidthSpec): rows
+        // are dropped before materialization, and only the 4 needed
+        // slices of each record are ever decoded
+        .filter(col("s_acctbal") > 0 && col("s_nationkey") < 13)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q293_fixedwidth_source" -> """
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_acctbal > 0 AND s_nationkey < 13
+      ORDER BY s_suppkey""",
+  )
+}

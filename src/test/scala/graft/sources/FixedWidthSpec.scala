@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FixedWidthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val spec = "id:long:4,name:string:6,score:double:10"
+  private val schema = FixedWidth.parseSchema(spec)
+
+  private def writeFixture(rows: Seq[Seq[Any]]): String = {
+    val dir = Files.createTempDirectory("fwspec").toFile
+    Files.write(dir.toPath.resolve("data.fw"),
+      FixedWidthWriter.render(schema, rows))
+    dir.getAbsolutePath
+  }
+
+  private val rows = Seq(
+    Seq[Any](1L, "alpha", 1.5),
+    Seq[Any](2L, "beta", -0.25),
+    Seq[Any](3L, "gamma", 12.0),
+    Seq[Any](4L, null, 3.0),
+    Seq[Any](5L, "ep s", 0.125),
+    Seq[Any](6L, "zeta", -7.5),
+    Seq[Any](7L, "eta", 100.0))
+
+  test("round-trips all rows and types; all-space field reads as null") {
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(writeFixture(rows))
+    val got = df.orderBy("id").collect()
+    assert(got.length === 7)
+    assert(got(0).getLong(0) === 1L && got(0).getString(1) === "alpha"
+      && got(0).getDouble(2) === 1.5)
+    assert(got(3).isNullAt(1), "all-space string field must be NULL")
+    assert(got(4).getString(1) === "ep s", "internal spaces survive")
+    assert(got(1).getDouble(2) === -0.25)
+  }
+
+  test("filters push to the reader and columns prune to the needed slices") {
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(writeFixture(rows))
+      .filter(col("score") > 0 && col("id") < 7)
+      .select("name")
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got === Set("alpha", "gamma", null, "ep s"))
+    val summary = FixedWidth.lastScanSummary
+    assert(summary.contains("read=[name]"), s"columns not pruned: $summary")
+    assert(summary.contains("GreaterThan(score,"), s"score filter not pushed: $summary")
+    assert(summary.contains("LessThan(id,"), s"id filter not pushed: $summary")
+  }
+
+  test("unsupported filters stay residual and Spark still applies them") {
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(writeFixture(rows))
+      .filter(col("name").endsWith("ta"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 6L, 7L))
+    assert(!FixedWidth.lastScanSummary.contains("EndsWith"),
+      "StringEndsWith must be rejected by pushFilters")
+  }
+
+  test("record-aligned splits: recordsPerSplit=2 over 7 records -> 4 partitions") {
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("recordsPerSplit", "2")
+      .load(writeFixture(rows))
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 7)
+    // split boundaries lose/duplicate nothing
+    assert(df.agg(sum("id")).collect()(0).getLong(0) === 28L)
+  }
+
+  test("overflowing a field width is an error, not silent truncation") {
+    intercept[IllegalArgumentException] {
+      FixedWidthWriter.render(schema, Seq(Seq[Any](1L, "toolongname", 0.0)))
+    }
+  }
+}
