@@ -55,6 +55,34 @@ object Analytics110 {
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     }),
+
+    // COUNT(*) answered from file sizes alone (SupportsPushDownAggregates
+    // complete pushdown): records = bytes / rowLen, so the count of a
+    // 100 TB fixed-width dataset costs one directory listing and zero
+    // record IO. FixedWidthSpec asserts the metadata-only path engaged.
+    "q300_fw_count_pushdown" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_cnt", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val schema = graft.sources.FixedWidth.parseSchema(FwSchema)
+      val rows = t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getInt(2),
+          r.getDouble(3)))
+      Files.write(base.resolve("part0.fw"),
+        graft.sources.FixedWidthWriter.render(schema, rows.toSeq))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_rows"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -63,5 +91,8 @@ object Analytics110 {
       FROM supplier
       WHERE s_acctbal > 0 AND s_nationkey < 13
       ORDER BY s_suppkey""",
+
+    "q300_fw_count_pushdown" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
   )
 }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -88,7 +90,8 @@ private[sources] class FwTable(tableSchema: StructType,
   override def name(): String = s"fixedwidth(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(tableSchema, options.get("path"),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20))
@@ -96,10 +99,12 @@ private[sources] class FwTable(tableSchema: StructType,
 
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     recordsPerSplit: Long) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   require(path != null, "FixedWidth requires a path (load(dir) or option path)")
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of fullSchema in field order; keep
@@ -131,11 +136,75 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     }
   }
 
+  /** COUNT(*) with no grouping and no pushed filters is answerable
+    * from file sizes alone (records = bytes / rowLen): zero IO at any
+    * data size. Anything else is declined and runs as a normal scan.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty && pushed.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    countStarPushed = true
+    required = StructType(aggregation.aggregateExpressions.zipWithIndex
+      .map { case (_, i) => StructField(s"count_star_$i", LongType) })
+    true
+  }
+
   override def build(): Scan = {
-    val summary = s"read=[${required.fieldNames.mkString(",")}] " +
-      s"pushed=[${pushed.mkString(",")}]"
+    val summary =
+      if (countStarPushed) "pushed-agg=count(*) metadata-only"
+      else s"read=[${required.fieldNames.mkString(",")}] " +
+        s"pushed=[${pushed.mkString(",")}]"
     FixedWidth.lastScanSummary = summary
-    new FwScan(fullSchema, required, pushed, path, recordsPerSplit, summary)
+    if (countStarPushed)
+      new FwCountScan(fullSchema, required, path, summary)
+    else
+      new FwScan(fullSchema, required, pushed, path, recordsPerSplit, summary)
+  }
+}
+
+/** Metadata-only COUNT(*): one partition, one row, zero record IO. */
+private[sources] class FwCountScan(fullSchema: StructType,
+    aggSchema: StructType, path: String, summary: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String = s"GraftFixedWidth $summary"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+    val count = FwFiles.list(path).map(_.length() / rowLen).sum
+    Array(FwCountPartition(count, aggSchema.length))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    FwCountReaderFactory
+}
+
+private[sources] case class FwCountPartition(count: Long, nCols: Int)
+    extends InputPartition
+
+private[sources] object FwCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[FwCountPartition]
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        Array.fill[Any](part.nCols)(java.lang.Long.valueOf(part.count)))
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] object FwFiles {
+  def list(path: String): Array[java.io.File] = {
+    val dir = new java.io.File(path)
+    if (dir.isDirectory)
+      dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
+        .sortBy(_.getName)
+    else Array(dir)
   }
 }
 
@@ -148,15 +217,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val recLen = FixedWidth.widths(fullSchema).sum
-    val rowLen = recLen + 1L
-    val dir = new java.io.File(path)
-    val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
-          .sortBy(_.getName)
-      else Array(dir)
-    files.flatMap { f =>
+    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+    FwFiles.list(path).flatMap { f =>
       val n = f.length() / rowLen
       require(f.length() % rowLen == 0,
         s"FixedWidth: ${f.getPath} length ${f.length()} is not a multiple " +
@@ -170,6 +232,65 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FwReaderFactory(fullSchema, required.fieldNames, pushed)
+
+  /** Streaming view of the same files: the offset of a fixed-width
+    * file IS its record count (length / rowLen), so "what's new" is a
+    * pure byte-arithmetic fact — append-only producers never need a
+    * WAL or listing snapshot. New `.fw` files enter at offset 0.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
+      recordsPerSplit)
+}
+
+/** Offset = per-file record counts, serialized one `count:path` per
+  * line (paths cannot contain newlines here).
+  */
+private[sources] case class FwOffset(counts: Map[String, Long]) extends Offset {
+  override def json(): String =
+    counts.toSeq.sortBy(_._1).map { case (p, n) => s"$n:$p" }.mkString("\n")
+}
+
+private[sources] object FwOffset {
+  def parse(s: String): FwOffset =
+    if (s.isEmpty) FwOffset(Map.empty)
+    else FwOffset(s.split("\n").map { line =>
+      val i = line.indexOf(':')
+      line.substring(i + 1) -> line.substring(0, i).toLong
+    }.toMap)
+}
+
+private[sources] class FwMicroBatchStream(fullSchema: StructType,
+    requiredNames: Array[String], pushed: Array[Filter], path: String,
+    recordsPerSplit: Long) extends MicroBatchStream {
+  private val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+
+  override def initialOffset(): Offset = FwOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    FwOffset(FwFiles.list(path).map { f =>
+      require(f.length() % rowLen == 0,
+        s"FixedWidth: ${f.getPath} is mid-append (length not a multiple " +
+          s"of $rowLen); retry next batch")
+      f.getPath -> f.length() / rowLen
+    }.toMap)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[FwOffset].counts
+    val to = end.asInstanceOf[FwOffset].counts
+    to.toSeq.sortBy(_._1).flatMap { case (file, hi) =>
+      val lo = from.getOrElse(file, 0L)
+      (lo until hi by recordsPerSplit).map(s =>
+        FwPartition(file, s, math.min(recordsPerSplit, hi - s)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwReaderFactory(fullSchema, requiredNames, pushed)
+
+  override def deserializeOffset(json: String): Offset = FwOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class FwPartition(file: String, startRecord: Long,

@@ -78,4 +78,40 @@ class FixedWidthSpec extends AnyFunSuite {
       FixedWidthWriter.render(schema, Seq(Seq[Any](1L, "toolongname", 0.0)))
     }
   }
+
+  test("count(*) completes as a metadata-only aggregate pushdown") {
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(writeFixture(rows))
+    assert(df.agg(count(lit(1))).collect()(0).getLong(0) === 7L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg=count(*)"),
+      s"count(*) did not push: ${FixedWidth.lastScanSummary}")
+    // with a filter the metadata shortcut must NOT engage
+    assert(df.filter(col("score") > 0).count() === 5L)
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"filtered count must scan: ${FixedWidth.lastScanSummary}")
+  }
+
+  test("micro-batch stream: record-count offsets deliver appends exactly once") {
+    val dir = Files.createTempDirectory("fwstream").toFile
+    val file = dir.toPath.resolve("data.fw")
+    Files.write(file, FixedWidthWriter.render(schema, rows.take(3)))
+    val q = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("fw_stream_mem").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fw_stream_mem").count() === 3L)
+      // append two records to the SAME file: offset = record count, so
+      // only the delta replays
+      Files.write(file, FixedWidthWriter.render(schema, rows.slice(3, 5)),
+        java.nio.file.StandardOpenOption.APPEND)
+      // and a brand-new file entering at offset 0
+      Files.write(dir.toPath.resolve("late.fw"),
+        FixedWidthWriter.render(schema, rows.slice(5, 7)))
+      q.processAllAvailable()
+      val got = spark.table("fw_stream_mem").collect().map(_.getLong(0))
+      assert(got.length === 7, s"expected 7 rows, got ${got.mkString(",")}")
+      assert(got.toSet === (1L to 7L).toSet, "no duplicates, no gaps")
+    } finally q.stop()
+  }
 }
