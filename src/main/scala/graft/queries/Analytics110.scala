@@ -83,6 +83,35 @@ object Analytics110 {
         .load(base.toString)
         .agg(count(lit(1)).as("n_rows"))
     }),
+
+    // Distributed DSV2 write → read round trip: supplier flows through
+    // the FixedWidth WRITER (4 tasks, two-phase tmp→publish commit,
+    // overwrite=truncate), is re-read through the connector, and the
+    // re-aggregated facts are oracle-checked against the parquet
+    // original. Nothing is collected to the driver.
+    "q304_fw_write_roundtrip" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_wr", Paths.get(dir).getFileName.toString)
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .mode("overwrite")
+        .save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(expr("cast(round(s_acctbal, 2) as decimal(18,2))"))
+            .as("sum_bal"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,5 +123,12 @@ object Analytics110 {
 
     "q300_fw_count_pushdown" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
+
+    "q304_fw_write_roundtrip" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2))) AS sum_bal,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
   )
 }

@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,15 +87,123 @@ object FixedWidth {
 }
 
 private[sources] class FwTable(tableSchema: StructType,
-    properties: Map[String, String]) extends Table with SupportsRead {
+    properties: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
+  // For writes (and external-metadata reads) Spark hands getTable the
+  // DATAFRAME's schema, which has no width metadata — the layout truth
+  // is always the `schema` option.
+  private val declared: StructType =
+    properties.get("schema").map(FixedWidth.parseSchema)
+      .getOrElse(tableSchema)
+
   override def name(): String = s"fixedwidth(${properties.getOrElse("path", "?")})"
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FwScanBuilder(tableSchema, options.get("path"),
+    new FwScanBuilder(declared, options.get("path"),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = info.options.get("path")
+    require(path != null, "FixedWidth write requires a path")
+    require(info.schema().fieldNames.sameElements(declared.fieldNames),
+      s"write schema ${info.schema().fieldNames.mkString(",")} does not " +
+        s"match table schema ${declared.fieldNames.mkString(",")}")
+    new FwWriteBuilder(declared, path)
+  }
+}
+
+/** Distributed fixed-width writer: each task renders its partition to
+  * `part-<pid>-<task>.fw.tmp`; the driver commit publishes all tmps to
+  * `.fw` (deleting pre-existing data first under truncate/overwrite),
+  * abort removes them. Same two-phase task-file protocol the built-in
+  * file sources use, minus the Hadoop committer machinery (local-fs
+  * rename is atomic enough here; a production port would swap in
+  * FileCommitProtocol).
+  */
+private[sources] class FwWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
+      truncateFirst)
+  }
+}
+
+private[sources] case class FwCommitMessage(tmpPath: String)
+    extends WriterCommitMessage
+
+private[sources] class FwBatchWrite(schema: StructType, path: String,
+    truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FwWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncateFirst) FwFiles.list(path).foreach(_.delete())
+    messages.foreach { case FwCommitMessage(tmp) =>
+      val f = new java.io.File(tmp)
+      val target = new java.io.File(dir, f.getName.stripSuffix(".tmp"))
+      require(f.renameTo(target), s"could not publish $tmp -> $target")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FwCommitMessage(tmp) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+private[sources] class FwWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FwDataWriter(schema, path, partitionId, taskId)
+}
+
+private[sources] class FwDataWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val widths = FixedWidth.widths(schema)
+  private val tmp = new java.io.File(path,
+    f"part-$partitionId%05d-$taskId.fw.tmp")
+  tmp.getParentFile.mkdirs()
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(tmp))
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < widths.length) {
+      val w = widths(i)
+      val s =
+        if (row.isNullAt(i)) ""
+        else schema.fields(i).dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case _ => row.getUTF8String(i).toString
+        }
+      require(s.length <= w,
+        s"value '$s' exceeds width $w of field ${schema.fields(i).name}")
+      schema.fields(i).dataType match {
+        case StringType => sb.append(s).append(" " * (w - s.length))
+        case _ => sb.append(" " * (w - s.length)).append(s)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FwCommitMessage(tmp.getPath)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = ()
 }
 
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,

@@ -91,6 +91,49 @@ class FixedWidthSpec extends AnyFunSuite {
       s"filtered count must scan: ${FixedWidth.lastScanSummary}")
   }
 
+  test("distributed write: overwrite replaces, append accumulates, values round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwwrite").toFile.getAbsolutePath
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "g", 0.125))
+      .toDF("id", "name", "score").repartition(2)
+    df.write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+    assert(back.count() === 3)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "g", 0.125)))
+    // append accumulates
+    Seq((4L, "delta", 7.0)).toDF("id", "name", "score")
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("append").save(dir)
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir).count() === 4)
+    // overwrite truncates the previous files
+    Seq((9L, "only", 0.0)).toDF("id", "name", "score")
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    val after = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir).collect()
+    assert(after.length === 1 && after(0).getLong(0) === 9L)
+  }
+
+  test("write rejects a mismatched dataframe schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwbad").toFile.getAbsolutePath
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "other")
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode("overwrite").save(dir)
+    }
+    // with schema() = the declared layout, Spark's own write-compat
+    // check rejects the frame before our builder even sees it
+    assert(e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE")
+      || e.getMessage.contains("does not match table schema"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("micro-batch stream: record-count offsets deliver appends exactly once") {
     val dir = Files.createTempDirectory("fwstream").toFile
     val file = dir.toPath.resolve("data.fw")
