@@ -112,6 +112,33 @@ object Analytics110 {
           max(col("s_suppkey")).as("max_key"))
         .orderBy("s_nationkey")
     }),
+
+    // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
+    // layout in DDL options, INSERT OVERWRITE ... SELECT through the
+    // two-phase writer, aggregate back through the pruning scan —
+    // oracle-checked against the parquet original.
+    "q308_catalog_sql" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      spark.conf.set("spark.sql.catalog.fwcat_q", "graft.sources.FwCatalog")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_cat", Paths.get(dir).getFileName.toString)
+      Files.createDirectories(base)
+      spark.sql("DROP TABLE IF EXISTS fwcat_q.ns.nation_fw")
+      spark.sql(
+        s"""CREATE TABLE fwcat_q.ns.nation_fw
+           |  (n_nationkey INT, n_name STRING, n_regionkey INT)
+           |  OPTIONS (path '$base', widths '4,25,4')""".stripMargin)
+      t(spark, dir, "nation").createOrReplaceTempView("nation_src_q308")
+      spark.sql(
+        """INSERT OVERWRITE fwcat_q.ns.nation_fw
+          |SELECT n_nationkey, n_name, n_regionkey FROM nation_src_q308"""
+          .stripMargin)
+      spark.sql(
+        """SELECT n_regionkey, count(*) AS n_nations,
+          |  min(n_name) AS first_name, max(n_nationkey) AS max_key
+          |FROM fwcat_q.ns.nation_fw
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +157,11 @@ object Analytics110 {
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM supplier
       GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q308_catalog_sql" -> """
+      SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        min(n_name) AS first_name, max(n_nationkey) AS max_key
+      FROM nation
+      GROUP BY n_regionkey ORDER BY n_regionkey""",
   )
 }

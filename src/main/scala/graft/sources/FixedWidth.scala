@@ -102,11 +102,16 @@ private[sources] class FwTable(tableSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+  // catalog-routed reads/writes (SELECT/INSERT on fw.ns.t) carry no
+  // per-operation options — the table's own properties hold the path
+  private def pathFor(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).orElse(properties.get("path")).orNull
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FwScanBuilder(declared, options.get("path"),
+    new FwScanBuilder(declared, pathFor(options),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val path = info.options.get("path")
+    val path = pathFor(info.options)
     require(path != null, "FixedWidth write requires a path")
     require(info.schema().fieldNames.sameElements(declared.fieldNames),
       s"write schema ${info.schema().fieldNames.mkString(",")} does not " +

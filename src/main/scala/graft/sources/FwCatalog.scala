@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing fixed-width datasets to plain SQL — the
+  * third connector surface next to the batch/streaming read and write
+  * paths: register with
+  *
+  *   spark.conf.set("spark.sql.catalog.fw", "graft.sources.FwCatalog")
+  *
+  * and then
+  *
+  *   CREATE TABLE fw.ns.t (id BIGINT, name STRING)
+  *     OPTIONS (path '/data/t', widths '8,12')
+  *   INSERT INTO fw.ns.t SELECT ...
+  *   SELECT * FROM fw.ns.t
+  *
+  * DDL carries the layout: widths come from the `widths` option
+  * (comma list, aligned with the column list; types from the column
+  * DDL), the storage location from `path`. Table metadata lives in
+  * the catalog instance (per session); the DATA is whatever `.fw`
+  * files sit at `path` — `DROP TABLE` removes only metadata, like an
+  * external table. All reads/writes route through the same
+  * FwTable/FwScan/FwBatchWrite machinery, so pruning, pushdown,
+  * metadata-only COUNT(*) and the two-phase writer work from SQL
+  * unchanged.
+  */
+class FwCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private val tables = new ConcurrentHashMap[Identifier, FwTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tables.keySet().asScala.filter(_.namespace.sameElements(namespace))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    t
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tables.containsKey(ident))
+      throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "fixedwidth tables do not support partitioning transforms")
+    val props = properties.asScala
+    // OPTIONS(...) keys surface both bare and as "option.<key>"
+    // depending on the DDL path — accept either
+    def opt(key: String): Option[String] =
+      props.get(key).orElse(props.get(TableCatalog.OPTION_PREFIX + key))
+    // Spark normalizes the `path` option into the LOCATION property,
+    // URI-qualified (file:/...) — strip the scheme back to a local path
+    val path = opt("path").orElse(props.get(TableCatalog.PROP_LOCATION))
+      .map(p => if (p.startsWith("file:"))
+        new java.net.URI(p).getPath else p)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $ident requires OPTIONS (path '...')"))
+    val widths = opt("widths").getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $ident requires OPTIONS (widths 'w1,w2,...')"))
+      .split(",").map(_.trim.toInt)
+    require(widths.length == schema.fields.length,
+      s"widths has ${widths.length} entries for ${schema.fields.length} columns")
+    // re-encode DDL schema + widths as the option spec FwTable expects
+    val spec = schema.fields.zip(widths).map { case (f, w) =>
+      val tpe = f.dataType.typeName match {
+        case "long" | "bigint" => "long"
+        case "integer" => "int"
+        case "double" => "double"
+        case "string" => "string"
+        case other => throw new IllegalArgumentException(
+          s"fixedwidth does not support column type $other (${f.name})")
+      }
+      s"${f.name}:$tpe:$w"
+    }.mkString(",")
+    val table = new FwTable(FixedWidth.parseSchema(spec),
+      Map("path" -> path, "schema" -> spec))
+    new java.io.File(path).mkdirs()
+    tables.put(ident, table)
+    table
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "fixedwidth tables are immutable metadata; DROP and re-CREATE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(ident) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val t = tables.remove(oldIdent)
+    if (t == null) throw new NoSuchTableException(oldIdent)
+    // RENAME TO may arrive catalog-qualified; rename is same-catalog by
+    // contract, so strip our own name from the namespace if present
+    val ns = newIdent.namespace()
+    val normalized =
+      if (ns.nonEmpty && ns.head == catalogName)
+        Identifier.of(ns.drop(1), newIdent.name())
+      else newIdent
+    tables.put(normalized, t)
+  }
+
+  // --- namespaces: implicit, existence = any table under the prefix,
+  // plus anything explicitly created ---
+  private val namespaces =
+    ConcurrentHashMap.newKeySet[Seq[String]]()
+
+  override def listNamespaces(): Array[Array[String]] =
+    (namespaces.asScala.map(_.toArray) ++
+      tables.keySet().asScala.map(_.namespace())).toSet.toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    listNamespaces().filter(ns =>
+      ns.length > namespace.length && ns.startsWith(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespaces.contains(namespace.toSeq) ||
+      tables.keySet().asScala.exists(_.namespace().sameElements(namespace))
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    namespaces.add(namespace.toSeq)
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("fixedwidth namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (cascade)
+      tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
+        .foreach(tables.remove)
+    namespaces.remove(namespace.toSeq)
+  }
+}
