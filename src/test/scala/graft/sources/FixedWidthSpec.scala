@@ -134,6 +134,75 @@ class FixedWidthSpec extends AnyFunSuite {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("reader differential: random layouts round-trip against an in-memory model") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 30) {
+      val nf = 1 + rnd.nextInt(4)
+      val fields = (0 until nf).map { i =>
+        rnd.nextInt(4) match {
+          case 0 => (s"f$i", "long", 14)
+          case 1 => (s"f$i", "int", 9)
+          case 2 => (s"f$i", "double", 24)
+          case _ => (s"f$i", "string", 10)
+        }
+      }
+      val sch = FixedWidth.parseSchema(
+        fields.map { case (n, t, w) => s"$n:$t:$w" }.mkString(","))
+      def randVal(tpe: String): Any =
+        if (rnd.nextInt(8) == 0) null
+        else tpe match {
+          case "long" => rnd.nextLong() % 1000000000L
+          case "int" => rnd.nextInt(2000001) - 1000000
+          case "double" => (rnd.nextInt(2000001) - 1000000) / 128.0
+          case _ =>
+            // inner spaces allowed, edge spaces are pad (lossy by design)
+            val s = (0 until rnd.nextInt(9)).map(_ =>
+              "ab c9_Z".charAt(rnd.nextInt(7))).mkString.trim
+            if (s.isEmpty) null else s
+        }
+      val rows = (0 until rnd.nextInt(20)).map(_ =>
+        fields.map { case (_, t, _) => randVal(t) })
+      val dir = Files.createTempDirectory("fwdiff")
+      val f = dir.resolve("d.fw")
+      Files.write(f, FixedWidthWriter.render(sch, rows))
+      // random pushed filter on the first field when it is numeric
+      val filt = fields.head match {
+        case (n, "long", _) => Array[org.apache.spark.sql.sources.Filter](
+          GreaterThan(n, 0L))
+        case (n, "int", _) => Array[org.apache.spark.sql.sources.Filter](
+          LessThanOrEqual(n, 0))
+        case _ => Array.empty[org.apache.spark.sql.sources.Filter]
+      }
+      val reader = new FwReader(sch, sch.fieldNames, filt,
+        FwPartition(f.toString, 0, rows.length))
+      val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (reader.next()) {
+        val r = reader.get()
+        got += sch.fields.zipWithIndex.map { case (fd, i) =>
+          if (r.isNullAt(i)) null
+          else fd.dataType match {
+            case org.apache.spark.sql.types.StringType => r.getUTF8String(i).toString
+            case org.apache.spark.sql.types.LongType => r.getLong(i)
+            case org.apache.spark.sql.types.IntegerType => r.getInt(i)
+            case _ => r.getDouble(i)
+          }
+        }.toSeq
+      }
+      reader.close()
+      val want = rows.map(_.toSeq).filter { r =>
+        filt.isEmpty || (r.head match {
+          case null => false
+          case l: Long => l > 0L
+          case i: Int => i <= 0
+          case _ => true
+        })
+      }
+      assert(got.toSeq === want,
+        s"layout ${fields.mkString(",")} rows=$rows filt=${filt.mkString}")
+    }
+  }
+
   test("micro-batch stream: record-count offsets deliver appends exactly once") {
     val dir = Files.createTempDirectory("fwstream").toFile
     val file = dir.toPath.resolve("data.fw")
