@@ -73,6 +73,38 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(df.agg(sum("id")).collect()(0).getLong(0) === 28L)
   }
 
+  test("streamed records flow through watermark + windowed aggregation") {
+    val evSpec = "uid:long:6,ts:long:12"
+    val evSchema = FixedWidth.parseSchema(evSpec)
+    val dir = Files.createTempDirectory("fwstreamagg").toFile
+    Files.write(dir.toPath.resolve("ev.fw"), FixedWidthWriter.render(
+      evSchema, Seq(Seq[Any](1L, 5L), Seq[Any](2L, 30L), Seq[Any](3L, 65L),
+        Seq[Any](4L, 70L), Seq[Any](5L, 130L))))
+    val q = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", evSpec).load(dir.getAbsolutePath)
+      .withColumn("ets", timestamp_seconds(col("ts")))
+      .withWatermark("ets", "10 seconds")
+      .groupBy(window(col("ets"), "60 seconds")).count()
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("fw_stream_agg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fw_stream_agg")
+        .selectExpr("unix_timestamp(window.start) as s", "count")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === Map(0L -> 2L, 60L -> 2L, 120L -> 1L))
+      // late-arriving append lands in the right (still-open) window
+      Files.write(dir.toPath.resolve("ev.fw"), FixedWidthWriter.render(
+        evSchema, Seq(Seq[Any](6L, 135L))),
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val got2 = spark.table("fw_stream_agg")
+        .selectExpr("unix_timestamp(window.start) as s", "count")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got2(120L) === 2L)
+    } finally q.stop()
+  }
+
   test("overflowing a field width is an error, not silent truncation") {
     intercept[IllegalArgumentException] {
       FixedWidthWriter.render(schema, Seq(Seq[Any](1L, "toolongname", 0.0)))
