@@ -23,18 +23,7 @@ import org.apache.spark.sql.functions._
 object Analytics123 {
   import Tables.t
 
-  /** Φ(|z|) upper-tail p via A&S 7.1.26 — same literal arithmetic in
-    * Spark SQL and DuckDB. `z` must be a column expression string.
-    */
-  private def pTwoSidedSql(z: String): String =
-    s"""(2.0d * (1.0d - (0.5d * (1.0d +
-       |  (1.0d - (((((1.061405429d / (1.0d + 0.3275911d * (abs($z) / sqrt(2.0d)))
-       |    - 1.453152027d) / (1.0d + 0.3275911d * (abs($z) / sqrt(2.0d)))
-       |    + 1.421413741d) / (1.0d + 0.3275911d * (abs($z) / sqrt(2.0d)))
-       |    - 0.284496736d) / (1.0d + 0.3275911d * (abs($z) / sqrt(2.0d)))
-       |    + 0.254829592d) / (1.0d + 0.3275911d * (abs($z) / sqrt(2.0d))))
-       |   * exp(-(abs($z) / sqrt(2.0d)) * (abs($z) / sqrt(2.0d))))))))"""
-      .stripMargin
+  private def pTwoSidedSql(z: String): String = StatSql.pTwoSidedSql(z)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q322_fdr_bh" -> ((spark, dir) => {
