@@ -101,7 +101,7 @@ private[sources] class FwTable(tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   // catalog-routed reads/writes (SELECT/INSERT on fw.ns.t) carry no
   // per-operation options — the table's own properties hold the path
   private def pathFor(options: CaseInsensitiveStringMap): String =
@@ -135,7 +135,48 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
       truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new FwStreamingWrite(schema, path)
   }
+}
+
+/** Streaming sink: each epoch's tasks write
+  * `part-<epoch>-<pid>-<task>.fw.tmp`; the driver publishes them on
+  * epoch commit. Offsets in the checkpoint plus publish-on-commit give
+  * the usual at-least-once file-sink semantics; readers only ever see
+  * whole `.fw` files (and the fixed-width invariant means a published
+  * file can never tear a record).
+  */
+private[sources] class FwStreamingWrite(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new FwStreamingWriterFactory(schema, path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case FwCommitMessage(tmp) =>
+      val f = new java.io.File(tmp)
+      if (f.exists()) {
+        val target = new java.io.File(f.getParentFile,
+          f.getName.stripSuffix(".tmp"))
+        require(f.renameTo(target), s"could not publish $tmp -> $target")
+      }
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FwCommitMessage(tmp) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+private[sources] class FwStreamingWriterFactory(schema: StructType,
+    path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FwDataWriter(schema, path, partitionId, taskId,
+      prefix = s"part-$epochId")
 }
 
 private[sources] case class FwCommitMessage(tmpPath: String)
@@ -170,10 +211,11 @@ private[sources] class FwWriterFactory(schema: StructType, path: String)
 }
 
 private[sources] class FwDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, prefix: String = "part")
+    extends DataWriter[InternalRow] {
   private val widths = FixedWidth.widths(schema)
   private val tmp = new java.io.File(path,
-    f"part-$partitionId%05d-$taskId.fw.tmp")
+    f"$prefix-$partitionId%05d-$taskId.fw.tmp")
   tmp.getParentFile.mkdirs()
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp))
