@@ -71,8 +71,10 @@ object Analytics106 {
           (col("n_a") + col("n_b")).as("n"),
           (col("s1_a") + col("s1_b")).as("s1"),
           (col("s2_a") + col("s2_b")).as("s2"))
-        .select(col("n"), col("s1").cast("decimal(38,0)").as("s1"),
-          col("s2").cast("decimal(38,0)").as("s2"),
+        .select(col("n"), col("s1").cast("long").as("s1"),
+          // s2 exceeds int64 range: present the exact decimal through a
+          // correctly-rounded DOUBLE (identical bits in both engines)
+          col("s2").cast("decimal(38,0)").cast("double").as("s2"),
           // population variance in dollars² from the merged moments
           round(
             (col("s2").cast("double")
@@ -117,7 +119,7 @@ object Analytics106 {
           CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s1,
           CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0)) AS s2
         FROM o)
-      SELECT n, s1, s2,
+      SELECT n, CAST(s1 AS BIGINT) AS s1, CAST(s2 AS DOUBLE) AS s2,
         round((CAST(s2 AS DOUBLE)
             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
           / n / 10000, 6) AS variance

@@ -107,7 +107,7 @@ object Analytics110 {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_sup"),
           sum(expr("cast(round(s_acctbal, 2) as decimal(18,2))"))
-            .as("sum_bal"),
+            .cast("double").as("sum_bal"),
           min(col("s_suppkey")).as("min_key"),
           max(col("s_suppkey")).as("max_key"))
         .orderBy("s_nationkey")
@@ -153,7 +153,8 @@ object Analytics110 {
 
     "q304_fw_write_roundtrip" -> """
       SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
-        sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2))) AS sum_bal,
+        CAST(sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2)))
+          AS DOUBLE) AS sum_bal,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM supplier
       GROUP BY s_nationkey ORDER BY s_nationkey""",

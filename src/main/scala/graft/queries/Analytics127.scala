@@ -63,7 +63,8 @@ object Analytics127 {
             |  else 'Z' end""".stripMargin).as("xyz"))
       abc.join(xyz, "pk")
         .groupBy("abc", "xyz")
-        .agg(count(lit(1)).as("n_parts"), sum(col("v")).as("value_mass"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("v")).cast("double").as("value_mass"))
         .orderBy("abc", "xyz")
     }),
   )
@@ -110,7 +111,7 @@ object Analytics127 {
             ELSE 'Z' END AS xyz
         FROM dense GROUP BY pk)
       SELECT abc.abc, xyz.xyz, CAST(count(*) AS BIGINT) AS n_parts,
-        sum(v) AS value_mass
+        CAST(sum(v) AS DOUBLE) AS value_mass
       FROM abc JOIN xyz ON abc.pk = xyz.pk
       GROUP BY abc.abc, xyz.xyz
       ORDER BY abc, xyz""",

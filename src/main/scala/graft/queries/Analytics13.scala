@@ -51,8 +51,12 @@ object Analytics13 {
           col("m.a1v").as("authority1"))
       t(spark, dir, "supplier")
         .join(broadcast(top), col("s_suppkey") === col("sk"))
-        .select(col("s_suppkey"), col("s_name"), col("authority1"),
-          col("authority2"))
+        // scores stay exact DECIMAL through the iterations; the final
+        // select presents DOUBLE (identical correctly-rounded bits in
+        // both engines — decimals must not reach a dumped column)
+        .select(col("s_suppkey"), col("s_name"),
+          col("authority1").cast("double").as("authority1"),
+          col("authority2").cast("double").as("authority2"))
         .orderBy(col("authority2").desc, col("s_suppkey"))
     }),
 
@@ -132,7 +136,8 @@ object Analytics13 {
         |    SELECT a2.s, a2.a2, a1.a1, row_number() OVER (
         |      ORDER BY a2.a2 DESC, a2.s) AS rn
         |    FROM a2 JOIN a1 USING (s)) WHERE rn <= 20)
-        |SELECT s_suppkey, s_name, a1 AS authority1, a2 AS authority2
+        |SELECT s_suppkey, s_name, CAST(a1 AS DOUBLE) AS authority1,
+        |  CAST(a2 AS DOUBLE) AS authority2
         |FROM supplier JOIN top ON s_suppkey = top.s
         |ORDER BY authority2 DESC, s_suppkey""".stripMargin,
 

@@ -62,7 +62,7 @@ object Analytics14 {
         // by n here round(double)-ed onto a .5-ulp boundary where the
         // engines' rounding paths disagree (the s12 lesson)
         .select(col("cp_day"), col("n_days"), col("cp_k"),
-          col("max_abs_dev").cast("decimal(38,4)").as("max_dev_scaled"),
+          col("max_abs_dev").cast("double").as("max_dev_scaled"),
           round(col("cp_cusum").cast("double") / col("cp_k"), 6)
             .as("pre_mean"),
           round((col("total_rev") - col("cp_cusum")).cast("double") /
@@ -155,7 +155,7 @@ object Analytics14 {
         |  SELECT * FROM dev
         |  ORDER BY abs(dev) DESC, day LIMIT 1)
         |SELECT day AS cp_day, n_days, k AS cp_k,
-        |  CAST(abs(dev) AS DECIMAL(38,4)) AS max_dev_scaled,
+        |  CAST(abs(dev) AS DOUBLE) AS max_dev_scaled,
         |  round(CAST(cusum AS DOUBLE) / k, 6) AS pre_mean,
         |  round(CAST(total_rev - cusum AS DOUBLE) / (n_days - k), 6)
         |    AS post_mean

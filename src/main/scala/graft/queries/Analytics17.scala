@@ -76,10 +76,16 @@ object Analytics17 {
             col("price_term").as("pt"), col("volume_term").as("vt"),
             col("delta_scaled").as("ds")), 15).as("w"))
         .select(explode(col("w")).as("m"))
-        .select(col("m.pk").as("l_partkey"), col("m.r0").as("rev_1995"),
-          col("m.r1").as("rev_1996"), col("m.q0").as("qty_1995"),
-          col("m.q1").as("qty_1996"), col("m.pt").as("price_term"),
-          col("m.vt").as("volume_term"), col("m.ds").as("delta_scaled"))
+        // decomposition is exact DECIMAL; present DOUBLE/BIGINT (no
+        // decimal may reach a dumped column — driver parity)
+        .select(col("m.pk").as("l_partkey"),
+          col("m.r0").cast("double").as("rev_1995"),
+          col("m.r1").cast("double").as("rev_1996"),
+          col("m.q0").cast("long").as("qty_1995"),
+          col("m.q1").cast("long").as("qty_1996"),
+          col("m.pt").cast("double").as("price_term"),
+          col("m.vt").cast("double").as("volume_term"),
+          col("m.ds").cast("double").as("delta_scaled"))
         .orderBy((-abs(col("delta_scaled"))).asc, col("l_partkey"))
     }),
 
@@ -168,8 +174,12 @@ object Analytics17 {
         |    CAST(r0 * (q1 - q0) AS DECIMAL(38,4)) AS volume_term
         |  FROM p0 JOIN p1 USING (l_partkey)
         |  WHERE q0 > 0 AND q1 > 0)
-        |SELECT l_partkey, r0 AS rev_1995, r1 AS rev_1996, q0 AS qty_1995,
-        |  q1 AS qty_1996, price_term, volume_term, delta_scaled
+        |SELECT l_partkey, CAST(r0 AS DOUBLE) AS rev_1995,
+        |  CAST(r1 AS DOUBLE) AS rev_1996, CAST(q0 AS BIGINT) AS qty_1995,
+        |  CAST(q1 AS BIGINT) AS qty_1996,
+        |  CAST(price_term AS DOUBLE) AS price_term,
+        |  CAST(volume_term AS DOUBLE) AS volume_term,
+        |  CAST(delta_scaled AS DOUBLE) AS delta_scaled
         |FROM j
         |ORDER BY abs(delta_scaled) DESC, l_partkey LIMIT 15""".stripMargin,
 

@@ -40,8 +40,8 @@ object Analytics22 {
         .withColumn("cum_rev", sum(col("rev")).over(
           Window.partitionBy("cohort_ym").orderBy("age")))
         .select(col("cohort_ym"), col("age"), col("n_active"),
-          col("rev").cast("decimal(18,2)").as("rev"),
-          col("cum_rev").cast("decimal(18,2)").as("cum_rev"))
+          col("rev").cast("double").as("rev"),
+          col("cum_rev").cast("double").as("cum_rev"))
         .orderBy("cohort_ym", "age")
     }),
 
@@ -107,9 +107,9 @@ object Analytics22 {
         |  FROM o JOIN cohorts ON o.o_custkey = cohorts.o_custkey
         |  GROUP BY 1, 2)
         |SELECT cohort_ym, age, n_active,
-        |  CAST(rev AS DECIMAL(18,2)) AS rev,
-        |  CAST(sum(rev) OVER (PARTITION BY cohort_ym ORDER BY age)
-        |    AS DECIMAL(18,2)) AS cum_rev
+        |  CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS rev,
+        |  CAST(CAST(sum(rev) OVER (PARTITION BY cohort_ym ORDER BY age)
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS cum_rev
         |FROM cells ORDER BY cohort_ym, age""".stripMargin,
 
     "t28_heaps_law" ->

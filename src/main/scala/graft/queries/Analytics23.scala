@@ -42,7 +42,10 @@ object Analytics23 {
           "ok BIGINT, ck BIGINT, st STRING, tp DECIMAL(18,2), od DATE"),
           Map.empty[String, String]))
         .select(col("p.ok").as("ok"), col("p.ck").as("ck"),
-          col("p.st").as("st"), col("p.tp").as("tp"), col("p.od").as("od"))
+          col("p.st").as("st"),
+          // the round-trip itself is typed DECIMAL(18,2); the dumped
+          // column is DOUBLE (driver parity: no decimal output columns)
+          col("p.tp").cast("double").as("tp"), col("p.od").as("od"))
         .orderBy("ok")
     }),
 
@@ -81,7 +84,7 @@ object Analytics23 {
   val oracleSql: Map[String, String] = Map(
     "q141_csv_roundtrip" ->
       """SELECT o_orderkey AS ok, o_custkey AS ck, o_orderstatus AS st,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tp,
         |  CAST(o_orderdate AS DATE) AS od
         |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY ok""".stripMargin,
 

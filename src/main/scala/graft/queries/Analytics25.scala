@@ -49,7 +49,7 @@ object Analytics25 {
         sum(col("cents")).cast("decimal(38,0)").as("tot"),
         sum((col("rnk").cast("decimal(18,0)") * col("cents"))
           .cast("decimal(38,0)")).cast("decimal(38,0)").as("rx"))
-      agg.select(col("n"), col("tot").as("total_cents"),
+      agg.select(col("n"), col("tot").cast("long").as("total_cents"),
         round(
           (lit(2.0) * col("rx").cast("double"))
             / (col("n").cast("double") * col("tot").cast("double"))
@@ -134,7 +134,7 @@ object Analytics25 {
         |    CAST(sum(CAST(CAST(rnk AS DECIMAL(18,0)) * cents
         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rx
         |  FROM ranked)
-        |SELECT n, tot AS total_cents,
+        |SELECT n, CAST(tot AS BIGINT) AS total_cents,
         |  round((2.0 * CAST(rx AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
         |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini

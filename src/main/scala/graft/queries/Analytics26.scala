@@ -50,7 +50,8 @@ object Analytics26 {
         .groupBy(col("abc_class"), col("tot"))
         .agg(count(lit(1)).as("n_parts"),
           sum(col("rev")).cast("decimal(38,4)").as("class_rev"))
-        .select(col("abc_class"), col("n_parts"), col("class_rev"),
+        .select(col("abc_class"), col("n_parts"),
+          col("class_rev").cast("double").as("class_rev"),
           round(col("class_rev").cast("double") /
             col("tot").cast("double"), 6).as("share"))
         .orderBy("abc_class")
@@ -109,7 +110,7 @@ object Analytics26 {
         |    rev, tot
         |  FROM c, tot)
         |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
-        |  CAST(sum(rev) AS DECIMAL(38,4)) AS class_rev,
+        |  CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS DOUBLE) AS class_rev,
         |  round(CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS DOUBLE)
         |    / CAST(tot AS DOUBLE), 6) AS share
         |FROM cls GROUP BY 1, tot ORDER BY 1""".stripMargin,

@@ -40,7 +40,7 @@ object Analytics28 {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("decimal(18,0)")).cast("decimal(38,0)")
+            .cast("decimal(18,0)")).cast("long")
             .as("rev_cents"))
         .orderBy("o_orderpriority")
     }),
@@ -70,7 +70,7 @@ object Analytics28 {
     "q151_partitioned_write" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |    AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS rev_cents
+        |    AS DECIMAL(18,0))) AS BIGINT) AS rev_cents
         |FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -73,7 +73,7 @@ object Analytics30 {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_parts"),
           sum((col("p_retailprice").cast("decimal(18,2)") * 100)
-            .cast("decimal(18,0)")).cast("decimal(38,0)")
+            .cast("decimal(18,0)")).cast("long")
             .as("retail_cents"))
         .orderBy("bucket")
     }),
@@ -128,7 +128,7 @@ object Analytics30 {
         |  CROSS JOIN maxd)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
-        |    AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS retail_cents
+        |    AS DECIMAL(18,0))) AS BIGINT) AS retail_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -38,7 +38,8 @@ object Analytics33 {
           col("o_orderkey") === col("l_orderkey"))
         .agg(count(lit(1)).as("actual_rows"))
       est.crossJoin(actual)
-        .select(lit(Buckets).as("n_buckets"), col("est_rows"),
+        .select(lit(Buckets).as("n_buckets"),
+          col("est_rows").cast("double").as("est_rows"),
           col("actual_rows"),
           round(col("est_rows").cast("double") /
             col("actual_rows").cast("double"), 6).as("overestimate"))
@@ -63,7 +64,8 @@ object Analytics33 {
          |act AS (
          |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-         |SELECT CAST($Buckets AS INT) AS n_buckets, est_rows,
+         |SELECT CAST($Buckets AS INT) AS n_buckets,
+         |  CAST(est_rows AS DOUBLE) AS est_rows,
          |  actual_rows,
          |  round(CAST(est_rows AS DOUBLE)
          |    / CAST(actual_rows AS DOUBLE), 6) AS overestimate

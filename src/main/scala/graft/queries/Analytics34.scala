@@ -83,9 +83,9 @@ object Analytics34 {
             .as("l"))
         .agg(count(lit(1)).as("n_months"),
           count_if(col("h") === col("l")).as("n_matched"),
-          max(abs(col("h") - col("l"))).cast("decimal(38,0)")
+          max(abs(col("h") - col("l"))).cast("long")
             .as("max_abs_diff_cents"),
-          sum(col("h") - col("l")).cast("decimal(38,0)")
+          sum(col("h") - col("l")).cast("long")
             .as("total_diff_cents"))
     }),
   )
@@ -140,8 +140,8 @@ object Analytics34 {
         |  FROM headers FULL OUTER JOIN lines USING (m))
         |SELECT CAST(count(*) AS BIGINT) AS n_months,
         |  CAST(count(*) FILTER (WHERE h = l) AS BIGINT) AS n_matched,
-        |  CAST(max(abs(h - l)) AS DECIMAL(38,0)) AS max_abs_diff_cents,
-        |  CAST(sum(h - l) AS DECIMAL(38,0)) AS total_diff_cents
+        |  CAST(max(abs(h - l)) AS BIGINT) AS max_abs_diff_cents,
+        |  CAST(sum(h - l) AS BIGINT) AS total_diff_cents
         |FROM j""".stripMargin,
   )
 }

@@ -37,7 +37,8 @@ object Analytics36 {
       perNation
         .join(broadcast(perRegion), col("r_name") === col("r2"))
         .crossJoin(broadcast(world))
-        .select(col("r_name"), col("n_name"), col("nation_cents"),
+        .select(col("r_name"), col("n_name"),
+          col("nation_cents").cast("long").as("nation_cents"),
           round(col("nation_cents").cast("double") /
             col("region_cents").cast("double"), 6).as("share_in_region"),
           round(col("region_cents").cast("double") /
@@ -64,7 +65,8 @@ object Analytics36 {
         |world AS (
         |  SELECT CAST(sum(nation_cents) AS DECIMAL(38,0)) AS world_cents
         |  FROM per_nation)
-        |SELECT pn.r_name, n_name, nation_cents,
+        |SELECT pn.r_name, n_name,
+        |  CAST(nation_cents AS BIGINT) AS nation_cents,
         |  round(CAST(nation_cents AS DOUBLE)
         |    / CAST(region_cents AS DOUBLE), 6) AS share_in_region,
         |  round(CAST(region_cents AS DOUBLE)

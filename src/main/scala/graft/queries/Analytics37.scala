@@ -40,7 +40,8 @@ object Analytics37 {
         .withColumn("cum_cents",
           sum(col("decile_cents")).over(w).cast("decimal(38,0)"))
         .crossJoin(broadcast(tot))
-        .select(col("decile"), col("n_customers"), col("decile_cents"),
+        .select(col("decile"), col("n_customers"),
+          col("decile_cents").cast("long").as("decile_cents"),
           round(col("cum_cents").cast("double") /
             col("tot").cast("double"), 6).as("cum_share"))
         .orderBy("decile")
@@ -65,7 +66,8 @@ object Analytics37 {
         |    CAST(sum(cents) AS DECIMAL(38,0)) AS decile_cents
         |  FROM rk GROUP BY 1),
         |tot AS (SELECT CAST(sum(cents) AS DECIMAL(38,0)) AS tot FROM rev)
-        |SELECT decile, n_customers, decile_cents,
+        |SELECT decile, n_customers,
+        |  CAST(decile_cents AS BIGINT) AS decile_cents,
         |  round(CAST(CAST(sum(decile_cents) OVER (ORDER BY decile
         |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS DOUBLE)
         |    / CAST(tot AS DOUBLE), 6) AS cum_share

@@ -31,9 +31,10 @@ object Analytics41 {
           sum((dec(col("l_extendedprice")) * (lit(1) - capped))
             .cast("decimal(38,4)")).cast("decimal(38,4)")
             .as("policy_rev"))
-        .select(col("ship_year"), col("n_lines"), col("booked_rev"),
-          col("policy_rev"),
-          (col("policy_rev") - col("booked_rev")).cast("decimal(38,4)")
+        .select(col("ship_year"), col("n_lines"),
+          col("booked_rev").cast("double").as("booked_rev"),
+          col("policy_rev").cast("double").as("policy_rev"),
+          (col("policy_rev") - col("booked_rev")).cast("double")
             .as("uplift"),
           round((col("policy_rev") - col("booked_rev")).cast("double") /
             col("booked_rev").cast("double"), 6).as("uplift_share"))
@@ -47,18 +48,18 @@ object Analytics41 {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS booked_rev,
+        |    AS DECIMAL(38,4))) AS DOUBLE) AS booked_rev,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - least(CAST(l_discount AS DECIMAL(18,2)),
         |        CAST(0.05 AS DECIMAL(18,2))))
-        |    AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS policy_rev,
+        |    AS DECIMAL(38,4))) AS DOUBLE) AS policy_rev,
         |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - least(CAST(l_discount AS DECIMAL(18,2)),
         |        CAST(0.05 AS DECIMAL(18,2))))
         |    AS DECIMAL(38,4))) AS DECIMAL(38,4))
         |    - CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DECIMAL(38,4))
+        |    AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE)
         |    AS uplift,
         |  round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - least(CAST(l_discount AS DECIMAL(18,2)),

@@ -63,7 +63,8 @@ object Analytics42 {
         .rowsBetween(Window.unboundedPreceding, -1)
       g.withColumn("max_prev", max(col("p_size")).over(w))
         .filter(col("max_prev").isNull || col("max_prev") < col("p_size"))
-        .select(col("p_brand"), col("price_cents"), col("p_size"),
+        .select(col("p_brand"), col("price_cents").cast("long")
+            .as("price_cents"), col("p_size"),
           col("n_parts"))
         .orderBy("p_brand", "price_cents")
     }),
@@ -165,7 +166,9 @@ object Analytics42 {
         .groupBy("c_nationkey")
         .agg(min(col("mx")).as("trough_mx"),
           max(col("max_dd_cents")).as("max_dd_cents"))
-        .select(col("c_nationkey"), col("max_dd_cents"), col("trough_mx"))
+        .select(col("c_nationkey"),
+          col("max_dd_cents").cast("long").as("max_dd_cents"),
+          col("trough_mx"))
         .orderBy("c_nationkey")
     }),
 
@@ -219,7 +222,8 @@ object Analytics42 {
         |      AS DECIMAL(18,0)) AS price_cents,
         |    p_size, CAST(count(*) AS BIGINT) AS n_parts
         |  FROM part GROUP BY 1, 2, 3)
-        |SELECT p_brand, price_cents, p_size, n_parts
+        |SELECT p_brand, CAST(price_cents AS BIGINT) AS price_cents,
+        |  p_size, n_parts
         |FROM g a
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM g b
@@ -313,7 +317,8 @@ object Analytics42 {
         |mxdd AS (
         |  SELECT c_nationkey, max(dd) AS max_dd_cents
         |  FROM dd GROUP BY 1)
-        |SELECT dd.c_nationkey, max(max_dd_cents) AS max_dd_cents,
+        |SELECT dd.c_nationkey,
+        |  CAST(max(max_dd_cents) AS BIGINT) AS max_dd_cents,
         |  min(mx) AS trough_mx
         |FROM dd JOIN mxdd ON dd.c_nationkey = mxdd.c_nationkey
         |  AND dd.dd = mxdd.max_dd_cents

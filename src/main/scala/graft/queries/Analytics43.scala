@@ -80,7 +80,8 @@ object Analytics43 {
       val brier = bins.agg(
         round((sum(col("se")).cast("double")
           / (lit(100.0) * sum(col("n")).cast("double"))), 6).as("brier"))
-      bins.select(col("tenths"), col("n"), col("n_pos"),
+      bins.select(col("tenths").cast("long").as("tenths"), col("n"),
+          col("n_pos"),
           round(col("n_pos").cast("double") / col("n").cast("double"), 6)
             .as("pos_rate"))
         .crossJoin(broadcast(brier))
@@ -238,7 +239,7 @@ object Analytics43 {
         |brier AS (
         |  SELECT round(CAST(sum(se) AS DOUBLE)
         |    / (100.0 * CAST(sum(n) AS DOUBLE)), 6) AS brier FROM bins)
-        |SELECT tenths, n, n_pos,
+        |SELECT CAST(tenths AS BIGINT) AS tenths, n, n_pos,
         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
         |  brier
         |FROM bins CROSS JOIN brier

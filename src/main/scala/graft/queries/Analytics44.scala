@@ -57,7 +57,7 @@ object Analytics44 {
       ranked.crossJoin(broadcast(n))
         .filter(col("rk") <= col("k"))
         .groupBy(col("n_days"), col("k"))
-        .agg(max(col("delta")).as("var5_cents"),
+        .agg(max(col("delta")).cast("long").as("var5_cents"),
           round(sum(col("delta")).cast("double")
             / col("k").cast("double"), 4).as("cvar5_cents"))
         .select(col("n_days"), col("k"), col("var5_cents"),
@@ -134,7 +134,7 @@ object Analytics44 {
         |  SELECT CAST(count(*) AS BIGINT) AS n_days,
         |    CAST((count(*) + 19) // 20 AS BIGINT) AS k
         |  FROM ranked)
-        |SELECT n_days, k, max(delta) AS var5_cents,
+        |SELECT n_days, k, CAST(max(delta) AS BIGINT) AS var5_cents,
         |  round(CAST(sum(delta) AS DOUBLE) / CAST(k AS DOUBLE), 4)
         |    AS cvar5_cents
         |FROM ranked CROSS JOIN nn WHERE rk <= k

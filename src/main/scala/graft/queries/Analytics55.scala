@@ -170,7 +170,8 @@ object Analytics55 {
         col("l_partkey").as("p2"))
       a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
         .groupBy("p1", "p2")
-        .agg(sum(col("w")).cast("decimal(38,6)").as("aa_score"),
+        .agg(sum(col("w")).cast("decimal(38,6)").cast("double")
+          .as("aa_score"),
           count(lit(1)).as("n_shared_orders"))
         .orderBy(col("aa_score").desc, col("p1"), col("p2"))
         .limit(20)
@@ -264,7 +265,7 @@ object Analytics55 {
         |    count(*) OVER (PARTITION BY l_orderkey) AS c
         |  FROM li)
         |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-        |  CAST(sum(a.w) AS DECIMAL(38,6)) AS aa_score,
+        |  CAST(CAST(sum(a.w) AS DECIMAL(38,6)) AS DOUBLE) AS aa_score,
         |  CAST(count(*) AS BIGINT) AS n_shared_orders
         |FROM sized a JOIN sized b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

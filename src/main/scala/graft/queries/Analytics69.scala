@@ -32,7 +32,8 @@ object Analytics69 {
         .write.mode("overwrite").parquet(s"$out/gen=1")
       spark.read.option("mergeSchema", "true").parquet(out)
         .select(col("c_custkey"), col("c_nationkey"), col("seg"),
-          col("bal"), col("gen").cast("int").as("gen"))
+          col("bal").cast("double").as("bal"),
+          col("gen").cast("int").as("gen"))
         .orderBy("c_custkey")
     }),
   )
@@ -41,8 +42,8 @@ object Analytics69 {
     "q227_merge_schema" ->
       """SELECT c_custkey, c_nationkey,
         |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg,
-        |  CASE WHEN c_custkey % 2 = 1
-        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END AS bal,
+        |  CAST(CASE WHEN c_custkey % 2 = 1
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS bal,
         |  CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
         |    AS gen
         |FROM customer

@@ -49,7 +49,8 @@ object Analytics75 {
               - (col("sa").cast("double") / col("nn").cast("double"))
                 * (col("sa").cast("double") / col("nn").cast("double"))), 4))
         .filter(abs(col("z")) > 2)
-        .select(col("d"), col("c"), col("dow"), col("adj"), col("z"))
+        .select(col("d"), col("c"), col("dow"),
+          col("adj").cast("double").as("adj"), col("z"))
         .orderBy("d")
     }),
   )
@@ -80,7 +81,7 @@ object Analytics75 {
         |    CAST(sum(CAST(adj * adj AS DECIMAL(38,12))) AS DECIMAL(38,12))
         |      AS saa
         |  FROM adj)
-        |SELECT d, c, dow, adj,
+        |SELECT d, c, dow, CAST(adj AS DOUBLE) AS adj,
         |  round((CAST(adj AS DOUBLE)
         |    - CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE))
         |    / sqrt(CAST(saa AS DOUBLE) / CAST(nn AS DOUBLE)

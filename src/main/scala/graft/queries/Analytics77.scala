@@ -26,7 +26,7 @@ object Analytics77 {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .pivot(regexp_replace(col("o_orderpriority"), "[^A-Z]", ""))
-        .agg(sum(cents(col("l_extendedprice"))).cast("decimal(38,0)"))
+        .agg(sum(cents(col("l_extendedprice"))).cast("long"))
         .orderBy("l_returnflag")
     }),
   )
@@ -38,7 +38,7 @@ object Analytics77 {
         s"""CAST(sum(CASE WHEN regexp_replace(o_orderpriority,
            |  '[^A-Z]', '', 'g') = '$p'
            |  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-           |    AS DECIMAL(18,0)) END) AS DECIMAL(38,0)) AS "$p"""".stripMargin
+           |    AS DECIMAL(18,0)) END) AS BIGINT) AS "$p"""".stripMargin
       }.mkString(",\n  ")
       s"""SELECT l_returnflag,
          |  $cols

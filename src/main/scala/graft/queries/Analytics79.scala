@@ -32,7 +32,7 @@ object Analytics79 {
         .createOrReplaceTempView("daily_rev_v")
       spark.sql(
         """SELECT day,
-          |  CAST(sum(rev) OVER w AS DECIMAL(38,0)) AS rev_7d,
+          |  CAST(sum(rev) OVER w AS BIGINT) AS rev_7d,
           |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
           |  CAST(count(*) OVER w AS BIGINT) AS days_in_frame
           |FROM daily_rev_v
@@ -72,7 +72,7 @@ object Analytics79 {
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem GROUP BY 1)
         |SELECT day,
-        |  CAST(sum(rev) OVER w AS DECIMAL(38,0)) AS rev_7d,
+        |  CAST(sum(rev) OVER w AS BIGINT) AS rev_7d,
         |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
         |  CAST(count(*) OVER w AS BIGINT) AS days_in_frame
         |FROM daily

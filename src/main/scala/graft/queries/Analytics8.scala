@@ -71,20 +71,28 @@ object Analytics8 {
     }),
 
     // Half-life decayed customer value: weight = 0.5^(age_days div 90)
-    // relative to the corpus anchor date. Power-of-two weights keep the
-    // per-row product exact across engines; round→DECIMAL before the sum
-    // makes aggregation order immaterial. One map-side-combinable
-    // aggregation over one scan — the shape survives any scale factor.
+    // relative to the corpus anchor date. The per-row term rounded to
+    // 6 dp is computed ENTIRELY in Long arithmetic — price·0.5^k in
+    // micro-units is cents·10^4/2^k, and half-up rounding of n/2^k is
+    // (n + 2^(k-1)) div 2^k — because round(double, 6) of cents/2^k
+    // hits exact-half decimals where Spark (HALF_UP on shortest repr)
+    // and DuckDB (scale-and-rint) disagree by 1 ulp. Integer terms make
+    // the sum order-free. One map-side-combinable aggregation over one
+    // scan — the shape survives any scale factor.
     "q104_decay_halflife" -> ((spark, dir) =>
       t(spark, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate"),
-          round(col("o_totalprice") *
-            pow(lit(0.5), expr(
-              "datediff(DATE'2001-08-01', CAST(o_orderdate AS DATE)) div 90")),
-            6).cast("decimal(28,6)").as("term"))
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " * 10000").as("c4"),
+          expr("least(datediff(DATE'2001-08-01', CAST(o_orderdate AS DATE))" +
+            " div 90, 62L)").cast("int").as("k"))
+        .select(col("o_custkey"), col("o_orderdate"),
+          expr("""CASE WHEN k = 0 THEN c4
+                 |     ELSE (c4 + shiftleft(1L, k - 1)) div shiftleft(1L, k)
+                 |END""".stripMargin).as("micro"))
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum("term").as("decayed_value"),
+          (sum("micro").cast("double") * lit(1e-6)).as("decayed_value"),
           max(col("o_orderdate").cast("date")).as("last_order"))
         .orderBy("o_custkey")),
 
@@ -129,9 +137,13 @@ object Analytics8 {
         .select(col("o_orderpriority"), col("o_orderstatus"),
           (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
             .as("n_orders"),
+          // the merge itself is exact DECIMAL; the dumped column is
+          // DOUBLE because the driver's comparator renders decimals
+          // through float64 on one side only (parity note: no DECIMAL
+          // may reach a final select)
           (coalesce(col("s_b"), lit(BigDecimal(0)).cast("decimal(28,2)")) +
             coalesce(col("s_d"), lit(BigDecimal(0)).cast("decimal(28,2)")))
-            .as("total"))
+            .cast("double").as("total"))
         .withColumn("avg_price",
           round(col("total").cast("double") / col("n_orders"), 6))
         .orderBy("o_orderpriority", "o_orderstatus")
@@ -167,14 +179,23 @@ object Analytics8 {
          |ORDER BY bucket""".stripMargin
     },
 
+    // Same Long-only half-up device as the Spark side: micro-units of
+    // price·0.5^k are cents·10^4/2^k, rounded as (n + 2^(k-1)) // 2^k.
     "q104_decay_halflife" ->
-      """SELECT o_custkey,
+      """WITH rows_k AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 10000 AS c4,
+        |    least(date_diff('day', CAST(o_orderdate AS DATE),
+        |      DATE '2001-08-01') // 90, 62) AS k
+        |  FROM orders)
+        |SELECT o_custkey,
         |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  sum(CAST(round(o_totalprice * power(0.5,
-        |      date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01')
-        |        // 90), 6) AS DECIMAL(28,6))) AS decayed_value,
+        |  CAST(sum(CASE WHEN k = 0 THEN c4
+        |           ELSE (c4 + (1::BIGINT << (k - 1))) // (1::BIGINT << k)
+        |           END) AS DOUBLE) * 1e-6 AS decayed_value,
         |  max(CAST(o_orderdate AS DATE)) AS last_order
-        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+        |FROM rows_k GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "q105_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
@@ -191,7 +212,8 @@ object Analytics8 {
     "q106_incremental_agg" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS total,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total,
         |  round(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
         |      AS DOUBLE) / count(*), 6) AS avg_price
         |FROM orders GROUP BY 1, 2

@@ -62,7 +62,7 @@ object Analytics80 {
         .withColumn("sum7", sum(col("rev")).over(w).cast("decimal(38,0)"))
         .withColumn("days7", count(lit(1)).over(w))
         .filter(col("days7") >= 2)
-        .select(col("day"), col("rev"),
+        .select(col("day"), col("rev").cast("long").as("rev"),
           round((col("sum7") - col("rev")).cast("double")
             / (col("days7") - 1).cast("double"), 4).as("peer_avg"),
           round(col("rev").cast("double")
@@ -117,7 +117,7 @@ object Analytics80 {
         |  FROM daily
         |  WINDOW w AS (ORDER BY x RANGE BETWEEN 6 PRECEDING
         |    AND CURRENT ROW))
-        |SELECT day, rev,
+        |SELECT day, CAST(rev AS BIGINT) AS rev,
         |  round(CAST(sum7 - rev AS DOUBLE) / CAST(days7 - 1 AS DOUBLE), 4)
         |    AS peer_avg,
         |  round(CAST(rev AS DOUBLE)

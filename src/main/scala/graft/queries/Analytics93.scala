@@ -42,11 +42,18 @@ object Analytics93 {
       for (r <- 1 to CoverRounds) {
         val gains = st.join(covered, Seq("bg"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("g"))
+        // Once the universe is covered the gains frame is empty: the
+        // global agg still emits one row whose top-k array is [], so
+        // index via get() (null, not ANSI INVALID_ARRAY_INDEX) and drop
+        // the degenerate round — matching the oracle, whose `LIMIT 1`
+        // over an empty gains CTE likewise emits no row for the round.
         val pick = gains
           .agg(graft.functions.TopKAgg.minK(
             struct((-col("g")).as("ng"), col("source").as("s")), 1)
             .as("w"))
-          .select(col("w")(0)("s").as("source"), (-col("w")(0)("ng")).as("gain"))
+          .select(get(col("w"), lit(0)).as("w0"))
+          .select(col("w0")("s").as("source"), (-col("w0")("ng")).as("gain"))
+          .filter(col("source").isNotNull)
         covered = covered
           .union(st.join(broadcast(pick.select("source")), "source")
             .select("bg"))

@@ -37,8 +37,10 @@ object TextOps49 {
         .withColumn("dist", abs(col("ttr") - col("med")))
         .withColumn("pick", row_number().over(w2))
         .filter(col("pick") <= 20)
-        .select(col("pick"), col("doc_id"), col("ttr"), col("med"),
-          col("dist"))
+        .select(col("pick"), col("doc_id"),
+          col("ttr").cast("double").as("ttr"),
+          col("med").cast("double").as("med"),
+          col("dist").cast("double").as("dist"))
         .orderBy("pick")
     }),
   )
@@ -58,7 +60,9 @@ object TextOps49 {
         |  FROM scored),
         |med AS (
         |  SELECT ttr AS med FROM ranked WHERE rn = ceil(n / 2.0))
-        |SELECT CAST(pick AS INTEGER) AS pick, doc_id, ttr, med, dist
+        |SELECT CAST(pick AS INTEGER) AS pick, doc_id,
+        |  CAST(ttr AS DOUBLE) AS ttr, CAST(med AS DOUBLE) AS med,
+        |  CAST(dist AS DOUBLE) AS dist
         |FROM (
         |  SELECT s.doc_id, s.ttr, m.med, abs(s.ttr - m.med) AS dist,
         |    row_number() OVER (ORDER BY abs(s.ttr - m.med), s.doc_id)

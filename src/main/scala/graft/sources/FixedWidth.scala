@@ -103,9 +103,13 @@ private[sources] class FwTable(tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   // catalog-routed reads/writes (SELECT/INSERT on fw.ns.t) carry no
-  // per-operation options — the table's own properties hold the path
+  // per-operation options — the table's own properties hold the path.
+  // Spark may URI-qualify the path (file:/...); java.io.File would
+  // treat that as a relative path, so strip the scheme here too.
   private def pathFor(options: CaseInsensitiveStringMap): String =
-    Option(options.get("path")).orElse(properties.get("path")).orNull
+    Option(options.get("path")).orElse(properties.get("path"))
+      .map(p => if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+      .orNull
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(declared, pathFor(options),
@@ -233,11 +237,16 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
           case DoubleType => row.getDouble(i).toString
           case _ => row.getUTF8String(i).toString
         }
-      require(s.length <= w,
-        s"value '$s' exceeds width $w of field ${schema.fields(i).name}")
+      // widths are BYTE widths on disk: a non-ASCII string inside the
+      // char limit would still overflow its slot and silently shear
+      // every following record off its rowLen boundary
+      val byteLen = s.getBytes(StandardCharsets.UTF_8).length
+      require(byteLen <= w,
+        s"value '$s' ($byteLen UTF-8 bytes) exceeds width $w of field " +
+          schema.fields(i).name)
       schema.fields(i).dataType match {
-        case StringType => sb.append(s).append(" " * (w - s.length))
-        case _ => sb.append(" " * (w - s.length)).append(s)
+        case StringType => sb.append(s).append(" " * (w - byteLen))
+        case _ => sb.append(" " * (w - byteLen)).append(s)
       }
       i += 1
     }
@@ -399,18 +408,40 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
       recordsPerSplit)
 }
 
-/** Offset = per-file record counts, serialized one `count:path` per
-  * line (paths cannot contain newlines here).
+/** Offset = per-file record counts, serialized as ONE line of compact
+  * JSON (`{"path":count,...}`). Spark's OffsetSeqLog checkpoint format
+  * is one line per source offset, so a multi-line serialization would
+  * corrupt the offset log as soon as a second .fw file appears.
   */
 private[sources] case class FwOffset(counts: Map[String, Long]) extends Offset {
-  override def json(): String =
-    counts.toSeq.sortBy(_._1).map { case (p, n) => s"$n:$p" }.mkString("\n")
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      counts.toSeq.sortBy(_._1).foldLeft(org.json4s.JObject()) {
+        case (o, (p, n)) => o ~ (p -> n)
+      }))
+  }
 }
 
 private[sources] object FwOffset {
   def parse(s: String): FwOffset =
     if (s.isEmpty) FwOffset(Map.empty)
-    else FwOffset(s.split("\n").map { line =>
+    else if (s.startsWith("{")) {
+      import org.json4s._
+      FwOffset(jackson.JsonMethods.parse(s) match {
+        case JObject(fields) => fields.map {
+          case (p, JInt(n)) => p -> n.toLong
+          case (p, JLong(n)) => p -> n
+          case (p, other) => throw new IllegalArgumentException(
+            s"bad FwOffset count for $p: $other")
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"bad FwOffset json: $other")
+      })
+    } else FwOffset(s.split("\n").map { line =>
+      // legacy pre-JSON format (count:path per line), still accepted so
+      // old single-file checkpoints restart cleanly
       val i = line.indexOf(':')
       line.substring(i + 1) -> line.substring(0, i).toLong
     }.toMap)
@@ -423,13 +454,12 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
 
   override def initialOffset(): Offset = FwOffset(Map.empty)
 
+  // A file caught mid-append rounds DOWN to its last complete record —
+  // throwing here would fail the whole streaming query instead of just
+  // picking up the torn tail next batch.
   override def latestOffset(): Offset =
-    FwOffset(FwFiles.list(path).map { f =>
-      require(f.length() % rowLen == 0,
-        s"FixedWidth: ${f.getPath} is mid-append (length not a multiple " +
-          s"of $rowLen); retry next batch")
-      f.getPath -> f.length() / rowLen
-    }.toMap)
+    FwOffset(FwFiles.list(path).map(f =>
+      f.getPath -> f.length() / rowLen).toMap)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[FwOffset].counts
@@ -569,11 +599,13 @@ object FixedWidthWriter {
       row.zipWithIndex.foreach { case (v, i) =>
         val w = widths(i)
         val s = if (v == null) "" else v.toString
-        require(s.length <= w,
-          s"value '$s' exceeds width $w of field ${schema.fields(i).name}")
+        val byteLen = s.getBytes(StandardCharsets.UTF_8).length
+        require(byteLen <= w,
+          s"value '$s' ($byteLen UTF-8 bytes) exceeds width $w of field " +
+            schema.fields(i).name)
         schema.fields(i).dataType match {
-          case StringType => sb.append(s).append(" " * (w - s.length))
-          case _ => sb.append(" " * (w - s.length)).append(s)
+          case StringType => sb.append(s).append(" " * (w - byteLen))
+          case _ => sb.append(" " * (w - byteLen)).append(s)
         }
       }
       sb.append('\n')

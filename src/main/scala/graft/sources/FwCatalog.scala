@@ -111,6 +111,12 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
       if (ns.nonEmpty && ns.head == catalogName)
         Identifier.of(ns.drop(1), newIdent.name())
       else newIdent
+    // TableCatalog contract: rename onto an existing identifier throws
+    // (and the source table must survive the failed rename)
+    if (tables.containsKey(normalized)) {
+      tables.put(oldIdent, t)
+      throw new TableAlreadyExistsException(normalized)
+    }
     tables.put(normalized, t)
   }
 

@@ -44,7 +44,7 @@ class Round5dSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     rows.foreach { r =>
       val ck = r.getLong(0)
-      val dv = r.getDecimal(2).doubleValue()
+      val dv = r.getDouble(2)
       assert(dv > 0.0 && dv <= raw(ck) + 1e-6,
         s"cust $ck decayed $dv outside (0, ${raw(ck)}]")
       // max age ~6.6y → smallest weight 0.5^26 > 0: every order contributes
@@ -67,7 +67,7 @@ class Round5dSpec extends AnyFunSuite {
   test("q106: merged base+delta partials equal a direct full recompute") {
     val got = q("q106_incremental_agg").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+        (r.getLong(2), r.getDouble(3))).toMap
     val full = Tables.t(spark, Sf, "orders")
       .select(col("o_orderpriority"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).cast("decimal(18,2)").as("p"))
@@ -75,10 +75,10 @@ class Round5dSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum("p").as("s"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+        (r.getLong(2), r.getDecimal(3).doubleValue())).toMap
     assert(got.keySet === full.keySet)
     got.foreach { case (k, (n, s)) =>
-      assert((n, BigDecimal(s)) === (full(k)._1, BigDecimal(full(k)._2)),
+      assert((n, s) === (full(k)._1, full(k)._2),
         s"group $k: incremental merge diverged from recompute")
     }
   }

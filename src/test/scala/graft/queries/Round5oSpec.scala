@@ -16,7 +16,7 @@ class Round5oSpec extends AnyFunSuite {
   test("q123: scaled dev replays exactly; argmax is the max") {
     val r = q("q123_cusum_changepoint").collect().head
     val (nDays, cpK) = (r.getLong(1), r.getLong(2))
-    val maxDev = r.getDecimal(3)
+    val maxDev = r.getDouble(3)
     val daily = Tables.t(spark, Sf, "lineitem")
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -29,7 +29,7 @@ class Round5oSpec extends AnyFunSuite {
       .map { case (cusum, i) =>
         (cusum * nDays - total * (i + 1)).abs
       }
-    assert(BigDecimal(maxDev) === devs.max)
+    assert(maxDev === devs.max.toDouble)
     assert(devs(cpK.toInt - 1) === devs.max)
     assert(devs.indexOf(devs.max) === cpK.toInt - 1, "not the earliest argmax")
     assert(r.getDouble(4) !== r.getDouble(5), "flat series flagged")

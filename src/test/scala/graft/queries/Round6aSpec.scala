@@ -26,7 +26,7 @@ class Round6aSpec extends AnyFunSuite {
       assert(p.getLong(0) === s.getLong(0))
       assert(p.getLong(1) === s.getLong(1))
       assert(p.getString(2) === s.getString(2))
-      assert(BigDecimal(p.getDecimal(3)) === BigDecimal(s.getDecimal(3)))
+      assert(p.getDouble(3) === s.getDecimal(3).doubleValue())
       assert(p.getDate(4) === s.getDate(4))
     }
   }

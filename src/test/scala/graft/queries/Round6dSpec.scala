@@ -16,7 +16,7 @@ class Round6dSpec extends AnyFunSuite {
   test("q147: classes partition parts; replays from a sequential walk") {
     val rows = q("q147_abc_class").collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2), r.getDouble(3)))
+        r.getDouble(2), r.getDouble(3)))
     assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
     // sequential replay in scaled-integer (×10000) arithmetic

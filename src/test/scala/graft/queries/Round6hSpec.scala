@@ -43,14 +43,14 @@ class Round6hSpec extends AnyFunSuite {
 
   test("q154: buckets tile the part table; capital adds up") {
     val rows = q("q154_dead_stock").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val nParts = Tables.t(spark, Sf, "part").count()
     assert(rows.map(_._2).sum === nParts)
     assert(rows.map(_._1).distinct.length === rows.length)
     val totalCents = Tables.t(spark, Sf, "part")
       .agg(sum((col("p_retailprice").cast("decimal(18,2)") * 100)
         .cast("long"))).collect().head.getLong(0)
-    assert(rows.map(_._3.longValueExact()).sum === totalCents)
+    assert(rows.map(_._3).sum === totalCents)
     // recent demand exists: bucket 0 is populated
     assert(rows.exists(r => r._1 === 0 && r._2 > 0))
   }

@@ -32,7 +32,7 @@ class Round6kSpec extends AnyFunSuite {
   test("q158: estimate replays sequentially and upper-bounds actual") {
     val r = q("q158_join_card_est").collect().head
     assert(r.getInt(0) === 64)
-    val est = r.getDecimal(1).longValueExact()
+    val est = r.getDouble(1).toLong
     val actual = r.getLong(2)
     val oKeys = Tables.t(spark, Sf, "orders")
       .select(col("o_orderkey")).collect().map(_.getLong(0))

@@ -34,7 +34,7 @@ class Round6nSpec extends AnyFunSuite {
 
   test("q162: shares sum to 1 within each region and across regions") {
     val rows = q("q162_share_of_parent").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDecimal(2),
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
     assert(rows.length === 25)
     rows.groupBy(_._1).foreach { case (region, g) =>

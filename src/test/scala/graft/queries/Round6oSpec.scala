@@ -13,7 +13,7 @@ class Round6oSpec extends AnyFunSuite {
   test("q163: convex Lorenz curve tiling all customers, ending at 1") {
     val rows = graft.SparkEntry.queries("q163_lorenz_points")(spark, Sf)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2),
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     assert(rows.map(_._1).toSeq == (1L to 10L))
     val nCust = Tables.t(spark, Sf, "orders")

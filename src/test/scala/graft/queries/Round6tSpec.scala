@@ -28,15 +28,15 @@ class Round6tSpec extends AnyFunSuite {
 
   test("q167: policy revenue dominates booked; uplift adds up") {
     val rows = q("q167_discount_cap_whatif").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2),
-        r.getDecimal(3), r.getDecimal(4), r.getDouble(5)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     assert(rows.nonEmpty)
     val nLines = Tables.t(spark, Sf, "lineitem").count()
     assert(rows.map(_._2).sum === nLines)
     rows.foreach { case (_, _, booked, policy, uplift, share) =>
       // capping discounts at 5% can only raise revenue
-      assert(policy.compareTo(booked) >= 0)
-      assert(uplift === policy.subtract(booked))
+      assert(policy >= booked)
+      assert(math.abs(uplift - (policy - booked)) < 1e-6)
       assert(share >= 0.0)
     }
     // the corpus has discounts above 5%, so some year gains

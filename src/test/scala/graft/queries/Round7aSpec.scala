@@ -13,7 +13,7 @@ class Round7aSpec extends AnyFunSuite {
   test("q168: frontier points are mutually non-dominated and cover all parts") {
     val rows = graft.SparkEntry.queries("q168_skyline")(spark, Sf)
       .collect()
-      .map(r => (r.getString(0), r.getDecimal(1).longValueExact,
+      .map(r => (r.getString(0), r.getLong(1),
         r.getAs[Number](2).longValue))
     val byBrand = rows.groupBy(_._1)
     byBrand.values.foreach { pts =>
@@ -62,7 +62,7 @@ class Round7aSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getDecimal(1).signum >= 0)
+      assert(r.getLong(1) >= 0L)
       val mx = r.getLong(2)
       assert(mx > 1990L * 12 && mx < 2005L * 12, s"month index $mx")
     }

@@ -14,7 +14,7 @@ class Round7cSpec extends AnyFunSuite {
       .collect().head
     val (n, k) = (r.getLong(0), r.getLong(1))
     assert(k == (n + 19) / 20)
-    val varC = r.getDecimal(2).doubleValue
+    val varC = r.getLong(2).toDouble
     assert(varC >= r.getDouble(3))
   }
 

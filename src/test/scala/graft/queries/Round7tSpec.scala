@@ -53,7 +53,7 @@ class Round7tSpec extends AnyFunSuite {
   test("q205: top-20 scores descending; shared-order counts positive") {
     val rows = graft.SparkEntry.queries("q205_adamic_adar")(spark, Sf)
       .collect()
-      .map(r => (r.getDecimal(2).doubleValue(), r.getLong(3)))
+      .map(r => (r.getDouble(2), r.getLong(3)))
     assert(rows.length == 20)
     assert(rows.map(_._1).toSeq.sliding(2).forall {
       case Seq(a, b) => a >= b; case _ => true

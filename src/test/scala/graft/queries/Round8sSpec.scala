@@ -23,7 +23,7 @@ class Round8sSpec extends AnyFunSuite {
   test("q243: ratio consistent with rev/peer_avg") {
     val rows = graft.SparkEntry.queries("q243_leave_one_out")(spark, Sf)
       .collect()
-      .map(r => (r.getDecimal(1).longValue, r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     rows.foreach { case (rev, peer, ratio) =>
       assert(peer > 0.0)

@@ -12,7 +12,7 @@ class Round8wSpec extends AnyFunSuite {
   test("d47: distances nondecreasing; pick 1 is the closest doc") {
     val rows = graft.SparkEntry.queries("d47_boundary_sampling")(spark, Sf)
       .collect()
-      .map(r => (r.getInt(0), r.getDecimal(4).doubleValue()))
+      .map(r => (r.getInt(0), r.getDouble(4)))
     assert(rows.length == 20)
     val d = rows.sortBy(_._1).map(_._2)
     assert(d.toSeq == d.sorted.toSeq)

@@ -48,6 +48,25 @@ def main(out_dir, sf_dir):
             got = con.execute(
                 "SELECT * FROM read_parquet(?)", [parts]).fetchdf()
             want = con.execute(sql).fetchdf()
+            # The driver reads the Spark parquet through pyarrow (DECIMAL
+            # stays decimal.Decimal, scale-preserving str) but the oracle
+            # through DuckDB's pandas path (DECIMAL collapses to float64),
+            # so ANY decimal output column hashes differently the moment a
+            # value has a trailing zero or >15 significant digits. fetchdf
+            # masks this locally (both sides float64) — so detect decimal
+            # columns via DESCRIBE on either side and hard-FAIL them.
+            dec_cols = sorted(
+                {r[0] for r in con.execute(
+                    "DESCRIBE (SELECT * FROM read_parquet(?))", [parts]
+                 ).fetchall() if "DECIMAL" in r[1]} |
+                {r[0] for r in con.execute(
+                    f"DESCRIBE ({sql})").fetchall() if "DECIMAL" in r[1]})
+            if dec_cols:
+                print(f"[FAIL ] {name}: DECIMAL output columns {dec_cols} "
+                      f"(driver renders decimals asymmetrically — cast to "
+                      f"BIGINT/DOUBLE in the final select of BOTH engines)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"[ERROR] {name}: {e}")
             n_fail += 1
