@@ -19,6 +19,11 @@ object Analytics110 {
   private val FwSchema =
     "s_suppkey:long:8,s_name:string:18,s_nationkey:int:4,s_acctbal:double:24"
 
+  // fixture-builder collects are key-bounded so the driver-side
+  // materialization stays O(1) at any scale factor (covers the whole
+  // supplier table through sf0.1; the SAME predicate bounds the oracle)
+  private val FwFixtureMaxKey = 100000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q293_fixedwidth_source" -> ((spark, dir) => {
       import java.nio.file.{Files, Paths}
@@ -34,6 +39,7 @@ object Analytics110 {
       // Double.toString → parse round-trips exactly, so the re-read
       // acctbal is bit-identical to the parquet value DuckDB reads.
       val rows = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .orderBy("s_suppkey").collect()
         .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getInt(2),
@@ -72,6 +78,7 @@ object Analytics110 {
       Files.createDirectories(base)
       val schema = graft.sources.FixedWidth.parseSchema(FwSchema)
       val rows = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .orderBy("s_suppkey").collect()
         .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getInt(2),
@@ -145,11 +152,12 @@ object Analytics110 {
     "q293_fixedwidth_source" -> """
       SELECT s_suppkey, s_name, s_acctbal
       FROM supplier
-      WHERE s_acctbal > 0 AND s_nationkey < 13
+      WHERE s_acctbal > 0 AND s_nationkey < 13 AND s_suppkey <= 100000
       ORDER BY s_suppkey""",
 
     "q300_fw_count_pushdown" ->
-      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier",
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier " +
+        "WHERE s_suppkey <= 100000"),
 
     "q304_fw_write_roundtrip" -> """
       SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,

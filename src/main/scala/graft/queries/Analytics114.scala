@@ -63,11 +63,20 @@ object Analytics114 {
       val o = t(spark, dir, "orders")
         .select(col("o_orderpriority").as("grp"),
           expr("cast(round(o_totalprice, 2) as decimal(18,2))").as("v"))
-      val ranked = o.withColumn("r2",
-        lit(2L) * rank().over(Window.orderBy("v"))
-          + count(lit(1)).over(Window.partitionBy("v")) - 1L)
-      val groups = ranked.groupBy("grp").agg(
-        count(lit(1)).as("nj"), sum(col("r2")).as("rj2"))
+      // doubled midrank per distinct value from a distributed prefix
+      // scan (the q146 device): r2(v) = 2·count(<=v) − tc(v) + 1 —
+      // algebraically identical to 2·rank + tiecount − 1, but with no
+      // unpartitioned fact-grain window (one thread would sort every
+      // order at scale)
+      val byV = o.groupBy("v").agg(count(lit(1)).as("tc"))
+      val midrank = graft.operators.GlobalPrefixSum
+        .withRunningTotal(byV, "v", "tc", "cum")
+        .select(col("v"),
+          (lit(2L) * col("cum") - col("tc") + 1L).as("r2v"))
+      val groups = o.groupBy("grp", "v").agg(count(lit(1)).as("njv"))
+        .join(midrank, "v")
+        .groupBy("grp").agg(
+          sum(col("njv")).as("nj"), sum(col("njv") * col("r2v")).as("rj2"))
         // R_j = rj2/2 exactly; R_j²/n_j rounded ONCE per group so the
         // k-term sum is exact decimal
         .select(col("nj"), expr(

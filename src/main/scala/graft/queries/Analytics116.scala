@@ -45,15 +45,21 @@ object Analytics116 {
       val per = v.groupBy("v").agg(
         count_if(col("seg") === "BUILDING").as("ca"),
         count_if(col("seg") === "MACHINERY").as("cb"))
+      // the same prefix scan also numbers the support points (v is
+      // distinct per row, so the RANGE-frame running count is a unique
+      // 1..n index); the next support value then comes from an
+      // idx+1 equi-join on the bounded support frame instead of an
+      // unpartitioned lead() window (whose single task would sort the
+      // whole support — near row count for 2-dp prices at scale)
       val cum = graft.operators.GlobalPrefixSum.withRunningTotalsBy(
-        per, col("v"), Seq("ca" -> "cuma", "cb" -> "cumb"))
+        per.withColumn("one", lit(1L)), col("v"),
+        Seq("ca" -> "cuma", "cb" -> "cumb", "one" -> "idx"))
+        .localCheckpoint(true) // referenced by both sides of the gap join
       val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      // gap to the next support point; the window is value-grain
-      // (domain-bounded: ≤ 100·price-range points), not corpus-grain
-      val gapped = cum.withColumn("nextv",
-        lead(col("v"), 1).over(Window.orderBy("v")))
+      val gapped = cum.join(
+        cum.select((col("idx") - 1L).as("idx"), col("v").as("nextv")),
+        "idx")
       val sterm = gapped.crossJoin(broadcast(tot))
-        .filter(col("nextv").isNotNull)
         .select(expr(
           """cast(cast(abs(cuma * nb - cumb * na) as decimal(20,0))
             |  * (nextv - v) as decimal(38,2))""".stripMargin).as("term"))

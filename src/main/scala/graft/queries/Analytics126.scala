@@ -38,13 +38,19 @@ object Analytics126 {
         .select((col("r96") - col("r95")).as("d"))
         .filter(col("d") =!= 0)
         .withColumn("ad", abs(col("d")))
-      val ranked = d
-        .withColumn("r2",
-          lit(2L) * rank().over(Window.orderBy("ad"))
-            + count(lit(1)).over(Window.partitionBy("ad")) - 1L)
-      val s = ranked.agg(count(lit(1)).as("n"),
-        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2p"))
-      val ties = d.groupBy("ad").agg(count(lit(1)).as("tc"))
+      // doubled midrank per distinct |d| via the distributed prefix
+      // scan (q146 device) instead of an unpartitioned rank window over
+      // the part-grain diff frame: r2(ad) = 2·count(<=ad) − tc + 1,
+      // summed over positive diffs as Σ pc(ad)·r2(ad)
+      val byAd = d.groupBy("ad").agg(count(lit(1)).as("tc"),
+        count_if(col("d") > 0).as("pc"))
+      val midrank = graft.operators.GlobalPrefixSum
+        .withRunningTotal(byAd, "ad", "tc", "cum")
+        .select(col("tc"), col("pc"),
+          (lit(2L) * col("cum") - col("tc") + 1L).as("r2v"))
+      val s = midrank.agg(sum(col("tc")).as("n"),
+        sum(col("pc") * col("r2v")).as("w2p"))
+      val ties = byAd
         .agg(sum(expr("cast(tc as decimal(38,0)) * tc * tc - tc"))
           .as("tmass"))
       s.crossJoin(ties).selectExpr("n",

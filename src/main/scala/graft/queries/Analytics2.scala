@@ -115,14 +115,39 @@ object Analytics2 {
     // rows-only query: sketch internals are engine-specific, so accuracy
     // is bounds-tested (Analytics2Spec) instead; q38 is the
     // oracle-checkable deterministic counterpart.
-    "q19_approx_sketches" -> ((spark, dir) =>
-      t(spark, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // Sketch outputs are engine-internal, so the dumped row carries the
+    // EXACT values plus boolean accuracy contracts the sketches must
+    // satisfy (the q228/q229 device): HLL++ within 3·rsd relative
+    // error, approx-median within ±0.5% of the exact n/2 rank. The
+    // oracle replays the exact columns and pins the contracts TRUE.
+    "q19_approx_sketches" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("apx_orders"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-            .as("approx_median"))
-        .orderBy("l_returnflag")),
+            .as("apx_median"),
+          count(lit(1)).as("n"))
+      // l_quantity is DISCRETE (≈2% of mass per value), so the sketch
+      // contract is on the returned value's rank INTERVAL: the
+      // [count(<apx), count(<=apx)] span must overlap n/2 ± 0.5%
+      val ranked = li.select(col("l_returnflag"), col("l_quantity"))
+        .join(broadcast(agg), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("exact_orders"),
+          col("apx_orders"), col("n"))
+        .agg(count_if(col("l_quantity") < col("apx_median")).as("lt_apx"),
+          count_if(col("l_quantity") <= col("apx_median")).as("le_apx"))
+      ranked.select(col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("apx_orders") - col("exact_orders")).cast("double")
+            / col("exact_orders").cast("double") <= 0.15)
+            .as("within_hll_bound"),
+          (col("lt_apx").cast("double") <= col("n").cast("double") * 0.505
+            && col("le_apx").cast("double")
+              >= col("n").cast("double") * 0.495)
+            .as("within_median_rank_bound"))
+        .orderBy("l_returnflag")
+    }),
 
     // PIVOT: returnflag values to columns (explicit value list so the plan
     // needs no extra distinct-scan pass).
@@ -880,6 +905,14 @@ object Analytics2 {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_approx_sketches" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS within_hll_bound,
+        |  TRUE AS within_median_rank_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q20_pivot" ->
       """SELECT l_linestatus,
