@@ -258,4 +258,70 @@ class FixedWidthSpec extends AnyFunSuite {
       assert(got.toSet === (1L to 7L).toSet, "no duplicates, no gaps")
     } finally q.stop()
   }
+
+  test("multi-file offsets survive a stop + restart from the checkpoint") {
+    // two .fw files BEFORE the first batch: the serialized offset holds
+    // two entries, and Spark's OffsetSeqLog stores one LINE per source —
+    // a multi-line offset would corrupt the log and break this restart
+    val dir = Files.createTempDirectory("fwrestart").toFile
+    val ckpt = Files.createTempDirectory("fwrestart_ckpt").toFile
+    Files.write(dir.toPath.resolve("a.fw"),
+      FixedWidthWriter.render(schema, rows.take(2)))
+    Files.write(dir.toPath.resolve("b.fw"),
+      FixedWidthWriter.render(schema, rows.slice(2, 4)))
+    val out = Files.createTempDirectory("fwrestart_out").toFile
+    def start() = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir.getAbsolutePath)
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out.getAbsolutePath).count() === 4L)
+    } finally q1.stop()
+    // restart from the checkpoint: appends to BOTH files plus a new
+    // file must deliver exactly the delta, not replay the prefix
+    Files.write(dir.toPath.resolve("a.fw"),
+      FixedWidthWriter.render(schema, rows.slice(4, 5)),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.write(dir.toPath.resolve("b.fw"),
+      FixedWidthWriter.render(schema, rows.slice(5, 6)),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.write(dir.toPath.resolve("c.fw"),
+      FixedWidthWriter.render(schema, rows.slice(6, 7)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out.getAbsolutePath)
+        .collect().map(_.getLong(0))
+      assert(got.length === 7,
+        s"restart replayed or dropped records: ${got.sorted.mkString(",")}")
+      assert(got.toSet === (1L to 7L).toSet)
+    } finally q2.stop()
+  }
+
+  test("offset json round-trips multi-file maps and legacy lines") {
+    val off = FwOffset(Map("/tmp/a \"x\".fw" -> 3L, "/tmp/b.fw" -> 0L))
+    val json = off.json()
+    assert(!json.contains("\n"), s"offset must be single-line: $json")
+    assert(FwOffset.parse(json) === off, "json round-trip")
+    // pre-JSON checkpoints (count:path lines) still parse
+    assert(FwOffset.parse("3:/tmp/a.fw") === FwOffset(Map("/tmp/a.fw" -> 3L)))
+  }
+
+  test("mid-append tail rounds down instead of failing the query") {
+    val dir = Files.createTempDirectory("fwtear").toFile
+    val file = dir.toPath.resolve("data.fw")
+    val whole = FixedWidthWriter.render(schema, rows.take(3))
+    // two complete records plus half of the third
+    val rowLen = whole.length / 3
+    Files.write(file, whole.take(2 * rowLen + rowLen / 2).toArray)
+    val stream = new FwMicroBatchStream(schema,
+      schema.fieldNames, Array.empty, dir.getAbsolutePath, 1L << 20)
+    val off = stream.latestOffset().asInstanceOf[FwOffset]
+    assert(off.counts(file.toString) === 2L,
+      "offset must round down to the last complete record")
+  }
 }

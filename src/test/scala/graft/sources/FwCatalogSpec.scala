@@ -58,6 +58,23 @@ class FwCatalogSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".fw")))
   }
 
+  test("RENAME onto an existing table throws and keeps both tables") {
+    val d1 = Files.createTempDirectory("fwcatr1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("fwcatr2").toFile.getAbsolutePath
+    spark.sql(s"""CREATE TABLE fwcat.ns.r1 (id BIGINT)
+      OPTIONS (path '$d1', widths '4')""")
+    spark.sql(s"""CREATE TABLE fwcat.ns.r2 (id BIGINT)
+      OPTIONS (path '$d2', widths '4')""")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE fwcat.ns.r1 RENAME TO fwcat.ns.r2")
+    }
+    // the failed rename must not have dropped the source's metadata
+    assert(spark.table("fwcat.ns.r1").count() === 0L)
+    assert(spark.table("fwcat.ns.r2").count() === 0L)
+    spark.sql("DROP TABLE fwcat.ns.r1")
+    spark.sql("DROP TABLE fwcat.ns.r2")
+  }
+
   test("CREATE TABLE without layout options fails with a clear message") {
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE fwcat.ns.bad (id BIGINT) OPTIONS (widths '4')")
