@@ -27,20 +27,28 @@ object TextOps49 {
             round(size(array_distinct(tk)).cast("double")
               / size(tk).cast("double"), 6))
             .otherwise(0.0).cast("decimal(10,6)").as("ttr"))
-      val w = Window.orderBy(col("ttr"), col("doc_id"))
-      val ranked = scored.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
-      val median = ranked.filter(col("rn") === ceil(col("n") / 2))
+      // median rank via the distributed prefix scan (row_number over the
+      // whole corpus would sort every document through one task), and
+      // the 20 boundary docs via the bounded min-k aggregate (ships at
+      // most 20 rows per map partition — no second global sort)
+      val ranked = graft.operators.GlobalPrefixSum.withRunningTotalBy(
+        scored.withColumn("one", lit(1L)),
+        struct(col("ttr"), col("doc_id")), "one", "rn")
+      val n = scored.agg(count(lit(1)).as("n"))
+      val median = ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === ceil(col("n") / 2))
         .select(col("ttr").as("med"))
-      val w2 = Window.orderBy(col("dist"), col("doc_id"))
       scored.crossJoin(broadcast(median))
         .withColumn("dist", abs(col("ttr") - col("med")))
-        .withColumn("pick", row_number().over(w2))
-        .filter(col("pick") <= 20)
-        .select(col("pick"), col("doc_id"),
-          col("ttr").cast("double").as("ttr"),
-          col("med").cast("double").as("med"),
-          col("dist").cast("double").as("dist"))
+        .agg(graft.functions.TopKAgg.minK(
+          struct(col("dist"), col("doc_id"), col("ttr"), col("med")), 20)
+          .as("w"))
+        .select(posexplode(col("w")).as(Seq("pos", "m")))
+        .select((col("pos") + 1).cast("int").as("pick"),
+          col("m.doc_id").as("doc_id"),
+          col("m.ttr").cast("double").as("ttr"),
+          col("m.med").cast("double").as("med"),
+          col("m.dist").cast("double").as("dist"))
         .orderBy("pick")
     }),
   )

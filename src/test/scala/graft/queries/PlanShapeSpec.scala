@@ -304,4 +304,53 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name has no broadcast join")
     }
   }
+
+  test("no unpartitioned window outside the bounded-frame allowlist") {
+    // An empty-PARTITION-BY Window sorts every row through ONE task —
+    // the q38 anti-pattern that killed q302/q327/q305 before round 6
+    // ported the GlobalPrefixSum midrank device into them. The allowlist
+    // below is every query whose global window runs over a frame that
+    // is BOUNDED BY CONSTRUCTION (calendar grain, decile grain, fixed
+    // sweeps, top-k shortlists) — NEVER fact or value grain. Adding a
+    // name here requires stating the bound.
+    val allowed = PlanShapeSpec.BoundedGlobalWindowQueries
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+      case (name, _) =>
+        val uw = graft.tools.PlanSurvey.unpartitionedWindows(
+          graft.SparkEntry.queries(name)(spark, Sf)
+            .queryExecution.executedPlan)
+        if (!allowed(name))
+          assert(uw == 0,
+            s"$name plans $uw unpartitioned window(s) — single-task " +
+              "sort at scale; use GlobalPrefixSum or add a bound " +
+              "justification to the allowlist")
+    }
+  }
+}
+
+object PlanShapeSpec {
+  /** Queries whose unpartitioned windows are over frames bounded by
+    * construction (the stated bound, not the fact table). Kept in sync
+    * with PLAN_SURVEY.md's `unpartWin` column; GlobalPrefixSum's own
+    * <=partition-count offsets walk is excluded by the detector itself.
+    */
+  val BoundedGlobalWindowQueries: Set[String] = Set(
+    // calendar grain: days/weeks/months of the corpus date range
+    "q123_cusum_changepoint", "q134_holt_forecast",
+    "q156_forecast_backtest", "q180_var_cvar",
+    "q182_seasonality_strength", "q217_rolling_slope",
+    "q240_interval_range_frame", "q243_leave_one_out",
+    "q286_watermark_audit", "q290_survival_km", "q298_sax_symbols",
+    "q311_turning_points", "q312_runs_test", "q313_permutation_entropy",
+    "q315_spc_rules", "q78_open_interval_peaks",
+    // small-dimension grain: nations (25), funnel stages, sources,
+    // FK edges, test batteries
+    "q142_largest_remainder", "q219_budget_allocation",
+    "q239_maxmin_fairshare", "d21_dedup_yield", "d29_dedup_funnel",
+    "d42_mix_order", "q80_token_budget", "q191_fk_fanout_profile",
+    "q322_fdr_bh", "q97_skew_census",
+    // fixed-width grids: deciles (10), histogram bins (1000),
+    // quartiles, top-k shortlists / ranked vocab heads
+    "q118_decile_lift", "q163_lorenz_points", "q159_latency_quartiles",
+    "q72_ks_drift", "s26_prf_expansion", "t11_zipf_slope")
 }
