@@ -1,36 +1,82 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavioral pins for batch 97: intersection bounds and the
-  * sync-estimator's dominance property.
+/** Behavioral pins for the round-6 batch: the PPS grid draws exactly k
+  * thresholds, z-ordering beats the competing layouts on block count,
+  * the host cap never keeps more than N docs, and greedy MMR trades
+  * relevance for diversity monotonically.
   */
 class Round9aSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val Sf = "/root/testdata/sf0.001"
 
-  test("q253: intersections in [0,1]; bucket counts bounded by 5") {
-    val rows = graft.SparkEntry.queries("q253_histogram_intersection")(
-      spark, Sf).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.nonEmpty)
-    rows.foreach { case (y1, y2, nb, hi) =>
-      assert(y2 == y1 + 1)
-      assert(nb >= 1 && nb <= 5)
-      assert(hi >= 0.0 && hi <= 1.0)
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q339: hit multiplicities sum to exactly k; inclusion is PPS") {
+    val rows = q("q339_systematic_pps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._3).sum === 100L, "grid must draw exactly k samples")
+    assert(rows.forall(_._3 >= 1L))
+    // a row spanning more than one grid cell (w > W/k) must multi-hit
+    val bigW = Tables.t(spark, Sf, "orders")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).collect().head.getLong(0)
+    rows.foreach { case (k, w, hits) =>
+      assert(hits <= w * 100L / bigW + 1,
+        s"order $k drew $hits hits for weight $w")
     }
   }
 
-  test("m23: best_dot dominates the zero-lag dot") {
-    val rows = graft.SparkEntry.queries("m23_av_sync")(spark, Sf)
-      .collect()
-      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+  test("q340: z-order touches no more blocks than the competing layouts") {
+    val rows = q("q340_zorder_pruning").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.keySet === Set("arrival", "custkey_sorted", "zorder"))
+    // all three layouts hold the same rows
+    assert(rows.values.map(_._2).toSet.size === 1)
+    val matched = rows("zorder")._2
+    val minBlocks = (matched + 999) / 1000
+    assert(rows("zorder")._1 >= minBlocks)
+    // the month predicate is what z-order clusters for: it must touch
+    // no more blocks than either month-oblivious layout
+    assert(rows("zorder")._1 <= rows("arrival")._1)
+    assert(rows("zorder")._1 <= rows("custkey_sorted")._1)
+  }
+
+  test("d54: kept counts respect the cap and tile the corpus") {
+    val rows = q("d54_host_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
-    rows.foreach { case (lag, best, dot0, inSync) =>
-      assert(lag >= -2 && lag <= 2)
-      assert(best >= dot0)
-      assert(inSync == (lag == 0))
-      if (inSync) assert(best == dot0)
+    val total = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._2).sum === total, "hosts must tile the corpus")
+    rows.foreach { case (host, nDocs, nKept, totalChars, keptChars) =>
+      assert(nKept === math.min(nDocs, 50L), s"$host cap violated")
+      assert(keptChars <= totalChars)
+      // keep-best-by-length: a capped host keeps at least its share
+      if (nDocs > 0)
+        assert(keptChars * nDocs >= totalChars * nKept - totalChars,
+          s"$host kept docs are not the longest ones")
+    }
+  }
+
+  test("s36: MMR picks are distinct, round 1 is pure relevance, " +
+    "and each later mmr is no higher than the previous") {
+    val rows = q("s36_mmr_rerank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === 5)
+    assert(rows.map(_._2).distinct.length === 5, "picks must be distinct")
+    val byRound = rows.sortBy(_._1)
+    assert(byRound.head._4 === 0.0, "round 1 has no selected set yet")
+    // the greedy objective is non-increasing: a candidate available at
+    // round r was also available at r-1 with a no-larger penalty
+    byRound.map(_._5).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"mmr rose: $a -> $b")
+      case _ => ()
     }
   }
 }
