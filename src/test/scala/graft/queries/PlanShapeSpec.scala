@@ -347,7 +347,8 @@ object PlanShapeSpec {
     // FK edges, test batteries
     "q142_largest_remainder", "q219_budget_allocation",
     "q239_maxmin_fairshare", "d21_dedup_yield", "d29_dedup_funnel",
-    "d42_mix_order", "q80_token_budget", "q191_fk_fanout_profile",
+    "d42_mix_order", "d55_temperature_mix", "q80_token_budget",
+    "q191_fk_fanout_profile",
     "q322_fdr_bh", "q97_skew_census",
     // fixed-width grids: deciles (10), histogram bins (1000),
     // quartiles, top-k shortlists / ranked vocab heads

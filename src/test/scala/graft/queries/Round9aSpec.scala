@@ -63,6 +63,61 @@ class Round9aSpec extends AnyFunSuite {
     }
   }
 
+  test("q341: four delta-join partials reassemble the full join view") {
+    val rows = q("q341_join_ivm").collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
+    val full = Tables.t(spark, Sf, "orders")
+      .join(Tables.t(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === full.keySet)
+    rows.foreach { case (k, v) => assert(v === full(k), s"nation $k") }
+  }
+
+  test("q342: estimates land within 3 sigma of the exact cardinalities") {
+    val r = q("q342_kmv_set_ops").collect().head
+    val (kU, exactUnion) = (r.getInt(0), r.getLong(5))
+    val estUnion = r.getDouble(6)
+    assert(kU >= 1 && kU <= 256)
+    if (kU < 256) {
+      // union smaller than the sketch: KMV degenerates to near-exact
+      assert(math.abs(estUnion - exactUnion) / exactUnion < 0.5)
+    } else {
+      val rsd = 1.0 / math.sqrt(254.0)
+      assert(math.abs(estUnion - exactUnion) / exactUnion < 3 * rsd,
+        s"union est $estUnion vs exact $exactUnion")
+    }
+    val estInter = r.getDouble(7)
+    val exactInter = r.getLong(3) + r.getLong(4) - r.getLong(5)
+    if (exactInter > 0)
+      assert(math.abs(estInter - exactInter) <= 0.5 * exactInter
+        + 0.3 * exactUnion,
+        s"intersection est $estInter vs exact $exactInter")
+  }
+
+  test("d55: allocations sum exactly to the budget; sqrt damps shares") {
+    val rows = q("d55_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum === 10000L, "largest remainder must conserve")
+    val totDocs = rows.map(_._2).sum.toDouble
+    // temperature scaling: a source's allocation share must sit between
+    // its doc share and the uniform share (sqrt damping)
+    rows.foreach { case (src, n, _, alloc) =>
+      val docShare = n / totDocs
+      val allocShare = alloc / 10000.0
+      val uniform = 1.0 / rows.length
+      val lo = math.min(docShare, uniform) - 0.02
+      val hi = math.max(docShare, uniform) + 0.02
+      assert(allocShare >= lo && allocShare <= hi,
+        s"$src alloc share $allocShare outside [$lo, $hi]")
+    }
+  }
+
   test("s36: MMR picks are distinct, round 1 is pure relevance, " +
     "and each later mmr is no higher than the previous") {
     val rows = q("s36_mmr_rerank").collect()
