@@ -378,4 +378,46 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Per-user replay suppression on the Spark-4 `transformWithState`
+    * API (the successor to flatMapGroupsWithState: typed ValueState
+    * handles, optional TTL, timers; requires the RocksDB state store).
+    * Semantics: a batch's events pass only if their event_id exceeds
+    * the user's high watermark from PRIOR batches — deterministic under
+    * any intra-batch arrival order — then the watermark advances to the
+    * batch max. The CDC/at-least-once-source pattern: replayed or
+    * stale-duplicate events are dropped exactly once per key with O(1)
+    * state per user.
+    */
+  class ReplayFilterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserEvent] {
+    @transient private var maxSeen:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      maxSeen = getHandle.getValueState[Long]("maxEventId",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserEvent] = {
+      val prior = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
+      val fresh = rows.filter(_.event_id > prior).toVector
+      if (fresh.nonEmpty)
+        maxSeen.update(math.max(prior, fresh.map(_.event_id).max))
+      fresh.iterator
+    }
+  }
+
+  def replayFiltered(events: Dataset[UserEvent]): Dataset[UserEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ReplayFilterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

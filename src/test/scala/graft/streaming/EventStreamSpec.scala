@@ -115,6 +115,45 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState replay filter: only ids above the prior " +
+    "batch watermark pass; state survives batches") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider;
+    // scope the conf to this query and restore after
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent](spark)
+      val q = EventStream.replayFiltered(input.toDS())
+        .writeStream.format("memory").queryName("replay_filtered")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          UserEvent(5, ts("2024-01-01 00:00:00"), 7, 1.0),
+          UserEvent(3, ts("2024-01-01 00:01:00"), 7, 2.0), // same batch: passes (vs PRIOR watermark)
+          UserEvent(4, ts("2024-01-01 00:02:00"), 9, 3.0))
+        q.processAllAvailable()
+        input.addData(
+          UserEvent(5, ts("2024-01-01 00:03:00"), 7, 4.0),  // replay of id 5 → dropped
+          UserEvent(2, ts("2024-01-01 00:04:00"), 7, 5.0),  // stale → dropped
+          UserEvent(6, ts("2024-01-01 00:05:00"), 7, 6.0),  // fresh → passes
+          UserEvent(4, ts("2024-01-01 00:06:00"), 9, 7.0))  // replay for user 9 → dropped
+        q.processAllAvailable()
+        val rows = spark.table("replay_filtered")
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        assert(rows === Set((5L, 7L), (3L, 7L), (4L, 9L), (6L, 7L)),
+          s"unexpected surviving events: $rows")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
