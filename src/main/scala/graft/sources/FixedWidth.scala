@@ -375,11 +375,34 @@ private[sources] object FwFiles {
 
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
-    summary: String) extends Scan with Batch {
+    summary: String) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType =
     StructType(required.fields.map(f => StructField(f.name, f.dataType)))
   override def description(): String = s"GraftFixedWidth $summary"
   override def toBatch: Batch = this
+
+  /** Exact table statistics from directory metadata alone: the record
+    * count IS bytes/rowLen (the same arithmetic the COUNT(*) pushdown
+    * uses), and the post-projection size scales by the kept column
+    * widths. Catalyst's CBO reads these through DSv2, so a small .fw
+    * dimension joins as a BROADCAST side without any manual hint —
+    * stats-driven planning, not guesswork.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+    val totalBytes = FwFiles.list(path).map(_.length()).sum
+    val rows = totalBytes / rowLen
+    val keptBytes = FixedWidth.widths(required).sum + 1L
+    val projectedBytes = rows * keptBytes
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(projectedBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L

@@ -302,6 +302,32 @@ class FixedWidthSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("scan reports exact stats; a small fw side broadcasts without a hint") {
+    val dir = writeFixture(rows)
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+    // stats: rows from bytes/rowLen; projected size from kept widths
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.get
+    val stats = scan.computeStats()
+    assert(stats.rowCount.contains(BigInt(7)),
+      s"rowCount from stats: ${stats.rowCount}")
+    // 7 records x (4+6+10 widths + newline) bytes
+    assert(stats.sizeInBytes === BigInt(7 * 21),
+      s"sizeInBytes from stats: ${stats.sizeInBytes}")
+    // CBO consequence: the tiny fw table lands on the BUILD side of a
+    // broadcast join against a larger parquet frame with no hint
+    val big = spark.range(0, 10000)
+      .select(col("id").as("row_id"), (col("id") % 7 + 1).as("fk"))
+    val joined = big.join(df.select(col("id").as("id2"), col("name")),
+      col("fk") === col("id2"))
+    val joinedPlan = joined.queryExecution.executedPlan.toString
+    assert(joinedPlan.contains("BroadcastHashJoin"),
+      s"fw side not broadcast:\n${joinedPlan.take(1500)}")
+  }
+
   test("offset json round-trips multi-file maps and legacy lines") {
     val off = FwOffset(Map("/tmp/a \"x\".fw" -> 3L, "/tmp/b.fw" -> 0L))
     val json = off.json()
