@@ -63,6 +63,8 @@ object FixedWidth {
     * filters as rendered by the ScanBuilder that Catalyst drove.
     */
   @volatile var lastScanSummary: String = ""
+  /** Files skipped by zone-map pruning in the most recent batch plan. */
+  @volatile var lastSkippedFiles: Int = 0
 
   def parseSchema(spec: String): StructType = {
     require(spec != null && spec.nonEmpty,
@@ -193,17 +195,31 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    if (truncateFirst) FwFiles.list(path).foreach(_.delete())
+    if (truncateFirst) FwFiles.list(path).foreach { f =>
+      new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+      f.delete()
+    }
     messages.foreach { case FwCommitMessage(tmp) =>
       val f = new java.io.File(tmp)
       val target = new java.io.File(dir, f.getName.stripSuffix(".tmp"))
       require(f.renameTo(target), s"could not publish $tmp -> $target")
+      val statsTmp = new java.io.File(
+        FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp")
+      if (statsTmp.isFile) {
+        val statsTarget = new java.io.File(dir,
+          statsTmp.getName.stripSuffix(".tmp"))
+        require(statsTmp.renameTo(statsTarget),
+          s"could not publish $statsTmp -> $statsTarget")
+      }
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case FwCommitMessage(tmp) => new java.io.File(tmp).delete()
+      case FwCommitMessage(tmp) =>
+        new java.io.File(tmp).delete()
+        new java.io.File(
+          FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
       case _ => ()
     }
 }
@@ -211,11 +227,12 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 private[sources] class FwWriterFactory(schema: StructType, path: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FwDataWriter(schema, path, partitionId, taskId)
+    new FwDataWriter(schema, path, partitionId, taskId, writeStats = true)
 }
 
 private[sources] class FwDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long, prefix: String = "part")
+    partitionId: Int, taskId: Long, prefix: String = "part",
+    writeStats: Boolean = false)
     extends DataWriter[InternalRow] {
   private val widths = FixedWidth.widths(schema)
   private val tmp = new java.io.File(path,
@@ -223,12 +240,27 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   tmp.getParentFile.mkdirs()
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp))
+  // per-column zone map over the non-null numeric values of this file
+  private val statLo = Array.fill(widths.length)(Double.PositiveInfinity)
+  private val statHi = Array.fill(widths.length)(Double.NegativeInfinity)
 
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder
     var i = 0
     while (i < widths.length) {
       val w = widths(i)
+      if (writeStats && !row.isNullAt(i)) {
+        val v = schema.fields(i).dataType match {
+          case LongType => row.getLong(i).toDouble
+          case IntegerType => row.getInt(i).toDouble
+          case DoubleType => row.getDouble(i)
+          case _ => Double.NaN
+        }
+        if (!v.isNaN) {
+          if (v < statLo(i)) statLo(i) = v
+          if (v > statHi(i)) statHi(i) = v
+        }
+      }
       val s =
         if (row.isNullAt(i)) ""
         else schema.fields(i).dataType match {
@@ -256,9 +288,24 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    if (writeStats) {
+      val stats = schema.fields.indices.collect {
+        case i if statLo(i) <= statHi(i) =>
+          schema.fields(i).name -> (statLo(i), statHi(i))
+      }.toMap
+      // sidecar rides the same tmp->publish protocol as the data file
+      FwStats.write(
+        FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
+        stats)
+    }
     FwCommitMessage(tmp.getPath)
   }
-  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def abort(): Unit = {
+    out.close()
+    tmp.delete()
+    new java.io.File(
+      FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp").delete()
+  }
   override def close(): Unit = ()
 }
 
@@ -373,6 +420,87 @@ private[sources] object FwFiles {
   }
 }
 
+/** Per-file zone maps: the batch writer records min/max of every
+  * numeric column into a `<file>.fwstats` sidecar (single-line JSON),
+  * and the scan skips WHOLE files whose ranges provably exclude the
+  * pushed filters — the Parquet row-group-stats / Iceberg-manifest
+  * device. Files without a sidecar (hand-built fixtures, streaming
+  * epochs) simply never prune: stats are an optimization, not a
+  * correctness dependency.
+  */
+private[sources] object FwStats {
+  def sidecarFor(dataPath: String): String = dataPath + "stats"
+
+  def write(path: String, stats: Map[String, (Double, Double)]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val obj = stats.toSeq.sortBy(_._1).foldLeft(org.json4s.JObject()) {
+      case (o, (c, (lo, hi))) =>
+        o ~ (c -> (("min" -> lo) ~ ("max" -> hi)))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
+  }
+
+  def read(dataFile: java.io.File): Option[Map[String, (Double, Double)]] = {
+    val f = new java.io.File(sidecarFor(dataFile.getPath))
+    if (!f.isFile) None
+    else try {
+      import org.json4s._
+      val parsed = jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      parsed match {
+        case JObject(fields) => Some(fields.collect {
+          case (c, o: JObject) =>
+            val m = o.obj.toMap
+            def num(k: String): Double = m(k) match {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JLong(l) => l.toDouble
+              case other => throw new IllegalArgumentException(s"$other")
+            }
+            c -> (num("min"), num("max"))
+        }.toMap)
+        case _ => None
+      }
+    } catch { case _: Exception => None } // corrupt sidecar => no pruning
+  }
+
+  /** Conservative test: can any record in a file with these ranges
+    * satisfy ALL the pushed filters? Unknown shapes never prune.
+    */
+  def mayMatch(stats: Map[String, (Double, Double)],
+      filters: Array[Filter]): Boolean = {
+    def d(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    filters.forall {
+      case EqualTo(a, v) => (stats.get(a), d(v)) match {
+        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
+        case _ => true
+      }
+      case GreaterThan(a, v) => (stats.get(a), d(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (stats.get(a), d(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x
+        case _ => true
+      }
+      case LessThan(a, v) => (stats.get(a), d(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (stats.get(a), d(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+}
+
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
     summary: String) extends Scan with Batch
@@ -406,7 +534,15 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    FwFiles.list(path).flatMap { f =>
+    val all = FwFiles.list(path)
+    // zone-map pruning: a file whose sidecar ranges exclude the pushed
+    // filters is skipped before a single byte of it is read
+    val (kept, skipped) =
+      if (pushed.isEmpty) (all, Array.empty[java.io.File])
+      else all.partition(f => FwStats.read(f)
+        .forall(stats => FwStats.mayMatch(stats, pushed)))
+    FixedWidth.lastSkippedFiles = skipped.length
+    kept.flatMap { f =>
       val n = f.length() / rowLen
       require(f.length() % rowLen == 0,
         s"FixedWidth: ${f.getPath} length ${f.length()} is not a multiple " +

@@ -328,6 +328,41 @@ class FixedWidthSpec extends AnyFunSuite {
       s"fw side not broadcast:\n${joinedPlan.take(1500)}")
   }
 
+  test("zone maps: writer sidecars let the scan skip whole files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwzone").toFile.getAbsolutePath
+    // 4 writer tasks, each a disjoint id range -> 4 files with ranges
+    spark.range(0, 4000)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .mode("overwrite").save(dir)
+    val statFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fwstats"))
+    assert(statFiles.length === 4, "each data file needs a sidecar")
+    def readWith(cond: org.apache.spark.sql.Column) = {
+      val got = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", "id:long:6,name:string:6,score:double:8")
+        .load(dir).filter(cond).count()
+      (got, FixedWidth.lastSkippedFiles)
+    }
+    // a one-file id range: 3 of 4 files provably excluded
+    val (n1, _) = readWith(col("id") >= 3500L)
+    assert(n1 === 500L)
+    assert(FixedWidth.lastSkippedFiles === 3,
+      s"expected 3 files pruned, got ${FixedWidth.lastSkippedFiles}")
+    // an impossible range: every file skipped, still a correct 0
+    val (n2, _) = readWith(col("id") > 100000L)
+    assert(n2 === 0L)
+    assert(FixedWidth.lastSkippedFiles === 4)
+    // a filter on an unclustered column prunes nothing but stays correct
+    val (n3, _) = readWith(col("score") < 50.0)
+    assert(n3 === 2000L)
+    assert(FixedWidth.lastSkippedFiles === 0)
+  }
+
   test("offset json round-trips multi-file maps and legacy lines") {
     val off = FwOffset(Map("/tmp/a \"x\".fw" -> 3L, "/tmp/b.fw" -> 0L))
     val json = off.json()
