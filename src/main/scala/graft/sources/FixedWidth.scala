@@ -65,6 +65,8 @@ object FixedWidth {
   @volatile var lastScanSummary: String = ""
   /** Files skipped by zone-map pruning in the most recent batch plan. */
   @volatile var lastSkippedFiles: Int = 0
+  /** Runtime (dynamic-pruning) filters delivered to the last scan. */
+  @volatile var lastRuntimeFilters: Int = 0
 
   def parseSchema(spec: String): StructType = {
     require(spec != null && spec.nonEmpty,
@@ -504,7 +506,42 @@ private[sources] object FwStats {
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
     summary: String) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime filters (dynamic pruning from a selective join side)
+    * arrive here AFTER planning but BEFORE planInputPartitions: the
+    * comparison shapes fold into the pushed set (pruning whole files
+    * through the zone maps AND filtering rows in the reader); IN lists
+    * become a [min, max] range filter for file pruning — conservative,
+    * Spark still applies the exact IN above the scan.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  // only columns surviving projection: Spark resolves these against
+  // the scan OUTPUT, so a pruned-away field would fail analysis
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.flatMap {
+      case In(a, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
+        // a range envelope of the IN list: enough to skip files whose
+        // zone map lies wholly outside it
+        Seq(GreaterThanOrEqual(a, ds.min), LessThanOrEqual(a, ds.max))
+      case f @ (_: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+          _: LessThan | _: LessThanOrEqual) => Seq(f)
+      case _ => Seq.empty
+    }
+    runtime = usable
+    FixedWidth.lastRuntimeFilters = filters.length
+  }
+
+  private def effectiveFilters: Array[Filter] = pushed ++ runtime
   override def readSchema(): StructType =
     StructType(required.fields.map(f => StructField(f.name, f.dataType)))
   override def description(): String = s"GraftFixedWidth $summary"
@@ -537,10 +574,11 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     val all = FwFiles.list(path)
     // zone-map pruning: a file whose sidecar ranges exclude the pushed
     // filters is skipped before a single byte of it is read
+    val eff = effectiveFilters
     val (kept, skipped) =
-      if (pushed.isEmpty) (all, Array.empty[java.io.File])
+      if (eff.isEmpty) (all, Array.empty[java.io.File])
       else all.partition(f => FwStats.read(f)
-        .forall(stats => FwStats.mayMatch(stats, pushed)))
+        .forall(stats => FwStats.mayMatch(stats, eff)))
     FixedWidth.lastSkippedFiles = skipped.length
     kept.flatMap { f =>
       val n = f.length() / rowLen
@@ -555,7 +593,9 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FwReaderFactory(fullSchema, required.fieldNames, pushed)
+    // runtime filters ride along: the reader decodes (required union
+    // filter-referenced) slices and drops rows source-side
+    new FwReaderFactory(fullSchema, required.fieldNames, effectiveFilters)
 
   /** Streaming view of the same files: the offset of a fixed-width
     * file IS its record count (length / rowLen), so "what's new" is a

@@ -363,6 +363,34 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(FixedWidth.lastSkippedFiles === 0)
   }
 
+  test("runtime filters fold into zone-map pruning and reader filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwruntime").toFile.getAbsolutePath
+    spark.range(0, 4000)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .mode("overwrite").save(dir)
+    // the DSv2 runtime-filtering contract, driven directly: an IN list
+    // delivered after planning folds to a range envelope that prunes
+    // files through their sidecars, and rows filter in the reader
+    val schema = FixedWidth.parseSchema("id:long:6,name:string:6,score:double:8")
+    val scan = new FwScanBuilder(schema, dir, 1L << 20)
+      .build().asInstanceOf[FwScan]
+    assert(scan.filterAttributes().map(_.describe()).toSet
+      === Set("id", "name", "score")) // no pruning in this direct build
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id",
+        Array[Any](3600L, 3700L, 3950L))))
+    val parts = scan.planInputPartitions()
+    assert(FixedWidth.lastSkippedFiles === 3,
+      s"IN envelope should prune 3 of 4 files, skipped " +
+        s"${FixedWidth.lastSkippedFiles}")
+    assert(parts.nonEmpty)
+  }
+
   test("offset json round-trips multi-file maps and legacy lines") {
     val off = FwOffset(Map("/tmp/a \"x\".fw" -> 3L, "/tmp/b.fw" -> 0L))
     val json = off.json()
