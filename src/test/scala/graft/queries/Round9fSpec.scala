@@ -1,37 +1,51 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavioral pins for batch 102: HITS scaled-integer invariants. */
+/** Behavioral pins for the sixth round-6 batch: the bloom filter never
+  * misses a true member and its FPR lands near theory, and VAD
+  * segments tile the voiced frames.
+  */
 class Round9fSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val Sf = "/root/testdata/sf0.001"
 
-  test("Hits.scores: star graph makes the center a pure hub") {
-    val s = spark
-    import s.implicits._
-    val edges = Seq((0L, 1L, 5L), (0L, 2L, 5L), (0L, 3L, 10L))
-      .toDF("src", "dst", "w")
-    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
-    val out = graft.operators.Hits.scores(edges, nodes, iters = 2)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val scale = graft.operators.Hits.Scale
-    assert(out(0L)._1 >= scale - 4 && out(0L)._2 === 0L)
-    assert(out(1L)._1 === 0L && out(1L)._2 > 0L)
-    assert(out(3L)._2 > out(1L)._2, "heavier edge -> more authority")
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, Sf)
+
+  test("q349: no false negatives; FPR within 4x of the bloom formula") {
+    val r = q("q349_bloom_semijoin").collect().head
+    val (nProbe, nCand, nActual, nFp, fpr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    assert(nCand >= nActual, "a bloom filter can NEVER miss a member")
+    assert(nFp === nCand - nActual)
+    assert(nProbe > nCand, "filter should reject most non-members")
+    // theory: (1 - e^{-kn/m})^k with k=3, m=16384, n = build keys * 3
+    val buildKeys = Tables.t(spark, Sf, "customer")
+      .filter(col("c_nationkey") === 7).count()
+    val p = 1.0 - math.exp(-3.0 * buildKeys / 16384.0)
+    val theory = math.pow(p, 3)
+    assert(fpr <= theory * 4 + 0.01,
+      s"measured FPR $fpr far above theoretical $theory")
   }
 
-  test("q257: non-negative scores, each side sums to ~Scale") {
-    val rows = graft.SparkEntry.queries("q257_hits")(spark, Sf)
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
-    assert(rows.length === 25)
-    rows.foreach { case (h, a) => assert(h >= 0L && a >= 0L) }
-    val scale = graft.operators.Hits.Scale
-    val (hs, as_) = (rows.map(_._1).sum, rows.map(_._2).sum)
-    // Integer truncation can lose (never create) ~1 unit per node plus
-    // the div-of-div slack; 1% tolerance is generous headroom.
-    assert(hs <= scale * 101L / 100L && hs >= scale * 99L / 100L)
-    assert(as_ <= scale * 101L / 100L && as_ >= scale * 99L / 100L)
+  test("m26: voiced frames tile across segments; bounds hold") {
+    val rows = q("m26_vad_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, voiced, nSeg, longest, frac) =>
+      assert(voiced >= 0 && voiced <= 40)
+      assert((voiced == 0) === (nSeg == 0))
+      assert(longest <= voiced)
+      // segments are disjoint voiced runs: their count is bounded by
+      // the voiced mass and by ceil(40/2) alternation
+      assert(nSeg <= voiced && nSeg <= 20)
+      assert(math.abs(frac - voiced / 40.0) < 1e-12)
+    }
+    // md5 energies are ~uniform: roughly half the frames are voiced
+    val meanFrac = rows.map(_._5).sum / rows.length
+    assert(meanFrac > 0.35 && meanFrac < 0.65, s"mean voiced $meanFrac")
   }
 }
