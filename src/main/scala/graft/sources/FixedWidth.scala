@@ -318,7 +318,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   require(path != null, "FixedWidth requires a path (load(dir) or option path)")
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countStarPushed = false
+  private var aggPushed: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of fullSchema in field order; keep
@@ -354,60 +354,134 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     * from file sizes alone (records = bytes / rowLen): zero IO at any
     * data size. Anything else is declined and runs as a normal scan.
     */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions.isEmpty && pushed.isEmpty &&
-      aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  /** Complete pushdown for COUNT(*) plus MIN/MAX of numeric columns —
+    * the latter answered from the zone-map sidecars alone, so the
+    * extremes of a 100 TB dataset cost one directory listing. MIN/MAX
+    * pushes only when EVERY data file carries a sidecar (a file of
+    * unknown range could hide the true extreme).
+    */
+  private def minMaxColumn(e: AnyRef): Option[StructField] = {
+    val col = e match {
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        Some(m.column())
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        Some(m.column())
+      case _ => None
+    }
+    col.collect {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == r.fieldNames.head)
+    }.flatten.filter(f => f.dataType == LongType ||
+      f.dataType == IntegerType || f.dataType == DoubleType)
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    val shapesOk = aggregation.groupByExpressions.isEmpty &&
+      pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(e =>
+        e.isInstanceOf[CountStar] || minMaxColumn(e).isDefined)
+    if (!shapesOk) return false
+    val needsStats = aggregation.aggregateExpressions
+      .exists(!_.isInstanceOf[CountStar])
+    !needsStats || FwFiles.list(path).forall(f => FwStats.read(f).isDefined)
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
-    countStarPushed = true
+    aggPushed = Some(aggregation)
     required = StructType(aggregation.aggregateExpressions.zipWithIndex
-      .map { case (_, i) => StructField(s"count_star_$i", LongType) })
+      .map {
+        case (_: CountStar, i) => StructField(s"count_star_$i", LongType)
+        case (e, i) => minMaxColumn(e).get.copy(name = s"min_max_$i")
+      })
     true
   }
 
   override def build(): Scan = {
-    val summary =
-      if (countStarPushed) "pushed-agg=count(*) metadata-only"
-      else s"read=[${required.fieldNames.mkString(",")}] " +
-        s"pushed=[${pushed.mkString(",")}]"
+    val summary = aggPushed match {
+      case Some(agg) =>
+        val kinds = agg.aggregateExpressions.map {
+          case _: CountStar => "count(*)"
+          case m: org.apache.spark.sql.connector.expressions.aggregate
+              .Min => s"min(${minMaxColumn(m).get.name})"
+          case m => s"max(${minMaxColumn(m).get.name})"
+        }
+        s"pushed-agg=${kinds.mkString(",")} metadata-only"
+      case None =>
+        s"read=[${required.fieldNames.mkString(",")}] " +
+          s"pushed=[${pushed.mkString(",")}]"
+    }
     FixedWidth.lastScanSummary = summary
-    if (countStarPushed)
-      new FwCountScan(fullSchema, required, path, summary)
-    else
-      new FwScan(fullSchema, required, pushed, path, recordsPerSplit, summary)
+    aggPushed match {
+      case Some(agg) =>
+        val specs = agg.aggregateExpressions.map {
+          case _: CountStar => ("count", "", "")
+          case m: org.apache.spark.sql.connector.expressions.aggregate
+              .Min =>
+            val f = minMaxColumn(m).get
+            ("min", f.name, f.dataType.typeName)
+          case m =>
+            val f = minMaxColumn(m).get
+            ("max", f.name, f.dataType.typeName)
+        }
+        new FwAggScan(fullSchema, required, specs, path, summary)
+      case None =>
+        new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
+          summary)
+    }
   }
 }
 
-/** Metadata-only COUNT(*): one partition, one row, zero record IO. */
-private[sources] class FwCountScan(fullSchema: StructType,
-    aggSchema: StructType, path: String, summary: String)
-    extends Scan with Batch {
+/** Metadata-only aggregates: COUNT(*) from file sizes, MIN/MAX from
+  * the zone-map sidecars. One partition, one row, zero record IO.
+  */
+private[sources] class FwAggScan(fullSchema: StructType,
+    aggSchema: StructType, specs: Array[(String, String, String)],
+    path: String, summary: String) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def description(): String = s"GraftFixedWidth $summary"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val count = FwFiles.list(path).map(_.length() / rowLen).sum
-    Array(FwCountPartition(count, aggSchema.length))
+    val files = FwFiles.list(path)
+    val count = files.map(_.length() / rowLen).sum
+    val allStats = files.flatMap(FwStats.read)
+    def extreme(col: String, isMin: Boolean): Option[Double] = {
+      val vals = allStats.flatMap(_.get(col))
+        .map(v => if (isMin) v._1 else v._2)
+      if (vals.isEmpty) None
+      else Some(if (isMin) vals.min else vals.max)
+    }
+    val values: Array[Any] = specs.map {
+      case ("count", _, _) => java.lang.Long.valueOf(count)
+      case (kind, col, tpe) =>
+        extreme(col, kind == "min") match {
+          case None => null // every value of the column is NULL
+          case Some(d) => tpe match {
+            case "long" => java.lang.Long.valueOf(d.toLong)
+            case "integer" => java.lang.Integer.valueOf(d.toInt)
+            case _ => java.lang.Double.valueOf(d)
+          }
+        }
+    }
+    Array(FwAggPartition(values))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    FwCountReaderFactory
+    FwAggReaderFactory
 }
 
-private[sources] case class FwCountPartition(count: Long, nCols: Int)
+private[sources] case class FwAggPartition(values: Array[Any])
     extends InputPartition
 
-private[sources] object FwCountReaderFactory extends PartitionReaderFactory {
+private[sources] object FwAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val part = p.asInstanceOf[FwCountPartition]
+      private val part = p.asInstanceOf[FwAggPartition]
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = new GenericInternalRow(
-        Array.fill[Any](part.nCols)(java.lang.Long.valueOf(part.count)))
+      override def get(): InternalRow = new GenericInternalRow(part.values)
       override def close(): Unit = ()
     }
 }

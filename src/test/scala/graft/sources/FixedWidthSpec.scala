@@ -391,6 +391,37 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(parts.nonEmpty)
   }
 
+  test("MIN/MAX push to metadata when sidecars cover every file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwminmax").toFile.getAbsolutePath
+    spark.range(100, 4100)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .load(dir)
+    val r = df.agg(min(col("id")), max(col("id")), count(lit(1)),
+      max(col("score"))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      === ((100L, 4099L, 4000L, 99.0)))
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg=min(id)"),
+      s"min/max did not push: ${FixedWidth.lastScanSummary}")
+    // a fixture without sidecars must NOT push min/max (unknown range)
+    val plain = writeFixture(rows)
+    val df2 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(plain)
+    assert(df2.agg(min(col("id"))).collect().head.getLong(0) === 1L)
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"min pushed without stats: ${FixedWidth.lastScanSummary}")
+    // and count(*) alone still pushes even without sidecars
+    assert(df2.agg(count(lit(1))).collect().head.getLong(0) === 7L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg=count(*)"))
+  }
+
   test("offset json round-trips multi-file maps and legacy lines") {
     val off = FwOffset(Map("/tmp/a \"x\".fw" -> 3L, "/tmp/b.fw" -> 0L))
     val json = off.json()
