@@ -62,6 +62,33 @@ object Analytics110 {
         .orderBy("s_suppkey")
     }),
 
+    // MIN/MAX/COUNT answered from zone-map sidecars + file sizes alone
+    // (the round-6 metadata aggregate): the DISTRIBUTED writer emits
+    // per-file stats, the re-read aggregation never touches a record,
+    // and the oracle replays the same extremes from parquet.
+    "q350_fw_minmax_pushdown" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_mm", Paths.get(dir).getFileName.toString)
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .mode("overwrite")
+        .save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"),
+          min(col("s_nationkey")).as("min_nation"),
+          max(col("s_acctbal")).as("max_bal"))
+    }),
+
     // COUNT(*) answered from file sizes alone (SupportsPushDownAggregates
     // complete pushdown): records = bytes / rowLen, so the count of a
     // 100 TB fixed-width dataset costs one directory listing and zero
@@ -158,6 +185,13 @@ object Analytics110 {
     "q300_fw_count_pushdown" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM supplier " +
         "WHERE s_suppkey <= 100000"),
+
+    "q350_fw_minmax_pushdown" -> ("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        min(s_nationkey) AS min_nation,
+        max(s_acctbal) AS max_bal
+      FROM supplier WHERE s_suppkey <= 100000"""),
 
     "q304_fw_write_roundtrip" -> """
       SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
