@@ -30,6 +30,32 @@ class Round9fSpec extends AnyFunSuite {
       s"measured FPR $fpr far above theoretical $theory")
   }
 
+  test("d58: the manifest tiles the corpus and its rates are coherent") {
+    val rows = q("d58_corpus_manifest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getDouble(6), r.getLong(7), r.getDouble(8), r.getDouble(9)))
+    assert(rows.nonEmpty)
+    val total = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._2).sum === total, "sources must tile the corpus")
+    rows.foreach { case (src, nDocs, nTok, nLangs, topShare, dups,
+        dupRate, passRate) =>
+      assert(nTok > 0 && nLangs >= 1)
+      assert(topShare >= 1.0 / nLangs - 1e-9 && topShare <= 1.0,
+        s"$src top-lang share $topShare")
+      assert(dups >= 0 && dups < nDocs)
+      assert(math.abs(dupRate - dups.toDouble / nDocs) < 1e-12)
+      assert(passRate >= 0.0 && passRate <= 1.0)
+    }
+    // dup totals replay exactly from a direct (source, text) rollup
+    // (planted dup pairs may straddle sources, so >0 is not guaranteed)
+    val expectedDups = Tables.t(spark, Sf, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy("source", "text").count()
+      .agg(sum(col("count") - 1)).collect().head.getLong(0)
+    assert(rows.map(_._6).sum === expectedDups)
+  }
+
   test("m26: voiced frames tile across segments; bounds hold") {
     val rows = q("m26_vad_segments").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
