@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   *    table: the build side (one nation's customers) hashes k=3
   *    md5-positions into a 16384-bit bitmap held as 265 62-bit
   *    bit_or-merged words (the d17 device; 62 bits keeps every shift
-  *    inside both engines' checked Long range); the probe side passes only when all
-  *    three bits are set. The audit measures the realized
-  *    false-positive rate against the exact semi-join — the number an
-  *    engineer needs before trusting a bloom pushdown at 100 TB. Build
-  *    and probe are map-side against a broadcast bitmap; nothing
-  *    shuffles but two scalar aggregations.
+  *    inside both engines' checked Long range). The ~2 KB bitmap is
+  *    collected once and inlined as a LITERAL array (the
+  *    AnnLsh.bucketize plane-literal device), so the probe is one
+  *    row-local `forall` over the 3 hash positions — a pure map-side
+  *    filter on the fact scan, no explode, no fact-grain exchange.
+  *    (The round-6 formulation exploded orders ×3 and re-grouped at
+  *    fact grain to count set bits — the exact shuffle a bloom
+  *    semi-join exists to avoid; PlanShapeSpec now pins the map-only
+  *    shape.) The audit measures the realized false-positive rate
+  *    against the exact semi-join — the number an engineer needs
+  *    before trusting a bloom pushdown at 100 TB. Nothing shuffles
+  *    but the build-side word merge and three scalar aggregations.
   *  - m26: voice-activity segmentation — the audio-curation pass that
   *    cuts silence: 40 md5-derived frame energies per media, voiced =
   *    energy above the fixed threshold, segments = islands of
@@ -40,25 +46,32 @@ object Analytics139 {
         (1 to Hashes).map(j =>
           graft.functions.Md5Pack(concat(lit(s"bl${j}_"),
             key.cast("string"))) % BloomBits): _*)
-      val bloom = build
+      // Build: word -> bit_or of masks, over the (tiny) dimension side
+      // only; then collect the 265 words to the driver and inline them
+      // as a literal Long array. At 100 TB the build side is still one
+      // nation's customer keys — the collect is bounded by the bitmap
+      // size (2 KB), never by the data.
+      val words = build
         .select(explode(positions(col("c_custkey"))).as("p"))
         .select(expr("p div 62").as("word"),
           expr("shiftleft(1L, CAST(p % 62 AS INT))").as("mask"))
         .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+        .collect()
+      val bitmap = new Array[Long]((BloomBits / 62 + 1).toInt)
+      words.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
       val probes = t(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
+      // Probe: row-local forall over the 3 positions against the literal
+      // bitmap — a plain Filter on the fact scan, zero probe-side
+      // exchanges (all-bits-set === the round-6 count==3 semantics,
+      // duplicate positions included).
       val passed = probes
-        .select(col("o_orderkey"), col("o_custkey"),
-          explode(positions(col("o_custkey"))).as("p"))
-        .select(col("o_orderkey"), col("o_custkey"),
-          expr("p div 62").as("word"),
-          expr("shiftleft(1L, CAST(p % 62 AS INT))").as("mask"))
-        .join(broadcast(bloom), Seq("word"), "left")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(count_if(coalesce(col("bits"), lit(0L))
-          .bitwiseAND(col("mask")) =!= 0).as("hits"))
-        .filter(col("hits") === Hashes)
-      val actual = probes.join(build,
+        .withColumn("ps", positions(col("o_custkey")))
+        .withColumn("bm", typedLit(bitmap.toSeq))
+        .filter(expr("forall(ps, p -> (element_at(bm, " +
+          "CAST(p div 62 AS INT) + 1) & " +
+          "shiftleft(1L, CAST(p % 62 AS INT))) <> 0)"))
+      val actual = probes.join(broadcast(build),
         col("o_custkey") === col("c_custkey"), "left_semi")
       val nProbe = probes.agg(count(lit(1)).as("n_probe"))
       val nPass = passed.agg(count(lit(1)).as("n_candidates"))

@@ -132,6 +132,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"sampler shuffles $hashEx times")
   }
 
+  test("q349's bloom probe is map-only: zero probe-side hash exchanges") {
+    // The bitmap is collected once (2 KB) and inlined as a literal array,
+    // so the probe leg is a plain Filter on the orders scan. A hash
+    // exchange anywhere in this plan means the explode→groupBy fact-grain
+    // probe regressed back in (the build-side word merge runs during
+    // query construction and never appears in the returned plan; the
+    // three scalar aggs exchange SinglePartition, not hashpartitioning).
+    val p = plan("q349_bloom_semijoin")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"bloom probe shuffles $hashEx times")
+    assert(!p.contains("Generate"), "probe leg exploded positions again")
+    assert(p.contains("BroadcastHashJoin"),
+      "exact-control semi-join no longer broadcast")
+  }
+
   test("q63's quantile boundaries reach the banding scan as a broadcast") {
     val p = plan("q63_equidepth_hist")
     assert(p.contains("BroadcastNestedLoopJoin"),
