@@ -242,9 +242,18 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   tmp.getParentFile.mkdirs()
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp))
-  // per-column zone map over the non-null numeric values of this file
-  private val statLo = Array.fill(widths.length)(Double.PositiveInfinity)
-  private val statHi = Array.fill(widths.length)(Double.NegativeInfinity)
+  // Per-column zone map over the non-null numeric values of this file.
+  // Integral columns track EXACT Long extremes (a double min/max rounds
+  // above 2^53 — a rounded envelope can wrongly prune a file or feed a
+  // wrong MIN/MAX pushdown answer); double columns track finite extremes
+  // plus a hasNaN flag (the Parquet-stats convention: NaN is outside any
+  // orderable envelope, so its presence must gate pruning and pushdown).
+  private val statLoL = Array.fill(widths.length)(Long.MaxValue)
+  private val statHiL = Array.fill(widths.length)(Long.MinValue)
+  private val statLoD = Array.fill(widths.length)(Double.PositiveInfinity)
+  private val statHiD = Array.fill(widths.length)(Double.NegativeInfinity)
+  private val statNaN = Array.fill(widths.length)(false)
+  private val statSeenL = Array.fill(widths.length)(false)
 
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder
@@ -252,15 +261,21 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
     while (i < widths.length) {
       val w = widths(i)
       if (writeStats && !row.isNullAt(i)) {
-        val v = schema.fields(i).dataType match {
-          case LongType => row.getLong(i).toDouble
-          case IntegerType => row.getInt(i).toDouble
-          case DoubleType => row.getDouble(i)
-          case _ => Double.NaN
-        }
-        if (!v.isNaN) {
-          if (v < statLo(i)) statLo(i) = v
-          if (v > statHi(i)) statHi(i) = v
+        schema.fields(i).dataType match {
+          case LongType | IntegerType =>
+            val v = if (schema.fields(i).dataType == LongType) row.getLong(i)
+              else row.getInt(i).toLong
+            statSeenL(i) = true
+            if (v < statLoL(i)) statLoL(i) = v
+            if (v > statHiL(i)) statHiL(i) = v
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (v.isNaN) statNaN(i) = true
+            else {
+              if (v < statLoD(i)) statLoD(i) = v
+              if (v > statHiD(i)) statHiD(i) = v
+            }
+          case _ => ()
         }
       }
       val s =
@@ -291,14 +306,33 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   override def commit(): WriterCommitMessage = {
     out.close()
     if (writeStats) {
-      val stats = schema.fields.indices.collect {
-        case i if statLo(i) <= statHi(i) =>
-          schema.fields(i).name -> (statLo(i), statHi(i))
-      }.toMap
-      // sidecar rides the same tmp->publish protocol as the data file
+      val stats: Map[String, FwColStats] =
+        schema.fields.indices.flatMap { i =>
+          schema.fields(i).dataType match {
+            case LongType | IntegerType if statSeenL(i) =>
+              Some(schema.fields(i).name ->
+                FwIntStats(statLoL(i), statHiL(i)))
+            case DoubleType if statLoD(i) <= statHiD(i) || statNaN(i) =>
+              // non-finite extremes (±Inf) are not JSON-representable:
+              // publish an unbounded (null) envelope — the file simply
+              // never prunes on this column and MIN/MAX declines
+              def fin(d: Double) = if (java.lang.Double.isFinite(d)) Some(d)
+                else None
+              val (lo, hi) =
+                if (statLoD(i) <= statHiD(i))
+                  (fin(statLoD(i)), fin(statHiD(i)))
+                else (None, None) // all-NaN column
+              Some(schema.fields(i).name -> FwDblStats(lo, hi, statNaN(i)))
+            case _ => None
+          }
+        }.toMap
+      // sidecar rides the same tmp->publish protocol as the data file;
+      // it records the data file's byte length so a later in-place
+      // append (streaming producers) invalidates it instead of feeding
+      // stale envelopes to pruning/pushdown
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        stats)
+        stats, tmp.length())
     }
     FwCommitMessage(tmp.getPath)
   }
@@ -384,7 +418,29 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     if (!shapesOk) return false
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
-    !needsStats || FwFiles.list(path).forall(f => FwStats.read(f).isDefined)
+    if (!needsStats) return true
+    val allStats = FwFiles.list(path).map(FwStats.read)
+    // every file needs a (non-stale) sidecar, and per MIN/MAX column:
+    //  - integral columns need exact-Long entries (a legacy double
+    //    entry may be rounded beyond 2^53 — decline, scan normally);
+    //  - double columns must be NaN-free with finite bounds everywhere
+    //    (Spark's MAX of a column containing NaN is NaN; sidecars only
+    //    see the finite values, so they cannot answer it).
+    allStats.forall(_.isDefined) && {
+      val cols = aggregation.aggregateExpressions.toSeq.flatMap(minMaxColumn)
+      cols.forall { f =>
+        allStats.flatten.forall { m =>
+          m.get(f.name) match {
+            case None => true // column all-NULL in that file
+            case Some(_: FwIntStats) =>
+              f.dataType == LongType || f.dataType == IntegerType
+            case Some(FwDblStats(lo, hi, hasNaN)) =>
+              f.dataType == DoubleType && !hasNaN &&
+                lo.isDefined && hi.isDefined
+          }
+        }
+      }
+    }
   }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
@@ -448,23 +504,33 @@ private[sources] class FwAggScan(fullSchema: StructType,
     val files = FwFiles.list(path)
     val count = files.map(_.length() / rowLen).sum
     val allStats = files.flatMap(FwStats.read)
-    def extreme(col: String, isMin: Boolean): Option[Double] = {
-      val vals = allStats.flatMap(_.get(col))
-        .map(v => if (isMin) v._1 else v._2)
+    // Exact per-type extremes: integral answers stay in the Long domain
+    // end to end (the pushdown gate already declined any column whose
+    // sidecars are not exact-integral / NaN-free).
+    def extremeLong(col: String, isMin: Boolean): Option[Long] = {
+      val vals = allStats.flatMap(_.get(col)).collect {
+        case FwIntStats(lo, hi) => if (isMin) lo else hi
+      }
+      if (vals.isEmpty) None
+      else Some(if (isMin) vals.min else vals.max)
+    }
+    def extremeDbl(col: String, isMin: Boolean): Option[Double] = {
+      val vals = allStats.flatMap(_.get(col)).collect {
+        case FwDblStats(lo, hi, false) => (if (isMin) lo else hi).get
+      }
       if (vals.isEmpty) None
       else Some(if (isMin) vals.min else vals.max)
     }
     val values: Array[Any] = specs.map {
       case ("count", _, _) => java.lang.Long.valueOf(count)
-      case (kind, col, tpe) =>
-        extreme(col, kind == "min") match {
-          case None => null // every value of the column is NULL
-          case Some(d) => tpe match {
-            case "long" => java.lang.Long.valueOf(d.toLong)
-            case "integer" => java.lang.Integer.valueOf(d.toInt)
-            case _ => java.lang.Double.valueOf(d)
-          }
-        }
+      case (kind, col, tpe) => tpe match {
+        case "long" => extremeLong(col, kind == "min")
+          .map(java.lang.Long.valueOf).orNull
+        case "integer" => extremeLong(col, kind == "min")
+          .map(l => java.lang.Integer.valueOf(l.toInt)).orNull
+        case _ => extremeDbl(col, kind == "min")
+          .map(java.lang.Double.valueOf).orNull
+      }
     }
     Array(FwAggPartition(values))
   }
@@ -504,21 +570,43 @@ private[sources] object FwFiles {
   * epochs) simply never prune: stats are an optimization, not a
   * correctness dependency.
   */
+/** One column's zone-map entry. Integral columns carry EXACT Long
+  * extremes; double columns carry finite extremes (absent when the file
+  * holds no finite value for the column) plus a hasNaN flag.
+  */
+private[sources] sealed trait FwColStats
+private[sources] final case class FwIntStats(lo: Long, hi: Long)
+    extends FwColStats
+private[sources] final case class FwDblStats(lo: Option[Double],
+    hi: Option[Double], hasNaN: Boolean) extends FwColStats
+
 private[sources] object FwStats {
   def sidecarFor(dataPath: String): String = dataPath + "stats"
 
-  def write(path: String, stats: Map[String, (Double, Double)]): Unit = {
+  /** Reserved top-level key: the data file's byte length at sidecar
+    * write time. A mismatch on read marks the sidecar stale (the file
+    * grew in place after commit) and disables it entirely.
+    */
+  private val LenKey = "_len"
+
+  def write(path: String, stats: Map[String, FwColStats],
+      dataLen: Long): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val obj = stats.toSeq.sortBy(_._1).foldLeft(org.json4s.JObject()) {
-      case (o, (c, (lo, hi))) =>
+    val base = org.json4s.JObject(List(LenKey -> org.json4s.JLong(dataLen)))
+    val obj = stats.toSeq.sortBy(_._1).foldLeft(base) {
+      case (o, (c, FwIntStats(lo, hi))) =>
+        // exact JSON integers: JLong round-trips any Long bit-for-bit,
+        // where a double rendering rounds beyond 2^53
         o ~ (c -> (("min" -> lo) ~ ("max" -> hi)))
+      case (o, (c, FwDblStats(lo, hi, hasNaN))) =>
+        o ~ (c -> (("min" -> lo) ~ ("max" -> hi) ~ ("nan" -> hasNaN)))
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
   }
 
-  def read(dataFile: java.io.File): Option[Map[String, (Double, Double)]] = {
+  def read(dataFile: java.io.File): Option[Map[String, FwColStats]] = {
     val f = new java.io.File(sidecarFor(dataFile.getPath))
     if (!f.isFile) None
     else try {
@@ -526,17 +614,38 @@ private[sources] object FwStats {
       val parsed = jackson.JsonMethods.parse(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       parsed match {
-        case JObject(fields) => Some(fields.collect {
-          case (c, o: JObject) =>
-            val m = o.obj.toMap
-            def num(k: String): Double = m(k) match {
-              case JDouble(d) => d
-              case JInt(i) => i.toDouble
-              case JLong(l) => l.toDouble
-              case other => throw new IllegalArgumentException(s"$other")
-            }
-            c -> (num("min"), num("max"))
-        }.toMap)
+        case JObject(fields) =>
+          val m = fields.toMap
+          val stale = m.get(LenKey).exists {
+            case JInt(n) => n.toLong != dataFile.length()
+            case JLong(n) => n != dataFile.length()
+            case _ => true
+          } // legacy sidecars without _len are accepted as-is
+          if (stale) None
+          else Some(fields.collect {
+            case (c, o: JObject) if c != LenKey =>
+              val cm = o.obj.toMap
+              def dbl(k: String): Option[Double] = cm.get(k).flatMap {
+                case JDouble(d) => Some(d)
+                case JInt(i) => Some(i.toDouble)
+                case JLong(l) => Some(l.toDouble)
+                case _ => None // JNull: no finite bound
+              }
+              val hasNaN = cm.get("nan").contains(JBool(true))
+              val exact = (cm.get("min"), cm.get("max")) match {
+                case (Some(JInt(lo)), Some(JInt(hi)))
+                    if lo.isValidLong && hi.isValidLong =>
+                  Some(FwIntStats(lo.toLong, hi.toLong))
+                case (Some(JLong(lo)), Some(JLong(hi))) =>
+                  Some(FwIntStats(lo, hi))
+                case _ => None
+              }
+              // integer-valued min/max without a nan key = integral
+              // column (the writer always stamps nan on double columns)
+              val st = exact.filter(_ => !cm.contains("nan"))
+                .getOrElse(FwDblStats(dbl("min"), dbl("max"), hasNaN))
+              c -> st
+          }.toMap)
         case _ => None
       }
     } catch { case _: Exception => None } // corrupt sidecar => no pruning
@@ -544,34 +653,68 @@ private[sources] object FwStats {
 
   /** Conservative test: can any record in a file with these ranges
     * satisfy ALL the pushed filters? Unknown shapes never prune.
+    * Long-vs-long comparisons are exact; any comparison involving a
+    * double widens the stored envelope by 1 ulp outward (insurance
+    * against a non-shortest-round-trip sidecar producer), and a column
+    * that has seen NaN never prunes at all — Spark orders NaN above
+    * every double and EqualTo(NaN) matches NaN, so no finite envelope
+    * can prove absence.
     */
-  def mayMatch(stats: Map[String, (Double, Double)],
+  def mayMatch(stats: Map[String, FwColStats],
       filters: Array[Filter]): Boolean = {
-    def d(v: Any): Option[Double] = v match {
-      case n: java.lang.Number => Some(n.doubleValue())
+    // -1 / 0 / +1 like a comparator; None = incomparable (never prune)
+    sealed trait Bound
+    case class LongB(v: Long) extends Bound
+    case class DblB(v: Double) extends Bound
+    def bound(v: Any): Option[Bound] = v match {
+      case l: java.lang.Long => Some(LongB(l))
+      case i: java.lang.Integer => Some(LongB(i.longValue))
+      case s: java.lang.Short => Some(LongB(s.longValue))
+      case b: java.lang.Byte => Some(LongB(b.longValue))
+      case d: java.lang.Double => Some(DblB(d))
+      case fl: java.lang.Float => Some(DblB(fl.doubleValue))
       case _ => None
     }
+    // envelope of a column as (lo, hi) in the comparison domain the
+    // filter value dictates; None = cannot bound (no prune)
+    def env(cs: FwColStats, x: Bound): Option[(Bound, Bound, Bound)] =
+      (cs, x) match {
+        case (FwIntStats(lo, hi), LongB(_)) =>
+          Some((LongB(lo), LongB(hi), x))
+        case (FwIntStats(lo, hi), DblB(_)) =>
+          // long envelope vs double constant: compare as doubles with
+          // the envelope widened outward (toDouble may round inward)
+          Some((DblB(Math.nextDown(lo.toDouble)),
+            DblB(Math.nextUp(hi.toDouble)), x))
+        case (FwDblStats(Some(lo), Some(hi), false), _) =>
+          val xv = x match {
+            case LongB(l) => DblB(l.toDouble)
+            case d => d
+          }
+          Some((DblB(Math.nextDown(lo)), DblB(Math.nextUp(hi)), xv))
+        case _ => None // NaN present or unbounded envelope
+      }
+    def cmp(a: Bound, b: Bound): Int = (a, b) match {
+      case (LongB(x), LongB(y)) => java.lang.Long.compare(x, y)
+      case (DblB(x), DblB(y)) => java.lang.Double.compare(x, y)
+      case (LongB(x), DblB(y)) => java.lang.Double.compare(x.toDouble, y)
+      case (DblB(x), LongB(y)) => java.lang.Double.compare(x, y.toDouble)
+    }
+    def check(a: String, v: Any)(keep: (Bound, Bound, Bound) => Boolean) =
+      (stats.get(a), bound(v)) match {
+        case (Some(cs), Some(x)) =>
+          env(cs, x).forall { case (lo, hi, xx) => keep(lo, hi, xx) }
+        case _ => true
+      }
     filters.forall {
-      case EqualTo(a, v) => (stats.get(a), d(v)) match {
-        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
-        case _ => true
-      }
-      case GreaterThan(a, v) => (stats.get(a), d(v)) match {
-        case (Some((_, hi)), Some(x)) => hi > x
-        case _ => true
-      }
-      case GreaterThanOrEqual(a, v) => (stats.get(a), d(v)) match {
-        case (Some((_, hi)), Some(x)) => hi >= x
-        case _ => true
-      }
-      case LessThan(a, v) => (stats.get(a), d(v)) match {
-        case (Some((lo, _)), Some(x)) => lo < x
-        case _ => true
-      }
-      case LessThanOrEqual(a, v) => (stats.get(a), d(v)) match {
-        case (Some((lo, _)), Some(x)) => lo <= x
-        case _ => true
-      }
+      case EqualTo(a, v) =>
+        check(a, v)((lo, hi, x) => cmp(x, lo) >= 0 && cmp(x, hi) <= 0)
+      case GreaterThan(a, v) => check(a, v)((_, hi, x) => cmp(hi, x) > 0)
+      case GreaterThanOrEqual(a, v) =>
+        check(a, v)((_, hi, x) => cmp(hi, x) >= 0)
+      case LessThan(a, v) => check(a, v)((lo, _, x) => cmp(lo, x) < 0)
+      case LessThanOrEqual(a, v) =>
+        check(a, v)((lo, _, x) => cmp(lo, x) <= 0)
       case _ => true
     }
   }
@@ -603,10 +746,18 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     val usable = filters.flatMap {
       case In(a, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[java.lang.Number]) =>
-        val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
         // a range envelope of the IN list: enough to skip files whose
-        // zone map lies wholly outside it
-        Seq(GreaterThanOrEqual(a, ds.min), LessThanOrEqual(a, ds.max))
+        // zone map lies wholly outside it. Integral lists keep Long
+        // bounds (doubleValue rounds above 2^53 and could shave the
+        // true envelope); anything else compares as double.
+        if (vs.forall(v => v.isInstanceOf[java.lang.Long] ||
+            v.isInstanceOf[java.lang.Integer])) {
+          val ls = vs.map(_.asInstanceOf[java.lang.Number].longValue())
+          Seq(GreaterThanOrEqual(a, ls.min), LessThanOrEqual(a, ls.max))
+        } else {
+          val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
+          Seq(GreaterThanOrEqual(a, ds.min), LessThanOrEqual(a, ds.max))
+        }
       case f @ (_: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
           _: LessThan | _: LessThanOrEqual) => Seq(f)
       case _ => Seq.empty

@@ -431,6 +431,110 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(FwOffset.parse("3:/tmp/a.fw") === FwOffset(Map("/tmp/a.fw" -> 3L)))
   }
 
+  test("zone maps above 2^53: exact long stats never misprune or round") {
+    // 2^53 is where double loses integer exactness — a double-typed
+    // sidecar would collapse 2^53+1 and 2^53 to the same value, letting
+    // a GreaterThan filter at the boundary wrongly skip the file and
+    // MIN/MAX pushdown return a rounded long.
+    import spark.implicits._
+    val big = 1L << 53
+    val dir = Files.createTempDirectory("fwbig").toFile.getAbsolutePath
+    val sp = "id:long:17,v:long:17"
+    spark.createDataset(Seq((big + 1L, big + 1L), (big + 3L, big + 3L)))
+      .toDF("id", "v").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", sp).mode("overwrite").save(dir)
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sp).load(dir)
+    // pushed MIN/MAX answers from the sidecar must be bit-exact
+    val r = df.agg(min(col("v")), max(col("v"))).collect().head
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg=min(v)"),
+      s"min/max did not push: ${FixedWidth.lastScanSummary}")
+    assert((r.getLong(0), r.getLong(1)) === ((big + 1L, big + 3L)))
+    // (big+2).toDouble rounds DOWN to big+2.0? No: 2^53+2 is
+    // representable; 2^53+3 rounds to 2^53+4. The dangerous prune:
+    // filter v > 2^53+2 — a double envelope storing hi=(2^53+3) as
+    // 2^53+4 keeps the file (safe side), but min=(2^53+1) stored as
+    // 2^53+2.0 would wrongly prune filter v < 2^53+2. Exact longs
+    // cannot miss either way; assert both directions stay correct.
+    assert(df.filter(col("v") < big + 2L).count() === 1L)
+    assert(FixedWidth.lastSkippedFiles === 0, "boundary prune lost a row")
+    assert(df.filter(col("v") > big + 2L).count() === 1L)
+    // and a provably-out range still prunes the whole file
+    assert(df.filter(col("v") < big).count() === 0L)
+    assert(FixedWidth.lastSkippedFiles === 1)
+  }
+
+  test("NaN doubles: pruning and MIN/MAX pushdown stand down") {
+    // Spark orders NaN above every double (MAX of a column containing
+    // NaN is NaN; d = NaN matches NaN rows). Sidecars only see finite
+    // values, so a NaN-bearing column must decline both the pushdown
+    // and the prune.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwnan").toFile.getAbsolutePath
+    val sp = "id:long:4,d:double:10"
+    spark.createDataset(Seq((1L, 0.5), (2L, Double.NaN), (3L, 7.25)))
+      .toDF("id", "d").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", sp).mode("overwrite").save(dir)
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sp).load(dir)
+    val r = df.agg(max(col("d")), min(col("d"))).collect().head
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"NaN column pushed MIN/MAX: ${FixedWidth.lastScanSummary}")
+    assert(r.getDouble(0).isNaN, "MAX over a NaN-bearing column is NaN")
+    assert(r.getDouble(1) === 0.5)
+    // equality with NaN finds the NaN row: the file must not prune even
+    // though [0.5, 7.25] excludes the probe value
+    assert(df.filter(col("d") === lit(Double.NaN)).count() === 1L)
+    assert(FixedWidth.lastSkippedFiles === 0, "NaN row pruned away")
+    // an all-NaN column: MAX is NaN via a real scan, never NULL
+    val dir2 = Files.createTempDirectory("fwnan2").toFile.getAbsolutePath
+    spark.createDataset(Seq((1L, Double.NaN), (2L, Double.NaN)))
+      .toDF("id", "d").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", sp).mode("overwrite").save(dir2)
+    val df2 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sp).load(dir2)
+    val r2 = df2.agg(max(col("d"))).collect().head
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"))
+    assert(r2.getDouble(0).isNaN, "all-NaN MAX must be NaN, not NULL")
+    // id, NaN-free and exact, still prunes fine on the same data
+    assert(df2.filter(col("id") > 5L).count() === 0L)
+    assert(FixedWidth.lastSkippedFiles === 1)
+  }
+
+  test("a sidecar goes stale when its data file grows in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwstale").toFile.getAbsolutePath
+    val sp = "id:long:4,name:string:6,score:double:10"
+    spark.createDataset(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", sp).mode("overwrite").save(dir)
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fw")).head
+    assert(FwStats.read(dataFile).isDefined, "fresh sidecar must load")
+    // a producer appends records in place (the streaming-growth case):
+    // the recorded _len no longer matches -> the sidecar is void, so
+    // neither pruning nor MIN/MAX pushdown can use its stale envelope
+    val extra = FixedWidthWriter.render(FixedWidth.parseSchema(sp),
+      Seq(Seq[Any](99L, "z", 9.0)))
+    Files.write(dataFile.toPath, extra,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(FwStats.read(dataFile).isEmpty, "stale sidecar must not load")
+    val df = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sp).load(dir)
+    // the appended id=99 is outside the stale [1,2] envelope: with the
+    // sidecar voided the row is found, not pruned away
+    assert(df.filter(col("id") === 99L).count() === 1L)
+    assert(FixedWidth.lastSkippedFiles === 0)
+    val r = df.agg(max(col("id"))).collect().head
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      "stale sidecar fed a MIN/MAX pushdown")
+    assert(r.getLong(0) === 99L)
+  }
+
   test("mid-append tail rounds down instead of failing the query") {
     val dir = Files.createTempDirectory("fwtear").toFile
     val file = dir.toPath.resolve("data.fw")
