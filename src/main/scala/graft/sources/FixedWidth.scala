@@ -43,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    width in BYTES (records must be ASCII-safe; numeric fields are
   *    left-padded with spaces, strings right-padded).
   *  - `recordsPerSplit`: split granularity (default 1048576).
+  *  - `maxRecordsPerTrigger`: streaming admission cap — each
+  *    micro-batch admits at most this many new records (default
+  *    unlimited), so a large backlog drains as bounded, individually
+  *    checkpointed batches.
   *
   * Records are `recordLen` bytes + a single `\n`. An all-spaces field
   * reads as NULL (both types); string fields are right-trimmed.
@@ -117,7 +121,8 @@ private[sources] class FwTable(tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(declared, pathFor(options),
-      Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20))
+      Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = pathFor(info.options)
     require(path != null, "FixedWidth write requires a path")
@@ -346,7 +351,8 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
 }
 
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
-    recordsPerSplit: Long) extends ScanBuilder
+    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   require(path != null, "FixedWidth requires a path (load(dir) or option path)")
@@ -484,7 +490,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
         new FwAggScan(fullSchema, required, specs, path, summary)
       case None =>
         new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
-          summary)
+          summary, maxRecordsPerTrigger)
     }
   }
 }
@@ -722,7 +728,8 @@ private[sources] object FwStats {
 
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
-    summary: String) extends Scan with Batch
+    summary: String, maxRecordsPerTrigger: Option[Long] = None)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -829,7 +836,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
-      recordsPerSplit)
+      recordsPerSplit, maxRecordsPerTrigger)
 }
 
 /** Offset = per-file record counts, serialized as ONE line of compact
@@ -873,7 +880,11 @@ private[sources] object FwOffset {
 
 private[sources] class FwMicroBatchStream(fullSchema: StructType,
     requiredNames: Array[String], pushed: Array[Filter], path: String,
-    recordsPerSplit: Long) extends MicroBatchStream {
+    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   private val rowLen = FixedWidth.widths(fullSchema).sum + 1L
 
   override def initialOffset(): Offset = FwOffset(Map.empty)
@@ -881,9 +892,40 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
   // A file caught mid-append rounds DOWN to its last complete record —
   // throwing here would fail the whole streaming query instead of just
   // picking up the torn tail next batch.
-  override def latestOffset(): Offset =
-    FwOffset(FwFiles.list(path).map(f =>
-      f.getPath -> f.length() / rowLen).toMap)
+  private def availableCounts(): Map[String, Long] =
+    FwFiles.list(path).map(f => f.getPath -> f.length() / rowLen).toMap
+
+  override def latestOffset(): Offset = FwOffset(availableCounts())
+
+  /** Admission control: a `maxRecordsPerTrigger` option caps each
+    * micro-batch, so a 10^9-record backlog (first start against a full
+    * directory, or recovery after downtime) drains as bounded batches
+    * instead of one giant catch-up batch that overwhelms executor
+    * memory and checkpoints nothing until the very end. The budget is
+    * spent in deterministic file order; record counts make the cut
+    * exact — no file boundary rounding.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableCounts()
+    limit match {
+      case r: ReadMaxRows =>
+        val from = start.asInstanceOf[FwOffset].counts
+        var budget = r.maxRows()
+        FwOffset(avail.toSeq.sortBy(_._1).map { case (file, hi) =>
+          val lo = from.getOrElse(file, 0L)
+          // hi < lo (a truncated file) admits nothing rather than
+          // rewinding the checkpointed position
+          val take = math.max(0L, math.min(hi - lo, budget))
+          budget -= take
+          file -> (lo + take)
+        }.toMap)
+      case _ => FwOffset(avail)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[FwOffset].counts

@@ -302,6 +302,66 @@ class FixedWidthSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxRecordsPerTrigger drains a backlog as bounded batches") {
+    // Admission control: a full directory at first start (or a big
+    // catch-up after downtime) must not arrive as one giant batch —
+    // the cap bounds every micro-batch and each batch checkpoints its
+    // own progress.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("fwlimit").toFile
+    val bigRows = (1 to 25).map(i =>
+      Seq[Any](i.toLong, s"r$i", i / 2.0))
+    Files.write(dir.toPath.resolve("data.fw"),
+      FixedWidthWriter.render(schema, bigRows.take(20)))
+    Files.write(dir.toPath.resolve("more.fw"),
+      FixedWidthWriter.render(schema, bigRows.drop(20)))
+    val ckpt = Files.createTempDirectory("fwlimit_ckpt").toFile
+    var batchSizes = Vector.empty[Long]
+    val q = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec)
+      .option("maxRecordsPerTrigger", "7")
+      .load(dir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes :+= df.count()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batchSizes.sum === 25L,
+        s"drain lost/duplicated rows: $batchSizes")
+      assert(batchSizes.forall(_ <= 7L),
+        s"a batch exceeded the admission cap: $batchSizes")
+      assert(batchSizes.count(_ > 0) >= 4,
+        s"backlog did not spread over batches: $batchSizes")
+    } finally q.stop()
+    // restart with a further append: the checkpointed position resumes
+    // mid-file and the cap still applies
+    Files.write(dir.toPath.resolve("data.fw"),
+      FixedWidthWriter.render(schema,
+        (26 to 40).map(i => Seq[Any](i.toLong, s"r$i", 0.0))),
+      java.nio.file.StandardOpenOption.APPEND)
+    var seen = Vector.empty[Long]
+    val q2 = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec)
+      .option("maxRecordsPerTrigger", "7")
+      .load(dir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.collect().map(_.getLong(0))
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.sorted === (26L to 40L),
+        s"restart under the cap replayed or dropped: ${seen.sorted}")
+    } finally q2.stop()
+  }
+
   test("scan reports exact stats; a small fw side broadcasts without a hint") {
     val dir = writeFixture(rows)
     val df = spark.read.format("graft.sources.FixedWidth")
