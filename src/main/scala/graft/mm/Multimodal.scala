@@ -37,14 +37,57 @@ object Multimodal {
         features: Array[Float])
   }
 
-  /** Real codecs would go here (JPEG/PNG/WAV...). Unavailable in this
-    * container — any call fails loudly rather than fabricating data.
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * no external jars): dimensions and channel count from the decoded
+    * raster, features = per-band pixel-value sums (a pooled feature
+    * exact enough to oracle-check: integer-valued and < 2^24 for test
+    * fixtures, so the Float carries it bit-exactly). Accumulation runs
+    * in doubles; an unreadable payload fails loudly rather than
+    * fabricating data.
+    */
+  object ImageIoCodec extends Codec {
+    def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new UnsupportedOperationException(
+          s"ImageIO has no reader for this '$mediaType' payload " +
+            s"(${bytes.length} bytes)")
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val sums = new Array[Double](bands)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          var b = 0
+          while (b < bands) {
+            sums(b) += raster.getSample(x, y, b)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedMedia.Partial(img.getWidth, img.getHeight, bands,
+        sums.map(_.toFloat))
+    }
+  }
+
+  /** The real-codec dispatch: image payloads decode through
+    * [[ImageIoCodec]]; media types with no codec in this environment
+    * (audio/video) fail loudly rather than fabricating data.
     */
   object RealCodec extends Codec {
+    private val ImageExts = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
     def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial =
-      throw new UnsupportedOperationException(
-        "real media codecs are not available in this environment; " +
-          "use DeterministicFakeCodec or plug a codec jar in")
+      if (mediaType.startsWith("image/") ||
+          ImageExts(mediaType.stripPrefix("file/")))
+        ImageIoCodec.decode(mediaType, bytes)
+      else
+        throw new UnsupportedOperationException(
+          s"no real codec for '$mediaType' in this environment; " +
+            "use DeterministicFakeCodec or plug a codec jar in")
   }
 
   /** Deterministic fake: "dimensions" derived from payload length, features

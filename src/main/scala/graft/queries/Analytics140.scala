@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions, batch 140 (SURVEY.md §2.4):
+  *
+  *  - m27: REAL image decode through the JDK's `javax.imageio` — the
+  *    engine's last stub retired. The query plants PNGs with formulaic
+  *    pixels (one per doc_id < 40; dimensions and every channel value
+  *    are pure functions of (doc_id, x, y)), ingests them through the
+  *    binaryFile source, and decodes DISTRIBUTED via
+  *    [[graft.mm.Multimodal.ImageIoCodec]] — width/height/channels from
+  *    the decoded raster, per-channel pixel sums as the pooled feature.
+  *    The oracle recomputes every value from the planted formula alone:
+  *    a hash match proves the decoder returned the true pixels, not
+  *    metadata. (Fixture write is a bounded 40-file driver loop, the
+  *    m5 device.)
+  *  - q351: incremental view maintenance under DELETES — q341's
+  *    delta-join algebra extended to signed multiplicities. Both sides
+  *    of V = orders ⋈ customer receive inserts (+1) AND retractions
+  *    (−1); every delta term ΔA⋈B₀, A₀⋈ΔB, ΔA⋈ΔB carries the PRODUCT
+  *    of its sides' signs, state merges by signed addition, and
+  *    groups whose multiplicity reaches zero drop out. The oracle is
+  *    the full rebuild over the post-delta tables: the hash match IS
+  *    the incremental ≡ rebuild theorem under retractions — what a
+  *    CDC-fed materialized view needs at 100 TB, where rebuilding is
+  *    not an option. All partials are map-side-combinable aggregations
+  *    over broadcast-joined dimension slices.
+  */
+object Analytics140 {
+  import Tables.t
+
+  private val ImgDocs = 40
+
+  /** Planted pixel formula — the single source of truth both engines
+    * derive from (the Spark side via real PNG encode→decode, the oracle
+    * via direct recomputation).
+    */
+  private def dims(id: Long): (Int, Int) =
+    ((id % 13 + 4).toInt, (id % 7 + 3).toInt)
+  private def px(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 31 + x * 7 + y * 3) % 256).toInt,
+      ((id * 17 + x * 5 + y * 11) % 256).toInt,
+      ((id * 13 + x * 3 + y * 5) % 256).toInt)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m27_imageio_decode" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m27", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val ids = t(spark, dir, "documents")
+        .filter(col("doc_id") < ImgDocs)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val (w, h) = dims(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = px(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        javax.imageio.ImageIO.write(img, "png",
+          base.resolve(s"img_$id.png").toFile)
+      }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(base.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // real decode, once per image, executor-side
+          val p = graft.mm.Multimodal.ImageIoCodec.decode("image/png", bytes)
+          (id, p.width.toLong, p.height.toLong, p.channels,
+            p.features(0).toLong, p.features(1).toLong,
+            p.features(2).toLong)
+        })
+        .toDF("doc_id", "width", "height", "channels",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
+    "q351_join_ivm_retract" -> ((spark, dir) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast("decimal(18,2)") * 100).cast("long")
+      val cust = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val orders = t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("w"))
+      val cutoff = lit("1996-01-01").cast("date")
+      // base state and signed deltas: late orders arrive (+1), a slice
+      // of the base retracts (−1); a customer segment arrives (+1), a
+      // slice of the base churns out (−1)
+      val a0 = orders.filter(col("o_orderdate") < cutoff)
+      val da = a0.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("sa", lit(-1L))
+        .union(orders.filter(col("o_orderdate") >= cutoff)
+          .withColumn("sa", lit(1L)))
+      val b0 = cust.filter(col("c_custkey") % 3 =!= 0)
+      val db = b0.filter(col("c_custkey") % 5 === 0)
+        .withColumn("sb", lit(-1L))
+        .union(cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("sb", lit(1L)))
+      def partial(o: DataFrame, c: DataFrame): DataFrame = o
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(col("sa") * col("sb")).as("n"),
+          sum(col("sa") * col("sb") * col("w")).as("s"))
+      val old = partial(a0.withColumn("sa", lit(1L)),
+        b0.withColumn("sb", lit(1L)))
+      val delta = partial(da, b0.withColumn("sb", lit(1L)))
+        .union(partial(a0.withColumn("sa", lit(1L)), db))
+        .union(partial(da, db))
+      old.union(delta)
+        .groupBy("c_nationkey")
+        .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("rev_cents"))
+        // a group retracted to zero multiplicity leaves the view
+        .filter(col("n_orders") > 0)
+        .select(col("c_nationkey"), col("n_orders"), col("rev_cents"),
+          (col("rev_cents").cast("double")
+            / col("n_orders").cast("double")).as("avg_cents"))
+        .orderBy("c_nationkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m27_imageio_decode" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT doc_id FROM documents WHERE doc_id < $ImgDocs),
+         |dims AS (
+         |  SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+         |    CAST(doc_id % 7 + 3 AS BIGINT) AS height
+         |  FROM d),
+         |xs AS (
+         |  SELECT doc_id, width, height, unnest(range(width)) AS x
+         |  FROM dims),
+         |px AS (
+         |  SELECT doc_id, width, height, x, unnest(range(height)) AS y
+         |  FROM xs)
+         |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+         |  CAST(sum((doc_id*31 + x*7 + y*3) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((doc_id*17 + x*5 + y*11) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((doc_id*13 + x*3 + y*5) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // the full rebuild over the post-delta tables: base minus
+    // retractions plus arrivals, on both sides
+    "q351_join_ivm_retract" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM orders
+        |  WHERE (o_orderdate < DATE '1996-01-01' AND o_orderkey % 7 <> 0)
+        |     OR o_orderdate >= DATE '1996-01-01'),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE (c_custkey % 3 <> 0 AND c_custkey % 5 <> 0)
+        |     OR c_custkey % 3 = 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(w) AS BIGINT) AS rev_cents,
+        |  CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1 HAVING count(*) > 0 ORDER BY c_nationkey""".stripMargin,
+  )
+}

@@ -158,6 +158,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: ImageIoCodec decodes real PNGs to exact pixels") {
+    // a 3x2 RGB image with known channel values: the decode must return
+    // the true raster (dims, band count, per-band sums), not metadata
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0; var sg = 0; var sb = 0
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = (10 * x + y, 100 + x, 200 + y)
+      sr += r; sg += g; sb += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val p = Multimodal.ImageIoCodec.decode("image/png", bos.toByteArray)
+    assert((p.width, p.height, p.channels) === ((3, 2, 3)))
+    assert(p.features.toSeq === Seq(sr.toFloat, sg.toFloat, sb.toFloat))
+    // RealCodec dispatches image payloads to the real decoder...
+    val viaReal = Multimodal.RealCodec.decode("file/png", bos.toByteArray)
+    assert((viaReal.width, viaReal.height, viaReal.channels)
+      === ((p.width, p.height, p.channels)))
+    assert(viaReal.features.toSeq === p.features.toSeq)
+    // ...and still fails loudly where no codec exists in this container
+    intercept[UnsupportedOperationException] {
+      Multimodal.RealCodec.decode("audio/wav", bos.toByteArray)
+    }
+  }
+
   test("Multimodal: binaryFile source ingests real files into the media schema") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-bin")
