@@ -21,74 +21,90 @@ object Sinks {
   /** Python json.dump escape semantics (the byte-parity contract): the
     * shorthand escapes incl. \b and \f, and ensure_ascii=True — every
     * non-ASCII UTF-16 code unit (incl. each surrogate half) as \uXXXX.
-    * Appends into `sb`: the per-char string-returning formulation this
+    * Appends into `out`: the per-char string-returning formulation this
     * replaces dominated the sink at 300k+ candidates.
     */
-  private def jsonEscapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+  private def jsonEscapeInto(out: java.io.Writer, s: String): Unit = {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
+        case '"' => out.append("\\\"")
+        case '\\' => out.append("\\\\")
+        case '\n' => out.append("\\n")
+        case '\r' => out.append("\\r")
+        case '\t' => out.append("\\t")
+        case '\b' => out.append("\\b")
+        case '\f' => out.append("\\f")
+        case c if c < ' ' || c > '~' => out.append(f"\\u${c.toInt}%04x")
+        case c => out.append(c)
       }
       i += 1
     }
   }
 
-  /** Render rows as a Python-json.dump(indent=2)-style JSON array. */
-  def renderJsonArray(rows: Seq[Row]): String = {
-    if (rows.isEmpty) return "[]"
-    val sb = new java.lang.StringBuilder(math.min(rows.size, 1 << 20) * 64)
-    sb.append("[\n")
+  /** Stream rows as a Python-json.dump(indent=2)-style JSON array into
+    * `out`. Streaming keeps peak driver memory bounded by the writer's
+    * buffer rather than by the rendered output (at the head-to-head's
+    * 29% flag rate the one-StringBuilder formulation held the entire
+    * multi-hundred-MB array in memory alongside the rows).
+    */
+  def renderJsonArrayTo(out: java.io.Writer, rows: IterableOnce[Row]): Unit = {
+    val it = rows.iterator
+    if (!it.hasNext) { out.append("[]"); return }
+    out.append("[\n")
     var first = true
-    rows.foreach { r =>
-      if (!first) sb.append(",\n")
+    it.foreach { r =>
+      if (!first) out.append(",\n")
       first = false
-      sb.append("  {\n")
+      out.append("  {\n")
       val fields = r.schema.fields
       var i = 0
       while (i < fields.length) {
-        if (i > 0) sb.append(",\n")
-        sb.append("    \"")
-        jsonEscapeInto(sb, fields(i).name)
-        sb.append("\": ")
-        if (r.isNullAt(i)) sb.append("null")
+        if (i > 0) out.append(",\n")
+        out.append("    \"")
+        jsonEscapeInto(out, fields(i).name)
+        out.append("\": ")
+        if (r.isNullAt(i)) out.append("null")
         else r.get(i) match {
           case s: String =>
-            sb.append('"'); jsonEscapeInto(sb, s); sb.append('"')
-          case n: java.lang.Number => sb.append(n.toString)
-          case b: java.lang.Boolean => sb.append(b.toString)
+            out.append('"'); jsonEscapeInto(out, s); out.append('"')
+          case n: java.lang.Number => out.append(n.toString)
+          case b: java.lang.Boolean => out.append(b.toString)
           // Dates/timestamps/anything else: render as a JSON string —
           // bare toString would be invalid JSON.
           case other =>
-            sb.append('"'); jsonEscapeInto(sb, other.toString); sb.append('"')
+            out.append('"'); jsonEscapeInto(out, other.toString)
+            out.append('"')
         }
         i += 1
       }
-      sb.append("\n  }")
+      out.append("\n  }")
     }
-    sb.append("\n]")
-    sb.toString
+    out.append("\n]")
+  }
+
+  /** Render rows as one in-memory string (tests, small sets). */
+  def renderJsonArray(rows: Seq[Row]): String = {
+    val sw = new java.io.StringWriter(math.min(rows.size, 1 << 20) * 64)
+    renderJsonArrayTo(sw, rows)
+    sw.toString
   }
 
   /** Pretty-JSON candidates sink (byte-parity path). Returns collected rows
     * so callers share the single action (reference returns the candidate
-    * list too, claim_pipeline.py:233).
+    * list too, claim_pipeline.py:233). The render streams through a
+    * buffered writer straight to disk — bytes identical to the in-memory
+    * formulation, peak memory bounded by the buffer.
     */
   def writeCandidatesPretty(candidates: DataFrame, path: String): Seq[Row] = {
     val rows = candidates.limit(DriverCollectGuard + 1).collect().toSeq
     require(rows.size <= DriverCollectGuard,
       s"candidate set exceeds driver guard ($DriverCollectGuard rows); " +
         "use writeCandidatesDistributed")
-    Files.write(Paths.get(path),
-      renderJsonArray(rows).getBytes(StandardCharsets.UTF_8))
+    val out = Files.newBufferedWriter(Paths.get(path),
+      StandardCharsets.UTF_8)
+    try renderJsonArrayTo(out, rows)
+    finally out.close()
     rows
   }
 
