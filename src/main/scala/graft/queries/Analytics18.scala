@@ -29,13 +29,17 @@ object Analytics18 {
         .groupBy(col("c_mktsegment").as("segment"),
           col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n_ij"))
-      // margins from the bounded (≤ 25-row) cell frame, not a rescan
+      // margins from the bounded (≤ 25-row) cell frame, not a rescan —
+      // as broadcast-joined aggregates rather than empty-partition
+      // windows, so the shape stays multi-task at ANY category
+      // cardinality (the census's empty-orderSpec detector now counts
+      // unordered global windows; this formulation plans none)
       val withMargins = cells
-        .withColumn("n_i", sum(col("n_ij"))
-          .over(Window.partitionBy("segment")))
-        .withColumn("n_j", sum(col("n_ij"))
-          .over(Window.partitionBy("priority")))
-        .withColumn("n", sum(col("n_ij")).over(Window.partitionBy()))
+        .join(broadcast(cells.groupBy("segment")
+          .agg(sum(col("n_ij")).as("n_i"))), Seq("segment"))
+        .join(broadcast(cells.groupBy("priority")
+          .agg(sum(col("n_ij")).as("n_j"))), Seq("priority"))
+        .crossJoin(broadcast(cells.agg(sum(col("n_ij")).as("n"))))
       val terms = withMargins
         .withColumn("mi_term", round(
           (col("n_ij").cast("double") / col("n")) *

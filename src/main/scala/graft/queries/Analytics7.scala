@@ -133,17 +133,24 @@ object Analytics7 {
         .groupBy(col("event_type"),
           expr("CAST(hour(ts) div 6 AS INT)").as("q"))
         .agg(count(lit(1)).as("n"))
-      val wRow = Window.partitionBy("event_type")
-      val wCol = Window.partitionBy("q")
-      val wAll = Window.partitionBy()
+      // margins as broadcast-joined aggregates over the bounded cell
+      // frame (types × 4 quadrants) — no empty-partition window, so the
+      // plan stays multi-task at any type cardinality
+      val rowTot = cells.groupBy("event_type")
+        .agg(sum("n").as("row_tot"))
+      val colTot = cells.groupBy("q").agg(sum("n").as("col_tot"))
+      val allTot = cells.agg(sum("n").as("all_tot"))
       cells
+        .join(broadcast(rowTot), Seq("event_type"))
+        .join(broadcast(colTot), Seq("q"))
+        .crossJoin(broadcast(allTot))
         // expected = row·col/N with each total cast to DOUBLE BEFORE the
         // multiply: the BIGINT product row_tot·col_tot overflows Long
         // once the table passes ~3e9 rows (ANSI throw at 100 TB scale)
         .withColumn("e",
-          sum("n").over(wRow).cast("double") *
-            sum("n").over(wCol).cast("double") /
-            sum("n").over(wAll).cast("double"))
+          col("row_tot").cast("double") *
+            col("col_tot").cast("double") /
+            col("all_tot").cast("double"))
         .withColumn("term",
           round((col("n").cast("double") - col("e")) *
             (col("n").cast("double") - col("e")) / col("e"), 8)
