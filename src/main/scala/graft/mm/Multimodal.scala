@@ -74,16 +74,76 @@ object Multimodal {
     }
   }
 
+  /** Real PCM audio decode via the JDK's `javax.sound.sampled` (WAV/AU
+    * — no external jars): stream format from the parsed header, samples
+    * decoded to 16-bit signed ints with the container's endianness.
+    * Exact by construction, so an oracle can replay planted waveforms
+    * bit-for-bit.
+    */
+  object WavCodec {
+    /** Decoded PCM: interleaved frames (frame i, channel c at
+      * `samples(i * channels + c)`).
+      */
+    final case class Pcm(channels: Int, sampleRateHz: Int, nFrames: Long,
+        samples: Array[Int])
+
+    def decode(bytes: Array[Byte]): Pcm = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16)
+        throw new UnsupportedOperationException(
+          s"only 16-bit signed PCM is decoded here, got $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      val big = fmt.isBigEndian
+      var i = 0
+      while (i < out.length) {
+        val (hi, lo) = if (big) (raw(2 * i), raw(2 * i + 1))
+          else (raw(2 * i + 1), raw(2 * i))
+        out(i) = (hi.toInt << 8) | (lo.toInt & 0xff)
+        i += 1
+      }
+      Pcm(fmt.getChannels, fmt.getSampleRate.toInt,
+        out.length / fmt.getChannels, out)
+    }
+  }
+
   /** The real-codec dispatch: image payloads decode through
-    * [[ImageIoCodec]]; media types with no codec in this environment
-    * (audio/video) fail loudly rather than fabricating data.
+    * [[ImageIoCodec]], PCM audio through [[WavCodec]] (mapped into the
+    * shared Partial shape: width = frames, height = 1, features =
+    * per-channel mean absolute amplitude); media types with no codec in
+    * this environment (video) fail loudly rather than fabricating data.
     */
   object RealCodec extends Codec {
     private val ImageExts = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
+    private val AudioExts = Set("wav", "wave", "au")
     def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia.Partial =
       if (mediaType.startsWith("image/") ||
           ImageExts(mediaType.stripPrefix("file/")))
         ImageIoCodec.decode(mediaType, bytes)
+      else if (mediaType.startsWith("audio/") ||
+          AudioExts(mediaType.stripPrefix("file/")))
+        try {
+          val pcm = WavCodec.decode(bytes)
+          val sums = new Array[Double](pcm.channels)
+          var i = 0
+          while (i < pcm.samples.length) {
+            sums(i % pcm.channels) += math.abs(pcm.samples(i).toDouble)
+            i += 1
+          }
+          DecodedMedia.Partial(
+            width = math.min(pcm.nFrames, Int.MaxValue.toLong).toInt,
+            height = 1, channels = pcm.channels,
+            features = sums.map(s =>
+              (s / math.max(pcm.nFrames, 1L)).toFloat))
+        } catch {
+          case e: Exception =>
+            throw new UnsupportedOperationException(
+              s"payload is not decodable '$mediaType' audio: $e", e)
+        }
       else
         throw new UnsupportedOperationException(
           s"no real codec for '$mediaType' in this environment; " +

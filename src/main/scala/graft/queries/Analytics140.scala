@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   *    a hash match proves the decoder returned the true pixels, not
   *    metadata. (Fixture write is a bounded 40-file driver loop, the
   *    m5 device.)
+  *  - m28: REAL audio decode through the JDK's `javax.sound.sampled` —
+  *    planted 16-bit mono PCM waveforms written as WAV containers,
+  *    ingested through binaryFile, header-parsed and sample-decoded
+  *    distributed via [[graft.mm.Multimodal.WavCodec]]; the oracle
+  *    replays frame counts, sample rate, Σ|s| and peak amplitude from
+  *    the waveform formula, so the hash match proves true PCM decode
+  *    through the container round-trip.
   *  - q351: incremental view maintenance under DELETES — q341's
   *    delta-join algebra extended to signed multiplicities. Both sides
   *    of V = orders ⋈ customer receive inserts (+1) AND retractions
@@ -32,6 +39,14 @@ object Analytics140 {
   import Tables.t
 
   private val ImgDocs = 40
+  private val WavDocs = 30
+
+  /** Planted waveform — 16-bit mono PCM at 8 kHz, every sample a pure
+    * function of (doc_id, i); both engines derive from this alone.
+    */
+  private def wavFrames(id: Long): Int = ((id % 5 + 2) * 50).toInt
+  private def wavSample(id: Long, i: Int): Int =
+    (((id * 37 + i * 11) % 4096) - 2048).toInt
 
   /** Planted pixel formula — the single source of truth both engines
     * derive from (the Spark side via real PNG encode→decode, the oracle
@@ -85,6 +100,64 @@ object Analytics140 {
         })
         .toDF("doc_id", "width", "height", "channels",
           "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
+    "m28_wav_decode" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m28", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val ids = t(spark, dir, "documents")
+        .filter(col("doc_id") < WavDocs)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val n = wavFrames(id)
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = wavSample(id, i)
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          base.resolve(s"clip_$id.wav").toFile)
+      }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(base.toString)
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // real header parse + PCM decode, once per clip, executor-side
+          val pcm = graft.mm.Multimodal.WavCodec.decode(bytes)
+          var sumAbs = 0L
+          var peak = 0L
+          var i = 0
+          while (i < pcm.samples.length) {
+            val a = math.abs(pcm.samples(i).toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, pcm.nFrames, pcm.channels, pcm.sampleRateHz.toLong,
+            sumAbs, peak)
+        })
+        .toDF("doc_id", "n_frames", "channels", "sample_rate",
+          "sum_abs", "peak")
         .orderBy("doc_id")
     }),
 
@@ -151,6 +224,26 @@ object Analytics140 {
          |  CAST(sum((doc_id*17 + x*5 + y*11) % 256) AS BIGINT) AS sum_g,
          |  CAST(sum((doc_id*13 + x*3 + y*5) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "m28_wav_decode" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT doc_id FROM documents WHERE doc_id < $WavDocs),
+         |dims AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 5 + 2) * 50 AS BIGINT) AS n_frames
+         |  FROM d),
+         |sm AS (
+         |  SELECT doc_id, n_frames, unnest(range(n_frames)) AS i
+         |  FROM dims),
+         |vals AS (
+         |  SELECT doc_id, n_frames,
+         |    (doc_id * 37 + i * 11) % 4096 - 2048 AS s
+         |  FROM sm)
+         |SELECT doc_id, n_frames, CAST(1 AS INTEGER) AS channels,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS BIGINT) AS peak
+         |FROM vals GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     // the full rebuild over the post-delta tables: base minus
     // retractions plus arrivals, on both sides

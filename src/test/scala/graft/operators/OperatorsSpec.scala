@@ -185,6 +185,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: WavCodec round-trips 16-bit PCM through a WAV container") {
+    val samples = Array[Int](0, 1000, -1000, 32767, -32768, 12345, -1)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val pcm = Multimodal.WavCodec.decode(bos.toByteArray)
+    assert((pcm.channels, pcm.sampleRateHz, pcm.nFrames) === ((1, 8000, 7L)))
+    assert(pcm.samples.toSeq === samples.toSeq,
+      "decoded samples must be bit-exact, including the int16 extremes")
+    // RealCodec maps audio into the shared Partial shape
+    val p = Multimodal.RealCodec.decode("audio/wav", bos.toByteArray)
+    assert((p.width, p.height, p.channels) === ((7, 1, 1)))
+    val meanAbs = samples.map(s => math.abs(s.toDouble)).sum / 7
+    assert(math.abs(p.features(0) - meanAbs) < 1e-3)
+  }
+
   test("Multimodal: binaryFile source ingests real files into the media schema") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-bin")
