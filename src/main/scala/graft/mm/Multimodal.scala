@@ -111,6 +111,54 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash over REAL decoded pixels: the image is
+    * pooled onto a grid×grid luma grid (cells by the exact integer map
+    * `x*grid div w`), and a cell's bit is set iff its mean luma exceeds
+    * the image mean — compared multiplicatively
+    * (cellSum·totalCnt > totalSum·cellCnt) so the hash is integer-exact
+    * and an oracle can replay it from a planted pixel formula without
+    * any division rounding. Returns (width, height, hash) with bit
+    * (cy·grid + cx). Luma = sum of the raster's bands (monotone in the
+    * usual luminance weights — enough for a threshold hash).
+    */
+  def aHashFromImage(bytes: Array[Byte], grid: Int): (Int, Int, Long) = {
+    require(grid * grid <= 63, s"grid $grid overflows the Long hash")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new UnsupportedOperationException(
+        s"ImageIO has no reader for this payload (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val cellSum = new Array[Long](grid * grid)
+    val cellCnt = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        var l = 0L
+        var b = 0
+        while (b < bands) { l += raster.getSample(x, y, b); b += 1 }
+        val c = cy * grid + x * grid / w
+        cellSum(c) += l
+        cellCnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalCnt = cellCnt.sum
+    var hash = 0L
+    var c = 0
+    while (c < grid * grid) {
+      if (cellCnt(c) > 0 &&
+          cellSum(c) * totalCnt > totalSum * cellCnt(c)) hash |= 1L << c
+      c += 1
+    }
+    (w, h, hash)
+  }
+
   /** The real-codec dispatch: image payloads decode through
     * [[ImageIoCodec]], PCM audio through [[WavCodec]] (mapped into the
     * shared Partial shape: width = frames, height = 1, features =

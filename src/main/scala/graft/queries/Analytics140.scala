@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *    replays frame counts, sample rate, Σ|s| and peak amplitude from
   *    the waveform formula, so the hash match proves true PCM decode
   *    through the container round-trip.
+  *  - m29: perceptual near-dup over REAL pixels — each planted image
+  *    gets a brightness-nudged duplicate; both decode through ImageIO
+  *    into an integer-exact 4×4 average hash (multiplicative threshold,
+  *    no division rounding), and the orig↔dup Hamming distances come
+  *    out of `bit_count(xor)`. The oracle replays hashes and distances
+  *    from the pixel formula alone — the visual-dedup front end (m25's
+  *    banding) now runs from true decoded pixels.
   *  - q351: incremental view maintenance under DELETES — q341's
   *    delta-join algebra extended to signed multiplicities. Both sides
   *    of V = orders ⋈ customer receive inserts (+1) AND retractions
@@ -40,6 +47,8 @@ object Analytics140 {
 
   private val ImgDocs = 40
   private val WavDocs = 30
+  private val AHashDocs = 12
+  private val AHashGrid = 4
 
   /** Planted waveform — 16-bit mono PCM at 8 kHz, every sample a pure
     * function of (doc_id, i); both engines derive from this alone.
@@ -58,6 +67,10 @@ object Analytics140 {
     (((id * 31 + x * 7 + y * 3) % 256).toInt,
       ((id * 17 + x * 5 + y * 11) % 256).toInt,
       ((id * 13 + x * 3 + y * 5) % 256).toInt)
+  private def pxOther(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 41 + x * 13 + y * 17) % 256).toInt,
+      ((id * 23 + x * 9 + y * 7) % 256).toInt,
+      ((id * 19 + x * 15 + y * 13) % 256).toInt)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m27_imageio_decode" -> ((spark, dir) => {
@@ -161,6 +174,75 @@ object Analytics140 {
         .orderBy("doc_id")
     }),
 
+    "m29_image_ahash_dups" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m29", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val ids = t(spark, dir, "documents")
+        .filter(col("doc_id") < AHashDocs)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+      // each id gets: a brightness-nudged near-duplicate (every channel
+      // +3, clamped — aHash's threshold is shift-invariant, distance
+      // stays ~0) and an unrelated image from a different pixel formula
+      // (distance must move away from 0) — both sides of what a visual
+      // dedup hash has to deliver
+      ids.foreach { id =>
+        Seq("orig", "dup", "othr").foreach { tag =>
+          val (w, h) = dims(id)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val (r, g, b) =
+              if (tag == "othr") pxOther(id, x, y) else px(id, x, y)
+            val delta = if (tag == "dup") 3 else 0
+            def cl(v: Int) = math.min(v + delta, 255)
+            img.setRGB(x, y, (cl(r) << 16) | (cl(g) << 8) | cl(b))
+          }
+          javax.imageio.ImageIO.write(img, "png",
+            base.resolve(s"${tag}_$id.png").toFile)
+        }
+      }
+      val hashes = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(base.toString)
+        .select(regexp_extract(col("path"), "([a-z]+)_\\d+\\.png$", 1)
+          .as("variant"),
+          regexp_extract(col("path"), "_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content"))
+        .as[(String, Long, Array[Byte])]
+        .mapPartitions(_.map { case (variant, id, bytes) =>
+          // real decode -> integer-exact 4x4 average hash per image
+          val (w, h, hash) =
+            graft.mm.Multimodal.aHashFromImage(bytes, AHashGrid)
+          (variant, id, w.toLong, h.toLong, hash)
+        })
+        .toDF("variant", "doc_id", "width", "height", "ahash")
+        .localCheckpoint(true)
+      hashes.filter(col("variant") === "orig")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("ahash").as("hash_orig"))
+        .join(hashes.filter(col("variant") === "dup")
+          .select(col("doc_id"), col("ahash").as("hash_dup")),
+          Seq("doc_id"))
+        .join(hashes.filter(col("variant") === "othr")
+          .select(col("doc_id"), col("ahash").as("hash_othr")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("hash_orig"), col("hash_dup"), col("hash_othr"),
+          bit_count(col("hash_orig").bitwiseXOR(col("hash_dup")))
+            .cast("long").as("hamming_dup"),
+          bit_count(col("hash_orig").bitwiseXOR(col("hash_othr")))
+            .cast("long").as("hamming_othr"))
+        .orderBy("doc_id")
+    }),
+
     "q351_join_ivm_retract" -> ((spark, dir) => {
       def cents(c: org.apache.spark.sql.Column) =
         (c.cast("decimal(18,2)") * 100).cast("long")
@@ -244,6 +326,67 @@ object Analytics140 {
          |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
          |  CAST(max(abs(s)) AS BIGINT) AS peak
          |FROM vals GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    // the multiplicative-threshold hash replayed from the planted pixel
+    // formula: luma = sum of the +delta-clamped channels, cells by the
+    // exact x*grid//w map, bit set iff cellSum*totalCnt > totalSum*cellCnt
+    "m29_image_ahash_dups" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id < $AHashDocs),
+         |dims AS (
+         |  SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+         |    CAST(doc_id % 7 + 3 AS BIGINT) AS h
+         |  FROM d),
+         |v AS (SELECT * FROM (VALUES ('orig', 0), ('dup', 3),
+         |  ('othr', 0)) AS t(variant, delta)),
+         |xs AS (
+         |  SELECT doc_id, w, h, variant, delta, unnest(range(w)) AS x
+         |  FROM dims CROSS JOIN v),
+         |pxl AS (
+         |  SELECT doc_id, w, h, variant, delta, x, unnest(range(h)) AS y
+         |  FROM xs),
+         |lum AS (
+         |  SELECT doc_id, w, h, variant,
+         |    CASE WHEN variant = 'othr' THEN
+         |      (doc_id*41 + x*13 + y*17) % 256
+         |      + (doc_id*23 + x*9 + y*7) % 256
+         |      + (doc_id*19 + x*15 + y*13) % 256
+         |    ELSE
+         |      least((doc_id*31 + x*7 + y*3) % 256 + delta, 255)
+         |      + least((doc_id*17 + x*5 + y*11) % 256 + delta, 255)
+         |      + least((doc_id*13 + x*3 + y*5) % 256 + delta, 255)
+         |    END AS l,
+         |    (y * $AHashGrid // h) * $AHashGrid + (x * $AHashGrid // w)
+         |      AS c
+         |  FROM pxl),
+         |cells AS (
+         |  SELECT doc_id, w, h, variant, c, sum(l) AS cs,
+         |    count(*) AS cc
+         |  FROM lum GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (
+         |  SELECT doc_id, variant, sum(cs) AS ts, sum(cc) AS tc
+         |  FROM cells GROUP BY 1, 2),
+         |hsh AS (
+         |  SELECT cells.doc_id, w, h, cells.variant,
+         |    CAST(sum(CASE WHEN cs * tc > ts * cc
+         |      THEN 1::BIGINT << CAST(c AS INTEGER)
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells JOIN tot
+         |    ON cells.doc_id = tot.doc_id AND cells.variant = tot.variant
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT o.doc_id, o.w AS width, o.h AS height,
+         |  o.ahash AS hash_orig, u.ahash AS hash_dup,
+         |  x.ahash AS hash_othr,
+         |  CAST(bit_count(xor(o.ahash, u.ahash)) AS BIGINT)
+         |    AS hamming_dup,
+         |  CAST(bit_count(xor(o.ahash, x.ahash)) AS BIGINT)
+         |    AS hamming_othr
+         |FROM hsh o
+         |JOIN hsh u ON o.doc_id = u.doc_id AND u.variant = 'dup'
+         |JOIN hsh x ON o.doc_id = x.doc_id AND x.variant = 'othr'
+         |WHERE o.variant = 'orig'
+         |ORDER BY o.doc_id""".stripMargin,
 
     // the full rebuild over the post-delta tables: base minus
     // retractions plus arrivals, on both sides
