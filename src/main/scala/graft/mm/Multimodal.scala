@@ -291,6 +291,50 @@ object Multimodal {
             .otherwise(frameLen)).as("frame_bytes"))
   }
 
+  /** REAL nearest-neighbor resize over decoded pixels: decode through
+    * ImageIO, sample source pixel (x2*w/ow, y2*h/oh) for every output
+    * cell — the standard floor-mapped nearest-neighbor kernel — and
+    * fold the resized raster into two integer-exact digests an oracle
+    * can replay from a planted pixel formula: a position-weighted
+    * checksum Σ (x2*31 + y2*17 + 1) * (r + 2g + 3b) and the plain
+    * band-0 sum. All integer arithmetic, so the hash match proves the
+    * resize sampled the true source pixels at the true positions.
+    * Returns (srcWidth, srcHeight, checksum, sumBand0).
+    */
+  def resizeNearestFromImage(bytes: Array[Byte], outW: Int, outH: Int)
+      : (Int, Int, Long, Long) = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new UnsupportedOperationException(
+        s"ImageIO has no reader for this payload (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var checksum = 0L
+    var sum0 = 0L
+    var y2 = 0
+    while (y2 < outH) {
+      val sy = y2 * h / outH
+      var x2 = 0
+      while (x2 < outW) {
+        val sx = x2 * w / outW
+        var weighted = 0L
+        var b = 0
+        while (b < bands) {
+          val v = raster.getSample(sx, sy, b).toLong
+          weighted += (b + 1) * v
+          if (b == 0) sum0 += v
+          b += 1
+        }
+        checksum += (x2 * 31L + y2 * 17L + 1L) * weighted
+        x2 += 1
+      }
+      y2 += 1
+    }
+    (w, h, checksum, sum0)
+  }
+
   /** Deterministic "resize": integer-divide dimensions by `factor`
     * (floored at 1) and average-pool the feature vector in factor-sized
     * chunks — the metadata/feature side of a resize without a codec. A

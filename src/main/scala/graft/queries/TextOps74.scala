@@ -26,9 +26,50 @@ import graft.operators.BpeLearn
   *    (replace() is left-to-right non-overlapping in both engines —
   *    exactly BPE's application order), so the hash match proves the
   *    distributed fold implements the textbook merge step.
+  *  - d59: Fellegi–Sunter probabilistic record linkage — the classic
+  *    m/u-probability match scorer over blocked candidate pairs. Two
+  *    deterministic "noisy" views of customer (names, balances and a
+  *    pseudo-SSN each corrupted on disjoint key residues) are joined
+  *    inside (nation, segment) blocks — a key-partitioned shuffle, no
+  *    cross join — and every pair's agreement vector maps to a summed
+  *    integer milli-log2-odds score and a match/possible/nonmatch
+  *    decision. Constant integer weights keep both engines bit-exact;
+  *    the output is the per-pattern contingency table with a
+  *    true-match audit column (diagonal pairs), i.e. exactly the table
+  *    a linkage calibration run reads.
+  *  - m30: REAL nearest-neighbor image resize — planted PNGs decode
+  *    through ImageIO and resample to a fixed 5x4 grid with the
+  *    floor-mapped kernel in
+  *    [[graft.mm.Multimodal.resizeNearestFromImage]]; the oracle
+  *    recomputes the position-weighted checksum of the resized raster
+  *    from the pixel formula alone, so the hash match proves the
+  *    resize sampled true source pixels at true positions (the m27
+  *    planted-fixture codec device).
   */
 object TextOps74 {
   import Tables.t
+
+  // Fellegi–Sunter parameters: milli-log2(m/u) agreement/disagreement
+  // weights per field plus the upper decision threshold — constants of
+  // the model, mirrored literally in the oracle
+  private val WNameA = 9892L;  private val WNameD = -4322L
+  private val WSsnA = 9937L;   private val WSsnD = -5638L
+  private val WBalA = 6492L;   private val WBalD = -3170L
+  private val MatchThr = 12000L
+
+  private val RszDocs = 36
+  private val RszW = 5
+  private val RszH = 4
+
+  /** m30's planted pixel formula — the single source of truth both
+    * engines derive from.
+    */
+  private def rszDims(id: Long): (Int, Int) =
+    ((id % 11 + 5).toInt, (id % 6 + 4).toInt)
+  private def rszPx(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 29 + x * 11 + y * 7) % 256).toInt,
+      ((id * 19 + x * 13 + y * 5) % 256).toInt,
+      ((id * 7 + x * 3 + y * 17) % 256).toInt)
 
   private def wordCounts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -59,6 +100,87 @@ object TextOps74 {
         .withColumn("merged_r", lit(m.right))
         .orderBy(col("total").desc, col("pair").asc)
         .limit(15)
+    }),
+
+    "d59_fellegi_sunter" -> ((spark, dir) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast("decimal(18,2)") * 100).cast("long")
+      val cust = t(spark, dir, "customer")
+      val a = cust.select(col("c_custkey").as("ak"),
+        col("c_name").as("an"),
+        cents(col("c_acctbal")).as("ab"),
+        expr("c_custkey * 7919 % 1000000").as("as_"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("mk"))
+      val b = cust.select(col("c_custkey").as("bk"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("x")))
+          .otherwise(col("c_name")).as("bn"),
+        (cents(col("c_acctbal")) +
+          when(col("c_custkey") % 13 === 0, 1L).otherwise(0L)).as("bb"),
+        (expr("c_custkey * 7919 % 1000000") +
+          when(col("c_custkey") % 17 === 0, 1L).otherwise(0L)).as("bs"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("mk"))
+      a.join(b, Seq("nk", "mk")) // blocked candidate pairs
+        .select(
+          (col("an") === col("bn")).cast("int").as("name_eq"),
+          (col("as_") === col("bs")).cast("int").as("ssn_eq"),
+          (col("ab") === col("bb")).cast("int").as("bal_eq"),
+          (col("ak") === col("bk")).cast("long").as("tr"))
+        .withColumn("score",
+          col("name_eq") * WNameA + (lit(1) - col("name_eq")) * WNameD +
+            col("ssn_eq") * WSsnA + (lit(1) - col("ssn_eq")) * WSsnD +
+            col("bal_eq") * WBalA + (lit(1) - col("bal_eq")) * WBalD)
+        .groupBy("name_eq", "ssn_eq", "bal_eq", "score")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("tr")).as("n_true"))
+        .withColumn("decision",
+          when(col("score") >= MatchThr, "match")
+            .when(col("score") >= 0, "possible")
+            .otherwise("nonmatch"))
+        .select(col("name_eq"), col("ssn_eq"), col("bal_eq"),
+          col("score").cast("long").as("score"), col("decision"),
+          col("n_pairs"), col("n_true"))
+        .orderBy(col("score").desc, col("name_eq"), col("ssn_eq"),
+          col("bal_eq"))
+    }),
+
+    "m30_image_resize" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m30", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val ids = t(spark, dir, "documents")
+        .filter(col("doc_id") < RszDocs)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val (w, h) = rszDims(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = rszPx(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        javax.imageio.ImageIO.write(img, "png",
+          base.resolve(s"img_$id.png").toFile)
+      }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(base.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // real decode + nearest-neighbor resample, executor-side
+          val (w, h, checksum, sum0) = graft.mm.Multimodal
+            .resizeNearestFromImage(bytes, RszW, RszH)
+          (id, w.toLong, h.toLong, checksum, sum0)
+        })
+        .toDF("doc_id", "width", "height", "checksum", "sum_r")
+        .orderBy("doc_id")
     }),
   )
 
@@ -116,5 +238,73 @@ object TextOps74 {
         |  (SELECT l FROM top1) AS merged_l,
         |  (SELECT r FROM top1) AS merged_r
         |FROM pc1 ORDER BY total DESC, pair LIMIT 15""".stripMargin,
+
+    "d59_fellegi_sunter" ->
+      s"""WITH a AS (
+         |  SELECT c_custkey AS ak, c_name AS an,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS ab,
+         |    c_custkey * 7919 % 1000000 AS as_,
+         |    c_nationkey AS nk, c_mktsegment AS mk
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey AS bk,
+         |    CASE WHEN c_custkey % 7 = 0 THEN c_name || 'x'
+         |      ELSE c_name END AS bn,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      + CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS bb,
+         |    c_custkey * 7919 % 1000000
+         |      + CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE 0 END AS bs,
+         |    c_nationkey AS nk, c_mktsegment AS mk
+         |  FROM customer),
+         |p AS (
+         |  SELECT CASE WHEN an = bn THEN 1 ELSE 0 END AS name_eq,
+         |    CASE WHEN as_ = bs THEN 1 ELSE 0 END AS ssn_eq,
+         |    CASE WHEN ab = bb THEN 1 ELSE 0 END AS bal_eq,
+         |    CASE WHEN ak = bk THEN 1 ELSE 0 END AS tr
+         |  FROM a JOIN b ON a.nk = b.nk AND a.mk = b.mk),
+         |s AS (
+         |  SELECT name_eq, ssn_eq, bal_eq, tr,
+         |    name_eq * $WNameA + (1 - name_eq) * ($WNameD)
+         |      + ssn_eq * $WSsnA + (1 - ssn_eq) * ($WSsnD)
+         |      + bal_eq * $WBalA + (1 - bal_eq) * ($WBalD) AS score
+         |  FROM p)
+         |SELECT name_eq, ssn_eq, bal_eq, CAST(score AS BIGINT) AS score,
+         |  CASE WHEN score >= $MatchThr THEN 'match'
+         |    WHEN score >= 0 THEN 'possible'
+         |    ELSE 'nonmatch' END AS decision,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(tr) AS BIGINT) AS n_true
+         |FROM s GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY score DESC, name_eq, ssn_eq, bal_eq""".stripMargin,
+
+    // the resized raster replayed from the planted formula: source
+    // pixel (x2*w//5, y2*h//4), positional weight x2*31 + y2*17 + 1
+    "m30_image_resize" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id < $RszDocs),
+         |dims AS (
+         |  SELECT doc_id, CAST(doc_id % 11 + 5 AS BIGINT) AS w,
+         |    CAST(doc_id % 6 + 4 AS BIGINT) AS h
+         |  FROM d),
+         |xs AS (
+         |  SELECT doc_id, w, h, unnest(range($RszW)) AS x2 FROM dims),
+         |cells AS (
+         |  SELECT doc_id, w, h, x2, unnest(range($RszH)) AS y2 FROM xs),
+         |px AS (
+         |  SELECT doc_id, w, h, x2, y2,
+         |    x2 * w // $RszW AS sx, y2 * h // $RszH AS sy
+         |  FROM cells),
+         |v AS (
+         |  SELECT doc_id, w, h, x2, y2,
+         |    (doc_id * 29 + sx * 11 + sy * 7) % 256 AS r,
+         |    (doc_id * 19 + sx * 13 + sy * 5) % 256 AS g,
+         |    (doc_id * 7 + sx * 3 + sy * 17) % 256 AS b
+         |  FROM px)
+         |SELECT doc_id, w AS width, h AS height,
+         |  CAST(sum((x2 * 31 + y2 * 17 + 1) * (r + 2 * g + 3 * b))
+         |    AS BIGINT) AS checksum,
+         |  CAST(sum(r) AS BIGINT) AS sum_r
+         |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
   )
 }
