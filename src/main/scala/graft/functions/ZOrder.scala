@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Z-order (Morton) space-filling-curve utilities for multi-dimensional
   * data clustering — the layout device behind multi-column data skipping
@@ -64,4 +69,119 @@ object ZOrder {
     }
     z
   }
+
+  /** Hilbert curve distance of a 2-D point — strictly better locality
+    * than the Z-curve (no diagonal jumps between quadrants), at the
+    * cost of a stateful per-level rotation that has no closed bitwise
+    * form. Wrapped as a codegen'd [[Hilbert2]] expression: the rotation
+    * loop runs fused inside whole-stage codegen instead of as a
+    * 12-level Column tree (which would triple in size per level).
+    */
+  def hilbert2(x: Column, y: Column, bits: Int): Column =
+    graftbridge.column(Hilbert2(
+      graftbridge.expression(x.cast("long")),
+      graftbridge.expression(y.cast("long")), bits))
+
+  /** Reference loop (Wikipedia's public-domain xy2d): per level take
+    * the two quadrant bits, add the quadrant's curve offset, and
+    * rotate/reflect the frame for the next level.
+    */
+  def hilbert2Ref(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** The xy2d loop as `bits` chained SQL CTE levels (for DuckDB
+    * oracles): each level folds the quadrant offset into `hd` and
+    * rewrites (hx, hy) with the rotation — plain CASE arithmetic, so
+    * any engine replays the curve bit-for-bit. `from` must expose
+    * columns hx, hy and the passthrough list.
+    */
+  def hilbertLevelsSql(from: String, bits: Int,
+      passthrough: Seq[String]): String = {
+    val keep = passthrough.map(c => s"$c, ").mkString
+    val levels = (1 to bits).map { k =>
+      val s = 1L << (bits - k)
+      val prev = if (k == 1) from else s"hl${k - 1}"
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""hl$k AS (
+         |  SELECT $keep
+         |    hd + ${s * s} * xor(3 * $rx, $ry) AS hd,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      CASE WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      CASE WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END
+         |    ELSE hy END AS hy
+         |  FROM $prev)""".stripMargin
+    }
+    levels.mkString(",\n")
+  }
+}
+
+/** Hilbert curve distance as a native codegen'd expression: the
+  * per-level rotate/reflect state machine runs as a fused scalar loop
+  * inside whole-stage codegen. Inputs are long coordinates in
+  * [0, 2^bits); output is the curve distance in [0, 4^bits).
+  */
+case class Hilbert2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits $bits out of range")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (bigint, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(xv: Any, yv: Any): Any =
+    ZOrder.hilbert2Ref(xv.asInstanceOf[Long], yv.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xe, ye) => {
+      val x = ctx.freshName("hx")
+      val y = ctx.freshName("hy")
+      val d = ctx.freshName("hd")
+      val s = ctx.freshName("hs")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("ht")
+      s"""
+         |long $x = $xe; long $y = $ye; long $d = 0L;
+         |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Hilbert2 =
+    copy(left = newLeft, right = newRight)
 }
