@@ -25,6 +25,15 @@ import graft.functions.ZOrder
   *    numerators (gt_num = (r+1)·N_{r+1}) against N_r and the token
   *    total, so no cross-engine division ever happens; the unseen-mass
   *    estimate is n_1/n_total read straight off the r=1 row.
+  *  - q356: schema evolution across file generations — a corpus that
+  *    lives for years accretes columns, and the reader must union old
+  *    and new files without a rewrite. Two parquet generations are
+  *    written (epoch 1: key+quantity; epoch 2 adds discount cents),
+  *    read back through `mergeSchema`, and rolled up with the widened
+  *    column NULL for pre-widening rows. The oracle recomputes every
+  *    figure from the lineitem source, so the hash match proves the
+  *    merged read neither drops rows nor invents values for the
+  *    missing column.
   */
 object Analytics142 {
   import Tables.t
@@ -78,6 +87,29 @@ object Analytics142 {
           col("n_total"))
         .orderBy("r")
     }),
+
+    "q356_schema_evolution" -> ((spark, dir) => {
+      import java.nio.file.Paths
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q356", Paths.get(dir).getFileName.toString)
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_discount").cast("decimal(18,4)") * 10000)
+            .cast("long").as("disc_bp"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("qty"))
+        .write.mode("overwrite").parquet(s"$base/epoch=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("qty"), col("disc_bp"))
+        .write.mode("overwrite").parquet(s"$base/epoch=2")
+      spark.read.option("mergeSchema", "true").parquet(base.toString)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty")).as("sum_qty"),
+          sum(when(col("disc_bp").isNull, 1L).otherwise(0L))
+            .as("n_missing"),
+          sum(coalesce(col("disc_bp"), lit(0L))).as("sum_disc_bp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,5 +151,15 @@ object Analytics142 {
         |FROM c LEFT JOIN c nx ON nx.r = c.r + 1
         |WHERE c.r <= 10
         |ORDER BY c.r""".stripMargin,
+
+    "q356_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missing,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN
+        |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_disc_bp
+        |FROM lineitem""".stripMargin,
   )
 }

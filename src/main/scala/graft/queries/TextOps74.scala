@@ -26,6 +26,18 @@ import graft.operators.BpeLearn
   *    (replace() is left-to-right non-overlapping in both engines —
   *    exactly BPE's application order), so the hash match proves the
   *    distributed fold implements the textbook merge step.
+  *  - t62: FOUR full BPE learning rounds, hash-matched end to end —
+  *    the strongest tokenizer-learning contract in the registry. The
+  *    engine runs [[graft.operators.BpeLearn]] for 4 rounds; the
+  *    oracle REPLAYS THE WHOLE LEARNER in SQL — per round, pair counts
+  *    over placeholder-encoded words, the decoded argmax (tie-broken
+  *    on decoded token text exactly like the engine), and the merge
+  *    application via replace() with a fresh chr(j) placeholder; each
+  *    round's decode map is a generated CASE over all previous rounds'
+  *    scalar subqueries. A hash match therefore proves the distributed
+  *    iteration ≡ the sequential algorithm for the full trajectory:
+  *    argmax choice, tie-breaks, and greedy application, four times
+  *    composed.
   *  - d59: Fellegi–Sunter probabilistic record linkage — the classic
   *    m/u-probability match scorer over blocked candidate pairs. Two
   *    deterministic "noisy" views of customer (names, balances and a
@@ -100,6 +112,14 @@ object TextOps74 {
         .withColumn("merged_r", lit(m.right))
         .orderBy(col("total").desc, col("pair").asc)
         .limit(15)
+    }),
+
+    "t62_bpe_learn4" -> ((spark, dir) => {
+      import spark.implicits._
+      val (merges, _) = BpeLearn.learn(wordCounts(spark, dir), 4)
+      merges.map(m => (m.round, m.left, m.right, m.count))
+        .toDF("r_no", "merge_l", "merge_r", "total")
+        .orderBy("r_no")
     }),
 
     "d59_fellegi_sunter" -> ((spark, dir) => {
@@ -184,7 +204,58 @@ object TextOps74 {
     }),
   )
 
+  /** t62's oracle: the whole learner replayed in SQL. Round j counts
+    * pairs over the placeholder-encoded vocabulary, picks the argmax
+    * with ties broken on DECODED token text (matching the engine), and
+    * applies the merge as replace(m, c1||c2, chr(j)); the decode map
+    * for round j is a CASE over rounds 1..j's scalar subqueries.
+    * Generated by the same loop structure the engine runs.
+    */
+  private def bpeLearnSql(rounds: Int): String = {
+    def dec(j: Int, c: String): String =
+      if (j == 0) c
+      else {
+        val cases = (1 to j).map(i =>
+          s"WHEN $c = chr($i) THEN (SELECT dl || dr FROM t$i)")
+          .mkString(" ")
+        s"(CASE $cases ELSE $c END)"
+      }
+    val roundCtes = (1 to rounds).map { j =>
+      val prev = if (j == 1) "wc0" else s"wc${j - 1}"
+      s"""p$j AS (
+         |  SELECT m, cnt, unnest(range(1, length(m))) AS i FROM $prev
+         |  WHERE length(m) >= 2),
+         |pc$j AS (
+         |  SELECT substring(m, CAST(i AS INTEGER), 1) AS c1,
+         |    substring(m, CAST(i + 1 AS INTEGER), 1) AS c2,
+         |    sum(cnt) AS total
+         |  FROM p$j GROUP BY 1, 2),
+         |t$j AS (
+         |  SELECT c1, c2, ${dec(j - 1, "c1")} AS dl,
+         |    ${dec(j - 1, "c2")} AS dr, total
+         |  FROM pc$j
+         |  ORDER BY total DESC, dl, dr LIMIT 1),
+         |wc$j AS (
+         |  SELECT replace(m, (SELECT c1 || c2 FROM t$j), chr($j)) AS m,
+         |    cnt
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds).map(j =>
+      s"SELECT $j AS r_no, dl AS merge_l, dr AS merge_r," +
+        s" CAST(total AS BIGINT) AS total FROM t$j")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+       |  FROM documents),
+       |wc0 AS (SELECT w AS m, count(*) AS cnt FROM w0 GROUP BY 1),
+       |$roundCtes
+       |$finals
+       |ORDER BY r_no""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t62_bpe_learn4" -> bpeLearnSql(4),
+
     "t58_bpe_pair_stats" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
