@@ -34,6 +34,12 @@ import graft.functions.ZOrder
   *    figure from the lineitem source, so the hash match proves the
   *    merged read neither drops rows nor invents values for the
   *    missing column.
+  *  - q357: XML round-trip — Spark 4's native XML source/sink as
+  *    another interchange format (config feeds, vendor drops). An
+  *    orders slice is written as `<order>` rows and read back with
+  *    schema inference; the oracle recomputes the rollup from the
+  *    parquet original, so the hash match proves values, statuses and
+  *    longs survive the XML encode/decode.
   */
 object Analytics142 {
   import Tables.t
@@ -110,6 +116,27 @@ object Analytics142 {
             .as("n_missing"),
           sum(coalesce(col("disc_bp"), lit(0L))).as("sum_disc_bp"))
     }),
+
+    "q357_xml_roundtrip" -> ((spark, dir) => {
+      import java.nio.file.Paths
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q357", Paths.get(dir).getFileName.toString)
+      t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_cents"))
+        .write.mode("overwrite").option("rowTag", "order")
+        .format("xml").save(base.toString)
+      spark.read.format("xml").option("rowTag", "order")
+        .load(base.toString)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          sum(col("o_custkey")).as("sum_cust"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -161,5 +188,13 @@ object Analytics142 {
         |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS sum_disc_bp
         |FROM lineitem""".stripMargin,
+
+    "q357_xml_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
   )
 }
