@@ -335,6 +335,72 @@ object Multimodal {
     (w, h, checksum, sum0)
   }
 
+  /** Histogram equalization over a REAL decoded raster, integer-exact:
+    * luminance `gray = (r + 2g + b) div 4` (0..255), a 16-bin histogram
+    * (`bin = gray div 16`), and the classic CDF remap
+    * `eq = (cdf(bin) − cdfMin) · 255 div (npx − cdfMin)` — every step
+    * floor-division on non-negative integers, so the oracle can replay
+    * the identical arithmetic from a planted pixel formula. Returns
+    * (width, height, occupied-bin count, positional checksum
+    * Σ (x·7 + y·13 + 1)·eq(x,y)). Degenerate single-bin images (npx ==
+    * cdfMin) equalize to all-zero by convention, mirrored in the oracle.
+    */
+  def histEqualizeFromImage(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new UnsupportedOperationException(
+        s"ImageIO has no reader for this payload (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bins = 16
+    val hist = new Array[Long](bins)
+    def grayAt(x: Int, y: Int): Int = {
+      val r = raster.getSample(x, y, 0)
+      val g = raster.getSample(x, y, 1)
+      val b = raster.getSample(x, y, 2)
+      (r + 2 * g + b) / 4
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { hist(grayAt(x, y) / bins) += 1L; x += 1 }
+      y += 1
+    }
+    val cdf = new Array[Long](bins)
+    var acc = 0L
+    var i = 0
+    var usedBins = 0L
+    while (i < bins) {
+      acc += hist(i)
+      cdf(i) = acc
+      if (hist(i) > 0) usedBins += 1
+      i += 1
+    }
+    val npx = w.toLong * h
+    var cdfMin = npx
+    i = 0
+    while (i < bins) {
+      if (hist(i) > 0 && cdf(i) < cdfMin) cdfMin = cdf(i)
+      i += 1
+    }
+    var checksum = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bin = grayAt(x, y) / bins
+        val eq =
+          if (npx > cdfMin) (cdf(bin) - cdfMin) * 255L / (npx - cdfMin)
+          else 0L
+        checksum += (x * 7L + y * 13L + 1L) * eq
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, usedBins, checksum)
+  }
+
   /** Deterministic "resize": integer-divide dimensions by `factor`
     * (floored at 1) and average-pool the feature vector in factor-sized
     * chunks — the metadata/feature side of a resize without a codec. A
