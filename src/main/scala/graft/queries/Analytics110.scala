@@ -147,6 +147,52 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // TIME TRAVEL end-to-end: two batch commits create snapshot
+    // versions 1 and 2 in the _fw_versions.json manifest; both are then
+    // read back WITH versionAsOf pins and aggregated. The oracle
+    // replays each snapshot's contents from the parquet original (v1 =
+    // the even-key half, v2 = everything), so the hash match proves the
+    // manifest captured exactly the post-commit file sets — the
+    // Delta-style reproducibility contract a 100 TB training-data
+    // pipeline needs to re-run yesterday's job on yesterday's table.
+    "q359_fw_time_travel" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_tt", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      // v1: the even-key half; v2: append the rest
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      def readAt(v: Int) = spark.read
+        .format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .option("versionAsOf", v.toString)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .withColumn("version", lit(v.toLong))
+      readAt(1).unionAll(readAt(2))
+        .select(col("version"), col("s_nationkey"), col("n_sup"),
+          col("min_key"), col("max_key"))
+        .orderBy("version", "s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -206,5 +252,21 @@ object Analytics110 {
         min(n_name) AS first_name, max(n_nationkey) AS max_key
       FROM nation
       GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    // snapshot replays: version 1 is the even-key half, version 2 the
+    // whole (bounded) table
+    "q359_fw_time_travel" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey <= 100000),
+      v AS (
+        SELECT 1 AS version, s_nationkey, s_suppkey FROM s
+        WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT 2 AS version, s_nationkey, s_suppkey FROM s)
+      SELECT CAST(version AS BIGINT) AS version, s_nationkey,
+        CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM v GROUP BY 1, 2 ORDER BY version, s_nationkey""",
   )
 }

@@ -122,7 +122,18 @@ private[sources] class FwTable(tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(declared, pathFor(options),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
+      // per-read option first, then the table-level pin a catalog
+      // VERSION AS OF load stamps into properties
+      Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(properties.get("versionAsOf").map(_.toLong)))
+
+  /** A copy of this table pinned to one snapshot version — what
+    * [[FwCatalog.loadTable(ident, version)]] hands Spark for SQL
+    * `VERSION AS OF n`.
+    */
+  private[sources] def atVersion(version: String): FwTable =
+    new FwTable(tableSchema, properties + ("versionAsOf" -> version))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = pathFor(info.options)
     require(path != null, "FixedWidth write requires a path")
@@ -219,6 +230,9 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
           s"could not publish $statsTmp -> $statsTarget")
       }
     }
+    // every successful batch commit is a snapshot version: the manifest
+    // records the full post-commit file set for VERSION AS OF reads
+    FwVersions.commitSnapshot(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -351,7 +365,8 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
 }
 
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
-    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None)
+    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -425,7 +440,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
     if (!needsStats) return true
-    val allStats = FwFiles.list(path).map(FwStats.read)
+    val allStats = FwFiles.listAt(path, versionAsOf).map(FwStats.read)
     // every file needs a (non-stale) sidecar, and per MIN/MAX column:
     //  - integral columns need exact-Long entries (a legacy double
     //    entry may be rounded beyond 2^53 — decline, scan normally);
@@ -487,10 +502,11 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
             val f = minMaxColumn(m).get
             ("max", f.name, f.dataType.typeName)
         }
-        new FwAggScan(fullSchema, required, specs, path, summary)
+        new FwAggScan(fullSchema, required, specs, path, summary,
+          versionAsOf)
       case None =>
         new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
-          summary, maxRecordsPerTrigger)
+          summary, maxRecordsPerTrigger, versionAsOf)
     }
   }
 }
@@ -500,14 +516,15 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   */
 private[sources] class FwAggScan(fullSchema: StructType,
     aggSchema: StructType, specs: Array[(String, String, String)],
-    path: String, summary: String) extends Scan with Batch {
+    path: String, summary: String,
+    versionAsOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def description(): String = s"GraftFixedWidth $summary"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val files = FwFiles.list(path)
+    val files = FwFiles.listAt(path, versionAsOf)
     val count = files.map(_.length() / rowLen).sum
     val allStats = files.flatMap(FwStats.read)
     // Exact per-type extremes: integral answers stay in the Long domain
@@ -565,6 +582,103 @@ private[sources] object FwFiles {
       dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
         .sortBy(_.getName)
     else Array(dir)
+  }
+
+  /** The batch-read file listing, optionally pinned to a snapshot
+    * version from the `_fw_versions.json` manifest. A snapshot file
+    * that no longer exists (a later TRUNCATE vacuumed it) fails loudly
+    * rather than silently returning a partial table.
+    */
+  def listAt(path: String, versionAsOf: Option[Long]): Array[java.io.File] =
+    versionAsOf match {
+      case None => list(path)
+      case Some(v) =>
+        val dir = new java.io.File(path)
+        FwVersions.resolve(path, v).toArray.map { name =>
+          val f = new java.io.File(dir, name)
+          require(f.isFile,
+            s"FixedWidth versionAsOf=$v references $name, which no " +
+              "longer exists (removed by a later truncating write); " +
+              "only versions whose files survive can be read")
+          f
+        }.sortBy(_.getName)
+    }
+}
+
+/** Snapshot-version manifest: `_fw_versions.json` in the table
+  * directory records, per successful BATCH commit, the complete `.fw`
+  * file set visible after that commit — the Delta/Iceberg snapshot
+  * idea reduced to its append-only essence. Readers pin a snapshot
+  * with the `versionAsOf` option (or SQL `VERSION AS OF n` through
+  * [[FwCatalog]]); because published files are immutable, an old
+  * version is exactly its manifest file list, no tombstones needed.
+  * A truncating write starts a fresh file set but HISTORY keeps
+  * growing — older versions stay readable until their files are
+  * actually gone, at which point reads fail loudly.
+  *
+  * The manifest is one line of compact JSON written tmp→rename (the
+  * same publish protocol as data files and sidecars), so a crashed
+  * writer can never leave a torn manifest. Streaming epochs do not
+  * version (an epoch is not a user-visible snapshot boundary);
+  * streaming reads ignore the manifest entirely.
+  */
+private[sources] object FwVersions {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def manifestFor(path: String): java.io.File =
+    new java.io.File(path, "_fw_versions.json")
+
+  def read(path: String): Seq[(Long, Seq[String])] = {
+    val f = manifestFor(path)
+    if (!f.isFile) Seq.empty
+    else JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "versions" match {
+      case JArray(vs) => vs.map { v =>
+        val JInt(n) = v \ "v"
+        val JArray(files) = v \ "files"
+        (n.toLong, files.map { case JString(s) => s })
+      }
+      case other =>
+        throw new IllegalArgumentException(s"bad _fw_versions.json: $other")
+    }
+  }
+
+  def resolve(path: String, version: Long): Seq[String] = {
+    val all = read(path)
+    all.find(_._1 == version).map(_._2).getOrElse {
+      val have =
+        if (all.isEmpty) "none (no batch write has committed here)"
+        else s"${all.map(_._1).min}..${all.map(_._1).max}"
+      throw new IllegalArgumentException(
+        s"FixedWidth table at $path has no version $version; " +
+          s"available: $have")
+    }
+  }
+
+  /** Record the post-commit snapshot as the next version. Runs on the
+    * driver inside the batch commit, after every data file is
+    * published.
+    */
+  def commitSnapshot(path: String): Long = {
+    val prior = read(path)
+    val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
+    val snapshot = FwFiles.list(path).map(_.getName).toSeq.sorted
+    import org.json4s.JsonDSL._
+    val doc: JObject = "versions" ->
+      (prior :+ (next, snapshot)).map { case (v, files) =>
+        ("v" -> v) ~ ("files" -> files)
+      }
+    val target = manifestFor(path)
+    val tmp = new java.io.File(target.getPath + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      JsonMethods.compact(JsonMethods.render(doc))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    next
   }
 }
 
@@ -728,7 +842,8 @@ private[sources] object FwStats {
 
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
-    summary: String, maxRecordsPerTrigger: Option[Long] = None)
+    summary: String, maxRecordsPerTrigger: Option[Long] = None,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -789,7 +904,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val totalBytes = FwFiles.list(path).map(_.length()).sum
+    val totalBytes = FwFiles.listAt(path, versionAsOf).map(_.length()).sum
     val rows = totalBytes / rowLen
     val keptBytes = FixedWidth.widths(required).sum + 1L
     val projectedBytes = rows * keptBytes
@@ -803,7 +918,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val all = FwFiles.list(path)
+    val all = FwFiles.listAt(path, versionAsOf)
     // zone-map pruning: a file whose sidecar ranges exclude the pushed
     // filters is skipped before a single byte of it is read
     val eff = effectiveFilters
@@ -834,9 +949,15 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     * pure byte-arithmetic fact — append-only producers never need a
     * WAL or listing snapshot. New `.fw` files enter at offset 0.
     */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // a stream follows the LIVE table; pinning it to a past snapshot is
+    // a contradiction, not a silent full-history replay
+    require(versionAsOf.isEmpty,
+      "FixedWidth: versionAsOf is batch-only; a stream cannot be pinned " +
+        "to a past snapshot")
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
       recordsPerSplit, maxRecordsPerTrigger)
+  }
 }
 
 /** Offset = per-file record counts, serialized as ONE line of compact

@@ -51,6 +51,20 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF n` routes
+    * here; the returned table is pinned to snapshot n of the
+    * `_fw_versions.json` manifest (resolution — and the loud failure
+    * for unknown versions — happens at scan time, where the path is
+    * known-good).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    require(version.matches("\\d+"),
+      s"fixedwidth version must be a snapshot number, got '$version'")
+    t.atVersion(version)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tables.containsKey(ident))

@@ -608,4 +608,108 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(off.counts(file.toString) === 2L,
       "offset must round down to the last complete record")
   }
+
+  test("time travel: each batch commit is a version, versionAsOf pins it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwtt").toFile.getAbsolutePath
+    def write(data: Seq[(Long, String, Double)], mode: String): Unit =
+      data.toDF("id", "name", "score")
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    def readAt(v: Long) = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("versionAsOf", v.toString).load(dir)
+
+    write(Seq((1L, "a", 1.0), (2L, "b", 2.0)), "overwrite") // v1
+    write(Seq((3L, "c", 3.0)), "append") // v2
+    write(Seq((4L, "d", 4.0)), "append") // v3
+
+    assert(readAt(1).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(readAt(2).collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(readAt(3).count() === 4)
+    // an unpinned read follows the live table
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir).count() === 4)
+    // COUNT(*) at a version is still metadata-only AND version-scoped
+    val c = readAt(1).agg(count(lit(1))).collect().head.getLong(0)
+    assert(c === 2L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"versioned COUNT(*) left the metadata path: ${FixedWidth.lastScanSummary}")
+    // unknown version fails loudly with the available range
+    val e = intercept[Exception] { readAt(99).collect() }
+    assert(e.getMessage.contains("no version 99")
+      && e.getMessage.contains("1..3"), e.getMessage)
+  }
+
+  test("time travel: truncate starts a new snapshot; vacuumed versions fail loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwttv").toFile.getAbsolutePath
+    def write(data: Seq[(Long, String, Double)], mode: String): Unit =
+      data.toDF("id", "name", "score")
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    write(Seq((1L, "a", 1.0)), "overwrite") // v1
+    write(Seq((2L, "b", 2.0)), "overwrite") // v2: truncates v1's files
+    val live = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+    assert(live.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("versionAsOf", "2").load(dir)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "1").load(dir)
+        .collect()
+    }
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+  }
+
+  test("time travel: SQL VERSION AS OF through the catalog") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.fwcat_tt", "graft.sources.FwCatalog")
+    val dir = Files.createTempDirectory("fwttsql").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS fwcat_tt.ns.t")
+    spark.sql(
+      s"""CREATE TABLE fwcat_tt.ns.t (id BIGINT, name STRING, score DOUBLE)
+         |OPTIONS (path '$dir', widths '4,6,10')""".stripMargin)
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("fwtt_src1")
+    spark.sql("INSERT INTO fwcat_tt.ns.t SELECT * FROM fwtt_src1") // v1
+    Seq((3L, "c", 3.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("fwtt_src2")
+    spark.sql("INSERT INTO fwcat_tt.ns.t SELECT * FROM fwtt_src2") // v2
+    assert(spark.sql("SELECT count(*) FROM fwcat_tt.ns.t VERSION AS OF 1")
+      .collect().head.getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT max(id) FROM fwcat_tt.ns.t VERSION AS OF 2")
+      .collect().head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM fwcat_tt.ns.t")
+      .collect().head.getLong(0) === 3L)
+  }
+
+  test("time travel: a pinned stream is refused; no manifest is a clear error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwttstream").toFile.getAbsolutePath
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "1").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("fwttck").toString)
+        .start().processAllAvailable()
+    }
+    assert(e.getMessage.contains("batch-only"), e.getMessage)
+    // hand-built fixture dir: no batch commit ever ran there
+    val fixture = writeFixture(rows)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "1").load(fixture)
+        .collect()
+    }
+    assert(e2.getMessage.contains("no batch write has committed"),
+      e2.getMessage)
+  }
 }
