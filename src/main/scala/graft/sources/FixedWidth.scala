@@ -440,7 +440,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
     if (!needsStats) return true
-    val allStats = FwFiles.listAt(path, versionAsOf).map(FwStats.read)
+    val allStats = FwFiles.listAt(path, versionAsOf)
+      .map(lf => FwStats.read(lf.file, lf.bytes))
     // every file needs a (non-stale) sidecar, and per MIN/MAX column:
     //  - integral columns need exact-Long entries (a legacy double
     //    entry may be rounded beyond 2^53 — decline, scan normally);
@@ -525,8 +526,8 @@ private[sources] class FwAggScan(fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
     val files = FwFiles.listAt(path, versionAsOf)
-    val count = files.map(_.length() / rowLen).sum
-    val allStats = files.flatMap(FwStats.read)
+    val count = files.map(_.bytes / rowLen).sum
+    val allStats = files.flatMap(lf => FwStats.read(lf.file, lf.bytes))
     // Exact per-type extremes: integral answers stay in the Long domain
     // end to end (the pushdown gate already declined any column whose
     // sidecars are not exact-integral / NaN-free).
@@ -585,25 +586,40 @@ private[sources] object FwFiles {
   }
 
   /** The batch-read file listing, optionally pinned to a snapshot
-    * version from the `_fw_versions.json` manifest. A snapshot file
-    * that no longer exists (a later TRUNCATE vacuumed it) fails loudly
-    * rather than silently returning a partial table.
+    * version from the `_fw_versions.json` manifest. A live listing
+    * carries current byte lengths; a versioned listing carries the
+    * MANIFEST's recorded lengths — snapshot-prefix semantics: a file an
+    * external producer later grew in place still reads as exactly the
+    * records it held at commit time (fixed-width means any byte prefix
+    * is record-aligned), and the whole plan needs zero per-file stat
+    * calls. A snapshot file that shrank or vanished (a later TRUNCATE
+    * vacuumed it) fails loudly rather than silently returning a
+    * partial table.
     */
-  def listAt(path: String, versionAsOf: Option[Long]): Array[java.io.File] =
+  def listAt(path: String,
+      versionAsOf: Option[Long]): Array[FwListedFile] =
     versionAsOf match {
-      case None => list(path)
+      case None => list(path).map(f => FwListedFile(f, f.length()))
       case Some(v) =>
         val dir = new java.io.File(path)
-        FwVersions.resolve(path, v).toArray.map { name =>
+        FwVersions.resolve(path, v).toArray.map { case (name, bytes) =>
           val f = new java.io.File(dir, name)
-          require(f.isFile,
-            s"FixedWidth versionAsOf=$v references $name, which no " +
-              "longer exists (removed by a later truncating write); " +
-              "only versions whose files survive can be read")
-          f
-        }.sortBy(_.getName)
+          require(f.isFile && (bytes < 0 || f.length() >= bytes),
+            s"FixedWidth versionAsOf=$v references $name " +
+              s"($bytes bytes), which no longer exists at that length " +
+              "(removed or shrunk by a later write); only versions " +
+              "whose files survive can be read")
+          FwListedFile(f, if (bytes < 0) f.length() else bytes)
+        }.sortBy(_.file.getName)
     }
 }
+
+/** One file of a batch-read listing: the data file plus the byte
+  * length THIS read should honor (current length for live reads, the
+  * manifest's recorded length for versioned reads).
+  */
+private[sources] final case class FwListedFile(file: java.io.File,
+    bytes: Long)
 
 /** Snapshot-version manifest: `_fw_versions.json` in the table
   * directory records, per successful BATCH commit, the complete `.fw`
@@ -629,7 +645,7 @@ private[sources] object FwVersions {
   def manifestFor(path: String): java.io.File =
     new java.io.File(path, "_fw_versions.json")
 
-  def read(path: String): Seq[(Long, Seq[String])] = {
+  def read(path: String): Seq[(Long, Seq[(String, Long)])] = {
     val f = manifestFor(path)
     if (!f.isFile) Seq.empty
     else JsonMethods.parse(
@@ -638,14 +654,27 @@ private[sources] object FwVersions {
       case JArray(vs) => vs.map { v =>
         val JInt(n) = v \ "v"
         val JArray(files) = v \ "files"
-        (n.toLong, files.map { case JString(s) => s })
+        (n.toLong, files.map {
+          // legacy name-only entries (pre-byte-length manifests):
+          // -1 = "use the file's current length" in listAt
+          case JString(name) => (name, -1L)
+          case e =>
+            val JString(name) = e \ "n"
+            val bytes = e \ "b" match {
+              case JInt(b) => b.toLong
+              case JLong(b) => b
+              case other => throw new IllegalArgumentException(
+                s"bad _fw_versions.json byte length: $other")
+            }
+            (name, bytes)
+        })
       }
       case other =>
         throw new IllegalArgumentException(s"bad _fw_versions.json: $other")
     }
   }
 
-  def resolve(path: String, version: Long): Seq[String] = {
+  def resolve(path: String, version: Long): Seq[(String, Long)] = {
     val all = read(path)
     all.find(_._1 == version).map(_._2).getOrElse {
       val have =
@@ -664,11 +693,17 @@ private[sources] object FwVersions {
   def commitSnapshot(path: String): Long = {
     val prior = read(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
-    val snapshot = FwFiles.list(path).map(_.getName).toSeq.sorted
+    // name + byte length per file: the snapshot pins a record-aligned
+    // PREFIX of each immutable file, and versioned planning reads the
+    // manifest once instead of stat()ing every file
+    val snapshot = FwFiles.list(path)
+      .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
     import org.json4s.JsonDSL._
     val doc: JObject = "versions" ->
       (prior :+ (next, snapshot)).map { case (v, files) =>
-        ("v" -> v) ~ ("files" -> files)
+        ("v" -> v) ~ ("files" -> files.map { case (n, b) =>
+          ("n" -> n) ~ ("b" -> b): JObject
+        })
       }
     val target = manifestFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")
@@ -726,7 +761,17 @@ private[sources] object FwStats {
       JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
   }
 
-  def read(dataFile: java.io.File): Option[Map[String, FwColStats]] = {
+  def read(dataFile: java.io.File): Option[Map[String, FwColStats]] =
+    read(dataFile, dataFile.length())
+
+  /** `expectedLen` is the byte length THIS read treats as the file's
+    * content — a versioned read passes the manifest's recorded length,
+    * so a sidecar written at that commit stays usable for the snapshot
+    * prefix even after the file grew in place (where the live read
+    * correctly voids it).
+    */
+  def read(dataFile: java.io.File,
+      expectedLen: Long): Option[Map[String, FwColStats]] = {
     val f = new java.io.File(sidecarFor(dataFile.getPath))
     if (!f.isFile) None
     else try {
@@ -737,8 +782,8 @@ private[sources] object FwStats {
         case JObject(fields) =>
           val m = fields.toMap
           val stale = m.get(LenKey).exists {
-            case JInt(n) => n.toLong != dataFile.length()
-            case JLong(n) => n != dataFile.length()
+            case JInt(n) => n.toLong != expectedLen
+            case JLong(n) => n != expectedLen
             case _ => true
           } // legacy sidecars without _len are accepted as-is
           if (stale) None
@@ -904,7 +949,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val totalBytes = FwFiles.listAt(path, versionAsOf).map(_.length()).sum
+    val totalBytes = FwFiles.listAt(path, versionAsOf).map(_.bytes).sum
     val rows = totalBytes / rowLen
     val keptBytes = FixedWidth.widths(required).sum + 1L
     val projectedBytes = rows * keptBytes
@@ -923,19 +968,20 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     // filters is skipped before a single byte of it is read
     val eff = effectiveFilters
     val (kept, skipped) =
-      if (eff.isEmpty) (all, Array.empty[java.io.File])
-      else all.partition(f => FwStats.read(f)
+      if (eff.isEmpty) (all, Array.empty[FwListedFile])
+      else all.partition(lf => FwStats.read(lf.file, lf.bytes)
         .forall(stats => FwStats.mayMatch(stats, eff)))
     FixedWidth.lastSkippedFiles = skipped.length
-    kept.flatMap { f =>
-      val n = f.length() / rowLen
-      require(f.length() % rowLen == 0,
-        s"FixedWidth: ${f.getPath} length ${f.length()} is not a multiple " +
-          s"of the record length $rowLen")
+    kept.flatMap { lf =>
+      val n = lf.bytes / rowLen
+      require(lf.bytes % rowLen == 0,
+        s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
+          s"multiple of the record length $rowLen")
       // Exact record-aligned byte-range splits — the scale story: no
       // line resync, any worker can start at record k of a 100 TB file.
       (0L until n by recordsPerSplit).map(start =>
-        FwPartition(f.getPath, start, math.min(recordsPerSplit, n - start)))
+        FwPartition(lf.file.getPath, start,
+          math.min(recordsPerSplit, n - start)))
     }.toArray[InputPartition]
   }
 

@@ -687,6 +687,41 @@ class FixedWidthSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 3L)
   }
 
+  test("snapshot prefix: an in-place-grown file reads at its committed length") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwttgrow").toFile.getAbsolutePath
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score").repartition(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir) // v1
+    // an external producer appends one record in place, bypassing the
+    // committer entirely
+    val fwFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fw")).head
+    Files.write(fwFile.toPath,
+      FixedWidthWriter.render(schema, Seq(Seq[Any](4L, "late", 9.0))),
+      java.nio.file.StandardOpenOption.APPEND)
+    def live = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+    def pinned = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("versionAsOf", "1").load(dir)
+    // the live read sees the grown file; the pinned read sees exactly
+    // the committed prefix
+    assert(live.count() === 4)
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // the sidecar is stale for the live length (MIN/MAX declines) but
+    // still exact for the snapshot prefix (metadata-only answer)
+    val liveMax = live.agg(max(col("id"))).collect().head.getLong(0)
+    assert(liveMax === 4L)
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"stale sidecar must decline the live pushdown: ${FixedWidth.lastScanSummary}")
+    val pinnedMax = pinned.agg(max(col("id"))).collect().head.getLong(0)
+    assert(pinnedMax === 3L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"pinned MIN/MAX should stay metadata-only: ${FixedWidth.lastScanSummary}")
+  }
+
   test("time travel: a pinned stream is refused; no manifest is a clear error") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwttstream").toFile.getAbsolutePath
