@@ -193,6 +193,45 @@ object Analytics110 {
         .orderBy("version", "s_nationkey")
     }),
 
+    // INCREMENTAL read between snapshots: changesFromVersion=1 reads
+    // ONLY the files versions 2+ added (the Delta change-feed idea at
+    // file grain — the batch writer never mutates a published file, so
+    // the version-n→latest delta IS the file-set difference). The
+    // oracle replays the delta's contents (the odd-key half) from
+    // parquet: a downstream job can process yesterday→today's additions
+    // without re-reading the 100 TB base.
+    "q360_fw_incremental" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_cdc", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .option("changesFromVersion", "1")
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_new"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -268,5 +307,13 @@ object Analytics110 {
         CAST(count(*) AS BIGINT) AS n_sup,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM v GROUP BY 1, 2 ORDER BY version, s_nationkey""",
+
+    // the v1→v2 delta is exactly the odd-key half
+    "q360_fw_incremental" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_new,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier
+      WHERE s_suppkey <= 100000 AND s_suppkey % 2 <> 0
+      GROUP BY 1 ORDER BY s_nationkey""",
   )
 }

@@ -126,7 +126,8 @@ private[sources] class FwTable(tableSchema: StructType,
       // per-read option first, then the table-level pin a catalog
       // VERSION AS OF load stamps into properties
       Option(options.get("versionAsOf")).map(_.toLong)
-        .orElse(properties.get("versionAsOf").map(_.toLong)))
+        .orElse(properties.get("versionAsOf").map(_.toLong)),
+      Option(options.get("changesFromVersion")).map(_.toLong))
 
   /** A copy of this table pinned to one snapshot version — what
     * [[FwCatalog.loadTable(ident, version)]] hands Spark for SQL
@@ -366,7 +367,8 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
 
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    changesFrom: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -440,7 +442,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
     if (!needsStats) return true
-    val allStats = FwFiles.listAt(path, versionAsOf)
+    val allStats = FwFiles.listAt(path, versionAsOf, changesFrom)
       .map(lf => FwStats.read(lf.file, lf.bytes))
     // every file needs a (non-stale) sidecar, and per MIN/MAX column:
     //  - integral columns need exact-Long entries (a legacy double
@@ -504,10 +506,10 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
             ("max", f.name, f.dataType.typeName)
         }
         new FwAggScan(fullSchema, required, specs, path, summary,
-          versionAsOf)
+          versionAsOf, changesFrom)
       case None =>
         new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
-          summary, maxRecordsPerTrigger, versionAsOf)
+          summary, maxRecordsPerTrigger, versionAsOf, changesFrom)
     }
   }
 }
@@ -518,14 +520,15 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
 private[sources] class FwAggScan(fullSchema: StructType,
     aggSchema: StructType, specs: Array[(String, String, String)],
     path: String, summary: String,
-    versionAsOf: Option[Long] = None) extends Scan with Batch {
+    versionAsOf: Option[Long] = None,
+    changesFrom: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def description(): String = s"GraftFixedWidth $summary"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val files = FwFiles.listAt(path, versionAsOf)
+    val files = FwFiles.listAt(path, versionAsOf, changesFrom)
     val count = files.map(_.bytes / rowLen).sum
     val allStats = files.flatMap(lf => FwStats.read(lf.file, lf.bytes))
     // Exact per-type extremes: integral answers stay in the Long domain
@@ -598,7 +601,19 @@ private[sources] object FwFiles {
     */
   def listAt(path: String,
       versionAsOf: Option[Long]): Array[FwListedFile] =
-    versionAsOf match {
+    listAt(path, versionAsOf, None)
+
+  /** `changesFrom` subtracts a base snapshot's FILES from the listing —
+    * the incremental read between two versions of an append-only table
+    * (Delta change-feed reduced to its file-level essence: the batch
+    * writer only ever ADDS files, so "what changed since version n" is
+    * exactly the files version n did not have). Composes with
+    * `versionAsOf`: changes from n as of m reads the files added in
+    * versions n+1..m.
+    */
+  def listAt(path: String, versionAsOf: Option[Long],
+      changesFrom: Option[Long]): Array[FwListedFile] = {
+    val full: Array[FwListedFile] = versionAsOf match {
       case None => list(path).map(f => FwListedFile(f, f.length()))
       case Some(v) =>
         val dir = new java.io.File(path)
@@ -612,6 +627,13 @@ private[sources] object FwFiles {
           FwListedFile(f, if (bytes < 0) f.length() else bytes)
         }.sortBy(_.file.getName)
     }
+    changesFrom match {
+      case None => full
+      case Some(base) =>
+        val baseNames = FwVersions.resolve(path, base).map(_._1).toSet
+        full.filterNot(lf => baseNames.contains(lf.file.getName))
+    }
+  }
 }
 
 /** One file of a batch-read listing: the data file plus the byte
@@ -888,7 +910,8 @@ private[sources] object FwStats {
 private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
     summary: String, maxRecordsPerTrigger: Option[Long] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    changesFrom: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -949,7 +972,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val totalBytes = FwFiles.listAt(path, versionAsOf).map(_.bytes).sum
+    val totalBytes = FwFiles.listAt(path, versionAsOf, changesFrom)
+      .map(_.bytes).sum
     val rows = totalBytes / rowLen
     val keptBytes = FixedWidth.widths(required).sum + 1L
     val projectedBytes = rows * keptBytes
@@ -963,7 +987,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val all = FwFiles.listAt(path, versionAsOf)
+    val all = FwFiles.listAt(path, versionAsOf, changesFrom)
     // zone-map pruning: a file whose sidecar ranges exclude the pushed
     // filters is skipped before a single byte of it is read
     val eff = effectiveFilters
@@ -1001,6 +1025,9 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     require(versionAsOf.isEmpty,
       "FixedWidth: versionAsOf is batch-only; a stream cannot be pinned " +
         "to a past snapshot")
+    require(changesFrom.isEmpty,
+      "FixedWidth: changesFromVersion is batch-only; a stream already " +
+        "tracks its own incremental offsets")
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
       recordsPerSplit, maxRecordsPerTrigger)
   }

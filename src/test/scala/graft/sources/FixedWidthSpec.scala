@@ -722,6 +722,38 @@ class FixedWidthSpec extends AnyFunSuite {
       s"pinned MIN/MAX should stay metadata-only: ${FixedWidth.lastScanSummary}")
   }
 
+  test("incremental read: changesFromVersion yields only later files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwcdc").toFile.getAbsolutePath
+    def write(data: Seq[(Long, String, Double)], mode: String): Unit =
+      data.toDF("id", "name", "score").repartition(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    write(Seq((1L, "a", 1.0), (2L, "b", 2.0)), "overwrite") // v1
+    write(Seq((3L, "c", 3.0)), "append") // v2
+    write(Seq((4L, "d", 4.0)), "append") // v3
+    def changes(from: Long, asOf: Option[Long] = None) = {
+      val r = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("changesFromVersion", from.toString)
+      asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(dir)
+    }
+    assert(changes(1).collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L))
+    assert(changes(2).collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(changes(3).count() === 0L)
+    // bounded on both ends: additions in v2 only
+    assert(changes(1, Some(2)).collect().map(_.getLong(0)).toSeq ===
+      Seq(3L))
+    // the delta COUNT stays metadata-only
+    val c = changes(1).agg(count(lit(1))).collect().head.getLong(0)
+    assert(c === 2L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"delta COUNT(*) left the metadata path: ${FixedWidth.lastScanSummary}")
+    // unknown base version fails loudly
+    val e = intercept[Exception] { changes(9).collect() }
+    assert(e.getMessage.contains("no version 9"), e.getMessage)
+  }
+
   test("time travel: a pinned stream is refused; no manifest is a clear error") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwttstream").toFile.getAbsolutePath
