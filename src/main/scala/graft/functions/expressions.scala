@@ -569,6 +569,8 @@ object GraftFunctions {
         } else SketchOps.HashXx64)),
     "rep_stats_of" -> (exprs => RepStatsOf(exprs.head)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
+    "damerau_levenshtein" -> (exprs =>
+      DamerauLevenshtein(exprs(0), exprs(1))),
   )
 
   /** Retrofit the functions onto an existing session (SQL-callable). */

@@ -26,9 +26,21 @@ import org.apache.spark.sql.functions._
   *    (word, pos) → (word, pos + matchlen), so the hash match proves
   *    the fold implements the sequential tokenizer: match lengths,
   *    tie-breaks, token identities, and corpus token totals.
+  *  - m32: single-band (grayscale) rasters through the REAL ImageIO
+  *    codec — planted TYPE_BYTE_GRAY PNGs decode distributed with
+  *    channels=1 and exact gray sums, the raster-type-robustness
+  *    complement to m27's 3-band proof (same planted-fixture device).
   */
 object TextOps76 {
   import Tables.t
+
+  private val GrayDocs = 30
+
+  /** m32's planted grayscale formula — single source of truth. */
+  private def grayDims(id: Long): (Int, Int) =
+    ((id % 10 + 6).toInt, (id % 9 + 4).toInt)
+  private def grayPx(id: Long, x: Int, y: Int): Int =
+    ((id * 53 + x * 9 + y * 31) % 256).toInt
 
   private def wordCounts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -86,6 +98,51 @@ object TextOps76 {
           length(col("token")).cast("long").as("tok_len"),
           col("corpus_words"), col("corpus_tokens"), col("corpus_chars"))
         .orderBy(col("occurrences").desc, col("token").asc)
+    }),
+
+    // single-band rasters through the REAL codec: planted
+    // TYPE_BYTE_GRAY PNGs (samples written raw, no RGB->luma rounding)
+    // decode distributed via ImageIoCodec, whose band loop must report
+    // channels=1 and the exact gray sum — the raster-type-robustness
+    // complement to m27's 3-band proof, replayed by the oracle from the
+    // planted formula
+    "m32_grayscale_decode" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_m32", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val ids = t(spark, dir, "documents")
+        .filter(col("doc_id") < GrayDocs)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val (w, h) = grayDims(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        for (y <- 0 until h; x <- 0 until w)
+          raster.setSample(x, y, 0, grayPx(id, x, y))
+        javax.imageio.ImageIO.write(img, "png",
+          base.resolve(s"img_$id.png").toFile)
+      }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(base.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val p = graft.mm.Multimodal.ImageIoCodec.decode("image/png", bytes)
+          (id, p.width.toLong, p.height.toLong, p.channels.toLong,
+            p.features(0).toLong)
+        })
+        .toDF("doc_id", "width", "height", "channels", "sum_gray")
+        .orderBy("doc_id")
     }),
   )
 
@@ -150,5 +207,20 @@ object TextOps76 {
         |  corpus_words, corpus_tokens, corpus_chars
         |FROM occ, corpus
         |ORDER BY occurrences DESC, token""".stripMargin,
+
+    "m32_grayscale_decode" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT doc_id FROM documents WHERE doc_id < $GrayDocs),
+         |dims AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 6 AS BIGINT) AS w,
+         |    CAST(doc_id % 9 + 4 AS BIGINT) AS h
+         |  FROM d),
+         |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs)
+         |SELECT doc_id, w AS width, h AS height,
+         |  CAST(1 AS BIGINT) AS channels,
+         |  CAST(sum((doc_id * 53 + x * 9 + y * 31) % 256) AS BIGINT)
+         |    AS sum_gray
+         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
   )
 }

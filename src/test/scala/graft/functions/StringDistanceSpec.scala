@@ -87,6 +87,13 @@ class StringDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("damerau_levenshtein is SQL-callable after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('ca', 'abc') AS d").collect()
+    assert(r.head.getInt(0) === 2)
+  }
+
   test("nulls propagate") {
     import spark.implicits._
     val out = Seq((Option("ab"), Option.empty[String]))
