@@ -232,6 +232,39 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // DESCRIBE HISTORY as data: the snapshot manifest read back through
+    // the source's history surface (version, file/byte/record counts —
+    // one metadata read, zero record IO). The oracle recomputes every
+    // column from the fixture predicate: commit sizes are supplier
+    // counts, bytes are records x the 55-byte record length.
+    "q361_fw_history" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_hist", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .orderBy("version")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -307,6 +340,25 @@ object Analytics110 {
         CAST(count(*) AS BIGINT) AS n_sup,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM v GROUP BY 1, 2 ORDER BY version, s_nationkey""",
+
+    // each commit appended 2 files; records replay from the fixture
+    // predicate, bytes = records x (8+18+4+24 widths + newline)
+    "q361_fw_history" -> """
+      WITH s AS (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey <= 100000),
+      c AS (
+        SELECT count(*) AS total,
+          sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS even
+        FROM s)
+      SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+        CAST(even * 55 AS BIGINT) AS n_bytes,
+        CAST(even AS BIGINT) AS n_records
+      FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(total * 55 AS BIGINT), CAST(total AS BIGINT)
+      FROM c
+      ORDER BY version""",
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

@@ -53,11 +53,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class FixedWidth extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FixedWidth.parseSchema(options.get("schema"))
+    if (options.getBoolean("history", false)) FwHistory.schema
+    else FixedWidth.parseSchema(options.get("schema"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new FwTable(schema, properties.asScala.toMap)
+      properties: java.util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    if (props.get("history").exists(_.equalsIgnoreCase("true")))
+      new FwHistoryTable(
+        FixedWidth.parseSchema(props("schema")),
+        props.get("path")
+          .map(p => if (p.startsWith("file:"))
+            new java.net.URI(p).getPath else p)
+          .getOrElse(throw new IllegalArgumentException(
+            "FixedWidth history read requires a path")))
+    else new FwTable(schema, props)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -642,6 +653,66 @@ private[sources] object FwFiles {
   */
 private[sources] final case class FwListedFile(file: java.io.File,
     bytes: Long)
+
+/** DESCRIBE HISTORY as a read surface:
+  * `spark.read.format(fw).option("history", true).option("schema", …)
+  * .load(dir)` returns the snapshot manifest as a table — one metadata
+  * read, zero record IO at any table size. Legacy name-only manifest
+  * entries fall back to current file lengths.
+  */
+private[sources] object FwHistory {
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_records", LongType, nullable = false)))
+}
+
+private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"fixedwidth_history($path)"
+  override def schema(): StructType = FwHistory.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = FwHistory.schema
+      override def description(): String =
+        s"GraftFixedWidthHistory $path metadata-only"
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+        val dir = new java.io.File(path)
+        val rows = FwVersions.read(path).map { case (v, files) =>
+          val bytes = files.map { case (n, b) =>
+            if (b >= 0) b else new java.io.File(dir, n).length()
+          }.sum
+          Array[Any](v, files.length.toLong, bytes, bytes / rowLen)
+        }
+        Array(FwHistoryPartition(rows.toArray))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        FwHistoryReaderFactory
+    }
+}
+
+private[sources] case class FwHistoryPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] object FwHistoryReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[FwHistoryPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+}
 
 /** Snapshot-version manifest: `_fw_versions.json` in the table
   * directory records, per successful BATCH commit, the complete `.fw`

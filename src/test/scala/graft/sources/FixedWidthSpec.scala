@@ -754,6 +754,28 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no version 9"), e.getMessage)
   }
 
+  test("history surface: the manifest reads back as a metadata table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwhist").toFile.getAbsolutePath
+    def hist = spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", spec).load(dir)
+    // no commits yet: empty history, not an error
+    assert(hist.count() === 0)
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+      .repartition(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    Seq((3L, "c", 3.0)).toDF("id", "name", "score").repartition(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("append").save(dir)
+    val rows = hist.orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, 1L, 2L), (2L, 2L, 3L)))
+    // record length = 4 + 6 + 10 widths + newline
+    val bytes = hist.orderBy("version").collect().map(_.getLong(2))
+    assert(bytes.toSeq === Seq(2L * 21, 3L * 21))
+  }
+
   test("time travel: a pinned stream is refused; no manifest is a clear error") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwttstream").toFile.getAbsolutePath
