@@ -265,6 +265,57 @@ object Analytics110 {
         .orderBy("version")
     }),
 
+    // OPTIMIZE-style small-file compaction: 8 tiny files from a
+    // fine-grained write (v1) are bin-packed into ONE by streaming
+    // byte concatenation (fixed-width files are record-aligned, so
+    // compaction never decodes a record) and committed as snapshot v2.
+    // The per-nation aggregates prove record preservation against the
+    // parquet original; the two boolean contracts — pinned TRUE by the
+    // oracle — prove the file count actually collapsed 8→1 and that
+    // v2 holds exactly v1's record count, both read from the
+    // metadata-only history surface.
+    "q362_fw_compaction" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_opt", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(8)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      val report = graft.sources.FwMaintenance.optimize(spark,
+        base.toString, targetBytes = 1L << 20)
+      require(report.committedVersion.contains(2L),
+        s"compaction should commit snapshot v2: $report")
+      val hist = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true")
+        .option("schema", FwSchema)
+        .load(base.toString)
+      val contract = hist.agg(
+        (max(when(col("version") === 1, col("n_files"))) === 8L &&
+          max(when(col("version") === 2, col("n_files"))) === 1L)
+          .as("files_compacted_ok"),
+        (max(when(col("version") === 1, col("n_records"))) ===
+          max(when(col("version") === 2, col("n_records"))))
+          .as("records_preserved"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .crossJoin(contract)
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -359,6 +410,16 @@ object Analytics110 {
         CAST(total * 55 AS BIGINT), CAST(total AS BIGINT)
       FROM c
       ORDER BY version""",
+
+    // compaction preserves every record (aggregates replay from
+    // parquet) and the contracts pin the 8→1 collapse + count equality
+    "q362_fw_compaction" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        TRUE AS files_compacted_ok, TRUE AS records_preserved
+      FROM supplier
+      WHERE s_suppkey <= 100000
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

@@ -801,4 +801,134 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no batch write has committed"),
       e2.getMessage)
   }
+
+  test("compaction: small files bin-pack into one; records, stats and " +
+      "metadata pushdown survive; vacuumed snapshots fail loudly") {
+    val dir = Files.createTempDirectory("fwopt").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    spark.range(0, 4000)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", sc4).mode("overwrite").save(dir) // v1: 4 files
+    val report = FwMaintenance.optimize(spark, dir, targetBytes = 10L << 20)
+    assert(report.committedVersion === Some(2L), report.toString)
+    assert(report.filesBefore === 4 && report.filesAfter === 1
+      && report.groups === 1, report.toString)
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fw"))
+    assert(dataFiles.length === 1, dataFiles.map(_.getName).mkString(","))
+    assert(dataFiles.head.getName.startsWith("compact-"))
+    // every record survives, byte-for-byte (fixed-width concatenation)
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).load(dir)
+    assert(re.count() === 4000L)
+    assert(re.agg(sum("id")).collect().head.getLong(0) === 4000L * 3999 / 2)
+    // the merged sidecar is the exact envelope union
+    assert(FwStats.read(dataFiles.head) ===
+      Some(Map("id" -> FwIntStats(0L, 3999L),
+        "score" -> FwDblStats(Some(0.0), Some(99.0), hasNaN = false))))
+    // MIN/MAX still answers from metadata alone post-compaction
+    val mm = re.agg(min("id"), max("id")).collect().head
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === 3999L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"post-compaction MIN/MAX left metadata path: ${FixedWidth.lastScanSummary}")
+    // history: v2 keeps v1's record count at 1 file
+    val hist = spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", sc4).load(dir)
+      .orderBy("version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((1L, 4L, 4000L), (2L, 1L, 4000L)))
+    // the pre-compaction snapshot's files are vacuumed: loud failure
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", sc4).option("versionAsOf", "1").load(dir).collect()
+    }
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+  }
+
+  test("compaction: a statless input poisons only its own group's sidecar") {
+    val dir = Files.createTempDirectory("fwoptg").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val sch4 = FixedWidth.parseSchema(sc4)
+    // 4 equal 21000-byte files in a deterministic name order; target
+    // 43000 packs them 2+2: group 1 = (a,b), group 2 = (c,d)
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (nm, k) =>
+      val recs = Seq.tabulate(1000) { i =>
+        val id = 1000L * k + i
+        Seq[Any](id, "n" + (id % 97), (id % 100).toDouble)
+      }
+      val f = new java.io.File(dir, s"$nm.fw")
+      Files.write(f.toPath, FixedWidthWriter.render(sch4, recs))
+      if (nm != "d") // d is a statless hand-built fixture
+        FwStats.write(FwStats.sidecarFor(f.getPath),
+          Map("id" -> FwIntStats(1000L * k, 1000L * k + 999L),
+            "score" -> FwDblStats(Some(0.0), Some(99.0), hasNaN = false)),
+          f.length())
+    }
+    assert(FwFiles.list(dir).forall(_.length() === 21000L))
+    val report = FwMaintenance.optimize(spark, dir, targetBytes = 43000L)
+    assert(report.groups === 2 && report.filesAfter === 2, report.toString)
+    val outs = FwFiles.list(dir).sortBy(_.getName)
+    assert(outs.length === 2)
+    val sidecars = outs.map(f => FwStats.read(f))
+    // group 1 (a+b: ids 0..1999) merged; group 2 (c+d) declined
+    assert(sidecars.count(_.isDefined) === 1)
+    val merged = sidecars.flatten.head
+    assert(merged("id") === FwIntStats(0L, 1999L))
+    // reads stay correct and the stat'd file still prunes
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).load(dir)
+    assert(re.count() === 4000L)
+    assert(re.filter(col("id") >= 2000L).count() === 2000L)
+    assert(FixedWidth.lastSkippedFiles === 1,
+      "the merged-sidecar file must prune on id >= 2000")
+  }
+
+  test("compaction: no-op and singleton-leftover cases burn no version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwoptn").toFile.getAbsolutePath
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+      .repartition(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir) // v1: one small file
+    // a lone small file is a singleton group: nothing to gain, no-op
+    val r1 = FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+    assert(r1.committedVersion === None && r1.groups === 0
+      && r1.filesBefore === 1 && r1.filesAfter === 1, r1.toString)
+    // files at/above target never compact
+    Seq((3L, "c", 3.0)).toDF("id", "name", "score").repartition(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("append").save(dir) // v2
+    val r2 = FwMaintenance.optimize(spark, dir, targetBytes = 2L)
+    assert(r2.committedVersion === None && r2.filesAfter === 2, r2.toString)
+    assert(FwVersions.read(dir).map(_._1).max === 2L,
+      "no-op compaction must not burn a manifest version")
+    // and with two compactable files it DOES commit v3
+    val r3 = FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+    assert(r3.committedVersion === Some(3L) && r3.filesAfter === 1,
+      r3.toString)
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
+      "type clashes drop the column") {
+    val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
+      "d" -> FwDblStats(Some(1.0), Some(2.0), hasNaN = false))
+    val b = Map[String, FwColStats]("i" -> FwIntStats(-3L, 7L),
+      "d" -> FwDblStats(None, None, hasNaN = true),
+      "only_b" -> FwIntStats(1L, 1L))
+    val m = FwMaintenance.mergeStats(Seq(a, b))
+    assert(m("i") === FwIntStats(-3L, 10L))
+    assert(m("d") === FwDblStats(Some(1.0), Some(2.0), hasNaN = true))
+    assert(m("only_b") === FwIntStats(1L, 1L),
+      "a column one input never saw keeps the other's envelope")
+    val clash = FwMaintenance.mergeStats(Seq(
+      Map("x" -> FwIntStats(1L, 2L)),
+      Map("x" -> FwDblStats(Some(0.5), Some(1.5), hasNaN = false))))
+    assert(clash === Map.empty, "mixed-type stats must drop the column")
+  }
 }
