@@ -316,6 +316,52 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // Copy-on-write MERGE (upsert): keys ending in 3 get +1000 balance,
+    // keys ending in 7 spawn brand-new suppliers under nation 99, and
+    // the zone-map key envelopes decide which files rewrite — the
+    // Delta MERGE contract at file grain, table side never shuffled.
+    // The oracle replays the same upsert in SQL over the parquet
+    // original, so the hash match proves update-in-place, insert, and
+    // untouched-row preservation simultaneously.
+    "q363_fw_merge" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_mrg", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.repartitionByRange(4, col("s_suppkey"))
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      val updates = src.filter(col("s_suppkey") % 10 === 3)
+        .withColumn("s_acctbal", col("s_acctbal") + 1000.0)
+        .unionAll(src.filter(col("s_suppkey") % 10 === 7)
+          .select((col("s_suppkey") + 500000L).as("s_suppkey"),
+            lit("NEWSUP").as("s_name"),
+            lit(99).as("s_nationkey"),
+            lit(0.0).as("s_acctbal")))
+      val report = graft.sources.FwMaintenance.merge(spark,
+        base.toString, graft.sources.FixedWidth.parseSchema(FwSchema),
+        updates, "s_suppkey")
+      require(report.version == 2L, s"merge should commit v2: $report")
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(expr("cast(round(s_acctbal, 2) as decimal(18,2))"))
+            .cast("double").as("sum_bal"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -420,6 +466,25 @@ object Analytics110 {
       FROM supplier
       WHERE s_suppkey <= 100000
       GROUP BY 1 ORDER BY s_nationkey""",
+
+    // the upsert replayed in SQL: %10==3 keys updated in place,
+    // %10==7 keys re-inserted as new nation-99 suppliers
+    "q363_fw_merge" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        WHERE s_suppkey <= 100000),
+      merged AS (
+        SELECT s_suppkey, s_nationkey,
+          CASE WHEN s_suppkey % 10 = 3 THEN s_acctbal + 1000.0
+               ELSE s_acctbal END AS bal
+        FROM s
+        UNION ALL
+        SELECT s_suppkey + 500000, 99, 0.0 FROM s WHERE s_suppkey % 10 = 7)
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        CAST(sum(CAST(round(bal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_bal,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM merged GROUP BY 1 ORDER BY s_nationkey""",
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

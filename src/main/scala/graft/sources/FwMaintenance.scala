@@ -163,6 +163,305 @@ object FwMaintenance {
     GroupResult(tmp.getPath, merged.isDefined)
   }
 
+  /** What a merge run did. Files whose key envelope excluded every
+    * update key were never opened — that count is the zone-map win the
+    * copy-on-write design exists for.
+    */
+  final case class MergeReport(
+      version: Long,
+      filesRewritten: Int,
+      filesUntouched: Int,
+      rowsUpdated: Long,
+      rowsInserted: Long)
+
+  private final case class MergePlan(file: String, bytes: Long)
+  private final case class MergeResult(tmpData: String, matched: Seq[Any],
+      rowsUpdated: Long, rowsCopied: Long)
+
+  /** Copy-on-write MERGE (upsert) keyed on `keyCol`: every table row
+    * whose key appears in `updates` is replaced by the update row,
+    * update keys matching no table row append as one new file, and the
+    * post-merge file set commits as the next snapshot version — the
+    * Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+    * contract at file grain.
+    *
+    * Scale shape: the TABLE side never shuffles and never decodes a
+    * file the merge provably cannot touch — per-file zone-map
+    * envelopes on the key column prune the rewrite set the same way
+    * they prune scans, so a 100 TB table with a 1 GB delta rewrites
+    * only the files whose key ranges intersect the delta (one
+    * independent task each). The DELTA side rides a broadcast, the
+    * same smallness contract as a broadcast-hash join; a delta too big
+    * to broadcast is a backfill, not a merge. A rewrite task that
+    * finds no actual match (an envelope false positive) discards its
+    * tmp file and keeps the original untouched. Sidecars are
+    * recomputed exactly during the rewrite, so pruning survives.
+    *
+    * Update keys must be unique and non-null (ambiguous multi-updates
+    * per key are an error, as in Delta), and the key column must be
+    * integral or string — a double key's rendered round-trip is not a
+    * reliable identity.
+    */
+  def merge(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCol: String): MergeReport = {
+    import org.apache.spark.sql.functions.{col, count}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val ki = schema.fieldNames.indexOf(keyCol)
+    require(ki >= 0, s"merge key $keyCol is not a table column")
+    val keyType = schema.fields(ki).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"merge key must be integral or string, got $keyType")
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    require(aligned.filter(col(keyCol).isNull).isEmpty,
+      "merge updates must not carry null keys")
+    val dup = aligned.groupBy(keyCol).agg(count(org.apache.spark.sql
+      .functions.lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge updates must be unique per key; duplicate: ${dup.toSeq}")
+
+    // the delta side: collected + broadcast (the broadcast-join
+    // smallness contract); values normalized to the writer's types
+    val upRows: Map[Any, Seq[Any]] = aligned.collect().map { r =>
+      val vals = schema.fields.indices.map(i => r.get(i))
+      normKey(r.get(ki)) -> vals.toSeq
+    }.toMap
+    require(upRows.nonEmpty, "merge with an empty update set is a no-op")
+
+    val files = FwFiles.list(path)
+    // envelope pruning: a live sidecar whose key range excludes every
+    // update key — or that never saw a non-null key — cannot match
+    val longKeys: Seq[Long] = keyType match {
+      case LongType | IntegerType =>
+        upRows.keys.map(_.asInstanceOf[Long]).toSeq
+      case _ => Seq.empty
+    }
+    val (touched, untouched) = files.partition { f =>
+      FwStats.read(f) match {
+        case Some(stats) if keyType != StringType =>
+          stats.get(keyCol) match {
+            case Some(FwIntStats(lo, hi)) =>
+              longKeys.exists(k => k >= lo && k <= hi)
+            case Some(_) => true // unexpected shape: stay conservative
+            case None => false // file has no non-null keys at all
+          }
+        case _ => true // no stats, or string keys: cannot prune
+      }
+    }
+
+    val bc = spark.sparkContext.broadcast(upRows)
+    val plans = touched.map(f => MergePlan(f.getPath, f.length())).toVector
+    val results: Array[MergeResult] =
+      if (plans.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(plans, plans.size)
+        .map(p => rewriteFile(schema, ki, p, bc.value))
+        .collect()
+
+    val matchedKeys = results.flatMap(_.matched).toSet
+    val inserts = upRows.view.filterKeys(k => !matchedKeys.contains(k))
+      .values.toVector
+    val dir = new java.io.File(path)
+
+    // publish rewrites that actually changed; discard false positives
+    var rewritten = 0
+    results.foreach { r =>
+      val tmp = new java.io.File(r.tmpData)
+      val sTmp = new java.io.File(
+        FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
+      if (r.rowsUpdated == 0) { tmp.delete(); sTmp.delete() }
+      else {
+        rewritten += 1
+        val target = new java.io.File(dir, tmp.getName.stripSuffix(".tmp"))
+        require(tmp.renameTo(target), s"could not publish $tmp -> $target")
+        val sTarget = new java.io.File(dir,
+          sTmp.getName.stripSuffix(".tmp"))
+        require(sTmp.renameTo(sTarget),
+          s"could not publish $sTmp -> $sTarget")
+      }
+    }
+    if (inserts.nonEmpty) {
+      val name = "merge-ins-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".fw"
+      val tmp = new java.io.File(dir, name + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        FixedWidthWriter.render(schema, inserts))
+      FwStats.write(
+        FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
+        statsOfRows(schema, inserts), tmp.length())
+      val target = new java.io.File(dir, name)
+      require(tmp.renameTo(target), s"could not publish $tmp -> $target")
+      val sTmp = new java.io.File(
+        FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp")
+      val sTarget = new java.io.File(dir, sTmp.getName.stripSuffix(".tmp"))
+      require(sTmp.renameTo(sTarget), s"could not publish $sTmp")
+    }
+    // originals of PUBLISHED rewrites go last, then the snapshot
+    val publishedInputs = results.filter(_.rowsUpdated > 0).map(_.tmpData)
+      .toSet
+    results.zip(plans).foreach { case (r, p) =>
+      if (r.rowsUpdated > 0) {
+        new java.io.File(FwStats.sidecarFor(p.file)).delete()
+        require(new java.io.File(p.file).delete(),
+          s"could not remove merged input ${p.file}")
+      }
+    }
+    require(publishedInputs.size == rewritten) // sanity: 1 tmp per plan
+    val version = FwVersions.commitSnapshot(path)
+    MergeReport(version, rewritten, files.length - rewritten,
+      results.map(_.rowsUpdated).sum, inserts.size.toLong)
+  }
+
+  /** Runs on an executor: stream one file record by record, replacing
+    * matched rows and copying everything else byte-verbatim, while
+    * recomputing the numeric zone map exactly.
+    */
+  private def rewriteFile(schema: org.apache.spark.sql.types.StructType,
+      keyIdx: Int, plan: MergePlan,
+      updates: Map[Any, Seq[Any]]): MergeResult = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val widths = FixedWidth.widths(schema)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val rowLen = widths.sum + 1
+    val in = new java.io.File(plan.file)
+    val tmp = new java.io.File(in.getParentFile, "merge-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".fw.tmp")
+    val matched = Vector.newBuilder[Any]
+    var updated = 0L
+    var copied = 0L
+    val acc = new StatsAccumulator(schema)
+    val input = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(in))
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp))
+    try {
+      val buf = new Array[Byte](rowLen)
+      var records = plan.bytes / rowLen
+      while (records > 0) {
+        records -= 1
+        var got = 0
+        while (got < rowLen) {
+          val n = input.read(buf, got, rowLen - got)
+          require(n > 0, s"unexpected EOF in ${plan.file}")
+          got += n
+        }
+        def slice(i: Int): String = {
+          var a = offsets(i)
+          var b = offsets(i) + widths(i)
+          while (a < b && buf(a) == ' ') a += 1
+          while (b > a && buf(b - 1) == ' ') b -= 1
+          if (a == b) null
+          else new String(buf, a, b - a,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val keyStr = slice(keyIdx)
+        val key: Any =
+          if (keyStr == null) null
+          else schema.fields(keyIdx).dataType match {
+            case LongType | IntegerType => keyStr.toLong
+            case _ => keyStr
+          }
+        updates.get(key) match {
+          case Some(vals) if key != null =>
+            matched += key
+            updated += 1
+            out.write(FixedWidthWriter.render(schema, Seq(vals)))
+            acc.addRow(vals)
+          case _ =>
+            copied += 1
+            out.write(buf)
+            schema.fields.indices.foreach { i =>
+              schema.fields(i).dataType match {
+                case LongType | IntegerType =>
+                  val s = slice(i)
+                  if (s != null) acc.addLong(i, s.toLong)
+                case DoubleType =>
+                  val s = slice(i)
+                  if (s != null) acc.addDouble(i, s.toDouble)
+                case _ => ()
+              }
+            }
+        }
+      }
+    } finally { input.close(); out.close() }
+    if (updated > 0)
+      FwStats.write(
+        FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
+        acc.result(), tmp.length())
+    MergeResult(tmp.getPath, matched.result(), updated, copied)
+  }
+
+  private def normKey(v: Any): Any = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"unsupported merge key value: $other")
+  }
+
+  private def statsOfRows(schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[Seq[Any]]): Map[String, FwColStats] = {
+    val acc = new StatsAccumulator(schema)
+    rows.foreach(acc.addRow)
+    acc.result()
+  }
+
+  /** The same exact-envelope accounting as `FwDataWriter`, reusable
+    * from maintenance rewrites that see decoded values instead of
+    * `InternalRow`s.
+    */
+  private final class StatsAccumulator(
+      schema: org.apache.spark.sql.types.StructType) {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    private val n = schema.fields.length
+    private val loL = Array.fill(n)(Long.MaxValue)
+    private val hiL = Array.fill(n)(Long.MinValue)
+    private val loD = Array.fill(n)(Double.PositiveInfinity)
+    private val hiD = Array.fill(n)(Double.NegativeInfinity)
+    private val nan = Array.fill(n)(false)
+    private val seenL = Array.fill(n)(false)
+    private val seenD = Array.fill(n)(false)
+
+    def addLong(i: Int, v: Long): Unit = {
+      seenL(i) = true
+      if (v < loL(i)) loL(i) = v
+      if (v > hiL(i)) hiL(i) = v
+    }
+    def addDouble(i: Int, v: Double): Unit = {
+      seenD(i) = true
+      if (v.isNaN) nan(i) = true
+      else {
+        if (v < loD(i)) loD(i) = v
+        if (v > hiD(i)) hiD(i) = v
+      }
+    }
+    def addRow(vals: Seq[Any]): Unit =
+      schema.fields.indices.foreach { i =>
+        val v = vals(i)
+        if (v != null) schema.fields(i).dataType match {
+          case LongType => addLong(i, v.asInstanceOf[Long])
+          case IntegerType => addLong(i, v.asInstanceOf[Int].toLong)
+          case DoubleType => addDouble(i, v.asInstanceOf[Double])
+          case _ => ()
+        }
+      }
+    def result(): Map[String, FwColStats] =
+      schema.fields.indices.flatMap { i =>
+        schema.fields(i).dataType match {
+          case LongType | IntegerType if seenL(i) =>
+            Some(schema.fields(i).name -> FwIntStats(loL(i), hiL(i)))
+          case DoubleType if seenD(i) =>
+            def fin(d: Double) =
+              if (java.lang.Double.isFinite(d)) Some(d) else None
+            val (lo, hi) =
+              if (loD(i) <= hiD(i)) (fin(loD(i)), fin(hiD(i)))
+              else (None, None) // all-NaN column
+            Some(schema.fields(i).name -> FwDblStats(lo, hi, nan(i)))
+          case _ => None
+        }
+      }.toMap
+  }
+
   /** Envelope union across the group. A column absent from one input's
     * sidecar contributed no non-null values there (the writer only
     * records columns it saw), so the union over the inputs that have

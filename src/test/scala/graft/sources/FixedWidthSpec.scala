@@ -914,6 +914,120 @@ class FixedWidthSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("merge: updates rewrite only envelope-touched files, inserts " +
+      "append, sidecars recompute, snapshot commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwmrg").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val sch4 = FixedWidth.parseSchema(sc4)
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (nm, k) =>
+      val recs = Seq.tabulate(100) { i =>
+        val id = 1000L * k + i
+        Seq[Any](id, "n" + (id % 97), (id % 100).toDouble)
+      }
+      val f = new java.io.File(dir, s"$nm.fw")
+      Files.write(f.toPath, FixedWidthWriter.render(sch4, recs))
+      FwStats.write(FwStats.sidecarFor(f.getPath),
+        Map("id" -> FwIntStats(1000L * k, 1000L * k + 99L),
+          "score" -> FwDblStats(Some(0.0), Some(99.0), hasNaN = false)),
+        f.length())
+    }
+    val updates = Seq((1050L, "upd", 777.5), (1051L, "upd", -3.25),
+      (9999L, "new", 1.0)).toDF("id", "name", "score")
+    val report = FwMaintenance.merge(spark, dir, sch4, updates, "id")
+    assert(report === FwMaintenance.MergeReport(version = 1L,
+      filesRewritten = 1, filesUntouched = 3, rowsUpdated = 2L,
+      rowsInserted = 1L), report.toString)
+    val names = FwFiles.list(dir).map(_.getName).sorted
+    assert(names.count(_.startsWith("merge-ins-")) === 1, names.toSeq)
+    assert(names.count(_.startsWith("merge-")) === 2, names.toSeq)
+    // only b.fw (ids 1000..1099) was touched
+    assert(names.filterNot(_.startsWith("merge-")).toSeq ===
+      Seq("a.fw", "c.fw", "d.fw"))
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).load(dir)
+    assert(re.count() === 401L)
+    val got = re.filter(col("id").isin(1050L, 1051L, 9999L, 1052L))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1050L, "upd", 777.5), (1051L, "upd", -3.25),
+      (1052L, "n82", 52.0), (9999L, "new", 1.0)))
+    // the rewritten file's sidecar reflects the new values exactly
+    val rewritten = FwFiles.list(dir)
+      .find(f => f.getName.startsWith("merge-")
+        && !f.getName.startsWith("merge-ins-")).get
+    val st = FwStats.read(rewritten).get
+    assert(st("id") === FwIntStats(1000L, 1099L))
+    assert(st("score") ===
+      FwDblStats(Some(-3.25), Some(777.5), hasNaN = false))
+    val insFile = FwFiles.list(dir)
+      .find(_.getName.startsWith("merge-ins-")).get
+    assert(FwStats.read(insFile).get("id") === FwIntStats(9999L, 9999L))
+    // merge committed a snapshot; a second merge bumps it
+    assert(FwVersions.read(dir).map(_._1).max === 1L)
+    val r2 = FwMaintenance.merge(spark, dir, sch4,
+      Seq((0L, "z", 0.0)).toDF("id", "name", "score"), "id")
+    assert(r2.version === 2L && r2.filesRewritten === 1
+      && r2.rowsInserted === 0L)
+  }
+
+  test("merge: envelope false positive keeps the original file; bad " +
+      "update sets are rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwmrgfp").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val sch4 = FixedWidth.parseSchema(sc4)
+    val recs = Seq.tabulate(5)(i => Seq[Any](2L * i, "e" + i, i.toDouble))
+    val f = new java.io.File(dir, "even.fw")
+    Files.write(f.toPath, FixedWidthWriter.render(sch4, recs))
+    FwStats.write(FwStats.sidecarFor(f.getPath),
+      Map("id" -> FwIntStats(0L, 8L)), f.length())
+    // key 7 is inside the envelope but absent: touched, then discarded
+    val report = FwMaintenance.merge(spark, dir, sch4,
+      Seq((7L, "odd", 7.0)).toDF("id", "name", "score"), "id")
+    assert(report.filesRewritten === 0 && report.rowsUpdated === 0L
+      && report.rowsInserted === 1L, report.toString)
+    assert(new java.io.File(dir, "even.fw").isFile,
+      "a no-match rewrite must keep the original file")
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).load(dir)
+    assert(re.count() === 6L)
+    // rejections: duplicate keys, null keys, double-typed keys
+    intercept[IllegalArgumentException] {
+      FwMaintenance.merge(spark, dir, sch4,
+        Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("id", "name", "score"),
+        "id")
+    }
+    intercept[IllegalArgumentException] {
+      FwMaintenance.merge(spark, dir, sch4,
+        Seq((null.asInstanceOf[java.lang.Long], "x", 1.0))
+          .toDF("id", "name", "score"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      FwMaintenance.merge(spark, dir, sch4,
+        Seq((1L, "x", 1.0)).toDF("id", "name", "score"), "score")
+    }
+  }
+
+  test("merge: string keys work and never envelope-prune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwmrgs").toFile.getAbsolutePath
+    val sch4 = FixedWidth.parseSchema(spec) // id,name,score
+    Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "gamma", 3.0))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    val report = FwMaintenance.merge(spark, dir, sch4,
+      Seq((20L, "beta", -2.0), (40L, "delta", 4.0))
+        .toDF("id", "name", "score"), "name")
+    assert(report.rowsUpdated === 1L && report.rowsInserted === 1L)
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(re === Seq((1L, "alpha", 1.0), (3L, "gamma", 3.0),
+      (20L, "beta", -2.0), (40L, "delta", 4.0)))
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
