@@ -362,6 +362,45 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // Key-set DELETE (the GDPR-erasure primitive): suppliers whose key
+    // ends in 4 are erased by rewriting only the files whose zone-map
+    // key envelopes cannot exclude them; keys nothing holds are clean
+    // no-ops. The oracle replays the erasure as an anti-filter over the
+    // parquet original.
+    "q364_fw_delete" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_del", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.repartitionByRange(4, col("s_suppkey"))
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      val erase = src.filter(col("s_suppkey") % 10 === 4)
+        .select(col("s_suppkey"))
+        .unionAll(src.limit(5) // keys no file holds: erased as no-ops
+          .select((col("s_suppkey") + 900000L).as("s_suppkey")))
+      val report = graft.sources.FwMaintenance.deleteByKeys(spark,
+        base.toString, graft.sources.FixedWidth.parseSchema(FwSchema),
+        erase, "s_suppkey")
+      require(report.version == 2L, s"delete should commit v2: $report")
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -485,6 +524,14 @@ object Analytics110 {
           AS sum_bal,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM merged GROUP BY 1 ORDER BY s_nationkey""",
+
+    // the erasure replayed as an anti-filter
+    "q364_fw_delete" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier
+      WHERE s_suppkey <= 100000 AND s_suppkey % 10 <> 4
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

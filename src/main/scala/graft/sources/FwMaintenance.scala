@@ -174,6 +174,13 @@ object FwMaintenance {
       rowsUpdated: Long,
       rowsInserted: Long)
 
+  /** What a key-set delete did. */
+  final case class DeleteReport(
+      version: Long,
+      filesRewritten: Int,
+      filesRemoved: Int,
+      rowsDeleted: Long)
+
   private final case class MergePlan(file: String, bytes: Long)
   private final case class MergeResult(tmpData: String, matched: Seq[Any],
       rowsUpdated: Long, rowsCopied: Long)
@@ -230,27 +237,11 @@ object FwMaintenance {
     require(upRows.nonEmpty, "merge with an empty update set is a no-op")
 
     val files = FwFiles.list(path)
-    // envelope pruning: a live sidecar whose key range excludes every
-    // update key — or that never saw a non-null key — cannot match
-    val longKeys: Seq[Long] = keyType match {
-      case LongType | IntegerType =>
-        upRows.keys.map(_.asInstanceOf[Long]).toSeq
-      case _ => Seq.empty
-    }
-    val (touched, untouched) = files.partition { f =>
-      FwStats.read(f) match {
-        case Some(stats) if keyType != StringType =>
-          stats.get(keyCol) match {
-            case Some(FwIntStats(lo, hi)) =>
-              longKeys.exists(k => k >= lo && k <= hi)
-            case Some(_) => true // unexpected shape: stay conservative
-            case None => false // file has no non-null keys at all
-          }
-        case _ => true // no stats, or string keys: cannot prune
-      }
-    }
+    val touched = pruneTouched(files, keyCol,
+      keyType == StringType, upRows.keySet)
 
-    val bc = spark.sparkContext.broadcast(upRows)
+    val bc = spark.sparkContext.broadcast(
+      upRows.view.mapValues(v => Some(v): Option[Seq[Any]]).toMap)
     val plans = touched.map(f => MergePlan(f.getPath, f.length())).toVector
     val results: Array[MergeResult] =
       if (plans.isEmpty) Array.empty
@@ -312,13 +303,110 @@ object FwMaintenance {
       results.map(_.rowsUpdated).sum, inserts.size.toLong)
   }
 
+  /** Key-set DELETE (the GDPR-erasure primitive): every table row
+    * whose key is in `keys` is removed by rewriting only the files the
+    * zone-map key envelopes cannot exclude; a file whose every record
+    * matched disappears entirely; the result commits as the next
+    * snapshot version. Same scale shape as [[merge]]: table side
+    * unshuffled and envelope-pruned, key set broadcast. Deleting a key
+    * the table does not hold is a no-op, not an error (erasure
+    * requests arrive for users who may have nothing stored).
+    */
+  def deleteByKeys(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): DeleteReport = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val ki = schema.fieldNames.indexOf(keyCol)
+    require(ki >= 0, s"delete key $keyCol is not a table column")
+    val keyType = schema.fields(ki).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"delete key must be integral or string, got $keyType")
+    val keySet: Set[Any] = keys.select(col(keyCol)).distinct().collect()
+      .map { r =>
+        require(!r.isNullAt(0), "delete keys must not be null")
+        normKey(r.get(0))
+      }.toSet
+    require(keySet.nonEmpty, "delete with an empty key set is a no-op")
+
+    val files = FwFiles.list(path)
+    val touched = pruneTouched(files, keyCol,
+      keyType == StringType, keySet)
+    val bc = spark.sparkContext.broadcast(
+      keySet.map(k => k -> (None: Option[Seq[Any]])).toMap)
+    val plans = touched.map(f => MergePlan(f.getPath, f.length())).toVector
+    val results: Array[MergeResult] =
+      if (plans.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(plans, plans.size)
+        .map(p => rewriteFile(schema, ki, p, bc.value))
+        .collect()
+
+    val dir = new java.io.File(path)
+    var rewritten = 0
+    var removed = 0
+    results.zip(plans).foreach { case (r, p) =>
+      val tmp = new java.io.File(r.tmpData)
+      val sTmp = new java.io.File(
+        FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
+      if (r.rowsUpdated == 0) { tmp.delete(); sTmp.delete() }
+      else {
+        if (r.rowsCopied == 0) { // every record matched: the file dies
+          removed += 1
+          tmp.delete(); sTmp.delete()
+        } else {
+          rewritten += 1
+          val target = new java.io.File(dir,
+            tmp.getName.stripSuffix(".tmp"))
+          require(tmp.renameTo(target),
+            s"could not publish $tmp -> $target")
+          val sTarget = new java.io.File(dir,
+            sTmp.getName.stripSuffix(".tmp"))
+          require(sTmp.renameTo(sTarget),
+            s"could not publish $sTmp -> $sTarget")
+        }
+        new java.io.File(FwStats.sidecarFor(p.file)).delete()
+        require(new java.io.File(p.file).delete(),
+          s"could not remove deleted-from input ${p.file}")
+      }
+    }
+    val version = FwVersions.commitSnapshot(path)
+    DeleteReport(version, rewritten, removed,
+      results.map(_.rowsUpdated).sum)
+  }
+
+  /** Envelope pruning shared by merge and delete: a live sidecar whose
+    * integral key range excludes every key — or that never saw a
+    * non-null key — cannot match. String keys and statless files never
+    * prune.
+    */
+  private def pruneTouched(files: Array[java.io.File], keyCol: String,
+      stringKey: Boolean, keys: Set[Any]): Array[java.io.File] = {
+    val longKeys: Seq[Long] =
+      if (stringKey) Seq.empty
+      else keys.map(_.asInstanceOf[Long]).toSeq
+    files.filter { f =>
+      FwStats.read(f) match {
+        case Some(stats) if !stringKey =>
+          stats.get(keyCol) match {
+            case Some(FwIntStats(lo, hi)) =>
+              longKeys.exists(k => k >= lo && k <= hi)
+            case Some(_) => true // unexpected shape: stay conservative
+            case None => false // file has no non-null keys at all
+          }
+        case _ => true // no stats, or string keys: cannot prune
+      }
+    }
+  }
+
   /** Runs on an executor: stream one file record by record, replacing
-    * matched rows and copying everything else byte-verbatim, while
-    * recomputing the numeric zone map exactly.
+    * (Some) or dropping (None) matched rows and copying everything
+    * else byte-verbatim, while recomputing the numeric zone map
+    * exactly.
     */
   private def rewriteFile(schema: org.apache.spark.sql.types.StructType,
       keyIdx: Int, plan: MergePlan,
-      updates: Map[Any, Seq[Any]]): MergeResult = {
+      updates: Map[Any, Option[Seq[Any]]]): MergeResult = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     val widths = FixedWidth.widths(schema)
     val offsets = widths.scanLeft(0)(_ + _)
@@ -362,11 +450,13 @@ object FwMaintenance {
             case _ => keyStr
           }
         updates.get(key) match {
-          case Some(vals) if key != null =>
+          case Some(action) if key != null =>
             matched += key
             updated += 1
-            out.write(FixedWidthWriter.render(schema, Seq(vals)))
-            acc.addRow(vals)
+            action.foreach { vals => // None = delete: emit nothing
+              out.write(FixedWidthWriter.render(schema, Seq(vals)))
+              acc.addRow(vals)
+            }
           case _ =>
             copied += 1
             out.write(buf)

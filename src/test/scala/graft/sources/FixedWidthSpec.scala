@@ -1028,6 +1028,54 @@ class FixedWidthSpec extends AnyFunSuite {
       (20L, "beta", -2.0), (40L, "delta", 4.0)))
   }
 
+  test("delete: key-set erasure rewrites touched files, drops emptied " +
+      "files, skips absent keys, and recomputes sidecars") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwdel").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val sch4 = FixedWidth.parseSchema(sc4)
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (nm, k) =>
+      val recs = Seq.tabulate(100) { i =>
+        val id = 1000L * k + i
+        Seq[Any](id, "n" + (id % 97), (id % 100).toDouble)
+      }
+      val f = new java.io.File(dir, s"$nm.fw")
+      Files.write(f.toPath, FixedWidthWriter.render(sch4, recs))
+      FwStats.write(FwStats.sidecarFor(f.getPath),
+        Map("id" -> FwIntStats(1000L * k, 1000L * k + 99L)), f.length())
+    }
+    // all of b, two endpoints-ish of c, one key no file holds
+    val keys = ((1000L until 1100L) ++ Seq(2000L, 2050L, 77777L))
+      .toDF("id")
+    val report = FwMaintenance.deleteByKeys(spark, dir, sch4, keys, "id")
+    assert(report === FwMaintenance.DeleteReport(version = 1L,
+      filesRewritten = 1, filesRemoved = 1, rowsDeleted = 102L),
+      report.toString)
+    val names = FwFiles.list(dir).map(_.getName).sorted
+    assert(names.count(_.startsWith("merge-")) === 1, names.toSeq)
+    assert(names.filterNot(_.startsWith("merge-")).toSeq ===
+      Seq("a.fw", "d.fw"), "b emptied away, a and d untouched")
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).load(dir)
+    assert(re.count() === 298L)
+    assert(re.filter(col("id").between(1000L, 1099L)).count() === 0L)
+    assert(re.filter(col("id").isin(2000L, 2050L)).count() === 0L)
+    assert(re.filter(col("id") === 2001L).count() === 1L)
+    // the rewritten file's envelope tightened past the deleted endpoint
+    val rewritten = FwFiles.list(dir)
+      .find(_.getName.startsWith("merge-")).get
+    assert(FwStats.read(rewritten).get("id") === FwIntStats(2001L, 2099L))
+    // a second delete of now-absent keys is a clean no-op commit
+    val r2 = FwMaintenance.deleteByKeys(spark, dir, sch4,
+      Seq(2000L).toDF("id"), "id")
+    assert(r2.rowsDeleted === 0L && r2.filesRewritten === 0
+      && r2.version === 2L)
+    intercept[IllegalArgumentException] {
+      FwMaintenance.deleteByKeys(spark, dir, sch4,
+        Seq(Option.empty[Long]).toDF("id"), "id")
+    }
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
