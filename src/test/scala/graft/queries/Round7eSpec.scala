@@ -30,6 +30,23 @@ class Round7eSpec extends AnyFunSuite {
     }
   }
 
+  test("t65: Viterbi segmentations are feasible and never beaten by " +
+      "the all-chars baseline") {
+    val rows = graft.SparkEntry.queries("t65_unigram_viterbi")(spark, Sf)
+      .collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (w, toks, cost) = (r.getString(0), r.getLong(3), r.getLong(2))
+      // a token covers 1..3 chars; costs are positive integers
+      assert(toks >= (w.length + 2) / 3 && toks <= w.length,
+        s"'$w': $toks tokens out of range")
+      assert(cost >= toks, s"'$w': cost $cost under $toks tokens")
+      assert(cost < 1000000000L, s"'$w': sentinel leaked into the DP")
+    }
+    val (words, tokens) = (rows.head.getLong(4), rows.head.getLong(5))
+    assert(tokens >= words, "every word is at least one token")
+  }
+
   test("m16: exactly one thumbnail per m9 scene, score = the scene's peak") {
     val scenes = graft.SparkEntry.queries("m9_scene_cuts")(spark, Sf)
       .collect()
