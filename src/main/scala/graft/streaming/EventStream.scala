@@ -366,6 +366,40 @@ object EventStream {
       .start()
   }
 
+  /** Streaming CDC upsert into a fixed-width table: each micro-batch's
+    * change rows collapse to the LAST change per key (by `seqCol` —
+    * within one batch only the final image matters), then apply as ONE
+    * copy-on-write [[graft.sources.FwMaintenance.merge]], so the table
+    * is always the latest state and every batch is a snapshot version —
+    * the streaming-materialized-view pattern Delta calls `foreachBatch
+    * + MERGE`. Crash-replay safe without a transaction log: re-applying
+    * a batch re-updates the same keys to the same images (updates are
+    * idempotent; re-inserted keys match their previous insert and
+    * update in place), so at-least-once batch delivery yields
+    * exactly-once table STATE. Scale shape inherits merge's: per batch,
+    * only key-envelope-touched files rewrite, the delta broadcasts.
+    */
+  def cdcUpsert(changes: DataFrame, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      seqCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          graft.sources.FwMaintenance.merge(batch.sparkSession,
+            tablePath, schema, latest, keyCol)
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with Spark's native session_window — state is
     * per (user, open session), closed by the 30-min gap + watermark.
     */

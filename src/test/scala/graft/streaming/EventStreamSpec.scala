@@ -12,6 +12,8 @@ final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+final case class Chg(id: Long, name: String, score: Double, seq: Long)
+
 class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
@@ -466,6 +468,49 @@ class EventStreamSpec extends AnyFunSuite {
     assert(u7.head._2 == 2L)
     assert(u7.head._3 == ts("2024-01-01 00:00:00"))
     assert(u7.head._4 == ts("2024-01-01 00:10:00"))
+  }
+
+  test("cdc upsert: foreachBatch merge materializes latest state, one " +
+      "snapshot per batch, last change per key wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fwcdc")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("fwcdcck").toString
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val schema = graft.sources.FixedWidth.parseSchema(sc4)
+    def state(): Seq[(Long, String, Double)] = spark.read
+      .format("graft.sources.FixedWidth").option("schema", sc4)
+      .load(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+    val input = MemoryStream[Chg](spark)
+    val q = EventStream.cdcUpsert(input.toDF(), dir, schema, "id", "seq",
+      ckpt)
+    try {
+      // batch 1: two inserts; id 2 changes twice — seq 3 must win
+      input.addData(Chg(1, "a", 1.0, 1), Chg(2, "b", 2.0, 2),
+        Chg(2, "b2", 2.5, 3))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, "a", 1.0), (2L, "b2", 2.5)))
+      // batch 2: update id 1, insert id 3
+      input.addData(Chg(1, "a2", -1.0, 4), Chg(3, "c", 3.0, 5))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, "a2", -1.0), (2L, "b2", 2.5),
+        (3L, "c", 3.0)))
+    } finally q.stop()
+    // each non-empty batch committed exactly one snapshot version
+    val versions = spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", sc4).load(dir)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(versions.toSeq === Seq((1L, 2L), (2L, 3L)))
+    // replaying the last batch's rows leaves the state unchanged
+    // (at-least-once delivery => exactly-once table state)
+    graft.sources.FwMaintenance.merge(spark, dir, schema,
+      Seq((1L, "a2", -1.0), (3L, "c", 3.0)).toDF("id", "name", "score"),
+      "id")
+    assert(state() === Seq((1L, "a2", -1.0), (2L, "b2", 2.5),
+      (3L, "c", 3.0)))
   }
 
   test("file-based streaming read of the harness events table works end-to-end") {
