@@ -401,6 +401,36 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // STRING extremes answered from zone-map sidecars alone (the
+    // round-7 string zone maps, Parquet's truncate-and-increment
+    // device): the writer stamps exact s_name envelopes (18 ≤ the
+    // 24-char cap), so MIN/MAX of strings AND numerics both ride the
+    // metadata-only aggregate path — one directory listing for the
+    // lexicographic extremes of a 100 TB table. The oracle replays the
+    // same extremes from parquet.
+    "q365_fw_string_minmax" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_str", Paths.get(dir).getFileName.toString)
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .mode("overwrite")
+        .save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("s_name")).as("min_name"),
+          max(col("s_name")).as("max_name"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_acctbal")).as("max_bal"))
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -532,6 +562,13 @@ object Analytics110 {
       FROM supplier
       WHERE s_suppkey <= 100000 AND s_suppkey % 10 <> 4
       GROUP BY 1 ORDER BY s_nationkey""",
+
+    "q365_fw_string_minmax" -> ("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        min(s_name) AS min_name, max(s_name) AS max_name,
+        min(s_suppkey) AS min_key,
+        max(s_acctbal) AS max_bal
+      FROM supplier WHERE s_suppkey <= 100000"""),
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

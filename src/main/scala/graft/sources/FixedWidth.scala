@@ -285,6 +285,8 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   private val statHiD = Array.fill(widths.length)(Double.NegativeInfinity)
   private val statNaN = Array.fill(widths.length)(false)
   private val statSeenL = Array.fill(widths.length)(false)
+  private val statLoS = Array.fill[String](widths.length)(null)
+  private val statHiS = Array.fill[String](widths.length)(null)
 
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder
@@ -305,6 +307,17 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
             else {
               if (v < statLoD(i)) statLoD(i) = v
               if (v > statHiD(i)) statHiD(i) = v
+            }
+          case StringType =>
+            // track the READ-BACK value (pad-trimmed; empty = null) in
+            // the reader's comparison order, so the envelope can never
+            // disagree with pushed-filter evaluation
+            val v = row.getUTF8String(i).toString.trim
+            if (v.nonEmpty) {
+              if (statLoS(i) == null || v.compareTo(statLoS(i)) < 0)
+                statLoS(i) = v
+              if (statHiS(i) == null || v.compareTo(statHiS(i)) > 0)
+                statHiS(i) = v
             }
           case _ => ()
         }
@@ -354,6 +367,9 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
                   (fin(statLoD(i)), fin(statHiD(i)))
                 else (None, None) // all-NaN column
               Some(schema.fields(i).name -> FwDblStats(lo, hi, statNaN(i)))
+            case StringType if statLoS(i) != null =>
+              FwStats.strStatsOf(statLoS(i), statHiS(i))
+                .map(schema.fields(i).name -> _)
             case _ => None
           }
         }.toMap
@@ -441,7 +457,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
           if r.fieldNames.length == 1 =>
         fullSchema.fields.find(_.name == r.fieldNames.head)
     }.flatten.filter(f => f.dataType == LongType ||
-      f.dataType == IntegerType || f.dataType == DoubleType)
+      f.dataType == IntegerType || f.dataType == DoubleType ||
+      f.dataType == StringType)
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
@@ -466,12 +483,19 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
       cols.forall { f =>
         allStats.flatten.forall { m =>
           m.get(f.name) match {
-            case None => true // column all-NULL in that file
+            case None =>
+              // numeric columns: the writer always stamps what it saw,
+              // so absence = all-NULL. String entries arrived later:
+              // absence may just mean an OLDER sidecar — decline.
+              f.dataType != StringType
             case Some(_: FwIntStats) =>
               f.dataType == LongType || f.dataType == IntegerType
             case Some(FwDblStats(lo, hi, hasNaN)) =>
               f.dataType == DoubleType && !hasNaN &&
                 lo.isDefined && hi.isDefined
+            case Some(FwStrStats(_, _, exact)) =>
+              // truncated bounds bracket the extreme without naming it
+              f.dataType == StringType && exact
           }
         }
       }
@@ -559,6 +583,14 @@ private[sources] class FwAggScan(fullSchema: StructType,
       if (vals.isEmpty) None
       else Some(if (isMin) vals.min else vals.max)
     }
+    // the pushdown gate admitted only exact (untruncated) string stats
+    def extremeStr(col: String, isMin: Boolean): Option[String] = {
+      val vals = allStats.flatMap(_.get(col)).collect {
+        case FwStrStats(lo, hi, true) => if (isMin) lo else hi
+      }
+      if (vals.isEmpty) None
+      else Some(if (isMin) vals.min else vals.max)
+    }
     val values: Array[Any] = specs.map {
       case ("count", _, _) => java.lang.Long.valueOf(count)
       case (kind, col, tpe) => tpe match {
@@ -566,6 +598,8 @@ private[sources] class FwAggScan(fullSchema: StructType,
           .map(java.lang.Long.valueOf).orNull
         case "integer" => extremeLong(col, kind == "min")
           .map(l => java.lang.Integer.valueOf(l.toInt)).orNull
+        case "string" => extremeStr(col, kind == "min")
+          .map(UTF8String.fromString).orNull
         case _ => extremeDbl(col, kind == "min")
           .map(java.lang.Double.valueOf).orNull
       }
@@ -828,6 +862,20 @@ private[sources] final case class FwIntStats(lo: Long, hi: Long)
 private[sources] final case class FwDblStats(lo: Option[Double],
     hi: Option[Double], hasNaN: Boolean) extends FwColStats
 
+/** String zone-map entry (the Parquet truncate-and-increment device):
+  * `lo` is a valid LOWER bound (a long true min is stored as its
+  * 24-char prefix, which sorts at-or-before it) and `hi` a valid UPPER
+  * bound (a long true max is stored as its prefix with the last
+  * incrementable char bumped, which sorts strictly after every string
+  * it prefixes). `exact` means neither end was modified, so lo/hi ARE
+  * the true min/max — the gate for metadata-only MIN/MAX pushdown;
+  * pruning is valid either way. Ordering is Java `String.compareTo`
+  * (UTF-16 code units), the SAME ordering the reader's pushed-filter
+  * evaluation uses — bounds and evaluation must never disagree.
+  */
+private[sources] final case class FwStrStats(lo: String, hi: String,
+    exact: Boolean) extends FwColStats
+
 private[sources] object FwStats {
   def sidecarFor(dataPath: String): String = dataPath + "stats"
 
@@ -849,6 +897,8 @@ private[sources] object FwStats {
         o ~ (c -> (("min" -> lo) ~ ("max" -> hi)))
       case (o, (c, FwDblStats(lo, hi, hasNaN))) =>
         o ~ (c -> (("min" -> lo) ~ ("max" -> hi) ~ ("nan" -> hasNaN)))
+      case (o, (c, FwStrStats(lo, hi, exact))) =>
+        o ~ (c -> (("min" -> lo) ~ ("max" -> hi) ~ ("x" -> exact)))
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
@@ -856,6 +906,42 @@ private[sources] object FwStats {
 
   def read(dataFile: java.io.File): Option[Map[String, FwColStats]] =
     read(dataFile, dataFile.length())
+
+  /** Sidecar strings are capped at this many chars (the Parquet
+    * column-index convention): unbounded-width values must not bloat a
+    * metadata file that every planning pass reads.
+    */
+  private[sources] val StrStatCap = 24
+
+  /** Build a string zone-map entry from the TRUE extremes, truncating
+    * long values while preserving bound validity: a truncated min is
+    * its prefix (sorts at-or-before), a truncated max is its prefix
+    * with the rightmost safely-incrementable char bumped (sorts
+    * strictly after everything it prefixed). Chars whose successor is
+    * an unpaired surrogate are skipped — the bumped string must stay
+    * JSON-serializable. None only when no char of the max's prefix can
+    * be bumped (pathological: all ￿); the column then simply
+    * carries no stats.
+    */
+  private[sources] def strStatsOf(trueLo: String,
+      trueHi: String): Option[FwStrStats] = {
+    val loExact = trueLo.length <= StrStatCap
+    val lo = if (loExact) trueLo else trueLo.substring(0, StrStatCap)
+    if (trueHi.length <= StrStatCap)
+      Some(FwStrStats(lo, trueHi, loExact))
+    else {
+      def bumpable(c: Char): Boolean =
+        c != Char.MaxValue && !(c + 1 >= 0xD800 && c + 1 <= 0xDFFF)
+      val p = trueHi.substring(0, StrStatCap).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && !bumpable(p(i))) i -= 1
+      if (i < 0) None
+      else {
+        p(i) = (p(i) + 1).toChar
+        Some(FwStrStats(lo, new String(p, 0, i + 1), exact = false))
+      }
+    }
+  }
 
   /** `expectedLen` is the byte length THIS read treats as the file's
     * content — a versioned read passes the manifest's recorded length,
@@ -898,9 +984,16 @@ private[sources] object FwStats {
                   Some(FwIntStats(lo, hi))
                 case _ => None
               }
+              val strsOpt = (cm.get("min"), cm.get("max")) match {
+                case (Some(JString(lo)), Some(JString(hi))) =>
+                  Some(FwStrStats(lo, hi,
+                    cm.get("x").contains(JBool(true))))
+                case _ => None
+              }
               // integer-valued min/max without a nan key = integral
               // column (the writer always stamps nan on double columns)
-              val st = exact.filter(_ => !cm.contains("nan"))
+              val st = strsOpt
+                .orElse(exact.filter(_ => !cm.contains("nan")))
                 .getOrElse(FwDblStats(dbl("min"), dbl("max"), hasNaN))
               c -> st
           }.toMap)
@@ -924,6 +1017,7 @@ private[sources] object FwStats {
     sealed trait Bound
     case class LongB(v: Long) extends Bound
     case class DblB(v: Double) extends Bound
+    case class StrB(v: String) extends Bound
     def bound(v: Any): Option[Bound] = v match {
       case l: java.lang.Long => Some(LongB(l))
       case i: java.lang.Integer => Some(LongB(i.longValue))
@@ -931,6 +1025,8 @@ private[sources] object FwStats {
       case b: java.lang.Byte => Some(LongB(b.longValue))
       case d: java.lang.Double => Some(DblB(d))
       case fl: java.lang.Float => Some(DblB(fl.doubleValue))
+      case s: String => Some(StrB(s))
+      case u: UTF8String => Some(StrB(u.toString))
       case _ => None
     }
     // envelope of a column as (lo, hi) in the comparison domain the
@@ -944,19 +1040,26 @@ private[sources] object FwStats {
           // the envelope widened outward (toDouble may round inward)
           Some((DblB(Math.nextDown(lo.toDouble)),
             DblB(Math.nextUp(hi.toDouble)), x))
-        case (FwDblStats(Some(lo), Some(hi), false), _) =>
-          val xv = x match {
-            case LongB(l) => DblB(l.toDouble)
-            case d => d
-          }
-          Some((DblB(Math.nextDown(lo)), DblB(Math.nextUp(hi)), xv))
-        case _ => None // NaN present or unbounded envelope
+        case (FwDblStats(Some(lo), Some(hi), false), LongB(l)) =>
+          Some((DblB(Math.nextDown(lo)), DblB(Math.nextUp(hi)),
+            DblB(l.toDouble)))
+        case (FwDblStats(Some(lo), Some(hi), false), DblB(_)) =>
+          Some((DblB(Math.nextDown(lo)), DblB(Math.nextUp(hi)), x))
+        // string bounds need no widening: lo/hi are valid bounds by
+        // construction (truncate-and-increment) in the SAME code-unit
+        // order the reader evaluates pushed filters with
+        case (FwStrStats(lo, hi, _), StrB(_)) =>
+          Some((StrB(lo), StrB(hi), x))
+        case _ => None // NaN, unbounded envelope, or type mismatch
       }
     def cmp(a: Bound, b: Bound): Int = (a, b) match {
       case (LongB(x), LongB(y)) => java.lang.Long.compare(x, y)
       case (DblB(x), DblB(y)) => java.lang.Double.compare(x, y)
       case (LongB(x), DblB(y)) => java.lang.Double.compare(x.toDouble, y)
       case (DblB(x), LongB(y)) => java.lang.Double.compare(x, y.toDouble)
+      case (StrB(x), StrB(y)) => x.compareTo(y)
+      case _ => throw new IllegalStateException(
+        s"incomparable bounds $a / $b") // env never mixes domains
     }
     def check(a: String, v: Any)(keep: (Bound, Bound, Bound) => Boolean) =
       (stats.get(a), bound(v)) match {

@@ -376,25 +376,33 @@ object FwMaintenance {
   }
 
   /** Envelope pruning shared by merge and delete: a live sidecar whose
-    * integral key range excludes every key — or that never saw a
-    * non-null key — cannot match. String keys and statless files never
-    * prune.
+    * key range excludes every key cannot match. Integral keys also
+    * prune on an ABSENT entry (the numeric writer always stamps what it
+    * saw, so absence = all-NULL keys); string entries arrived later, so
+    * for string keys absence may just mean an older sidecar — stay
+    * conservative. Statless files never prune.
     */
   private def pruneTouched(files: Array[java.io.File], keyCol: String,
       stringKey: Boolean, keys: Set[Any]): Array[java.io.File] = {
     val longKeys: Seq[Long] =
       if (stringKey) Seq.empty
       else keys.map(_.asInstanceOf[Long]).toSeq
+    val strKeys: Seq[String] =
+      if (stringKey) keys.map(_.asInstanceOf[String]).toSeq
+      else Seq.empty
     files.filter { f =>
       FwStats.read(f) match {
-        case Some(stats) if !stringKey =>
+        case Some(stats) =>
           stats.get(keyCol) match {
-            case Some(FwIntStats(lo, hi)) =>
+            case Some(FwIntStats(lo, hi)) if !stringKey =>
               longKeys.exists(k => k >= lo && k <= hi)
-            case Some(_) => true // unexpected shape: stay conservative
-            case None => false // file has no non-null keys at all
+            case Some(FwStrStats(lo, hi, _)) if stringKey =>
+              strKeys.exists(k =>
+                k.compareTo(lo) >= 0 && k.compareTo(hi) <= 0)
+            case Some(_) => true // shape mismatch: stay conservative
+            case None => stringKey
           }
-        case _ => true // no stats, or string keys: cannot prune
+        case None => true // no stats: cannot prune
       }
     }
   }
@@ -468,6 +476,9 @@ object FwMaintenance {
                 case DoubleType =>
                   val s = slice(i)
                   if (s != null) acc.addDouble(i, s.toDouble)
+                case org.apache.spark.sql.types.StringType =>
+                  val s = slice(i)
+                  if (s != null) acc.addString(i, s)
                 case _ => ()
               }
             }
@@ -511,6 +522,8 @@ object FwMaintenance {
     private val nan = Array.fill(n)(false)
     private val seenL = Array.fill(n)(false)
     private val seenD = Array.fill(n)(false)
+    private val loS = Array.fill[String](n)(null)
+    private val hiS = Array.fill[String](n)(null)
 
     def addLong(i: Int, v: Long): Unit = {
       seenL(i) = true
@@ -525,6 +538,13 @@ object FwMaintenance {
         if (v > hiD(i)) hiD(i) = v
       }
     }
+    def addString(i: Int, raw: String): Unit = {
+      val v = raw.trim // the read-back (pad-trimmed) value
+      if (v.nonEmpty) {
+        if (loS(i) == null || v.compareTo(loS(i)) < 0) loS(i) = v
+        if (hiS(i) == null || v.compareTo(hiS(i)) > 0) hiS(i) = v
+      }
+    }
     def addRow(vals: Seq[Any]): Unit =
       schema.fields.indices.foreach { i =>
         val v = vals(i)
@@ -532,6 +552,8 @@ object FwMaintenance {
           case LongType => addLong(i, v.asInstanceOf[Long])
           case IntegerType => addLong(i, v.asInstanceOf[Int].toLong)
           case DoubleType => addDouble(i, v.asInstanceOf[Double])
+          case org.apache.spark.sql.types.StringType =>
+            addString(i, v.asInstanceOf[String])
           case _ => ()
         }
       }
@@ -547,6 +569,9 @@ object FwMaintenance {
               if (loD(i) <= hiD(i)) (fin(loD(i)), fin(hiD(i)))
               else (None, None) // all-NaN column
             Some(schema.fields(i).name -> FwDblStats(lo, hi, nan(i)))
+          case org.apache.spark.sql.types.StringType if loS(i) != null =>
+            FwStats.strStatsOf(loS(i), hiS(i))
+              .map(schema.fields(i).name -> _)
           case _ => None
         }
       }.toMap
@@ -572,6 +597,13 @@ object FwMaintenance {
           ds.flatMap(_.lo).minOption,
           ds.flatMap(_.hi).maxOption,
           ds.exists(_.hasNaN)))
+      } else if (entries.forall(_.isInstanceOf[FwStrStats])) {
+        // bounds stay valid under union; exactness only survives when
+        // every input was exact (a truncated bound brackets without
+        // naming the true extreme)
+        val ss = entries.collect { case s: FwStrStats => s }
+        Some(k -> FwStrStats(ss.map(_.lo).min, ss.map(_.hi).max,
+          ss.forall(_.exact)))
       } else None
     }.toMap
 }

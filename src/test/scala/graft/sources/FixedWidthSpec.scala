@@ -828,7 +828,8 @@ class FixedWidthSpec extends AnyFunSuite {
     // the merged sidecar is the exact envelope union
     assert(FwStats.read(dataFiles.head) ===
       Some(Map("id" -> FwIntStats(0L, 3999L),
-        "score" -> FwDblStats(Some(0.0), Some(99.0), hasNaN = false))))
+        "score" -> FwDblStats(Some(0.0), Some(99.0), hasNaN = false),
+        "name" -> FwStrStats("n0", "n96", exact = true))))
     // MIN/MAX still answers from metadata alone post-compaction
     val mm = re.agg(min("id"), max("id")).collect().head
     assert(mm.getLong(0) === 0L && mm.getLong(1) === 3999L)
@@ -1009,7 +1010,7 @@ class FixedWidthSpec extends AnyFunSuite {
     }
   }
 
-  test("merge: string keys work and never envelope-prune") {
+  test("merge: string keys prune by string envelopes and apply correctly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwmrgs").toFile.getAbsolutePath
     val sch4 = FixedWidth.parseSchema(spec) // id,name,score
@@ -1017,15 +1018,90 @@ class FixedWidthSpec extends AnyFunSuite {
       .toDF("id", "name", "score").coalesce(1)
       .write.format("graft.sources.FixedWidth").option("schema", spec)
       .mode("overwrite").save(dir)
+    Seq((10L, "watt", 10.0), (11L, "zulu", 11.0))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("append").save(dir)
+    val wattFile = FwFiles.list(dir).find { f =>
+      FwStats.read(f).exists(_.get("name")
+        .contains(FwStrStats("watt", "zulu", exact = true)))
+    }.get.getName
+    // 'beta' and 'delta' both land inside [alpha..gamma] only: the
+    // watt..zulu file must never be opened
     val report = FwMaintenance.merge(spark, dir, sch4,
       Seq((20L, "beta", -2.0), (40L, "delta", 4.0))
         .toDF("id", "name", "score"), "name")
     assert(report.rowsUpdated === 1L && report.rowsInserted === 1L)
+    assert(report.filesRewritten === 1, report.toString)
+    assert(FwFiles.list(dir).map(_.getName).contains(wattFile),
+      "the string envelope must keep the disjoint file untouched")
     val re = spark.read.format("graft.sources.FixedWidth")
       .option("schema", spec).load(dir).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(re === Seq((1L, "alpha", 1.0), (3L, "gamma", 3.0),
-      (20L, "beta", -2.0), (40L, "delta", 4.0)))
+      (10L, "watt", 10.0), (11L, "zulu", 11.0), (20L, "beta", -2.0),
+      (40L, "delta", 4.0)))
+  }
+
+  test("string zone maps: scans skip files on string predicates and " +
+      "MIN/MAX answers from metadata") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwstrzm").toFile.getAbsolutePath
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (pfx, k) =>
+      (0 until 10).map(i => (10L * k + i, s"$pfx$i", i.toDouble))
+        .toDF("id", "name", "score").coalesce(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(if (k == 0) "overwrite" else "append").save(dir)
+    }
+    def readWith(cond: org.apache.spark.sql.Column): Long =
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).load(dir).filter(cond).count()
+    assert(readWith(col("name") >= "c") === 20L)
+    assert(FixedWidth.lastSkippedFiles === 2,
+      s"a* and b* files must prune: ${FixedWidth.lastSkippedFiles}")
+    assert(readWith(col("name") === "b5") === 1L)
+    assert(FixedWidth.lastSkippedFiles === 3)
+    assert(readWith(col("name") < "a0") === 0L)
+    assert(FixedWidth.lastSkippedFiles === 4)
+    // exact string extremes straight from the sidecars
+    val mm = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+      .agg(min("name"), max("name"), max("id")).collect().head
+    assert(mm.getString(0) === "a0" && mm.getString(1) === "d9"
+      && mm.getLong(2) === 39L)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"string MIN/MAX left the metadata path: ${FixedWidth.lastScanSummary}")
+  }
+
+  test("string stats: long values truncate-and-increment, keeping " +
+      "prune validity but standing down from pushdown") {
+    import spark.implicits._
+    val st = FwStats.strStatsOf("a" * 30, "b" * 30).get
+    assert(st.lo === "a" * 24 && !st.exact)
+    assert(st.hi === "b" * 23 + "c")
+    assert(("b" * 30).compareTo(st.hi) < 0, "bumped prefix upper-bounds")
+    assert(("a" * 30).compareTo(st.lo) >= 0, "prefix lower-bounds")
+
+    val longSpec = "id:long:4,tag:string:40"
+    val dir = Files.createTempDirectory("fwstrtr").toFile.getAbsolutePath
+    (0 until 5).map(i => (i.toLong, "t" * 29 + i.toString))
+      .toDF("id", "tag").coalesce(1)
+      .write.format("graft.sources.FixedWidth").option("schema", longSpec)
+      .mode("overwrite").save(dir)
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", longSpec).load(dir)
+    // truncated stats: pruning still sound in both directions
+    assert(re.filter(col("tag") > "u").count() === 0L)
+    assert(FixedWidth.lastSkippedFiles === 1,
+      "values above the bumped upper bound must prune")
+    assert(re.filter(col("tag") === "t" * 24).count() === 0L)
+    assert(FixedWidth.lastSkippedFiles === 0,
+      "a value inside the truncated envelope cannot prune")
+    // ...but inexact bounds must not answer MIN/MAX from metadata
+    val got = re.agg(min("tag")).collect().head.getString(0)
+    assert(got === "t" * 29 + "0")
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"truncated stats must decline pushdown: ${FixedWidth.lastScanSummary}")
   }
 
   test("delete: key-set erasure rewrites touched files, drops emptied " +
