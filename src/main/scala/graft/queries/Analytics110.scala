@@ -24,6 +24,18 @@ object Analytics110 {
   // supplier table through sf0.1; the SAME predicate bounds the oracle)
   private val FwFixtureMaxKey = 100000L
 
+  /** Recursive fixture cleanup for partitioned layouts (the flat
+    * single-level delete cannot remove `<col>=<value>` subdirs).
+    */
+  private[queries] def deepClean(base: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q293_fixedwidth_source" -> ((spark, dir) => {
       import java.nio.file.{Files, Paths}
@@ -431,6 +443,78 @@ object Analytics110 {
           max(col("s_acctbal")).as("max_bal"))
     }),
 
+    // HIVE-STYLE PARTITIONED LAYOUT: supplier written one directory per
+    // nation (the partition column lives in the dir name, not the
+    // records), read back with EXACT partition pruning — the nation
+    // predicate decides whole directories, so the other 20+ partitions
+    // of a 100 TB table are never listed past their names. The oracle
+    // replays the filter over parquet; the row hash also proves the
+    // reader injects the directory value back into every row.
+    "q366_fw_partition_prune" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_part", Paths.get(dir).getFileName.toString)
+      graft.queries.Analytics110.deepClean(base)
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .load(base.toString)
+        .filter(col("s_nationkey") < 5)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"),
+          min(col("s_name")).as("first_name"))
+        .orderBy("s_nationkey")
+    }),
+
+    // STORAGE-PARTITIONED JOIN: two tables partitioned by nation join
+    // on the partition column with ZERO shuffle on either side (the
+    // scan reports KeyGroupedPartitioning; v2 bucketing turns the
+    // exchange off — the Iceberg SPJ device, spec-pinned plan-side in
+    // FixedWidthSpec). The oracle replays the same join over parquet.
+    "q367_fw_spj" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base1 = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_spj1", Paths.get(dir).getFileName.toString)
+      val base2 = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_spj2", Paths.get(dir).getFileName.toString)
+      graft.queries.Analytics110.deepClean(base1)
+      graft.queries.Analytics110.deepClean(base2)
+      Files.createDirectories(base1)
+      Files.createDirectories(base2)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(base1.toString)
+      src.filter(col("s_suppkey") % 3 === 0).repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(base2.toString)
+      def read(p: java.nio.file.Path) = spark.read
+        .format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .load(p.toString)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      read(base1).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_all"),
+          max(col("s_suppkey")).as("max_all"))
+        .join(read(base2).groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_third"),
+            max(col("s_suppkey")).as("max_third")), "s_nationkey")
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -569,6 +653,32 @@ object Analytics110 {
         min(s_suppkey) AS min_key,
         max(s_acctbal) AS max_bal
       FROM supplier WHERE s_suppkey <= 100000"""),
+
+    // the nation predicate replayed over parquet
+    "q366_fw_partition_prune" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        min(s_name) AS first_name
+      FROM supplier
+      WHERE s_suppkey <= 100000 AND s_nationkey < 5
+      GROUP BY 1 ORDER BY s_nationkey""",
+
+    // both per-nation aggregates replayed and joined over parquet
+    "q367_fw_spj" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey <= 100000),
+      a AS (
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_all,
+          max(s_suppkey) AS max_all
+        FROM s GROUP BY 1),
+      b AS (
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_third,
+          max(s_suppkey) AS max_third
+        FROM s WHERE s_suppkey % 3 = 0 GROUP BY 1)
+      SELECT a.s_nationkey, a.n_all, a.max_all, b.n_third, b.max_third
+      FROM a JOIN b ON a.s_nationkey = b.s_nationkey
+      ORDER BY a.s_nationkey""",
 
     // the v1→v2 delta is exactly the odd-key half
     "q360_fw_incremental" -> """

@@ -82,6 +82,8 @@ object FixedWidth {
   @volatile var lastSkippedFiles: Int = 0
   /** Runtime (dynamic-pruning) filters delivered to the last scan. */
   @volatile var lastRuntimeFilters: Int = 0
+  /** Partition directories pruned in the most recent partitioned plan. */
+  @volatile var lastPrunedPartitions: Int = 0
 
   def parseSchema(spec: String): StructType = {
     require(spec != null && spec.nonEmpty,
@@ -130,6 +132,21 @@ private[sources] class FwTable(tableSchema: StructType,
       .map(p => if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
       .orNull
 
+  private def pcolFor(options: CaseInsensitiveStringMap): Option[String] = {
+    val p = Option(options.get("partitionBy"))
+      .orElse(properties.get("partitionBy"))
+    p.foreach { c =>
+      val f = declared.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"FixedWidth: partitionBy column $c is not in the schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType,
+        s"FixedWidth: partitionBy column must be integral or string, " +
+          s"got ${f.dataType}")
+    }
+    p
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwScanBuilder(declared, pathFor(options),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
@@ -138,7 +155,8 @@ private[sources] class FwTable(tableSchema: StructType,
       // VERSION AS OF load stamps into properties
       Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(properties.get("versionAsOf").map(_.toLong)),
-      Option(options.get("changesFromVersion")).map(_.toLong))
+      Option(options.get("changesFromVersion")).map(_.toLong),
+      pcolFor(options))
 
   /** A copy of this table pinned to one snapshot version — what
     * [[FwCatalog.loadTable(ident, version)]] hands Spark for SQL
@@ -152,7 +170,7 @@ private[sources] class FwTable(tableSchema: StructType,
     require(info.schema().fieldNames.sameElements(declared.fieldNames),
       s"write schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${declared.fieldNames.mkString(",")}")
-    new FwWriteBuilder(declared, path)
+    new FwWriteBuilder(declared, path, pcolFor(info.options))
   }
 }
 
@@ -164,15 +182,20 @@ private[sources] class FwTable(tableSchema: StructType,
   * rename is atomic enough here; a production port would swap in
   * FileCommitProtocol).
   */
-private[sources] class FwWriteBuilder(schema: StructType, path: String)
+private[sources] class FwWriteBuilder(schema: StructType, path: String,
+    partitionBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
-      truncateFirst)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      truncateFirst, partitionBy)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(partitionBy.isEmpty,
+        "FixedWidth: partitionBy is batch-only; streaming epochs do " +
+          "not route hive-style partitions")
       new FwStreamingWrite(schema, path)
+    }
   }
 }
 
@@ -217,50 +240,137 @@ private[sources] class FwStreamingWriterFactory(schema: StructType,
 
 private[sources] case class FwCommitMessage(tmpPath: String)
     extends WriterCommitMessage
+/** One partitioned-write task publishes one tmp file PER partition
+  * value it saw.
+  */
+private[sources] case class FwMultiCommitMessage(tmpPaths: Seq[String])
+    extends WriterCommitMessage
 
 private[sources] class FwBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, partitionBy: Option[String] = None)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FwWriterFactory(schema, path)
+    new FwWriterFactory(schema, path, partitionBy)
+
+  private def tmps(m: WriterCommitMessage): Seq[String] = m match {
+    case FwCommitMessage(t) => Seq(t)
+    case FwMultiCommitMessage(ts) => ts
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
-    if (truncateFirst) FwFiles.list(path).foreach { f =>
-      new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
-      f.delete()
+    if (truncateFirst) {
+      val all = FwFiles.list(path) ++
+        partitionBy.toSeq.flatMap(c =>
+          FwFiles.listPartitioned(path, c).map(_._2))
+      all.foreach { f =>
+        new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        f.delete()
+      }
     }
-    messages.foreach { case FwCommitMessage(tmp) =>
+    messages.flatMap(tmps).foreach { tmp =>
       val f = new java.io.File(tmp)
-      val target = new java.io.File(dir, f.getName.stripSuffix(".tmp"))
+      // target lives next to its tmp (the partition subdir for
+      // partitioned writes, the table dir otherwise)
+      val target = new java.io.File(f.getParentFile,
+        f.getName.stripSuffix(".tmp"))
       require(f.renameTo(target), s"could not publish $tmp -> $target")
       val statsTmp = new java.io.File(
         FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp")
       if (statsTmp.isFile) {
-        val statsTarget = new java.io.File(dir,
+        val statsTarget = new java.io.File(statsTmp.getParentFile,
           statsTmp.getName.stripSuffix(".tmp"))
         require(statsTmp.renameTo(statsTarget),
           s"could not publish $statsTmp -> $statsTarget")
       }
     }
     // every successful batch commit is a snapshot version: the manifest
-    // records the full post-commit file set for VERSION AS OF reads
-    FwVersions.commitSnapshot(path)
+    // records the full post-commit file set for VERSION AS OF reads.
+    // Partitioned tables do not version (their layout is the directory
+    // tree; snapshot pinning is a flat-table contract for now).
+    if (partitionBy.isEmpty) FwVersions.commitSnapshot(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case FwCommitMessage(tmp) =>
-        new java.io.File(tmp).delete()
-        new java.io.File(
-          FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
-      case _ => ()
+    messages.flatMap(tmps).foreach { tmp =>
+      new java.io.File(tmp).delete()
+      new java.io.File(
+        FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
     }
 }
 
-private[sources] class FwWriterFactory(schema: StructType, path: String)
+private[sources] class FwWriterFactory(schema: StructType, path: String,
+    partitionBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FwDataWriter(schema, path, partitionId, taskId, writeStats = true)
+    partitionBy match {
+      case None =>
+        new FwDataWriter(schema, path, partitionId, taskId,
+          writeStats = true)
+      case Some(pcol) =>
+        new FwPartitionedDataWriter(schema, path, pcol, partitionId,
+          taskId)
+    }
+}
+
+/** Hive-style partitioned writer: routes each row to
+  * `<pcol>=<value>/part-<pid>-<task>.fw` via one inner [[FwDataWriter]]
+  * per value this task sees (the partition column itself is NOT stored
+  * in the records — the directory name carries it, the classic
+  * hive-layout contract). Partition values must be non-null: a null
+  * has no directory spelling, and erasing it silently would un-count
+  * rows.
+  */
+private[sources] class FwPartitionedDataWriter(schema: StructType,
+    path: String, pcol: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val pIdx = schema.fieldNames.indexOf(pcol)
+  private val dataSchema = StructType(
+    schema.fields.zipWithIndex.collect { case (f, i) if i != pIdx => f })
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, FwDataWriter]
+
+  private def valueOf(row: InternalRow): String = {
+    require(!row.isNullAt(pIdx),
+      s"FixedWidth: partition column $pcol must be non-null")
+    schema.fields(pIdx).dataType match {
+      case LongType => row.getLong(pIdx).toString
+      case IntegerType => row.getInt(pIdx).toString
+      case _ => row.getUTF8String(pIdx).toString
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val w = writers.getOrElseUpdate(valueOf(row), {
+      val sub = new java.io.File(path, s"$pcol=${valueOf(row)}")
+      new FwDataWriter(dataSchema, sub.getPath, partitionId, taskId,
+        writeStats = true)
+    })
+    val vals = new Array[Any](dataSchema.length)
+    var i = 0
+    var o = 0
+    while (i < schema.length) {
+      if (i != pIdx) {
+        vals(o) =
+          if (row.isNullAt(i)) null
+          else schema.fields(i).dataType match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            case _ => row.getUTF8String(i)
+          }
+        o += 1
+      }
+      i += 1
+    }
+    w.write(new GenericInternalRow(vals))
+  }
+
+  override def commit(): WriterCommitMessage =
+    FwMultiCommitMessage(writers.values.toSeq.map(_.commit() match {
+      case FwCommitMessage(t) => t
+    }))
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 private[sources] class FwDataWriter(schema: StructType, path: String,
@@ -395,11 +505,15 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
 private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None,
     versionAsOf: Option[Long] = None,
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None,
+    partitionBy: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   require(path != null, "FixedWidth requires a path (load(dir) or option path)")
+  require(partitionBy.isEmpty || (versionAsOf.isEmpty && changesFrom.isEmpty),
+    "FixedWidth: snapshot pins (versionAsOf/changesFromVersion) are " +
+      "flat-table contracts; partitioned tables do not version")
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[Aggregation] = None
@@ -462,6 +576,9 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    // partitioned layouts keep no table-level manifest/sidecar view of
+    // the partition column; decline and scan (still partition-pruned)
+    if (partitionBy.isDefined) return false
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -528,8 +645,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
           s"pushed=[${pushed.mkString(",")}]"
     }
     FixedWidth.lastScanSummary = summary
-    aggPushed match {
-      case Some(agg) =>
+    (aggPushed, partitionBy) match {
+      case (Some(agg), _) =>
         val specs = agg.aggregateExpressions.map {
           case _: CountStar => ("count", "", "")
           case m: org.apache.spark.sql.connector.expressions.aggregate
@@ -542,7 +659,9 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
         }
         new FwAggScan(fullSchema, required, specs, path, summary,
           versionAsOf, changesFrom)
-      case None =>
+      case (None, Some(pcol)) =>
+        new FwPartScan(fullSchema, required, pushed, path, pcol, summary)
+      case (None, None) =>
         new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
           summary, maxRecordsPerTrigger, versionAsOf, changesFrom)
     }
@@ -624,6 +743,219 @@ private[sources] object FwAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
+/** Scan over a hive-style partitioned layout (`<pcol>=<value>/…`):
+  *
+  *  - **Partition pruning**: pushed filters on the partition column
+  *    are decided per DIRECTORY, exactly (a partition either wholly
+  *    satisfies a comparison against its value or wholly fails), so a
+  *    `WHERE region = 7` on a 100 TB table lists one subdirectory and
+  *    reads nothing else. Runtime (DPP) filters fold into the same
+  *    decision. Data-column zone maps still prune files WITHIN a
+  *    surviving partition.
+  *  - **Storage-partitioned execution**
+  *    (`SupportsReportPartitioning`): the scan reports
+  *    `KeyGroupedPartitioning(identity(pcol))` with one input
+  *    partition per value, each tagged via `HasPartitionKey` — with
+  *    `spark.sql.sources.v2.bucketing.enabled`, joins and aggregations
+  *    keyed on the partition column run with ZERO shuffle on this
+  *    side (the Iceberg storage-partitioned-join device). At 100 TB
+  *    the eliminated exchange IS the query cost.
+  *
+  * The partition column is not stored in the records; the reader
+  * injects the directory's value as a constant.
+  */
+private[sources] class FwPartScan(fullSchema: StructType,
+    required: StructType, pushed: Array[Filter], path: String,
+    pcol: String, summary: String)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  private val pIdx = fullSchema.fieldNames.indexOf(pcol)
+  private val pType = fullSchema.fields(pIdx).dataType
+  private val dataSchema =
+    StructType(fullSchema.fields.filter(_.name != pcol))
+  @volatile private var runtime: Array[Filter] = Array.empty
+  @volatile private var cachedGroups: Seq[(Any, Seq[(String, Long)])] = _
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+  private def splitFilters(): (Seq[Filter], Seq[Filter]) =
+    (pushed ++ runtime).toSeq.flatMap(conjuncts)
+      .partition(_.references.toSet == Set(pcol))
+
+  private def parseP(v: String): Any = pType match {
+    case LongType => v.toLong
+    case IntegerType => v.toInt
+    case _ => v
+  }
+
+  /** Exact per-partition decision for the shapes `supported()` admits
+    * on the partition column (plus runtime `In`s); an unknown runtime
+    * shape keeps the partition — pushed shapes are never unknown, so
+    * pushed-filter semantics stay exact.
+    */
+  private def evalP(value: Any, f: Filter): Boolean = {
+    def cmpTo(x: Any): Int = (value, x) match {
+      case (l: Long, n: Number) => java.lang.Long.compare(l, n.longValue)
+      case (i: Int, n: Number) =>
+        java.lang.Long.compare(i.toLong, n.longValue)
+      case (s: String, o) => s.compareTo(o.toString)
+      case other => throw new IllegalStateException(
+        s"incomparable partition filter operands: $other")
+    }
+    f match {
+      case EqualTo(_, v) => cmpTo(v) == 0
+      case GreaterThan(_, v) => cmpTo(v) > 0
+      case GreaterThanOrEqual(_, v) => cmpTo(v) >= 0
+      case LessThan(_, v) => cmpTo(v) < 0
+      case LessThanOrEqual(_, v) => cmpTo(v) <= 0
+      case In(_, vs) => vs.exists(x => cmpTo(x) == 0)
+      case IsNotNull(_) => true // partition values are non-null
+      case _ => true // unknown runtime shape: conservative
+    }
+  }
+
+  private def groups: Seq[(Any, Seq[(String, Long)])] = {
+    val cached = cachedGroups
+    if (cached != null) return cached
+    val (pFilters, dataFilters) = splitFilters()
+    val all = FwFiles.listPartitioned(path, pcol)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val kept = all.filter { case (vs, _) =>
+      val v = parseP(vs)
+      pFilters.forall(f => evalP(v, f))
+    }
+    FixedWidth.lastPrunedPartitions = all.size - kept.size
+    val computed = kept.map { case (vs, files) =>
+      val fs = files.map(_._2).filter { f =>
+        FwStats.read(f) match {
+          case Some(st) => FwStats.mayMatch(st, dataFilters.toArray)
+          case None => true
+        }
+      }.map(f => (f.getPath, f.length())).toVector
+      (parseP(vs), fs)
+    }
+    cachedGroups = computed
+    computed
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String = s"GraftFixedWidth $summary"
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "FixedWidth: partitionBy is batch-only; stream the flat layout " +
+        "instead")
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(pcol)), groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (v, fs) => FwPartValuePartition(v, fs) }.toArray
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+    val bytes = groups.map(_._2.map(_._2).sum).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes / rowLen)
+    }
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(pcol))
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters
+    cachedGroups = null
+    FixedWidth.lastRuntimeFilters = filters.length
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (_, dataFilters) = splitFilters()
+    new FwPartReaderFactory(dataSchema,
+      required.fieldNames.filter(_ != pcol), dataFilters.toArray,
+      required.fieldNames.indexOf(pcol), pType.typeName)
+  }
+}
+
+/** One partition VALUE = one input partition, key exposed for
+  * key-grouped (storage-partitioned) execution.
+  */
+private[sources] case class FwPartValuePartition(value: Any,
+    files: Seq[(String, Long)]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](value match {
+      case s: String => UTF8String.fromString(s)
+      case o => o
+    }))
+}
+
+private[sources] class FwPartReaderFactory(dataSchema: StructType,
+    innerRequired: Array[String], dataFilters: Array[Filter],
+    injectAt: Int, pTypeName: String) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FwPartValuePartition]
+    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+    val pkValue: Any = (pTypeName, p.value) match {
+      case (_, s: String) => UTF8String.fromString(s)
+      case (_, o) => o
+    }
+    val innerTypes: Array[DataType] = innerRequired.map(n =>
+      dataSchema(dataSchema.fieldNames.indexOf(n)).dataType)
+    new PartitionReader[InternalRow] {
+      private val fileIt = p.files.iterator
+      private var inner: FwReader = _
+      private var current: InternalRow = _
+
+      @annotation.tailrec
+      private def advance(): Boolean =
+        if (inner != null && inner.next()) {
+          val in = inner.get()
+          current =
+            if (injectAt < 0) in
+            else {
+              val out = new Array[Any](innerRequired.length + 1)
+              var i = 0
+              var o = 0
+              while (o < out.length) {
+                if (o == injectAt) out(o) = pkValue
+                else {
+                  out(o) =
+                    if (in.isNullAt(i)) null else in.get(i, innerTypes(i))
+                  i += 1
+                }
+                o += 1
+              }
+              new GenericInternalRow(out)
+            }
+          true
+        } else if (fileIt.hasNext) {
+          if (inner != null) inner.close()
+          val (f, bytes) = fileIt.next()
+          inner = new FwReader(dataSchema, innerRequired, dataFilters,
+            FwPartition(f, 0L, bytes / rowLen))
+          advance()
+        } else false
+
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = current
+      override def close(): Unit = if (inner != null) inner.close()
+    }
+  }
+}
+
 private[sources] object FwFiles {
   def list(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
@@ -631,6 +963,24 @@ private[sources] object FwFiles {
       dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
         .sortBy(_.getName)
     else Array(dir)
+  }
+
+  /** Hive-style partitioned listing: `(value-string, file)` for every
+    * published `.fw` under a `<pcol>=<value>` subdirectory, in
+    * (value, name) order. Files outside partition dirs are ignored —
+    * a partitioned table's layout truth is its directory tree.
+    */
+  def listPartitioned(path: String,
+      pcol: String): Array[(String, java.io.File)] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(pcol + "="))
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val v = d.getName.substring(pcol.length + 1)
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
+          .sortBy(_.getName).map(v -> _)
+      }
   }
 
   /** The batch-read file listing, optionally pinned to a snapshot

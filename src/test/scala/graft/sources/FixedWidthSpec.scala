@@ -1152,6 +1152,139 @@ class FixedWidthSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout: hive dirs, value injection, exact " +
+      "partition pruning, zone maps within partitions") {
+    val dir = Files.createTempDirectory("fwpart").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") % 4).cast("int").as("nk"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(4)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    // hive layout: nk=0..3 dirs; records do NOT store the nk column
+    val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(subs.toSeq === Seq("nk=0", "nk=1", "nk=2", "nk=3"))
+    val aFile = FwFiles.listPartitioned(dir, "nk").head._2
+    val firstLine = new String(java.nio.file.Files.readAllBytes(
+      aFile.toPath), "UTF-8").takeWhile(_ != '\n')
+    assert(firstLine.length === 14, s"nk must not be stored: '$firstLine'")
+
+    def read() = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk").load(dir)
+    assert(read().count() === 4000L)
+    assert(read().agg(sum("id"), sum("nk")).collect().head match {
+      case r => r.getLong(0) === 4000L * 3999 / 2 && r.getLong(1) === 6000L
+    })
+    // exact pruning on the partition column
+    assert(read().filter(col("nk") === 2).count() === 1000L)
+    assert(FixedWidth.lastPrunedPartitions === 3)
+    assert(read().filter(col("nk") >= 1 && col("nk") < 3)
+      .agg(sum("nk")).collect().head.getLong(0) === 3000L)
+    assert(FixedWidth.lastPrunedPartitions === 2)
+    // data-column zone maps still prune files inside partitions, and
+    // residual evaluation stays correct
+    assert(read().filter(col("nk") === 1 && col("score") > 200.0)
+      .count() === 0L)
+    assert(FixedWidth.lastPrunedPartitions === 3)
+    // value injection round-trips rows exactly
+    val row = read().filter(col("id") === 7L).collect().head
+    assert(row.getLong(0) === 7L && row.getInt(1) === 3
+      && row.getDouble(2) === 7.0)
+  }
+
+  test("storage-partitioned join and aggregation run with zero shuffle") {
+    val dir1 = Files.createTempDirectory("fwspj1").toFile.getAbsolutePath
+    val dir2 = Files.createTempDirectory("fwspj2").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    def writeTo(dir: String, rows: Long): Unit =
+      spark.range(0, rows)
+        .select(col("id"), (col("id") % 4).cast("int").as("nk"),
+          (col("id") % 100).cast("double").as("score"))
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", psc).option("partitionBy", "nk")
+        .mode("overwrite").save(dir)
+    writeTo(dir1, 4000)
+    writeTo(dir2, 400)
+    def read(dir: String) = spark.read
+      .format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk").load(dir)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedThr =
+      conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // aggregation keyed on the partition column: no exchange
+      val agg = read(dir1).groupBy("nk").agg(sum("score").as("s"))
+      assert(agg.collect().length === 4)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"partition-keyed aggregation must not shuffle:\n$aggPlan")
+      // storage-partitioned join: both sides key-grouped on nk
+      val j = read(dir1).groupBy("nk").agg(count(lit(1)).as("n1"))
+        .join(read(dir2).groupBy("nk").agg(count(lit(1)).as("n2")), "nk")
+        .orderBy("nk")
+      val got = j.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq((0, 1000L, 100L), (1, 1000L, 100L),
+        (2, 1000L, 100L), (3, 1000L, 100L)))
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle:\n$jPlan")
+    } finally {
+      saved match {
+        case Some(v) =>
+          conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      savedThr match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("partitioned layout: null partition values and streaming are " +
+      "refused; snapshot pins are flat-table-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwpartref").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    val e = intercept[Exception] {
+      Seq((1L, Option.empty[Int], 1.0)).toDF("id", "nk", "score")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", psc).option("partitionBy", "nk")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("must be non-null")
+      || Option(e.getCause).exists(_.getMessage.contains("must be non-null")),
+      e.toString)
+    Seq((1L, 2, 1.0)).toDF("id", "nk", "score")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", psc).option("partitionBy", "nk")
+        .option("versionAsOf", "1").load(dir).collect()
+    }
+    assert(e2.getMessage.contains("flat-table"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.readStream.format("graft.sources.FixedWidth")
+        .option("schema", psc).option("partitionBy", "nk").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("fwpartck").toString)
+        .start().processAllAvailable()
+    }
+    assert(e3.getMessage.contains("partitionBy")
+      || e3.getMessage.contains("flat-table"), e3.getMessage)
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
