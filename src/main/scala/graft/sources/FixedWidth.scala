@@ -119,6 +119,10 @@ private[sources] class FwTable(tableSchema: StructType,
 
   override def name(): String = s"fixedwidth(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    properties.get("partitionBy").map(c => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+      .getOrElse(Array.empty)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,

@@ -69,8 +69,22 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tables.containsKey(ident))
       throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "fixedwidth tables do not support partitioning transforms")
+    // PARTITIONED BY (col): exactly one identity transform maps onto
+    // the source's hive-style partitionBy layout
+    val partitionBy: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        t.references().toSeq match {
+          case Seq(r) if t.name() == "identity" && r.fieldNames().length == 1 =>
+            Some(r.fieldNames().head)
+          case _ => throw new IllegalArgumentException(
+            "fixedwidth supports only PARTITIONED BY (<one column>), " +
+              s"got $t")
+        }
+      case many => throw new IllegalArgumentException(
+        "fixedwidth supports only a single partition column, got " +
+          many.mkString(", "))
+    }
     val props = properties.asScala
     // OPTIONS(...) keys surface both bare and as "option.<key>"
     // depending on the DDL path — accept either
@@ -102,7 +116,8 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
       s"${f.name}:$tpe:$w"
     }.mkString(",")
     val table = new FwTable(FixedWidth.parseSchema(spec),
-      Map("path" -> path, "schema" -> spec))
+      Map("path" -> path, "schema" -> spec) ++
+        partitionBy.map("partitionBy" -> _))
     new java.io.File(path).mkdirs()
     tables.put(ident, table)
     table

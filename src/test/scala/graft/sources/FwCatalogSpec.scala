@@ -83,6 +83,36 @@ class FwCatalogSpec extends AnyFunSuite {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("PARTITIONED BY routes SQL inserts into hive dirs and prunes " +
+      "SELECTs by directory") {
+    val dir = Files.createTempDirectory("fwcatp").toFile.getAbsolutePath
+    spark.sql(s"""CREATE TABLE fwcat.ns.events_p
+      (id BIGINT, kind STRING, score DOUBLE)
+      PARTITIONED BY (kind)
+      OPTIONS (path '$dir', widths '6,8,12')""")
+    spark.sql("""INSERT INTO fwcat.ns.events_p VALUES
+      (1, 'click', 1.0), (2, 'view', 2.0), (3, 'click', 3.0),
+      (4, 'buy', 4.0)""")
+    val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(subs.toSeq === Seq("kind=buy", "kind=click", "kind=view"))
+    val got = spark.sql(
+      """SELECT id, score FROM fwcat.ns.events_p
+        |WHERE kind = 'click' ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 1.0), (3L, 3.0)))
+    assert(FixedWidth.lastPrunedPartitions === 2,
+      "the view and buy directories must prune")
+    spark.sql("DROP TABLE fwcat.ns.events_p")
+    // multi-column / non-identity partitioning is refused clearly
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE fwcat.ns.bad_p (id BIGINT, k STRING)
+        PARTITIONED BY (id, k) OPTIONS (path '$dir', widths '6,8')""")
+    }
+    assert(e.getMessage.contains("single partition column"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("widths arity must match the column list") {
     val dir = Files.createTempDirectory("fwcat2").toFile.getAbsolutePath
     val e = intercept[Exception] {
