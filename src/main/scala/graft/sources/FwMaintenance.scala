@@ -64,11 +64,21 @@ object FwMaintenance {
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val files = FwFiles.list(path)
+    // partitioned layouts compact too — per PARTITION: a group never
+    // crosses a `<col>=<value>` directory (the dir name carries the
+    // value, so cross-dir concatenation would rewrite history). The
+    // hive layout is exactly where the small-files problem lives.
+    val flat = FwFiles.list(path)
+    val partitioned = partitionDirs(path)
+      .flatMap(d => d.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".fw"))
+        .sortBy(_.getName))
+    val files = flat ++ partitioned
     val smalls = files.filter(_.length() < targetBytes)
 
     val groups = Vector.newBuilder[GroupPlan]
     var cur = Vector.empty[(String, Long)]
+    var curParent: String = null
     var curBytes = 0L
     var gi = 0
     def close(): Unit = {
@@ -77,7 +87,10 @@ object FwMaintenance {
     }
     smalls.foreach { f =>
       val len = f.length()
-      if (cur.nonEmpty && curBytes + len > targetBytes) close()
+      val parent = f.getParentFile.getPath
+      if (cur.nonEmpty && (curBytes + len > targetBytes
+        || parent != curParent)) close()
+      curParent = parent
       cur :+= ((f.getPath, len)); curBytes += len
     }
     close()
@@ -94,15 +107,16 @@ object FwMaintenance {
 
     // publish phase, then input removal, then the snapshot — the same
     // ordering discipline as FwBatchWrite.commit
-    val dir = new java.io.File(path)
     results.foreach { r =>
       val tmp = new java.io.File(r.tmpData)
-      val target = new java.io.File(dir, tmp.getName.stripSuffix(".tmp"))
+      val target = new java.io.File(tmp.getParentFile,
+        tmp.getName.stripSuffix(".tmp"))
       require(tmp.renameTo(target), s"could not publish $tmp -> $target")
       if (r.hasSidecar) {
         val sTmp = new java.io.File(
           FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
-        val sTarget = new java.io.File(dir, sTmp.getName.stripSuffix(".tmp"))
+        val sTarget = new java.io.File(sTmp.getParentFile,
+          sTmp.getName.stripSuffix(".tmp"))
         require(sTmp.renameTo(sTarget),
           s"could not publish $sTmp -> $sTarget")
       }
@@ -111,11 +125,15 @@ object FwMaintenance {
       new java.io.File(FwStats.sidecarFor(p)).delete()
       require(new java.io.File(p).delete(), s"could not remove input $p")
     })
-    val version = FwVersions.commitSnapshot(path)
+    // partitioned layouts do not version (the flat-table snapshot
+    // contract); flat tables burn the next manifest version
+    val version =
+      if (partitioned.isEmpty) Some(FwVersions.commitSnapshot(path))
+      else None
 
     val compacted = planned.map(_.inputs.size).sum
     CompactionReport(
-      committedVersion = Some(version),
+      committedVersion = version,
       filesBefore = files.length,
       filesAfter = files.length - compacted + planned.size,
       groups = planned.size,
@@ -131,7 +149,10 @@ object FwMaintenance {
   private def compactGroup(dir: String, g: GroupPlan): GroupResult = {
     val name = f"compact-${g.index}%05d-" +
       java.util.UUID.randomUUID().toString.take(8) + ".fw"
-    val tmp = new java.io.File(dir, name + ".tmp")
+    // output lives where its inputs live (the partition subdir for a
+    // partitioned group; groups never span directories)
+    val outDir = new java.io.File(g.inputs.head._1).getParentFile
+    val tmp = new java.io.File(outDir, name + ".tmp")
     val out = new java.io.FileOutputStream(tmp)
     try {
       val outCh = out.getChannel
@@ -185,6 +206,17 @@ object FwMaintenance {
   private final case class MergeResult(tmpData: String, matched: Seq[Any],
       rowsUpdated: Long, rowsCopied: Long)
 
+  private def partitionDirs(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .sortBy(_.getName)
+
+  private def requireFlat(path: String, op: String): Unit =
+    require(partitionDirs(path).isEmpty,
+      s"FixedWidth $op is a flat-table operation for now; $path holds " +
+        "a hive-style partitioned layout (records do not carry the " +
+        "partition column, so keyed rewrites cannot route values)")
+
   /** Copy-on-write MERGE (upsert) keyed on `keyCol`: every table row
     * whose key appears in `updates` is replaced by the update row,
     * update keys matching no table row append as one new file, and the
@@ -213,6 +245,7 @@ object FwMaintenance {
       schema: org.apache.spark.sql.types.StructType,
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): MergeReport = {
+    requireFlat(path, "merge")
     import org.apache.spark.sql.functions.{col, count}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -316,6 +349,7 @@ object FwMaintenance {
       schema: org.apache.spark.sql.types.StructType,
       keys: org.apache.spark.sql.DataFrame,
       keyCol: String): DeleteReport = {
+    requireFlat(path, "deleteByKeys")
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)

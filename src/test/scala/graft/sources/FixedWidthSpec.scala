@@ -1285,6 +1285,46 @@ class FixedWidthSpec extends AnyFunSuite {
       || e3.getMessage.contains("flat-table"), e3.getMessage)
   }
 
+  test("partitioned compaction packs within partition dirs; keyed " +
+      "rewrites refuse the partitioned layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwpopt").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    // 8 writer tasks x 2 partition values = many small files per dir
+    spark.range(0, 2000)
+      .select(col("id"), (col("id") % 2).cast("int").as("nk"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(8)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    val before = FwFiles.listPartitioned(dir, "nk")
+    assert(before.length === 16)
+    val report = FwMaintenance.optimize(spark, dir, targetBytes = 10L << 20)
+    assert(report.groups === 2 && report.filesAfter === 2
+      && report.committedVersion === None, report.toString)
+    val after = FwFiles.listPartitioned(dir, "nk")
+    assert(after.length === 2)
+    assert(after.map(_._1).sorted.toSeq === Seq("0", "1"),
+      "one compacted file per partition dir")
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk").load(dir)
+    assert(re.count() === 2000L)
+    assert(re.filter(col("nk") === 1).agg(sum("id")).collect()
+      .head.getLong(0) === (1L until 2000L by 2).sum)
+    // keyed rewrites need the partition value in the records: refuse
+    val sch = FixedWidth.parseSchema(psc)
+    val e1 = intercept[IllegalArgumentException] {
+      FwMaintenance.merge(spark, dir, sch,
+        Seq((1L, 1, 1.0)).toDF("id", "nk", "score"), "id")
+    }
+    assert(e1.getMessage.contains("flat-table"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      FwMaintenance.deleteByKeys(spark, dir, sch, Seq(1L).toDF("id"), "id")
+    }
+    assert(e2.getMessage.contains("flat-table"), e2.getMessage)
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
