@@ -515,6 +515,35 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // GROUPED metadata aggregates: the per-nation profile of the
+    // partitioned table — counts from directory file sizes, key/name
+    // extremes from each directory's sidecars — with ZERO record IO
+    // (the scan summary says pushed-agg; FixedWidthSpec pins it). The
+    // oracle replays the same grouped profile from parquet.
+    "q368_fw_grouped_meta" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_gmeta", Paths.get(dir).getFileName.toString)
+      graft.queries.Analytics110.deepClean(base)
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("partitionBy", "s_nationkey")
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"),
+          min(col("s_name")).as("first_name"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -653,6 +682,15 @@ object Analytics110 {
         min(s_suppkey) AS min_key,
         max(s_acctbal) AS max_bal
       FROM supplier WHERE s_suppkey <= 100000"""),
+
+    // the grouped per-nation profile replayed over parquet
+    "q368_fw_grouped_meta" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        min(s_name) AS first_name
+      FROM supplier
+      WHERE s_suppkey <= 100000
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // the nation predicate replayed over parquet
     "q366_fw_partition_prune" -> """

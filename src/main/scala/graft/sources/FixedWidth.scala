@@ -579,10 +579,56 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
       f.dataType == StringType)
   }
 
+  /** Grouped metadata aggregates over a partitioned layout:
+    * `GROUP BY <pcol>` with COUNT(*)/MIN/MAX is answerable per
+    * DIRECTORY — counts from file sizes, extremes from that dir's
+    * sidecars — so the per-partition profile of a 100 TB table costs
+    * one tree listing and zero record IO.
+    */
+  private def partGroupByOk(aggregation: Aggregation): Boolean =
+    partitionBy.exists { pcol =>
+      val groupOnP = aggregation.groupByExpressions.toSeq match {
+        case Seq(e) => e.references().toSeq match {
+          case Seq(r) => r.fieldNames().sameElements(Array(pcol))
+          case _ => false
+        }
+        case _ => false
+      }
+      groupOnP && pushed.isEmpty &&
+        aggregation.aggregateExpressions.nonEmpty &&
+        aggregation.aggregateExpressions.forall(e =>
+          e.isInstanceOf[CountStar] ||
+            minMaxColumn(e).exists(_.name != pcol)) && {
+          val needsStats = aggregation.aggregateExpressions
+            .exists(!_.isInstanceOf[CountStar])
+          !needsStats || {
+            val allStats = FwFiles.listPartitioned(path, pcol)
+              .map(f => FwStats.read(f._2))
+            allStats.forall(_.isDefined) && {
+              val cols = aggregation.aggregateExpressions.toSeq
+                .flatMap(minMaxColumn)
+              cols.forall(f => allStats.flatten.forall { m =>
+                m.get(f.name) match {
+                  case None => f.dataType != StringType
+                  case Some(_: FwIntStats) =>
+                    f.dataType == LongType || f.dataType == IntegerType
+                  case Some(FwDblStats(lo, hi, hasNaN)) =>
+                    f.dataType == DoubleType && !hasNaN &&
+                      lo.isDefined && hi.isDefined
+                  case Some(FwStrStats(_, _, exact)) =>
+                    f.dataType == StringType && exact
+                }
+              })
+            }
+          }
+        }
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     // partitioned layouts keep no table-level manifest/sidecar view of
-    // the partition column; decline and scan (still partition-pruned)
-    if (partitionBy.isDefined) return false
+    // the partition column; grouped-by-partition metadata aggregates
+    // are the one shape they CAN answer without record IO
+    if (partitionBy.isDefined) return partGroupByOk(aggregation)
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -626,11 +672,17 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
     aggPushed = Some(aggregation)
-    required = StructType(aggregation.aggregateExpressions.zipWithIndex
+    val aggFields = aggregation.aggregateExpressions.zipWithIndex
       .map {
         case (_: CountStar, i) => StructField(s"count_star_$i", LongType)
         case (e, i) => minMaxColumn(e).get.copy(name = s"min_max_$i")
-      })
+      }
+    // grouped pushdown: the scan's output schema leads with the
+    // group-by column, then the aggregates (positional contract)
+    val groupFields = partitionBy
+      .filter(_ => aggregation.groupByExpressions.nonEmpty)
+      .map(p => fullSchema(fullSchema.fieldNames.indexOf(p))).toSeq
+    required = StructType(groupFields ++ aggFields)
     true
   }
 
@@ -649,19 +701,23 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
           s"pushed=[${pushed.mkString(",")}]"
     }
     FixedWidth.lastScanSummary = summary
+    def specsOf(agg: Aggregation): Array[(String, String, String)] =
+      agg.aggregateExpressions.map {
+        case _: CountStar => ("count", "", "")
+        case m: org.apache.spark.sql.connector.expressions.aggregate
+            .Min =>
+          val f = minMaxColumn(m).get
+          ("min", f.name, f.dataType.typeName)
+        case m =>
+          val f = minMaxColumn(m).get
+          ("max", f.name, f.dataType.typeName)
+      }
     (aggPushed, partitionBy) match {
-      case (Some(agg), _) =>
-        val specs = agg.aggregateExpressions.map {
-          case _: CountStar => ("count", "", "")
-          case m: org.apache.spark.sql.connector.expressions.aggregate
-              .Min =>
-            val f = minMaxColumn(m).get
-            ("min", f.name, f.dataType.typeName)
-          case m =>
-            val f = minMaxColumn(m).get
-            ("max", f.name, f.dataType.typeName)
-        }
-        new FwAggScan(fullSchema, required, specs, path, summary,
+      case (Some(agg), Some(pcol)) =>
+        new FwPartAggScan(fullSchema, required, specsOf(agg), path,
+          pcol, summary)
+      case (Some(agg), None) =>
+        new FwAggScan(fullSchema, required, specsOf(agg), path, summary,
           versionAsOf, changesFrom)
       case (None, Some(pcol)) =>
         new FwPartScan(fullSchema, required, pushed, path, pcol, summary)
@@ -743,6 +799,92 @@ private[sources] object FwAggReaderFactory extends PartitionReaderFactory {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
       override def get(): InternalRow = new GenericInternalRow(part.values)
+      override def close(): Unit = ()
+    }
+}
+
+/** Grouped metadata aggregates: one output row per partition
+  * directory — COUNT(*) from that dir's file sizes, MIN/MAX from its
+  * sidecars (the pushdown gate already verified coverage). Zero record
+  * IO at any table size; empty partitions emit no group, exactly like
+  * the aggregation they replace.
+  */
+private[sources] class FwPartAggScan(fullSchema: StructType,
+    aggSchema: StructType, specs: Array[(String, String, String)],
+    path: String, pcol: String, summary: String) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String = s"GraftFixedWidth $summary"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pType = fullSchema.fields(fullSchema.fieldNames.indexOf(pcol))
+      .dataType
+    val dataSchema = StructType(fullSchema.fields.filter(_.name != pcol))
+    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+    val rows = FwFiles.listPartitioned(path, pcol)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (vs, files) =>
+        val count = files.map(_._2.length() / rowLen).sum
+        if (count == 0) None // no rows -> no group
+        else {
+          val stats = files.flatMap(f => FwStats.read(f._2))
+          def extreme(col: String, tpe: String, isMin: Boolean): Any =
+            tpe match {
+              case "long" | "integer" =>
+                val vals = stats.flatMap(_.get(col)).collect {
+                  case FwIntStats(lo, hi) => if (isMin) lo else hi
+                }
+                if (vals.isEmpty) null
+                else {
+                  val v = if (isMin) vals.min else vals.max
+                  if (tpe == "long") java.lang.Long.valueOf(v)
+                  else java.lang.Integer.valueOf(v.toInt)
+                }
+              case "string" =>
+                val vals = stats.flatMap(_.get(col)).collect {
+                  case FwStrStats(lo, hi, true) => if (isMin) lo else hi
+                }
+                if (vals.isEmpty) null
+                else UTF8String.fromString(
+                  if (isMin) vals.min else vals.max)
+              case _ =>
+                val vals = stats.flatMap(_.get(col)).collect {
+                  case FwDblStats(lo, hi, false) =>
+                    (if (isMin) lo else hi).get
+                }
+                if (vals.isEmpty) null
+                else java.lang.Double.valueOf(
+                  if (isMin) vals.min else vals.max)
+            }
+          val groupVal: Any = pType match {
+            case LongType => java.lang.Long.valueOf(vs.toLong)
+            case IntegerType => java.lang.Integer.valueOf(vs.toInt)
+            case _ => UTF8String.fromString(vs)
+          }
+          Some((groupVal +: specs.toSeq.map {
+            case ("count", _, _) => java.lang.Long.valueOf(count)
+            case (kind, col, tpe) => extreme(col, tpe, kind == "min")
+          }).toArray)
+        }
+      }
+    Array(FwMetaRowsPartition(rows.toArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    FwMetaRowsReaderFactory
+}
+
+private[sources] case class FwMetaRowsPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] object FwMetaRowsReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[FwMetaRowsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
 }

@@ -1285,6 +1285,39 @@ class FixedWidthSpec extends AnyFunSuite {
       || e3.getMessage.contains("flat-table"), e3.getMessage)
   }
 
+  test("grouped metadata aggregates: GROUP BY the partition column " +
+      "answers from dir sizes and sidecars, zero record IO") {
+    val dir = Files.createTempDirectory("fwpagg").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") % 4).cast("int").as("nk"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(4)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    def read() = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk").load(dir)
+    val got = read().groupBy("nk")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"),
+        max("score").as("hs"))
+      .orderBy("nk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0, 1000L, 0L, 3996L, 96.0), (1, 1000L, 1L, 3997L, 97.0),
+      (2, 1000L, 2L, 3998L, 98.0), (3, 1000L, 3L, 3999L, 99.0)))
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"grouped aggregate left the metadata path: ${FixedWidth.lastScanSummary}")
+    // a filter declines the grouped pushdown but stays correct
+    val f = read().filter(col("score") > 50.0).groupBy("nk")
+      .agg(count(lit(1)).as("n")).orderBy("nk").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(f.toSeq === Seq((0, 480L), (1, 480L), (2, 480L), (3, 520L)))
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      "filtered grouped aggregates must scan")
+  }
+
   test("partitioned compaction packs within partition dirs; keyed " +
       "rewrites refuse the partitioned layout") {
     import spark.implicits._
