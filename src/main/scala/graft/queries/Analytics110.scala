@@ -544,6 +544,42 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // SORTED-FILE SEEK: supplier written sorted on its key with the
+    // writer-VERIFIED sortedBy claim; the key-range scan then
+    // binary-searches each file's matching record window (~30 field
+    // probes instead of a full pass — the fixed-width analogue of
+    // Parquet's page index). The oracle replays the range over
+    // parquet; the hash match proves the narrowed window loses and
+    // duplicates nothing, including both boundary records.
+    "q369_fw_sorted_seek" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_seek", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .repartitionByRange(2, col("s_suppkey"))
+        .sortWithinPartitions("s_suppkey")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("sortedBy", "s_suppkey")
+        .mode("overwrite").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .filter(col("s_suppkey") >= 3L && col("s_suppkey") <= 77L)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -682,6 +718,14 @@ object Analytics110 {
         min(s_suppkey) AS min_key,
         max(s_acctbal) AS max_bal
       FROM supplier WHERE s_suppkey <= 100000"""),
+
+    // the seek window replayed over parquet
+    "q369_fw_sorted_seek" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier
+      WHERE s_suppkey BETWEEN 3 AND 77
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // the grouped per-nation profile replayed over parquet
     "q368_fw_grouped_meta" -> """

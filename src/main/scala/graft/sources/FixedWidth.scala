@@ -84,6 +84,8 @@ object FixedWidth {
   @volatile var lastRuntimeFilters: Int = 0
   /** Partition directories pruned in the most recent partitioned plan. */
   @volatile var lastPrunedPartitions: Int = 0
+  /** Records excluded by sorted-file seek narrowing in the last plan. */
+  @volatile var lastSeekSkippedRecords: Long = 0L
 
   def parseSchema(spec: String): StructType = {
     require(spec != null && spec.nonEmpty,
@@ -174,7 +176,12 @@ private[sources] class FwTable(tableSchema: StructType,
     require(info.schema().fieldNames.sameElements(declared.fieldNames),
       s"write schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${declared.fieldNames.mkString(",")}")
-    new FwWriteBuilder(declared, path, pcolFor(info.options))
+    new FwWriteBuilder(declared, path, pcolFor(info.options),
+      Option(info.options.get("sortedBy")).map { c =>
+        require(declared.fieldNames.contains(c),
+          s"FixedWidth: sortedBy column $c is not in the schema")
+        c
+      })
   }
 }
 
@@ -187,13 +194,14 @@ private[sources] class FwTable(tableSchema: StructType,
   * FileCommitProtocol).
   */
 private[sources] class FwWriteBuilder(schema: StructType, path: String,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    sortedBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
-      truncateFirst, partitionBy)
+      truncateFirst, partitionBy, sortedBy)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(partitionBy.isEmpty,
         "FixedWidth: partitionBy is batch-only; streaming epochs do " +
@@ -251,10 +259,11 @@ private[sources] case class FwMultiCommitMessage(tmpPaths: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class FwBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, partitionBy: Option[String] = None)
+    truncateFirst: Boolean, partitionBy: Option[String] = None,
+    sortedBy: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FwWriterFactory(schema, path, partitionBy)
+    new FwWriterFactory(schema, path, partitionBy, sortedBy)
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
@@ -303,16 +312,17 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 }
 
 private[sources] class FwWriterFactory(schema: StructType, path: String,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    sortedBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     partitionBy match {
       case None =>
         new FwDataWriter(schema, path, partitionId, taskId,
-          writeStats = true)
+          writeStats = true, sortedBy = sortedBy)
       case Some(pcol) =>
         new FwPartitionedDataWriter(schema, path, pcol, partitionId,
-          taskId)
+          taskId, sortedBy.filter(_ != pcol))
     }
 }
 
@@ -325,7 +335,8 @@ private[sources] class FwWriterFactory(schema: StructType, path: String,
   * rows.
   */
 private[sources] class FwPartitionedDataWriter(schema: StructType,
-    path: String, pcol: String, partitionId: Int, taskId: Long)
+    path: String, pcol: String, partitionId: Int, taskId: Long,
+    sortedBy: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val pIdx = schema.fieldNames.indexOf(pcol)
   private val dataSchema = StructType(
@@ -347,7 +358,7 @@ private[sources] class FwPartitionedDataWriter(schema: StructType,
     val w = writers.getOrElseUpdate(valueOf(row), {
       val sub = new java.io.File(path, s"$pcol=${valueOf(row)}")
       new FwDataWriter(dataSchema, sub.getPath, partitionId, taskId,
-        writeStats = true)
+        writeStats = true, sortedBy = sortedBy)
     })
     val vals = new Array[Any](dataSchema.length)
     var i = 0
@@ -379,9 +390,41 @@ private[sources] class FwPartitionedDataWriter(schema: StructType,
 
 private[sources] class FwDataWriter(schema: StructType, path: String,
     partitionId: Int, taskId: Long, prefix: String = "part",
-    writeStats: Boolean = false)
+    writeStats: Boolean = false, sortedBy: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val widths = FixedWidth.widths(schema)
+  // sortedBy is a VERIFIED claim, not a sort: the writer watches the
+  // declared column and stamps the sidecar flag only if every row
+  // arrived non-null and non-decreasing (the user sorts via
+  // sortWithinPartitions; a false claim would corrupt seek narrowing)
+  private val sortedIdx: Int =
+    sortedBy.map(c => schema.fieldNames.indexOf(c)).getOrElse(-1)
+  private var sortedOk: Boolean = sortedIdx >= 0
+  private var prevSortVal: Any = _
+
+  private def checkSorted(row: InternalRow): Unit = {
+    if (!sortedOk) return
+    if (row.isNullAt(sortedIdx)) { sortedOk = false; return }
+    val v: Any = schema.fields(sortedIdx).dataType match {
+      case LongType => row.getLong(sortedIdx)
+      case IntegerType => row.getInt(sortedIdx).toLong
+      case DoubleType => row.getDouble(sortedIdx)
+      case _ =>
+        val s = row.getUTF8String(sortedIdx).toString.trim
+        if (s.isEmpty) { sortedOk = false; return } // reads back null
+        s
+    }
+    if (prevSortVal != null) {
+      val ok = (prevSortVal, v) match {
+        case (a: Long, b: Long) => a <= b
+        case (a: Double, b: Double) => a <= b // NaN breaks the claim
+        case (a: String, b: String) => a.compareTo(b) <= 0
+        case _ => false
+      }
+      if (!ok) sortedOk = false
+    }
+    prevSortVal = v
+  }
   private val tmp = new java.io.File(path,
     f"$prefix-$partitionId%05d-$taskId.fw.tmp")
   tmp.getParentFile.mkdirs()
@@ -403,6 +446,7 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   private val statHiS = Array.fill[String](widths.length)(null)
 
   override def write(row: InternalRow): Unit = {
+    if (sortedIdx >= 0) checkSorted(row)
     val sb = new StringBuilder
     var i = 0
     while (i < widths.length) {
@@ -493,7 +537,8 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
       // stale envelopes to pruning/pushdown
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        stats, tmp.length())
+        stats, tmp.length(),
+        if (sortedOk && sortedIdx >= 0) sortedBy else None)
     }
     FwCommitMessage(tmp.getPath)
   }
@@ -1102,6 +1147,117 @@ private[sources] class FwPartReaderFactory(dataSchema: StructType,
   }
 }
 
+/** Planner-side binary search over a file verified sorted on one
+  * column: pushed range predicates on that column translate to an
+  * exact [first, last) record window via O(log n) random-access field
+  * probes — the fixed-width analogue of Parquet's page index. The
+  * window is exact for the bounds it derives and the reader still
+  * evaluates every filter, so any bound it cannot derive (type
+  * surprises, odd shapes) just widens back to the whole file.
+  */
+private[sources] object FwSeek {
+  def narrow(schema: StructType, file: String, n: Long, rowLen: Long,
+      col: String, filters: Array[Filter]): (Long, Long) = {
+    val idx = schema.fieldNames.indexOf(col)
+    if (idx < 0 || n == 0) return (0L, n)
+    val dt = schema.fields(idx).dataType
+    val offset = FixedWidth.widths(schema).take(idx).sum
+    val width = FixedWidth.widths(schema)(idx)
+
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // the comparison domain: Long for integral columns, Double for
+    // doubles, String otherwise; None = underivable bound
+    def domain(v: Any): Option[Any] = (dt, v) match {
+      case (LongType | IntegerType, x: java.lang.Number) =>
+        Some(x.longValue)
+      case (DoubleType, x: java.lang.Number) => Some(x.doubleValue)
+      case (StringType, s: String) => Some(s)
+      case (StringType, u: UTF8String) => Some(u.toString)
+      case _ => None
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    // (bound, inclusive) accumulators; tightest wins
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    def tightenLo(v: Any, incl: Boolean): Unit = lo = lo match {
+      case None => Some((v, incl))
+      case Some((cur, ci)) =>
+        val c = cmp(v, cur)
+        if (c > 0 || (c == 0 && !incl)) Some((v, incl))
+        else Some((cur, ci))
+    }
+    def tightenHi(v: Any, incl: Boolean): Unit = hi = hi match {
+      case None => Some((v, incl))
+      case Some((cur, ci)) =>
+        val c = cmp(v, cur)
+        if (c < 0 || (c == 0 && !incl)) Some((v, incl))
+        else Some((cur, ci))
+    }
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a, v) if a == col =>
+        domain(v).foreach { d => tightenLo(d, incl = true)
+          tightenHi(d, incl = true) }
+      case GreaterThan(a, v) if a == col =>
+        domain(v).foreach(tightenLo(_, incl = false))
+      case GreaterThanOrEqual(a, v) if a == col =>
+        domain(v).foreach(tightenLo(_, incl = true))
+      case LessThan(a, v) if a == col =>
+        domain(v).foreach(tightenHi(_, incl = false))
+      case LessThanOrEqual(a, v) if a == col =>
+        domain(v).foreach(tightenHi(_, incl = true))
+      case _ => ()
+    }
+    if (lo.isEmpty && hi.isEmpty) return (0L, n)
+
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val buf = new Array[Byte](width)
+      def valueAt(rec: Long): Any = {
+        raf.seek(rec * rowLen + offset)
+        raf.readFully(buf)
+        var a = 0
+        var b = width
+        while (a < b && buf(a) == ' ') a += 1
+        while (b > a && buf(b - 1) == ' ') b -= 1
+        val s = new String(buf, a, b - a, StandardCharsets.UTF_8)
+        dt match {
+          case LongType | IntegerType => s.toLong
+          case DoubleType => s.toDouble
+          case _ => s
+        }
+      }
+      // first record whose value compares >= v (or > v when gt)
+      def lowerBound(v: Any, gt: Boolean): Long = {
+        var a = 0L
+        var b = n
+        while (a < b) {
+          val mid = (a + b) >>> 1
+          val c = cmp(valueAt(mid), v)
+          if (c < 0 || (gt && c == 0)) a = mid + 1 else b = mid
+        }
+        a
+      }
+      val start = lo match {
+        case Some((v, incl)) => lowerBound(v, gt = !incl)
+        case None => 0L
+      }
+      val end = hi match {
+        case Some((v, incl)) => lowerBound(v, gt = incl)
+        case None => n
+      }
+      (start, math.max(start, end))
+    } finally raf.close()
+  }
+}
+
 private[sources] object FwFiles {
   def list(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
@@ -1380,12 +1536,19 @@ private[sources] object FwStats {
     * grew in place after commit) and disables it entirely.
     */
   private val LenKey = "_len"
+  /** Reserved top-level key: the column this file is verified sorted
+    * (non-decreasing, no nulls) on — the gate for planner seek
+    * narrowing.
+    */
+  private val SortedKey = "_sorted"
 
   def write(path: String, stats: Map[String, FwColStats],
-      dataLen: Long): Unit = {
+      dataLen: Long, sortedBy: Option[String] = None): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val base = org.json4s.JObject(List(LenKey -> org.json4s.JLong(dataLen)))
+    val base = org.json4s.JObject(
+      List(LenKey -> org.json4s.JLong(dataLen)) ++
+        sortedBy.map(c => SortedKey -> org.json4s.JString(c)))
     val obj = stats.toSeq.sortBy(_._1).foldLeft(base) {
       case (o, (c, FwIntStats(lo, hi))) =>
         // exact JSON integers: JLong round-trips any Long bit-for-bit,
@@ -1402,6 +1565,31 @@ private[sources] object FwStats {
 
   def read(dataFile: java.io.File): Option[Map[String, FwColStats]] =
     read(dataFile, dataFile.length())
+
+  /** The column this file's sidecar certifies it sorted on, if any —
+    * honoring the same `_len` staleness rule as the stats themselves.
+    */
+  def sortedCol(dataFile: java.io.File,
+      expectedLen: Long): Option[String] = {
+    val f = new java.io.File(sidecarFor(dataFile.getPath))
+    if (!f.isFile) None
+    else try {
+      import org.json4s._
+      jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) match {
+        case JObject(fields) =>
+          val m = fields.toMap
+          val stale = m.get(LenKey).exists {
+            case JInt(n) => n.toLong != expectedLen
+            case JLong(n) => n != expectedLen
+            case _ => true
+          }
+          if (stale) None
+          else m.get(SortedKey).collect { case JString(c) => c }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
 
   /** Sidecar strings are capped at this many chars (the Parquet
     * column-index convention): unbounded-width values must not bloat a
@@ -1666,16 +1854,27 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
       else all.partition(lf => FwStats.read(lf.file, lf.bytes)
         .forall(stats => FwStats.mayMatch(stats, eff)))
     FixedWidth.lastSkippedFiles = skipped.length
+    FixedWidth.lastSeekSkippedRecords = 0L
     kept.flatMap { lf =>
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
         s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
           s"multiple of the record length $rowLen")
-      // Exact record-aligned byte-range splits — the scale story: no
-      // line resync, any worker can start at record k of a 100 TB file.
-      (0L until n by recordsPerSplit).map(start =>
+      // seek narrowing: a file VERIFIED sorted on a filtered column
+      // binary-searches its matching record range — ~30 seeks bound
+      // the scan of a billion-record file to exactly the rows a range
+      // predicate can touch (the reader still evaluates every filter,
+      // so narrowing only ever has to be not-too-narrow, and the
+      // search is exact on a non-decreasing column)
+      val (lo, hi) = FwStats.sortedCol(lf.file, lf.bytes) match {
+        case Some(col) => FwSeek.narrow(fullSchema, lf.file.getPath,
+          n, rowLen, col, eff)
+        case None => (0L, n)
+      }
+      FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
+      (lo until hi by recordsPerSplit).map(start =>
         FwPartition(lf.file.getPath, start,
-          math.min(recordsPerSplit, n - start)))
+          math.min(recordsPerSplit, hi - start)))
     }.toArray[InputPartition]
   }
 

@@ -1358,6 +1358,71 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("flat-table"), e2.getMessage)
   }
 
+  test("sorted-file seek: range predicates binary-search the record " +
+      "window; unverified claims never narrow") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwseek").toFile.getAbsolutePath
+    // one 10k-record file, genuinely sorted on id
+    spark.range(0, 10000)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .option("sortedBy", "id")
+      .mode("overwrite").save(dir)
+    val dataFile = FwFiles.list(dir).head
+    assert(FwStats.sortedCol(dataFile, dataFile.length()) === Some("id"))
+    def read() = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .load(dir)
+    // a 100-record window out of 10k: 9900 records never planned
+    assert(read().filter(col("id") >= 5000L && col("id") < 5100L)
+      .count() === 100L)
+    assert(FixedWidth.lastSeekSkippedRecords === 9900L,
+      s"seek skipped ${FixedWidth.lastSeekSkippedRecords}")
+    // point lookup narrows to one record; a miss narrows to zero
+    assert(read().filter(col("id") === 7777L).count() === 1L)
+    assert(FixedWidth.lastSeekSkippedRecords === 9999L)
+    assert(read().filter(col("id") === 10007L).count() === 0L)
+    // (the zone map may already skip the whole file on a miss)
+    // open-ended bounds narrow one side only
+    assert(read().filter(col("id") > 9989L).count() === 10L)
+    assert(FixedWidth.lastSeekSkippedRecords === 9990L)
+    // a filter on an unsorted column never narrows but stays correct
+    assert(read().filter(col("score") === 13.0).count() === 100L)
+    assert(FixedWidth.lastSeekSkippedRecords === 0L)
+
+    // an UNSORTED write claiming sortedBy must not get the flag
+    val dir2 = Files.createTempDirectory("fwseek2").toFile.getAbsolutePath
+    Seq((5L, "e", 1.0), (3L, "c", 2.0), (9L, "i", 3.0))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("sortedBy", "id")
+      .mode("overwrite").save(dir2)
+    val f2 = FwFiles.list(dir2).head
+    assert(FwStats.sortedCol(f2, f2.length()) === None,
+      "a false sort claim must not be certified")
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir2)
+      .filter(col("id") >= 4L).count() === 2L)
+    assert(FixedWidth.lastSeekSkippedRecords === 0L)
+
+    // string sort keys narrow too
+    val dir3 = Files.createTempDirectory("fwseek3").toFile.getAbsolutePath
+    Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "delta", 3.0),
+      (4L, "gamma", 4.0), (5L, "omega", 5.0))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("sortedBy", "name")
+      .mode("overwrite").save(dir3)
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir3)
+      .filter(col("name") >= "beta" && col("name") <= "delta")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(FixedWidth.lastSeekSkippedRecords === 3L)
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
