@@ -451,6 +451,36 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(parts.nonEmpty)
   }
 
+  test("runtime filters prune partition directories on the " +
+      "partitioned scan (the DPP shape)") {
+    val dir = Files.createTempDirectory("fwpdpp").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") % 4).cast("int").as("nk"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(4)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    val schema = FixedWidth.parseSchema(psc)
+    val scan = new FwScanBuilder(schema, dir, 1L << 20,
+      partitionBy = Some("nk")).build().asInstanceOf[FwPartScan]
+    // the scan advertises only the partition column for runtime filters
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("nk"))
+    // pre-filter: all 4 value groups planned
+    assert(scan.planInputPartitions().length === 4)
+    // a dynamic IN list (what a selective dim join broadcasts) arrives
+    // after planning and re-plans to the named partitions only
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("nk", Array[Any](1, 3))))
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 2)
+    assert(FixedWidth.lastPrunedPartitions === 2,
+      s"2 of 4 dirs must prune: ${FixedWidth.lastPrunedPartitions}")
+    assert(parts.map(_.asInstanceOf[FwPartValuePartition].value).toSet
+      === Set(1, 3))
+  }
+
   test("MIN/MAX push to metadata when sidecars cover every file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwminmax").toFile.getAbsolutePath
