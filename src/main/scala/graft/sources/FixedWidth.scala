@@ -1477,9 +1477,18 @@ private[sources] object FwVersions {
     // manifest once instead of stat()ing every file
     val snapshot = FwFiles.list(path)
       .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
+    rewrite(path, prior :+ ((next, snapshot)))
+    next
+  }
+
+  /** Replace the manifest wholesale (vacuum's history trim) — same
+    * tmp→rename publish protocol as a commit.
+    */
+  def rewrite(path: String,
+      versions: Seq[(Long, Seq[(String, Long)])]): Unit = {
     import org.json4s.JsonDSL._
     val doc: JObject = "versions" ->
-      (prior :+ (next, snapshot)).map { case (v, files) =>
+      versions.map { case (v, files) =>
         ("v" -> v) ~ ("files" -> files.map { case (n, b) =>
           ("n" -> n) ~ ("b" -> b): JObject
         })
@@ -1492,7 +1501,6 @@ private[sources] object FwVersions {
     java.nio.file.Files.move(tmp.toPath, target.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    next
   }
 }
 

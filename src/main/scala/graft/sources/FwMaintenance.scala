@@ -195,6 +195,57 @@ object FwMaintenance {
       rowsUpdated: Long,
       rowsInserted: Long)
 
+  /** What a vacuum did. */
+  final case class VacuumReport(
+      versionsRetained: Int,
+      versionsDropped: Int,
+      strayTmpsRemoved: Int,
+      orphanFilesRemoved: Int)
+
+  /** Delta-style VACUUM for the flat layout: trim the snapshot
+    * manifest to its newest `retainLast` versions, delete published
+    * `.fw` files (and their sidecars) no retained version references,
+    * and sweep `.tmp` strays left by crashed writers. After a vacuum,
+    * a read pinned to a dropped version fails with "no version n" —
+    * the clean contract — instead of a missing-file surprise halfway
+    * through planning. Like every maintenance op here, run it without
+    * concurrent readers of the table.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainLast: Int): VacuumReport = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    requireFlat(path, "vacuum")
+    val dir = new java.io.File(path)
+    val all = FwVersions.read(path)
+    val retained = all.sortBy(-_._1).take(retainLast).sortBy(_._1)
+    val dropped = all.size - retained.size
+    if (dropped > 0) FwVersions.rewrite(path, retained)
+
+    val referenced: Set[String] =
+      retained.flatMap(_._2.map(_._1)).toSet
+    // only files that EVER appeared in a manifest are vacuum's to
+    // remove: the live (newest) snapshot is always retained, and files
+    // outside any manifest (hand-built fixtures, streaming epochs
+    // before a batch commit) are not ours to judge
+    val everReferenced: Set[String] = all.flatMap(_._2.map(_._1)).toSet
+    var orphans = 0
+    if (all.nonEmpty) FwFiles.list(path).foreach { f =>
+      if (everReferenced.contains(f.getName)
+        && !referenced.contains(f.getName)) {
+        new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        require(f.delete(), s"could not vacuum $f")
+        orphans += 1
+      }
+    }
+    var strays = 0
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isFile && f.getName.endsWith(".tmp")) {
+        f.delete(); strays += 1
+      }
+    }
+    VacuumReport(retained.size, dropped, strays, orphans)
+  }
+
   /** What a key-set delete did. */
   final case class DeleteReport(
       version: Long,

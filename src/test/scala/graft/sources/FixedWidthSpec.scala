@@ -1453,6 +1453,52 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(FixedWidth.lastSeekSkippedRecords === 3L)
   }
 
+  test("vacuum trims manifest history, sweeps strays, and removes " +
+      "files only dropped versions reference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwvac").toFile.getAbsolutePath
+    def write(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    write(Seq((1L, "a", 1.0)), "overwrite") // v1
+    write(Seq((2L, "b", 2.0)), "append") // v2
+    write(Seq((3L, "c", 3.0)), "append") // v3
+    // a crashed writer's stray
+    Files.write(new java.io.File(dir, "stray.fw.tmp").toPath,
+      Array[Byte](1, 2, 3))
+    // resurrect a name that only version 1's era knew (an external
+    // producer reusing a vacuumed name): v1-only references vanish
+    val v1Files = FwVersions.read(dir).find(_._1 == 1L).get._2.map(_._1)
+    // (append-only: v1's file is still referenced by v3 — build the
+    // orphan by dropping it from the RETAINED versions via compaction)
+    val r0 = FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+    assert(r0.committedVersion === Some(4L)) // v4 = one compacted file
+    val resurrected = new java.io.File(dir, v1Files.head)
+    Files.write(resurrected.toPath, Array.emptyByteArray)
+
+    val report = FwMaintenance.vacuum(spark, dir, retainLast = 1)
+    assert(report === FwMaintenance.VacuumReport(versionsRetained = 1,
+      versionsDropped = 3, strayTmpsRemoved = 1, orphanFilesRemoved = 1),
+      report.toString)
+    assert(!resurrected.exists(), "the dropped-version name is swept")
+    assert(!new java.io.File(dir, "stray.fw.tmp").exists())
+    // the retained snapshot still reads; dropped pins fail cleanly
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("versionAsOf", "4").load(dir)
+      .count() === 3L)
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "2").load(dir)
+        .collect()
+    }
+    assert(e.getMessage.contains("no version 2")
+      && e.getMessage.contains("4..4"), e.getMessage)
+    // live reads are untouched
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir).count() === 3L)
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
