@@ -580,6 +580,52 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // VACUUM end-to-end: three snapshots (two appends + a compaction)
+    // trim to the newest one; the metadata-only history surface then
+    // shows EXACTLY the retained snapshot — version 3, one compacted
+    // file, every record — and the live per-nation aggregates prove no
+    // data was touched. The oracle replays the aggregates and pins the
+    // history row's arithmetic (records, bytes at 55 B/record).
+    "q370_fw_vacuum" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_vac", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0).repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0).repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      val opt = graft.sources.FwMaintenance.optimize(spark,
+        base.toString, targetBytes = 1L << 20)
+      require(opt.committedVersion.contains(3L), opt.toString)
+      val vac = graft.sources.FwMaintenance.vacuum(spark,
+        base.toString, retainLast = 1)
+      require(vac.versionsDropped == 2, vac.toString)
+      val hist = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true").option("schema", FwSchema)
+        .load(base.toString)
+        .select(col("version"), col("n_files"), col("n_records"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .crossJoin(broadcast(hist))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -726,6 +772,23 @@ object Analytics110 {
       FROM supplier
       WHERE s_suppkey BETWEEN 3 AND 77
       GROUP BY 1 ORDER BY s_nationkey""",
+
+    // post-vacuum live aggregates + the single retained history row
+    "q370_fw_vacuum" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey <= 100000),
+      h AS (
+        SELECT CAST(3 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+          CAST(count(*) AS BIGINT) AS n_records
+        FROM s)
+      SELECT g.s_nationkey, g.n_sup, g.min_key, g.max_key,
+        h.version, h.n_files, h.n_records
+      FROM (
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+          min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+        FROM s GROUP BY 1) g, h
+      ORDER BY g.s_nationkey""",
 
     // the grouped per-nation profile replayed over parquet
     "q368_fw_grouped_meta" -> """
