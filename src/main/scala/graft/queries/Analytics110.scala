@@ -626,6 +626,60 @@ object Analytics110 {
         .orderBy("s_nationkey")
     }),
 
+    // BUCKETED STORAGE-PARTITIONED JOIN: supplier and its %3 subset
+    // both hash-bucketed 8 ways on the key and registered as catalog
+    // tables (the FunctionCatalog resolves the bucket transform — the
+    // Iceberg contract), then joined on the key with ZERO shuffle on
+    // either side at ANY key cardinality. The oracle replays the join
+    // over parquet; the spec pins the exchange-free plan.
+    "q371_fw_bucketed_spj" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base1 = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_bspj1", Paths.get(dir).getFileName.toString)
+      val base2 = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_bspj2", Paths.get(dir).getFileName.toString)
+      graft.queries.Analytics110.deepClean(base1)
+      graft.queries.Analytics110.deepClean(base2)
+      Files.createDirectories(base1)
+      Files.createDirectories(base2)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      def writeBucketed(df: org.apache.spark.sql.DataFrame,
+          p: java.nio.file.Path): Unit =
+        df.repartition(4)
+          .write.format("graft.sources.FixedWidth")
+          .option("schema", FwSchema)
+          .option("bucketBy", "s_suppkey").option("buckets", "8")
+          .mode("overwrite").save(p.toString)
+      writeBucketed(src, base1)
+      writeBucketed(src.filter(col("s_suppkey") % 3 === 0), base2)
+      spark.conf.set("spark.sql.catalog.fwcat_bq",
+        "graft.sources.FwCatalog")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS fwcat_bq.ns.sup_all")
+      spark.sql("DROP TABLE IF EXISTS fwcat_bq.ns.sup_third")
+      spark.sql(
+        s"""CREATE TABLE fwcat_bq.ns.sup_all
+           |  (s_suppkey BIGINT, s_name STRING, s_nationkey INT,
+           |   s_acctbal DOUBLE)
+           |  OPTIONS (path '$base1', widths '8,18,4,24',
+           |           bucketBy 's_suppkey', buckets '8')""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE fwcat_bq.ns.sup_third
+           |  (s_suppkey BIGINT, s_name STRING, s_nationkey INT,
+           |   s_acctbal DOUBLE)
+           |  OPTIONS (path '$base2', widths '8,18,4,24',
+           |           bucketBy 's_suppkey', buckets '8')""".stripMargin)
+      spark.table("fwcat_bq.ns.sup_all").as("a")
+        .join(spark.table("fwcat_bq.ns.sup_third").as("b"), "s_suppkey")
+        .groupBy(col("a.s_nationkey").as("s_nationkey"))
+        .agg(count(lit(1)).as("n_match"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // The catalog plugin end-to-end in PLAIN SQL: CREATE TABLE with the
     // layout in DDL options, INSERT OVERWRITE ... SELECT through the
     // two-phase writer, aggregate back through the pruning scan —
@@ -789,6 +843,14 @@ object Analytics110 {
           min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
         FROM s GROUP BY 1) g, h
       ORDER BY g.s_nationkey""",
+
+    // the bucketed join replayed over parquet (a JOIN b = the %3 rows)
+    "q371_fw_bucketed_spj" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_match,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier
+      WHERE s_suppkey <= 100000 AND s_suppkey % 3 = 0
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // the grouped per-nation profile replayed over parquet
     "q368_fw_grouped_meta" -> """

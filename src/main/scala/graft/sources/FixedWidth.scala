@@ -124,6 +124,12 @@ private[sources] class FwTable(tableSchema: StructType,
   override def partitioning(): Array[Transform] =
     properties.get("partitionBy").map(c => Array(
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+      .orElse((properties.get("bucketBy"), properties.get("buckets")) match {
+        case (Some(c), Some(n)) => Some(Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n.toInt, c)))
+        case _ => None
+      })
       .getOrElse(Array.empty)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -137,6 +143,29 @@ private[sources] class FwTable(tableSchema: StructType,
     Option(options.get("path")).orElse(properties.get("path"))
       .map(p => if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
       .orNull
+
+  private def bucketsFor(
+      options: CaseInsensitiveStringMap): Option[(String, Int)] = {
+    val c = Option(options.get("bucketBy"))
+      .orElse(properties.get("bucketBy"))
+    val n = Option(options.get("buckets"))
+      .orElse(properties.get("buckets")).map(_.toInt)
+    (c, n) match {
+      case (None, None) => None
+      case (Some(col), Some(k)) =>
+        require(k > 0, s"FixedWidth: buckets must be positive, got $k")
+        val f = declared.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(
+            s"FixedWidth: bucketBy column $col is not in the schema"))
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType,
+          s"FixedWidth: bucketBy column must be integral or string, " +
+            s"got ${f.dataType}")
+        Some((col, k))
+      case _ => throw new IllegalArgumentException(
+        "FixedWidth: bucketBy and buckets must be given together")
+    }
+  }
 
   private def pcolFor(options: CaseInsensitiveStringMap): Option[String] = {
     val p = Option(options.get("partitionBy"))
@@ -162,7 +191,7 @@ private[sources] class FwTable(tableSchema: StructType,
       Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(properties.get("versionAsOf").map(_.toLong)),
       Option(options.get("changesFromVersion")).map(_.toLong),
-      pcolFor(options))
+      pcolFor(options), bucketsFor(options))
 
   /** A copy of this table pinned to one snapshot version — what
     * [[FwCatalog.loadTable(ident, version)]] hands Spark for SQL
@@ -176,12 +205,15 @@ private[sources] class FwTable(tableSchema: StructType,
     require(info.schema().fieldNames.sameElements(declared.fieldNames),
       s"write schema ${info.schema().fieldNames.mkString(",")} does not " +
         s"match table schema ${declared.fieldNames.mkString(",")}")
+    val buckets = bucketsFor(info.options)
+    require(buckets.isEmpty || pcolFor(info.options).isEmpty,
+      "FixedWidth: bucketBy and partitionBy are mutually exclusive")
     new FwWriteBuilder(declared, path, pcolFor(info.options),
       Option(info.options.get("sortedBy")).map { c =>
         require(declared.fieldNames.contains(c),
           s"FixedWidth: sortedBy column $c is not in the schema")
         c
-      })
+      }, buckets)
   }
 }
 
@@ -195,13 +227,14 @@ private[sources] class FwTable(tableSchema: StructType,
   */
 private[sources] class FwWriteBuilder(schema: StructType, path: String,
     partitionBy: Option[String] = None,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None,
+    bucketBy: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
-      truncateFirst, partitionBy, sortedBy)
+      truncateFirst, partitionBy, sortedBy, bucketBy)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(partitionBy.isEmpty,
         "FixedWidth: partitionBy is batch-only; streaming epochs do " +
@@ -260,10 +293,11 @@ private[sources] case class FwMultiCommitMessage(tmpPaths: Seq[String])
 
 private[sources] class FwBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, partitionBy: Option[String] = None,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None,
+    bucketBy: Option[(String, Int)] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FwWriterFactory(schema, path, partitionBy, sortedBy)
+    new FwWriterFactory(schema, path, partitionBy, sortedBy, bucketBy)
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
@@ -274,7 +308,9 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     if (truncateFirst) {
       val all = FwFiles.list(path) ++
         partitionBy.toSeq.flatMap(c =>
-          FwFiles.listPartitioned(path, c).map(_._2))
+          FwFiles.listPartitioned(path, c).map(_._2)) ++
+        bucketBy.toSeq.flatMap(_ =>
+          FwFiles.listPartitioned(path, "bucket").map(_._2))
       all.foreach { f =>
         new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
         f.delete()
@@ -298,9 +334,10 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     }
     // every successful batch commit is a snapshot version: the manifest
     // records the full post-commit file set for VERSION AS OF reads.
-    // Partitioned tables do not version (their layout is the directory
-    // tree; snapshot pinning is a flat-table contract for now).
-    if (partitionBy.isEmpty) FwVersions.commitSnapshot(path)
+    // Partitioned/bucketed tables do not version (their layout is the
+    // directory tree; snapshot pinning is a flat-table contract).
+    if (partitionBy.isEmpty && bucketBy.isEmpty)
+      FwVersions.commitSnapshot(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -313,17 +350,75 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 
 private[sources] class FwWriterFactory(schema: StructType, path: String,
     partitionBy: Option[String] = None,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None,
+    bucketBy: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    partitionBy match {
-      case None =>
-        new FwDataWriter(schema, path, partitionId, taskId,
-          writeStats = true, sortedBy = sortedBy)
-      case Some(pcol) =>
+    (partitionBy, bucketBy) match {
+      case (Some(pcol), _) =>
         new FwPartitionedDataWriter(schema, path, pcol, partitionId,
           taskId, sortedBy.filter(_ != pcol))
+      case (None, Some((bcol, n))) =>
+        new FwBucketedDataWriter(schema, path, bcol, n, partitionId,
+          taskId, sortedBy)
+      case _ =>
+        new FwDataWriter(schema, path, partitionId, taskId,
+          writeStats = true, sortedBy = sortedBy)
     }
+}
+
+/** Hash-bucketed writer: rows route to `bucket=<id>` directories by a
+  * STABLE source-owned hash of the bucket column (identity mod n for
+  * integrals, `String.hashCode` mod n for strings — both specified
+  * algorithms, identical on every JVM). Unlike the hive partition
+  * layout, the bucket column stays IN the records; the directory only
+  * encodes co-location, which is what lets two tables bucketed the
+  * same way join with zero shuffle at any key cardinality.
+  */
+private[sources] class FwBucketedDataWriter(schema: StructType,
+    path: String, bcol: String, numBuckets: Int, partitionId: Int,
+    taskId: Long, sortedBy: Option[String] = None)
+    extends DataWriter[InternalRow] {
+  private val bIdx = schema.fieldNames.indexOf(bcol)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Int, FwDataWriter]
+
+  private def bucketOf(row: InternalRow): Int = {
+    require(!row.isNullAt(bIdx),
+      s"FixedWidth: bucket column $bcol must be non-null")
+    FwBuckets.idOf(schema.fields(bIdx).dataType match {
+      case LongType => row.getLong(bIdx)
+      case IntegerType => row.getInt(bIdx).toLong
+      case _ => row.getUTF8String(bIdx).toString
+    }, numBuckets)
+  }
+
+  override def write(row: InternalRow): Unit =
+    writers.getOrElseUpdate(bucketOf(row), {
+      val sub = new java.io.File(path, s"bucket=${bucketOf(row)}")
+      new FwDataWriter(schema, sub.getPath, partitionId, taskId,
+        writeStats = true, sortedBy = sortedBy)
+    }).write(row)
+
+  override def commit(): WriterCommitMessage =
+    FwMultiCommitMessage(writers.values.toSeq.map(_.commit() match {
+      case FwCommitMessage(t) => t
+    }))
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
+}
+
+/** The source-owned bucket function. Both sides of a
+  * storage-partitioned join must have been written by THIS function —
+  * Spark only pairs equal bucket ids, it never recomputes the hash.
+  */
+private[sources] object FwBuckets {
+  def idOf(v: Any, n: Int): Int = v match {
+    case l: Long => java.lang.Math.floorMod(l, n.toLong).toInt
+    case s: String => java.lang.Math.floorMod(s.hashCode, n)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bucket value: $other")
+  }
 }
 
 /** Hive-style partitioned writer: routes each row to
@@ -555,14 +650,18 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None,
     versionAsOf: Option[Long] = None,
     changesFrom: Option[Long] = None,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    bucketBy: Option[(String, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   require(path != null, "FixedWidth requires a path (load(dir) or option path)")
-  require(partitionBy.isEmpty || (versionAsOf.isEmpty && changesFrom.isEmpty),
+  require((partitionBy.isEmpty && bucketBy.isEmpty)
+    || (versionAsOf.isEmpty && changesFrom.isEmpty),
     "FixedWidth: snapshot pins (versionAsOf/changesFromVersion) are " +
-      "flat-table contracts; partitioned tables do not version")
+      "flat-table contracts; partitioned/bucketed tables do not version")
+  require(partitionBy.isEmpty || bucketBy.isEmpty,
+    "FixedWidth: bucketBy and partitionBy are mutually exclusive")
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[Aggregation] = None
@@ -674,6 +773,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     // the partition column; grouped-by-partition metadata aggregates
     // are the one shape they CAN answer without record IO
     if (partitionBy.isDefined) return partGroupByOk(aggregation)
+    if (bucketBy.isDefined) return false // dirs carry no value ranges
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -766,11 +866,147 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
           versionAsOf, changesFrom)
       case (None, Some(pcol)) =>
         new FwPartScan(fullSchema, required, pushed, path, pcol, summary)
-      case (None, None) =>
-        new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
-          summary, maxRecordsPerTrigger, versionAsOf, changesFrom)
+      case (None, None) => bucketBy match {
+        case Some((bcol, n)) =>
+          new FwBucketScan(fullSchema, required, pushed, path, bcol, n,
+            summary)
+        case None =>
+          new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
+            summary, maxRecordsPerTrigger, versionAsOf, changesFrom)
+      }
     }
   }
+}
+
+/** Scan over a hash-bucketed layout (`bucket=<id>/…`): the bucket
+  * column lives IN the records (the directory only encodes
+  * co-location), so pruning and pushdown behave exactly like the flat
+  * scan — plus two bucket-level wins:
+  *
+  *  - **Bucket pruning**: an equality or IN predicate on the bucket
+  *    column names its buckets directly (`idOf(v)`), skipping every
+  *    other directory without reading a byte.
+  *  - **Storage-partitioned joins at ANY key cardinality**: the scan
+  *    reports `KeyGroupedPartitioning(bucket(n, col))` with one
+  *    `HasPartitionKey` partition per bucket id; two tables written
+  *    with the same (column, n) join with ZERO shuffle — the device
+  *    that co-locates a billion-key fact-fact join where identity
+  *    partitioning would mean a billion directories.
+  */
+private[sources] class FwBucketScan(fullSchema: StructType,
+    required: StructType, pushed: Array[Filter], path: String,
+    bcol: String, numBuckets: Int, summary: String)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  private val bType =
+    fullSchema.fields(fullSchema.fieldNames.indexOf(bcol)).dataType
+  @volatile private var runtime: Array[Filter] = Array.empty
+  @volatile private var cachedGroups: Seq[(Int, Seq[(String, Long)])] = _
+
+  /** Bucket ids a filter on the bucket column confines the scan to;
+    * None = cannot confine. Only equality shapes map to buckets (a
+    * range spans arbitrary hash buckets).
+    */
+  private def bucketsOf(f: Filter): Option[Set[Int]] = f match {
+    case EqualTo(a, v) if a == bcol =>
+      domainValue(v).map(x => Set(FwBuckets.idOf(x, numBuckets)))
+    case In(a, vs) if a == bcol && vs.nonEmpty =>
+      val ds = vs.toSeq.map(domainValue)
+      if (ds.forall(_.isDefined))
+        Some(ds.flatten.map(FwBuckets.idOf(_, numBuckets)).toSet)
+      else None
+    case And(l, r) =>
+      (bucketsOf(l), bucketsOf(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
+  private def domainValue(v: Any): Option[Any] = (bType, v) match {
+    case (LongType | IntegerType, x: java.lang.Number) =>
+      Some(x.longValue)
+    case (StringType, s: String) => Some(s)
+    case (StringType, u: UTF8String) => Some(u.toString)
+    case _ => None
+  }
+
+  private def groups: Seq[(Int, Seq[(String, Long)])] = {
+    val cached = cachedGroups
+    if (cached != null) return cached
+    val confinements = (pushed ++ runtime).flatMap(bucketsOf)
+    val allowed: Option[Set[Int]] =
+      if (confinements.isEmpty) None
+      else Some(confinements.reduce(_ intersect _))
+    val all = FwFiles.listPartitioned(path, "bucket")
+      .groupBy(_._1.toInt).toSeq.sortBy(_._1)
+    val kept = all.filter { case (id, _) =>
+      allowed.forall(_.contains(id))
+    }
+    FixedWidth.lastPrunedPartitions = all.size - kept.size
+    val computed = kept.map { case (id, files) =>
+      // the bucket column is in the records, so ordinary zone maps
+      // prune files within a bucket too
+      val fs = files.map(_._2).filter { f =>
+        FwStats.read(f) match {
+          case Some(st) => FwStats.mayMatch(st, pushed ++ runtime)
+          case None => true
+        }
+      }.map(f => (f.getPath, f.length())).toVector
+      (id, fs)
+    }
+    cachedGroups = computed
+    computed
+  }
+
+  override def readSchema(): StructType =
+    StructType(required.fields.map(f => StructField(f.name, f.dataType)))
+  override def description(): String = s"GraftFixedWidth $summary"
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "FixedWidth: bucketBy is batch-only; stream the flat layout " +
+        "instead")
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(numBuckets, bcol)), groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (id, fs) =>
+      FwPartValuePartition(Integer.valueOf(id), fs)
+    }.toArray
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+    val bytes = groups.map(_._2.map(_._2).sum).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes / rowLen)
+    }
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(bcol))
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters
+    cachedGroups = null
+    FixedWidth.lastRuntimeFilters = filters.length
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // no value injection (injectAt = -1): the records carry every
+    // column; runtime filters stay planner-side (In is not a reader
+    // shape) while pushed filters evaluate per row as usual
+    new FwPartReaderFactory(fullSchema, required.fieldNames, pushed,
+      injectAt = -1, bType.typeName)
 }
 
 /** Metadata-only aggregates: COUNT(*) from file sizes, MIN/MAX from

@@ -33,13 +33,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata-only COUNT(*) and the two-phase writer work from SQL
   * unchanged.
   */
-class FwCatalog extends TableCatalog with SupportsNamespaces {
+class FwCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private val tables = new ConcurrentHashMap[Identifier, FwTable]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: the `bucket` transform function -------------
+  // Storage-partitioned joins over bucket(n, col) layouts require the
+  // TABLE's catalog to resolve the transform to a bound V2 function
+  // (the Iceberg device): Spark checks both sides bind to the same
+  // canonical function before zipping bucket ids instead of shuffling.
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) FwBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keySet().asScala.filter(_.namespace.sameElements(namespace))
@@ -115,9 +131,18 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
       }
       s"${f.name}:$tpe:$w"
     }.mkString(",")
+    val bucketProps = (opt("bucketBy"), opt("buckets")) match {
+      case (Some(c), Some(n)) =>
+        require(partitionBy.isEmpty,
+          "fixedwidth: bucketBy and PARTITIONED BY are mutually exclusive")
+        Map("bucketBy" -> c, "buckets" -> n)
+      case (None, None) => Map.empty[String, String]
+      case _ => throw new IllegalArgumentException(
+        "fixedwidth: bucketBy and buckets must be given together")
+    }
     val table = new FwTable(FixedWidth.parseSchema(spec),
       Map("path" -> path, "schema" -> spec) ++
-        partitionBy.map("partitionBy" -> _))
+        partitionBy.map("partitionBy" -> _) ++ bucketProps)
     new java.io.File(path).mkdirs()
     tables.put(ident, table)
     table
@@ -185,5 +210,54 @@ class FwCatalog extends TableCatalog with SupportsNamespaces {
       tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
         .foreach(tables.remove)
     namespaces.remove(namespace.toSeq)
+  }
+}
+
+/** The `bucket` transform as a V2 function: what lets Spark resolve a
+  * `bucket(n, col)` KeyGroupedPartitioning reported by [[FwBucketScan]]
+  * and verify both join sides bind to the SAME canonical function
+  * before planning a storage-partitioned join. The implementation is
+  * [[FwBuckets.idOf]] — the exact hash the bucketed writer routed with.
+  */
+private[sources] object FwBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.BoundFunction
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): the fixed-width source's stable bucket id"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, value), got $inputType")
+    inputType.fields(1).dataType match {
+      case vt @ (LongType | IntegerType | StringType) =>
+        new FwBucketBound(vt)
+      case other => throw new UnsupportedOperationException(
+        s"bucket does not support $other")
+    }
+  }
+}
+
+private[sources] final class FwBucketBound(
+    vt: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+  import org.apache.spark.sql.types._
+  override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // canonical identity: join sides are SPJ-compatible iff this matches
+  override def canonicalName(): String = s"graft.fw.bucket(${vt.typeName})"
+  override def produceResult(
+      input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v: Any = vt match {
+      case LongType => input.getLong(1)
+      case IntegerType => input.getInt(1).toLong
+      case _ => input.getUTF8String(1).toString
+    }
+    Integer.valueOf(FwBuckets.idOf(v, n))
   }
 }

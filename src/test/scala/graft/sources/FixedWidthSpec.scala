@@ -1499,6 +1499,81 @@ class FixedWidthSpec extends AnyFunSuite {
       .option("schema", spec).load(dir).count() === 3L)
   }
 
+  test("bucketed layout: equality predicates name their buckets; a " +
+      "same-bucketing fact-fact join runs with zero shuffle") {
+    val d1 = Files.createTempDirectory("fwbkt1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("fwbkt2").toFile.getAbsolutePath
+    val bsc = "id:long:8,name:string:6,score:double:8"
+    def writeTo(dir: String, rows: Long): Unit =
+      spark.range(0, rows)
+        .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+          (col("id") % 100).cast("double").as("score"))
+        .repartition(4)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", bsc)
+        .option("bucketBy", "id").option("buckets", "8")
+        .mode("overwrite").save(dir)
+    writeTo(d1, 4000)
+    writeTo(d2, 1000)
+    val subs = new java.io.File(d1).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(subs.toSeq === (0 until 8).map(i => s"bucket=$i").sorted)
+    def read(dir: String) = spark.read
+      .format("graft.sources.FixedWidth")
+      .option("schema", bsc)
+      .option("bucketBy", "id").option("buckets", "8").load(dir)
+    // the bucket column is stored: rows round-trip completely
+    assert(read(d1).count() === 4000L)
+    assert(read(d1).agg(sum("id")).collect().head.getLong(0)
+      === 4000L * 3999 / 2)
+    // equality names its bucket: 7 of 8 dirs never touched
+    assert(read(d1).filter(col("id") === 777L).count() === 1L)
+    assert(FixedWidth.lastPrunedPartitions === 7,
+      s"pruned ${FixedWidth.lastPrunedPartitions}")
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedThr = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a fact-fact equi-join on the bucket key THROUGH THE CATALOG:
+      // bucket transforms only resolve against a FunctionCatalog (the
+      // Iceberg contract), so SPJ needs catalog-routed tables — both
+      // sides then report bucket(8, id) and join with zero exchanges
+      spark.conf.set("spark.sql.catalog.fwcat_b",
+        classOf[FwCatalog].getName)
+      spark.sql("DROP TABLE IF EXISTS fwcat_b.ns.f1")
+      spark.sql("DROP TABLE IF EXISTS fwcat_b.ns.f2")
+      spark.sql(s"""CREATE TABLE fwcat_b.ns.f1
+        (id BIGINT, name STRING, score DOUBLE)
+        OPTIONS (path '$d1', widths '8,6,8',
+                 bucketBy 'id', buckets '8')""")
+      spark.sql(s"""CREATE TABLE fwcat_b.ns.f2
+        (id BIGINT, name STRING, score DOUBLE)
+        OPTIONS (path '$d2', widths '8,6,8',
+                 bucketBy 'id', buckets '8')""")
+      val j = spark.table("fwcat_b.ns.f1")
+        .join(spark.table("fwcat_b.ns.f2"), "id")
+        .agg(count(lit(1)).as("n"), sum("id").as("s"))
+      val got = j.collect().head
+      assert(got.getLong(0) === 1000L)
+      assert(got.getLong(1) === 1000L * 999 / 2)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) =>
+          conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      savedThr match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
