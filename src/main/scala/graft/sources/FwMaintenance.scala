@@ -176,13 +176,45 @@ object FwMaintenance {
     val merged: Option[Map[String, FwColStats]] =
       if (stats.exists(_.isEmpty)) None // a statless input: unknown rows
       else Some(mergeStats(stats.flatten))
+    // sort certificates survive when provable: every input certified on
+    // the SAME column and the per-file envelopes are ordered across the
+    // concatenation boundaries — then the byte-concat is itself sorted
+    // and seek narrowing keeps working on the compacted file
+    val sortedBy: Option[String] = merged.flatMap { _ =>
+      val certs = g.inputs.map { case (p, len) =>
+        FwStats.sortedCol(new java.io.File(p), len)
+      }
+      certs.head.filter(c => certs.forall(_.contains(c))).filter { c =>
+        val envs = stats.flatten.map(_.get(c))
+        envs.forall(_.isDefined) &&
+          envs.flatten.sliding(2).forall {
+            case Seq(a, b) => boundaryOrdered(a, b)
+            case _ => true
+          }
+      }
+    }
     merged.foreach { m =>
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        m, tmp.length())
+        m, tmp.length(), sortedBy)
     }
     GroupResult(tmp.getPath, merged.isDefined)
   }
+
+  /** prev file's max ≤ next file's min, in the stats' own domain.
+    * Inexact string bounds still prove ordering: prev's hi is a valid
+    * UPPER bound and next's lo a valid LOWER bound, so hi ≤ lo implies
+    * every value of prev ≤ every value of next.
+    */
+  private def boundaryOrdered(prev: FwColStats, next: FwColStats): Boolean =
+    (prev, next) match {
+      case (FwIntStats(_, hi), FwIntStats(lo, _)) => hi <= lo
+      case (FwDblStats(_, Some(hi), false), FwDblStats(Some(lo), _, false)) =>
+        hi <= lo
+      case (FwStrStats(_, hi, _), FwStrStats(lo, _, _)) =>
+        hi.compareTo(lo) <= 0
+      case _ => false // NaN, unbounded, or mixed shapes: no certificate
+    }
 
   /** What a merge run did. Files whose key envelope excluded every
     * update key were never opened — that count is the zone-map win the

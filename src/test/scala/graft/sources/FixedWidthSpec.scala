@@ -1574,6 +1574,53 @@ class FixedWidthSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves sort certificates when boundary envelopes " +
+      "prove the concatenation sorted") {
+    val dir = Files.createTempDirectory("fwoptsrt").toFile.getAbsolutePath
+    val sc4 = "id:long:6,name:string:6,score:double:8"
+    val sch4 = FixedWidth.parseSchema(sc4)
+    // two certified-sorted files with DISJOINT ascending ranges in
+    // deterministic name order, so pack order = range order and the
+    // concat is provably sorted
+    def render(nm: String, lo: Long, hi: Long, d: String): Unit = {
+      val recs = (lo until hi).map(id =>
+        Seq[Any](id, "n" + (id % 97), (id % 100).toDouble))
+      val f = new java.io.File(d, s"$nm.fw")
+      Files.write(f.toPath, FixedWidthWriter.render(sch4, recs))
+      FwStats.write(FwStats.sidecarFor(f.getPath),
+        Map("id" -> FwIntStats(lo, hi - 1)), f.length(),
+        sortedBy = Some("id"))
+    }
+    render("a", 0, 1000, dir)
+    render("b", 1000, 2000, dir)
+    val r = FwMaintenance.optimize(spark, dir, targetBytes = 10L << 20)
+    assert(r.filesAfter === 1, r.toString)
+    val out = FwFiles.list(dir).head
+    assert(FwStats.sortedCol(out, out.length()) === Some("id"),
+      "ordered boundaries must carry the certificate through")
+    // seek narrowing works on the compacted file
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .load(dir)
+    assert(re.filter(col("id") >= 500L && col("id") < 1500L)
+      .count() === 1000L)
+    assert(FixedWidth.lastSeekSkippedRecords === 1000L)
+
+    // OVERLAPPING ranges must drop the certificate (the concat is not
+    // sorted), and reads stay correct without narrowing
+    val dir2 = Files.createTempDirectory("fwoptsrt2").toFile.getAbsolutePath
+    render("a", 0, 1000, dir2)
+    render("b", 500, 1500, dir2)
+    val r2 = FwMaintenance.optimize(spark, dir2, targetBytes = 10L << 20)
+    assert(r2.filesAfter === 1)
+    val out2 = FwFiles.list(dir2).head
+    assert(FwStats.sortedCol(out2, out2.length()) === None,
+      "overlapping boundaries must not certify")
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:6,name:string:6,score:double:8")
+      .load(dir2).filter(col("id") === 750L).count() === 2L)
+  }
+
   test("compaction stats merge: NaN flags OR, unbounded stays unbounded, " +
       "type clashes drop the column") {
     val a = Map[String, FwColStats]("i" -> FwIntStats(5L, 10L),
