@@ -905,7 +905,7 @@ private[sources] class FwBucketScan(fullSchema: StructType,
   private val bType =
     fullSchema.fields(fullSchema.fieldNames.indexOf(bcol)).dataType
   @volatile private var runtime: Array[Filter] = Array.empty
-  @volatile private var cachedGroups: Seq[(Int, Seq[(String, Long)])] = _
+  @volatile private var cachedGroups: Seq[(Int, Seq[(String, Long, Long)])] = _
 
   /** Bucket ids a filter on the bucket column confines the scan to;
     * None = cannot confine. Only equality shapes map to buckets (a
@@ -934,9 +934,10 @@ private[sources] class FwBucketScan(fullSchema: StructType,
     case _ => None
   }
 
-  private def groups: Seq[(Int, Seq[(String, Long)])] = {
+  private def groups: Seq[(Int, Seq[(String, Long, Long)])] = {
     val cached = cachedGroups
     if (cached != null) return cached
+    FixedWidth.lastSeekSkippedRecords = 0L
     val confinements = (pushed ++ runtime).flatMap(bucketsOf)
     val allowed: Option[Set[Int]] =
       if (confinements.isEmpty) None
@@ -947,6 +948,7 @@ private[sources] class FwBucketScan(fullSchema: StructType,
       allowed.forall(_.contains(id))
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
+    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
     val computed = kept.map { case (id, files) =>
       // the bucket column is in the records, so ordinary zone maps
       // prune files within a bucket too
@@ -955,7 +957,16 @@ private[sources] class FwBucketScan(fullSchema: StructType,
           case Some(st) => FwStats.mayMatch(st, pushed ++ runtime)
           case None => true
         }
-      }.map(f => (f.getPath, f.length())).toVector
+      }.map { f =>
+        val n = f.length() / rowLen
+        val (lo, hi) = FwStats.sortedCol(f, f.length()) match {
+          case Some(c) => FwSeek.narrow(fullSchema, f.getPath, n,
+            rowLen, c, pushed)
+          case None => (0L, n)
+        }
+        FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
+        (f.getPath, lo, hi - lo)
+      }.toVector
       (id, fs)
     }
     cachedGroups = computed
@@ -984,12 +995,12 @@ private[sources] class FwBucketScan(fullSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val bytes = groups.map(_._2.map(_._2).sum).sum
+    val rows = groups.map(_._2.map(_._3).sum).sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(rows * rowLen)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes / rowLen)
+        java.util.OptionalLong.of(rows)
     }
   }
 
@@ -1205,7 +1216,7 @@ private[sources] class FwPartScan(fullSchema: StructType,
   private val dataSchema =
     StructType(fullSchema.fields.filter(_.name != pcol))
   @volatile private var runtime: Array[Filter] = Array.empty
-  @volatile private var cachedGroups: Seq[(Any, Seq[(String, Long)])] = _
+  @volatile private var cachedGroups: Seq[(Any, Seq[(String, Long, Long)])] = _
 
   private def conjuncts(f: Filter): Seq[Filter] = f match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -1247,9 +1258,10 @@ private[sources] class FwPartScan(fullSchema: StructType,
     }
   }
 
-  private def groups: Seq[(Any, Seq[(String, Long)])] = {
+  private def groups: Seq[(Any, Seq[(String, Long, Long)])] = {
     val cached = cachedGroups
     if (cached != null) return cached
+    FixedWidth.lastSeekSkippedRecords = 0L
     val (pFilters, dataFilters) = splitFilters()
     val all = FwFiles.listPartitioned(path, pcol)
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1258,13 +1270,25 @@ private[sources] class FwPartScan(fullSchema: StructType,
       pFilters.forall(f => evalP(v, f))
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
+    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
     val computed = kept.map { case (vs, files) =>
       val fs = files.map(_._2).filter { f =>
         FwStats.read(f) match {
           case Some(st) => FwStats.mayMatch(st, dataFilters.toArray)
           case None => true
         }
-      }.map(f => (f.getPath, f.length())).toVector
+      }.map { f =>
+        // sort certificates narrow each file to its matching window,
+        // exactly like the flat scan
+        val n = f.length() / rowLen
+        val (lo, hi) = FwStats.sortedCol(f, f.length()) match {
+          case Some(c) => FwSeek.narrow(dataSchema, f.getPath, n,
+            rowLen, c, dataFilters.toArray)
+          case None => (0L, n)
+        }
+        FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
+        (f.getPath, lo, hi - lo)
+      }.toVector
       (parseP(vs), fs)
     }
     cachedGroups = computed
@@ -1290,12 +1314,12 @@ private[sources] class FwPartScan(fullSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(dataSchema).sum + 1L
-    val bytes = groups.map(_._2.map(_._2).sum).sum
+    val rows = groups.map(_._2.map(_._3).sum).sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(rows * rowLen)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes / rowLen)
+        java.util.OptionalLong.of(rows)
     }
   }
 
@@ -1316,10 +1340,12 @@ private[sources] class FwPartScan(fullSchema: StructType,
 }
 
 /** One partition VALUE = one input partition, key exposed for
-  * key-grouped (storage-partitioned) execution.
+  * key-grouped (storage-partitioned) execution. Files carry their
+  * (startRecord, numRecords) window — whole files normally, narrowed
+  * windows when a sort certificate let the planner binary-search.
   */
 private[sources] case class FwPartValuePartition(value: Any,
-    files: Seq[(String, Long)]) extends InputPartition
+    files: Seq[(String, Long, Long)]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](value match {
@@ -1334,7 +1360,6 @@ private[sources] class FwPartReaderFactory(dataSchema: StructType,
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FwPartValuePartition]
-    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
     val pkValue: Any = (pTypeName, p.value) match {
       case (_, s: String) => UTF8String.fromString(s)
       case (_, o) => o
@@ -1370,9 +1395,9 @@ private[sources] class FwPartReaderFactory(dataSchema: StructType,
           true
         } else if (fileIt.hasNext) {
           if (inner != null) inner.close()
-          val (f, bytes) = fileIt.next()
+          val (f, startRec, numRec) = fileIt.next()
           inner = new FwReader(dataSchema, innerRequired, dataFilters,
-            FwPartition(f, 0L, bytes / rowLen))
+            FwPartition(f, startRec, numRec))
           advance()
         } else false
 

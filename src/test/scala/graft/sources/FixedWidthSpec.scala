@@ -1574,6 +1574,49 @@ class FixedWidthSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-seek narrows record windows inside partitioned and " +
+      "bucketed scans too") {
+    val dir = Files.createTempDirectory("fwpseek").toFile.getAbsolutePath
+    val psc = "id:long:6,nk:int:4,score:double:8"
+    // sorted within each partition: repartition by nk then sort by id
+    spark.range(0, 8000)
+      .select(col("id"), (col("id") % 4).cast("int").as("nk"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(4, col("nk")).sortWithinPartitions("nk", "id")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk")
+      .option("sortedBy", "id")
+      .mode("overwrite").save(dir)
+    val re = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", psc).option("partitionBy", "nk").load(dir)
+    // 2000 records per partition; an id range covering 1/8 of each
+    assert(re.filter(col("id") >= 7000L).count() === 1000L)
+    assert(FixedWidth.lastSeekSkippedRecords === 7000L,
+      s"partitioned seek skipped ${FixedWidth.lastSeekSkippedRecords}")
+    // combined with partition pruning: one dir, one narrowed window
+    assert(re.filter(col("nk") === 2 && col("id") >= 7000L)
+      .count() === 250L)
+    assert(FixedWidth.lastPrunedPartitions === 3)
+    assert(FixedWidth.lastSeekSkippedRecords === 1750L)
+
+    val dir2 = Files.createTempDirectory("fwbseek").toFile.getAbsolutePath
+    spark.range(0, 8000)
+      .select(col("id"), concat(lit("n"), col("id") % 97).as("name"),
+        (col("id") % 100).cast("double").as("score"))
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:8,name:string:6,score:double:8")
+      .option("bucketBy", "id").option("buckets", "4")
+      .option("sortedBy", "id")
+      .mode("overwrite").save(dir2)
+    val rb = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:8,name:string:6,score:double:8")
+      .option("bucketBy", "id").option("buckets", "4").load(dir2)
+    assert(rb.filter(col("id") >= 6000L).count() === 2000L)
+    assert(FixedWidth.lastSeekSkippedRecords === 6000L,
+      s"bucketed seek skipped ${FixedWidth.lastSeekSkippedRecords}")
+  }
+
   test("compaction preserves sort certificates when boundary envelopes " +
       "prove the concatenation sorted") {
     val dir = Files.createTempDirectory("fwoptsrt").toFile.getAbsolutePath
