@@ -239,6 +239,16 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
       require(partitionBy.isEmpty,
         "FixedWidth: partitionBy is batch-only; streaming epochs do " +
           "not route hive-style partitions")
+      // layout claims must fail loudly, not drop silently: a streamed
+      // epoch written flat at the root would be invisible to
+      // FwBucketScan (it lists only bucket=* dirs), and an uncertified
+      // "sorted" claim would poison later seek windows
+      require(bucketBy.isEmpty,
+        "FixedWidth: bucketBy is batch-only; streamed epochs write " +
+          "flat files the bucketed scan never lists")
+      require(sortedBy.isEmpty,
+        "FixedWidth: sortedBy is batch-only; streaming writers do " +
+          "not certify sort order")
       new FwStreamingWrite(schema, path)
     }
   }
@@ -927,8 +937,12 @@ private[sources] class FwBucketScan(fullSchema: StructType,
     case _ => None
   }
   private def domainValue(v: Any): Option[Any] = (bType, v) match {
+    // exactness matters: truncating 5.7 to 5 would route an equality
+    // probe to bucket-of-5 and wrongly MATCH records with value 5; a
+    // non-integral constant declines bucket pruning (reads all
+    // buckets, record-level eval stays exact)
     case (LongType | IntegerType, x: java.lang.Number) =>
-      Some(x.longValue)
+      FwNum.exactLong(x)
     case (StringType, s: String) => Some(s)
     case (StringType, u: UTF8String) => Some(u.toString)
     case _ => None
@@ -1237,22 +1251,33 @@ private[sources] class FwPartScan(fullSchema: StructType,
     * shape keeps the partition — pushed shapes are never unknown, so
     * pushed-filter semantics stay exact.
     */
-  private def evalP(value: Any, f: Filter): Boolean = {
-    def cmpTo(x: Any): Int = (value, x) match {
-      case (l: Long, n: Number) => java.lang.Long.compare(l, n.longValue)
-      case (i: Int, n: Number) =>
-        java.lang.Long.compare(i.toLong, n.longValue)
-      case (s: String, o) => s.compareTo(o.toString)
-      case other => throw new IllegalStateException(
-        s"incomparable partition filter operands: $other")
+  private[sources] def evalP(value: Any, f: Filter): Boolean = {
+    // Total comparison: None = underivable operand (null, fractional
+    // constant against an integral partition value, alien type).
+    // Runtime filters (DPP In-lists) can carry shapes Catalyst never
+    // pushes — a null join key, a double from an untyped literal — and
+    // an exception here fails the whole query at planning time, where
+    // the contract for unknown runtime shapes is conservative keep.
+    def cmpTo(x: Any): Option[Int] = (value, x) match {
+      case (_, null) => None
+      case (l: Long, n: java.lang.Number) => FwNum.cmpLong(l, n)
+      case (i: Int, n: java.lang.Number) => FwNum.cmpLong(i.toLong, n)
+      case (s: String, o: String) => Some(s.compareTo(o))
+      case (s: String, u: UTF8String) => Some(s.compareTo(u.toString))
+      case _ => None
     }
     f match {
-      case EqualTo(_, v) => cmpTo(v) == 0
-      case GreaterThan(_, v) => cmpTo(v) > 0
-      case GreaterThanOrEqual(_, v) => cmpTo(v) >= 0
-      case LessThan(_, v) => cmpTo(v) < 0
-      case LessThanOrEqual(_, v) => cmpTo(v) <= 0
-      case In(_, vs) => vs.exists(x => cmpTo(x) == 0)
+      // a null/incomparable In element matches no partition value
+      // (SQL: x IN (null) is never TRUE), so exists over Some(0) is
+      // exact; for the range shapes an underivable bound keeps the
+      // partition — pushed shapes are always derivable, so pushed
+      // pruning stays exact
+      case EqualTo(_, v) => cmpTo(v).forall(_ == 0)
+      case GreaterThan(_, v) => cmpTo(v).forall(_ > 0)
+      case GreaterThanOrEqual(_, v) => cmpTo(v).forall(_ >= 0)
+      case LessThan(_, v) => cmpTo(v).forall(_ < 0)
+      case LessThanOrEqual(_, v) => cmpTo(v).forall(_ <= 0)
+      case In(_, vs) => vs.exists(x => cmpTo(x).contains(0))
       case IsNotNull(_) => true // partition values are non-null
       case _ => true // unknown runtime shape: conservative
     }
@@ -1408,6 +1433,48 @@ private[sources] class FwPartReaderFactory(dataSchema: StructType,
   }
 }
 
+/** Exact numeric coercion for filter constants against integral
+  * columns. `Number.longValue` TRUNCATES (5.7 -> 5, and an
+  * out-of-range long wraps through `intValue`), which silently turns
+  * a pruning or filter decision wrong; these helpers either derive an
+  * exact answer or decline (`None`) so callers can fall back to their
+  * own conservative posture.
+  */
+private[sources] object FwNum {
+  /** Exact Long of a boxed Number constant: integral boxes pass
+    * through; a floating value converts only when whole and inside
+    * Long range (such a double IS an exact integer — doubles with a
+    * fractional part only exist below 2^53); genuinely fractional,
+    * NaN, infinite, or out-of-range values are None.
+    */
+  def exactLong(n: java.lang.Number): Option[Long] = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short
+        | _: java.lang.Byte => Some(n.longValue)
+    case _ =>
+      val d = n.doubleValue
+      // upper bound exclusive: 2^63 as a double is > Long.MaxValue
+      if (!java.lang.Double.isNaN(d) && d == Math.rint(d)
+        && d >= -9.223372036854776e18 && d < 9.223372036854776e18)
+        Some(d.toLong)
+      else None
+  }
+
+  /** Exact ordering of an integral value against any Number constant.
+    * Whole constants compare as Long; a fractional constant is always
+    * below 2^53 in magnitude — where double arithmetic is exact — so
+    * comparing as Double cannot misorder; NaN orders with nothing
+    * (None).
+    */
+  def cmpLong(l: Long, n: java.lang.Number): Option[Int] =
+    exactLong(n) match {
+      case Some(x) => Some(java.lang.Long.compare(l, x))
+      case None =>
+        val d = n.doubleValue
+        if (java.lang.Double.isNaN(d)) None
+        else Some(java.lang.Double.compare(l.toDouble, d))
+    }
+}
+
 /** Planner-side binary search over a file verified sorted on one
   * column: pushed range predicates on that column translate to an
   * exact [first, last) record window via O(log n) random-access field
@@ -1432,8 +1499,14 @@ private[sources] object FwSeek {
     // the comparison domain: Long for integral columns, Double for
     // doubles, String otherwise; None = underivable bound
     def domain(v: Any): Option[Any] = (dt, v) match {
+      // integral columns accept only exactly-integral constants:
+      // truncating a fractional bound (5.7 -> 5) would wrongly exclude
+      // records the predicate admits, and the reader never re-checks
+      // pushed filters on seek-excluded records. mayMatch widens the
+      // same case conservatively; here "no narrowing" is the safe
+      // analogue (a whole double like 5.0 still narrows exactly).
       case (LongType | IntegerType, x: java.lang.Number) =>
-        Some(x.longValue)
+        FwNum.exactLong(x)
       case (DoubleType, x: java.lang.Number) => Some(x.doubleValue)
       case (StringType, s: String) => Some(s)
       case (StringType, u: UTF8String) => Some(u.toString)
@@ -2364,13 +2437,19 @@ private[sources] class FwReader(fullSchema: StructType,
   private def cmp(attr: String, value: Any): Option[Int] = {
     val v = slots(slotOf(attr))
     if (v == null) None
-    else Some(v match {
-      case l: java.lang.Long => java.lang.Long.compare(l, value.asInstanceOf[Number].longValue)
-      case i: java.lang.Integer => java.lang.Integer.compare(i.intValue, value.asInstanceOf[Number].intValue)
-      case d: java.lang.Double => java.lang.Double.compare(d, value.asInstanceOf[Number].doubleValue)
-      case u: UTF8String => u.toString.compareTo(value.toString)
+    else v match {
+      // FwNum keeps integral-vs-constant ordering exact under
+      // fractional or out-of-int-range constants (longValue/intValue
+      // would truncate/wrap and fabricate matches)
+      case l: java.lang.Long =>
+        FwNum.cmpLong(l, value.asInstanceOf[Number])
+      case i: java.lang.Integer =>
+        FwNum.cmpLong(i.longValue, value.asInstanceOf[Number])
+      case d: java.lang.Double =>
+        Some(java.lang.Double.compare(d, value.asInstanceOf[Number].doubleValue))
+      case u: UTF8String => Some(u.toString.compareTo(value.toString))
       case other => throw new IllegalStateException(s"unexpected $other")
-    })
+    }
   }
 
   private def eval(f: Filter): Boolean = f match {

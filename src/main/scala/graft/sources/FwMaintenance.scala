@@ -244,8 +244,11 @@ object FwMaintenance {
     * concurrent readers of the table.
     */
   def vacuum(spark: SparkSession, path: String,
-      retainLast: Int): VacuumReport = {
+      retainLast: Int,
+      strayTtlMillis: Long = DefaultStrayTtlMillis): VacuumReport = {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    require(strayTtlMillis >= 0,
+      s"strayTtlMillis must be >= 0: $strayTtlMillis")
     requireFlat(path, "vacuum")
     val dir = new java.io.File(path)
     val all = FwVersions.read(path)
@@ -269,14 +272,27 @@ object FwMaintenance {
         orphans += 1
       }
     }
+    // the Delta VACUUM convention: a tmp is a "stray" only once it is
+    // older than the retention window — a fresh tmp may belong to an
+    // in-flight writer whose commit would fail on renameTo if we swept
+    // it — and the manifest's own tmp name is never ours to sweep
+    val cutoff = System.currentTimeMillis() - strayTtlMillis
     var strays = 0
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isFile && f.getName.endsWith(".tmp")) {
+      if (f.isFile && f.getName.endsWith(".tmp")
+        && f.getName != "_fw_versions.json.tmp"
+        && f.lastModified() <= cutoff) {
         f.delete(); strays += 1
       }
     }
     VacuumReport(retained.size, dropped, strays, orphans)
   }
+
+  /** Default age a `.tmp` must reach before vacuum treats it as a
+    * crashed writer's stray rather than an in-flight write (Delta's
+    * VACUUM retention convention, scaled to single-box batch sizes).
+    */
+  val DefaultStrayTtlMillis: Long = 6L * 60 * 60 * 1000
 
   /** What a key-set delete did. */
   final case class DeleteReport(

@@ -832,6 +832,82 @@ class FixedWidthSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("streaming writes refuse bucketBy and sortedBy loudly (layout " +
+      "claims must fail, not drop: flat epochs would vanish from " +
+      "bucketed scans; uncertified sort claims would poison seeks)") {
+    import spark.implicits._
+    def streamInto(opts: Map[String, String]): Exception = {
+      val src = Files.createTempDirectory("fwswsrc").toFile.getAbsolutePath
+      Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode("overwrite").save(src)
+      val sink = Files.createTempDirectory("fwswdst").toFile.getAbsolutePath
+      intercept[Exception] {
+        var w = spark.readStream.format("graft.sources.FixedWidth")
+          .option("schema", spec).load(src)
+          .writeStream.format("graft.sources.FixedWidth")
+          .option("schema", spec).option("path", sink)
+          .option("checkpointLocation",
+            Files.createTempDirectory("fwswck").toString)
+        opts.foreach { case (k, v) => w = w.option(k, v) }
+        w.start().processAllAvailable()
+      }
+    }
+    val eb = streamInto(Map("bucketBy" -> "id", "buckets" -> "4"))
+    assert(eb.getMessage.contains("bucketBy is batch-only"),
+      eb.getMessage)
+    val es = streamInto(Map("sortedBy" -> "id"))
+    assert(es.getMessage.contains("sortedBy is batch-only"),
+      es.getMessage)
+  }
+
+  test("filter constants never truncate: fractional and out-of-range " +
+      "Numbers compare exactly or decline (partition pruning, seek " +
+      "narrowing, bucket routing)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, LessThan}
+    // the shared coercion: whole doubles are exact longs, anything
+    // else declines
+    assert(FwNum.exactLong(java.lang.Double.valueOf(5.0)) === Some(5L))
+    assert(FwNum.exactLong(java.lang.Double.valueOf(5.7)) === None)
+    assert(FwNum.exactLong(java.lang.Double.valueOf(Double.NaN)) === None)
+    assert(FwNum.exactLong(
+      java.lang.Double.valueOf(Double.PositiveInfinity)) === None)
+    // 2^63 as a double is just past Long.MaxValue: must decline
+    assert(FwNum.exactLong(
+      java.lang.Double.valueOf(9.223372036854776e18)) === None)
+    assert(FwNum.exactLong(
+      java.lang.Double.valueOf(-9.223372036854776e18)) ===
+      Some(Long.MinValue))
+    // ordering against fractional constants is exact, never truncated
+    assert(FwNum.cmpLong(5L, java.lang.Double.valueOf(5.7)) === Some(-1))
+    assert(FwNum.cmpLong(6L, java.lang.Double.valueOf(5.7)) === Some(1))
+    assert(FwNum.cmpLong(5L, java.lang.Double.valueOf(5.0)) === Some(0))
+    assert(FwNum.cmpLong(Long.MaxValue,
+      java.lang.Double.valueOf(Double.NaN)) === None)
+
+    // partition pruning: total under runtime-filter shapes Catalyst
+    // never pushes — a null In element matches nothing (SQL IN), a
+    // fractional range bound keeps the partition (conservative), a
+    // whole double still matches exactly
+    val full = FixedWidth.parseSchema("id:long:4,nk:long:4")
+    val scan = new FwPartScan(full, full, Array.empty, "/nowhere",
+      "nk", "")
+    assert(scan.evalP(5L,
+      In("nk", Array(null, java.lang.Long.valueOf(5L)))))
+    assert(!scan.evalP(5L, In("nk", Array(null))))
+    assert(scan.evalP(5L, In("nk", Array(java.lang.Double.valueOf(5.0)))))
+    assert(!scan.evalP(5L, In("nk", Array(java.lang.Double.valueOf(5.7)))))
+    assert(scan.evalP(5L, GreaterThan("nk", java.lang.Double.valueOf(4.5))),
+      "underivable-exactly bound keeps the partition")
+    assert(!scan.evalP(5L, EqualTo("nk", java.lang.Long.valueOf(7L))))
+
+    // seek narrowing: a fractional bound must NOT narrow (the reader
+    // never re-checks pushed filters on seek-excluded records); the
+    // early no-bounds return means no file IO happens
+    assert(FwSeek.narrow(schema, "/nowhere", 10L, 21L, "id",
+      Array(LessThan("id", java.lang.Double.valueOf(5.7)))) === (0L, 10L))
+  }
+
   test("compaction: small files bin-pack into one; records, stats and " +
       "metadata pushdown survive; vacuumed snapshots fail loudly") {
     val dir = Files.createTempDirectory("fwopt").toFile.getAbsolutePath
@@ -1464,9 +1540,16 @@ class FixedWidthSpec extends AnyFunSuite {
     write(Seq((1L, "a", 1.0)), "overwrite") // v1
     write(Seq((2L, "b", 2.0)), "append") // v2
     write(Seq((3L, "c", 3.0)), "append") // v3
-    // a crashed writer's stray
-    Files.write(new java.io.File(dir, "stray.fw.tmp").toPath,
-      Array[Byte](1, 2, 3))
+    // a crashed writer's stray: old enough to clear the retention
+    // window (vacuum only sweeps tmps past the TTL)
+    val oldStray = new java.io.File(dir, "stray.fw.tmp")
+    Files.write(oldStray.toPath, Array[Byte](1, 2, 3))
+    assert(oldStray.setLastModified(
+      System.currentTimeMillis() - FwMaintenance.DefaultStrayTtlMillis
+        - 60000L))
+    // an in-flight writer's fresh tmp must survive the sweep
+    val freshTmp = new java.io.File(dir, "inflight.fw.tmp")
+    Files.write(freshTmp.toPath, Array[Byte](9))
     // resurrect a name that only version 1's era knew (an external
     // producer reusing a vacuumed name): v1-only references vanish
     val v1Files = FwVersions.read(dir).find(_._1 == 1L).get._2.map(_._1)
@@ -1482,7 +1565,22 @@ class FixedWidthSpec extends AnyFunSuite {
       versionsDropped = 3, strayTmpsRemoved = 1, orphanFilesRemoved = 1),
       report.toString)
     assert(!resurrected.exists(), "the dropped-version name is swept")
-    assert(!new java.io.File(dir, "stray.fw.tmp").exists())
+    assert(!oldStray.exists())
+    assert(freshTmp.exists(), "a fresh tmp inside the TTL survives")
+    freshTmp.delete()
+    // the manifest's own tmp name is never swept, even past the TTL.
+    // (Plant it AFTER the trimming vacuum: a vacuum that drops
+    // versions rewrites the manifest through this very name, so the
+    // guard is only observable on a no-drop vacuum.)
+    val manifestTmp = new java.io.File(dir, "_fw_versions.json.tmp")
+    Files.write(manifestTmp.toPath, Array[Byte](9))
+    assert(manifestTmp.setLastModified(
+      System.currentTimeMillis() - FwMaintenance.DefaultStrayTtlMillis
+        - 60000L))
+    val r2 = FwMaintenance.vacuum(spark, dir, retainLast = 5)
+    assert(r2.strayTmpsRemoved === 0)
+    assert(manifestTmp.exists(), "the manifest tmp is never swept")
+    manifestTmp.delete()
     // the retained snapshot still reads; dropped pins fail cleanly
     assert(spark.read.format("graft.sources.FixedWidth")
       .option("schema", spec).option("versionAsOf", "4").load(dir)
