@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions, batch 143 (SURVEY.md §2.4) — graph analytics,
+  * part 3 (next to PageRank q354 and connected components d8):
+  *
+  *  - q372: TRIANGLE COUNTING with degree-ordered edge orientation —
+  *    the standard scale device for the one graph kernel a naive plan
+  *    gets catastrophically wrong. The graph is the part co-purchase
+  *    graph (parts sharing an order, the market-basket projection of
+  *    lineitem). A naive triangle join enumerates every wedge twice
+  *    around every high-degree hub; orienting each edge from the
+  *    (degree, id)-smaller endpoint to the larger makes the relation
+  *    acyclic, counts each triangle EXACTLY once, and provably bounds
+  *    any node's out-degree by O(sqrt(m)) — the arboricity argument
+  *    that keeps the wedge join polynomial on power-law graphs at
+  *    100 TB. Pipeline: per-order self-join (bounded fan-out — an
+  *    order has ~7 lines), distinct edges, degree table joined back
+  *    (node-cardinality, AQE broadcasts it when small), wedge join
+  *    e1.b = e2.a, then a left_semi closure probe — no cartesian, all
+  *    exchanges keyed. Output: the 15 busiest parts by triangle
+  *    participation plus corpus totals (triangles, edges, nodes).
+  */
+object Analytics143 {
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_triangle_count" -> ((spark, dir) => {
+      val os = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = os.as("a").join(os.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val deg = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val low = (col("du.d") < col("dv.d")) ||
+        (col("du.d") === col("dv.d") && col("u") < col("v"))
+      val orient = edges
+        .join(deg.as("du"), col("u") === col("du.x"))
+        .join(deg.as("dv"), col("v") === col("dv.x"))
+        .select(when(low, col("u")).otherwise(col("v")).as("a"),
+          when(low, col("v")).otherwise(col("u")).as("b"))
+      val tri = orient.as("e1")
+        .join(orient.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+        .join(orient.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"),
+          "left_semi")
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("triangles"))
+      val totals = perNode.agg(
+          sum(col("triangles")).cast("long").as("sum_participation"))
+        .crossJoin(broadcast(
+          tri.agg(count(lit(1)).as("total_triangles"))))
+        .crossJoin(broadcast(
+          edges.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      perNode.orderBy(col("triangles").desc, col("s").asc).limit(15)
+        .select(col("s").as("p_partkey"), col("triangles"))
+        .crossJoin(broadcast(totals))
+        .orderBy(col("triangles").desc, col("p_partkey").asc)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // same construction: distinct co-order edges, degree-ordered
+    // orientation, wedge join + closure probe (an inner join is the
+    // semi probe here because orientation makes (a, b) unique)
+    "q372_triangle_count" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |      THEN u ELSE v END AS a,
+        |    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |      THEN v ELSE u END AS b
+        |  FROM e0 JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM orient e1
+        |  JOIN orient e2 ON e1.b = e2.a
+        |  JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT x AS s FROM tri UNION ALL
+        |    SELECT y FROM tri UNION ALL
+        |    SELECT z FROM tri)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(triangles) AS BIGINT) AS sum_participation
+        |  FROM pn),
+        |tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri),
+        |em AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |top AS (
+        |  SELECT s AS p_partkey, triangles FROM pn
+        |  ORDER BY triangles DESC, s LIMIT 15)
+        |SELECT p_partkey, triangles, sum_participation,
+        |  total_triangles, n_edges, n_nodes
+        |FROM top, tot, tt, em, nn
+        |ORDER BY triangles DESC, p_partkey""".stripMargin,
+  )
+}
