@@ -205,6 +205,56 @@ object Analytics110 {
         .orderBy("version", "s_nationkey")
     }),
 
+    // TIMESTAMP travel over the same fixture: commit times come from
+    // the public FwMaintenance.commitTimestamps handle (strictly
+    // increasing by construction), and three pins prove resolution —
+    // AT v1's instant, one millisecond BEFORE v2 (still v1: newest
+    // at-or-before), and AT v2's instant as an ISO-8601 string. The
+    // oracle knows nothing of wall-clock; it replays the version
+    // CONTENTS each pin must resolve to, so the hash match is the
+    // timestamp→version mapping theorem.
+    "q373_fw_timestamp_travel" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_tts", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      val ts = graft.sources.FwMaintenance
+        .commitTimestamps(base.toString)
+      def readAt(pin: String, label: String) = spark.read
+        .format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+        .option("timestampAsOf", pin)
+        .load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .withColumn("pin", lit(label))
+      readAt(ts(1L).toString, "at_v1")
+        .unionAll(readAt((ts(2L) - 1).toString, "before_v2"))
+        .unionAll(readAt(
+          java.time.Instant.ofEpochMilli(ts(2L)).toString, "at_v2"))
+        .select(col("pin"), col("s_nationkey"), col("n_sup"),
+          col("min_key"), col("max_key"))
+        .orderBy("pin", "s_nationkey")
+    }),
+
     // INCREMENTAL read between snapshots: changesFromVersion=1 reads
     // ONLY the files versions 2+ added (the Delta change-feed idea at
     // file grain — the batch writer never mutates a published file, so
@@ -755,6 +805,22 @@ object Analytics110 {
         CAST(count(*) AS BIGINT) AS n_sup,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM v GROUP BY 1, 2 ORDER BY version, s_nationkey""",
+
+    "q373_fw_timestamp_travel" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey <= 100000),
+      v AS (
+        SELECT 'at_v1' AS pin, s_nationkey, s_suppkey FROM s
+        WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT 'before_v2', s_nationkey, s_suppkey FROM s
+        WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT 'at_v2', s_nationkey, s_suppkey FROM s)
+      SELECT pin, s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM v GROUP BY 1, 2 ORDER BY pin, s_nationkey""",
 
     // each commit appended 2 files; records replay from the fixture
     // predicate, bytes = records x (8+18+4+24 widths + newline)

@@ -109,6 +109,22 @@ object FixedWidth {
     schema.fields.map(_.metadata.getLong("width").toInt)
 }
 
+private[sources] object FwTable {
+  /** `timestampAsOf` accepts epoch millis (all digits) or an ISO-8601
+    * instant (`2026-08-15T10:00:00Z`); anything else fails loudly
+    * rather than silently resolving to the epoch.
+    */
+  def parseTs(s: String): Long =
+    if (s.matches("-?\\d+")) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"FixedWidth: timestampAsOf must be epoch millis or an " +
+            s"ISO-8601 instant, got '$s'", e)
+    }
+}
+
 private[sources] class FwTable(tableSchema: StructType,
     properties: Map[String, String]) extends Table
     with SupportsRead with SupportsWrite {
@@ -182,16 +198,23 @@ private[sources] class FwTable(tableSchema: StructType,
     p
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // per-read option first, then the table-level pin a catalog
+    // VERSION AS OF / TIMESTAMP AS OF load stamps into properties
+    val verPin = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(properties.get("versionAsOf").map(_.toLong))
+    val tsPin = Option(options.get("timestampAsOf"))
+      .orElse(properties.get("timestampAsOf"))
+    require(verPin.isEmpty || tsPin.isEmpty,
+      "FixedWidth: versionAsOf and timestampAsOf are mutually exclusive")
     new FwScanBuilder(declared, pathFor(options),
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
       Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
-      // per-read option first, then the table-level pin a catalog
-      // VERSION AS OF load stamps into properties
-      Option(options.get("versionAsOf")).map(_.toLong)
-        .orElse(properties.get("versionAsOf").map(_.toLong)),
+      verPin.orElse(tsPin.map(s => FwVersions.resolveTimestamp(
+        pathFor(options), FwTable.parseTs(s)))),
       Option(options.get("changesFromVersion")).map(_.toLong),
       pcolFor(options), bucketsFor(options))
+  }
 
   /** A copy of this table pinned to one snapshot version — what
     * [[FwCatalog.loadTable(ident, version)]] hands Spark for SQL
@@ -199,6 +222,15 @@ private[sources] class FwTable(tableSchema: StructType,
     */
   private[sources] def atVersion(version: String): FwTable =
     new FwTable(tableSchema, properties + ("versionAsOf" -> version))
+
+  /** A copy pinned to the newest snapshot committed at or before the
+    * given epoch-millis instant — SQL `TIMESTAMP AS OF`. Resolution to
+    * a concrete version happens at scan time, where the path is
+    * known-good.
+    */
+  private[sources] def atTimestamp(millis: Long): FwTable =
+    new FwTable(tableSchema,
+      properties + ("timestampAsOf" -> millis.toString))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = pathFor(info.options)
     require(path != null, "FixedWidth write requires a path")
@@ -1799,33 +1831,85 @@ private[sources] object FwVersions {
     }
   }
 
+  /** Commit wall-clock per version (epoch millis); legacy manifests
+    * written before timestamps existed report -1 for their versions.
+    */
+  def readTs(path: String): Map[Long, Long] = {
+    val f = manifestFor(path)
+    if (!f.isFile) Map.empty
+    else JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "versions" match {
+      case JArray(vs) => vs.map { v =>
+        val JInt(n) = v \ "v"
+        val ts = v \ "ts" match {
+          case JInt(t) => t.toLong
+          case JLong(t) => t
+          case _ => -1L
+        }
+        n.toLong -> ts
+      }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"bad _fw_versions.json: $other")
+    }
+  }
+
+  /** Delta-style timestamp travel: the NEWEST version whose commit
+    * time is at or before `tsMillis`. Versions from pre-timestamp
+    * manifests (ts unknown) are never eligible — an explicit error
+    * beats silently reading an arbitrary snapshot.
+    */
+  def resolveTimestamp(path: String, tsMillis: Long): Long = {
+    val ts = readTs(path).filter(_._2 >= 0)
+    val eligible = ts.filter(_._2 <= tsMillis)
+    if (eligible.nonEmpty) eligible.maxBy(v => (v._2, v._1))._1
+    else {
+      val have =
+        if (ts.isEmpty)
+          "none (no timestamped version has committed here)"
+        else s"commits span ${ts.values.min}..${ts.values.max}"
+      throw new IllegalArgumentException(
+        s"FixedWidth table at $path has no version at or before " +
+          s"timestamp $tsMillis; available: $have")
+    }
+  }
+
   /** Record the post-commit snapshot as the next version. Runs on the
     * driver inside the batch commit, after every data file is
     * published.
     */
   def commitSnapshot(path: String): Long = {
     val prior = read(path)
+    val priorTs = readTs(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
     // name + byte length per file: the snapshot pins a record-aligned
     // PREFIX of each immutable file, and versioned planning reads the
     // manifest once instead of stat()ing every file
     val snapshot = FwFiles.list(path)
       .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
-    rewrite(path, prior :+ ((next, snapshot)))
+    // commit time, forced strictly increasing so two commits inside
+    // one millisecond stay distinguishable to timestamp travel
+    val now = math.max(System.currentTimeMillis(),
+      priorTs.values.foldLeft(-1L)(math.max) + 1)
+    rewrite(path, prior :+ ((next, snapshot)), priorTs + (next -> now))
     next
   }
 
   /** Replace the manifest wholesale (vacuum's history trim) — same
-    * tmp→rename publish protocol as a commit.
+    * tmp→rename publish protocol as a commit. `tsOf` carries each
+    * version's commit time; versions absent from it (legacy history)
+    * persist without one.
     */
   def rewrite(path: String,
-      versions: Seq[(Long, Seq[(String, Long)])]): Unit = {
+      versions: Seq[(Long, Seq[(String, Long)])],
+      tsOf: Map[Long, Long] = Map.empty): Unit = {
     import org.json4s.JsonDSL._
     val doc: JObject = "versions" ->
       versions.map { case (v, files) =>
-        ("v" -> v) ~ ("files" -> files.map { case (n, b) =>
+        val base = ("v" -> v) ~ ("files" -> files.map { case (n, b) =>
           ("n" -> n) ~ ("b" -> b): JObject
         })
+        tsOf.get(v).filter(_ >= 0).fold(base)(t => base ~ ("ts" -> t))
       }
     val target = manifestFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")

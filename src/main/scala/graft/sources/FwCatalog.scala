@@ -81,6 +81,16 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
     t.atVersion(version)
   }
 
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands the instant as epoch
+    * MICROseconds; the manifest stores commit times in millis, so the
+    * pin floors to the containing millisecond.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    t.atTimestamp(Math.floorDiv(timestamp, 1000L))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tables.containsKey(ident))

@@ -39,6 +39,13 @@ import org.apache.spark.sql.SparkSession
   */
 object FwMaintenance {
 
+  /** Commit wall-clock per manifest version (epoch millis; -1 for
+    * versions from pre-timestamp manifests) — the public handle a
+    * caller needs to pick a `timestampAsOf` pin.
+    */
+  def commitTimestamps(path: String): Map[Long, Long] =
+    FwVersions.readTs(path)
+
   /** What a compaction run did. `committedVersion` is None when the
     * run was a no-op (nothing worth compacting — no manifest version
     * is burned).
@@ -254,7 +261,10 @@ object FwMaintenance {
     val all = FwVersions.read(path)
     val retained = all.sortBy(-_._1).take(retainLast).sortBy(_._1)
     val dropped = all.size - retained.size
-    if (dropped > 0) FwVersions.rewrite(path, retained)
+    // the trim keeps each retained version's commit time, so
+    // timestamp travel stays usable across a vacuum
+    if (dropped > 0)
+      FwVersions.rewrite(path, retained, FwVersions.readTs(path))
 
     val referenced: Set[String] =
       retained.flatMap(_._2.map(_._1)).toSet

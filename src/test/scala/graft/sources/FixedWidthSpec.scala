@@ -717,6 +717,66 @@ class FixedWidthSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 3L)
   }
 
+  test("timestamp travel: newest snapshot at-or-before the instant; " +
+      "ISO accepted; pre-history and double pins fail loudly; vacuum " +
+      "keeps commit times") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwtts").toFile.getAbsolutePath
+    def write(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    write(Seq((1L, "a", 1.0)), "overwrite") // v1
+    write(Seq((2L, "b", 2.0)), "append") // v2
+    write(Seq((3L, "c", 3.0)), "append") // v3
+    val ts = FwVersions.readTs(dir)
+    assert(ts.keySet === Set(1L, 2L, 3L))
+    assert(ts(1L) > 0 && ts(1L) < ts(2L) && ts(2L) < ts(3L),
+      s"commit times strictly increase: $ts")
+    def countAt(pin: String): Long =
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("timestampAsOf", pin).load(dir)
+        .count()
+    assert(countAt(ts(1L).toString) === 1L)
+    assert(countAt((ts(2L) - 1).toString) === 1L,
+      "between commits resolves to the earlier snapshot")
+    assert(countAt(ts(2L).toString) === 2L)
+    assert(countAt((ts(3L) + 3600000L).toString) === 3L,
+      "a future instant reads the newest snapshot")
+    assert(countAt(
+      java.time.Instant.ofEpochMilli(ts(2L)).toString) === 2L,
+      "ISO-8601 instants parse")
+    val ePre = intercept[Exception] { countAt((ts(1L) - 10).toString) }
+    assert(ePre.getMessage.contains("no version at or before"),
+      ePre.getMessage)
+    val eBoth = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("timestampAsOf", ts(2L).toString)
+        .option("versionAsOf", "2").load(dir).count()
+    }
+    assert(eBoth.getMessage.contains("mutually exclusive"),
+      eBoth.getMessage)
+    val eBad = intercept[Exception] { countAt("yesterday-ish") }
+    assert(eBad.getMessage.contains("ISO-8601"), eBad.getMessage)
+    // vacuum trims v1 but keeps v2/v3's commit times usable
+    FwMaintenance.vacuum(spark, dir, retainLast = 2)
+    assert(countAt(ts(3L).toString) === 3L)
+    assert(countAt(ts(2L).toString) === 2L)
+    val eGone = intercept[Exception] { countAt(ts(1L).toString) }
+    assert(eGone.getMessage.contains("no version at or before"),
+      eGone.getMessage)
+    // SQL TIMESTAMP AS OF through the catalog (micros -> millis floor)
+    spark.conf.set("spark.sql.catalog.fwcat_ts", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwcat_ts.ns.t")
+    spark.sql(
+      s"""CREATE TABLE fwcat_ts.ns.t (id BIGINT, name STRING, score DOUBLE)
+         |OPTIONS (path '$dir', widths '4,6,10')""".stripMargin)
+    val iso2 = java.time.Instant.ofEpochMilli(ts(2L)).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM fwcat_ts.ns.t TIMESTAMP AS OF '$iso2'")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("snapshot prefix: an in-place-grown file reads at its committed length") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fwttgrow").toFile.getAbsolutePath
