@@ -45,26 +45,41 @@ object Analytics143 {
         .join(deg.as("dv"), col("v") === col("dv.x"))
         .select(when(low, col("u")).otherwise(col("v")).as("a"),
           when(low, col("v")).otherwise(col("u")).as("b"))
+        .persist()
+      // orientation is a bijection on edges, so this count IS n_edges —
+      // and materializing here means e1/e2/e3 (and the node count)
+      // never re-derive the self-join + distinct lineage
+      val nEdges = orient.count()
+      val nNodes = orient.select(col("a").as("x"))
+        .unionAll(orient.select(col("b").as("x"))).distinct().count()
+      // The edge relation is |E|-bounded (not wedge-bounded), so
+      // broadcasting it makes BOTH the wedge build and the closure
+      // probe map-side: the ~40× larger wedge stream (49M at sf0.1 vs
+      // 1.2M edges) never shuffles and never re-runs — `tri` is
+      // persisted because the per-node census and the total both read
+      // it. On a cluster where E outgrows a broadcast, drop the
+      // hints — the shuffled wedge join IS the textbook fallback —
+      // and bloom-prefilter the probe.
       val tri = orient.as("e1")
-        .join(orient.as("e2"), col("e1.b") === col("e2.a"))
+        .join(broadcast(orient.as("e2")), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"),
           col("e2.b").as("z"))
-        .join(orient.as("e3"),
+        .join(broadcast(orient.as("e3")),
           col("x") === col("e3.a") && col("z") === col("e3.b"),
           "left_semi")
+        .persist()
+      val totalTri = tri.count()
       val perNode = tri
         .select(explode(array(col("x"), col("y"), col("z"))).as("s"))
         .groupBy("s").agg(count(lit(1)).as("triangles"))
-      val totals = perNode.agg(
-          sum(col("triangles")).cast("long").as("sum_participation"))
-        .crossJoin(broadcast(
-          tri.agg(count(lit(1)).as("total_triangles"))))
-        .crossJoin(broadcast(
-          edges.agg(count(lit(1)).as("n_edges"))))
-        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       perNode.orderBy(col("triangles").desc, col("s").asc).limit(15)
         .select(col("s").as("p_partkey"), col("triangles"))
-        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(perNode.agg(
+          sum(col("triangles")).cast("long").as("sum_participation"))))
+        .select(col("p_partkey"), col("triangles"),
+          col("sum_participation"),
+          lit(totalTri).as("total_triangles"),
+          lit(nEdges).as("n_edges"), lit(nNodes).as("n_nodes"))
         .orderBy(col("triangles").desc, col("p_partkey").asc)
     }),
   )
