@@ -401,6 +401,49 @@ object Multimodal {
     (w, h, usedBins, checksum)
   }
 
+  /** Sobel edge extraction over a REAL decoded raster: luminance
+    * `(r + 2g + b) div 4` (the m31 grayscale), 3×3 Sobel Gx/Gy on
+    * interior pixels, magnitude `|Gx| + |Gy|` — integer-exact end to
+    * end. Returns (width, height, edge_sum, n_strong ≥ 128, positional
+    * checksum); images narrower than 3×3 have no interior and return
+    * zeros.
+    */
+  def sobelFromImage(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new UnsupportedOperationException(
+        s"ImageIO has no reader for this payload (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    def lum(x: Int, y: Int): Int = {
+      val r = raster.getSample(x, y, 0)
+      val g = raster.getSample(x, y, 1)
+      val b = raster.getSample(x, y, 2)
+      (r + 2 * g + b) / 4
+    }
+    var edgeSum = 0L
+    var nStrong = 0L
+    var checksum = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = (lum(x + 1, y - 1) + 2 * lum(x + 1, y) + lum(x + 1, y + 1)) -
+          (lum(x - 1, y - 1) + 2 * lum(x - 1, y) + lum(x - 1, y + 1))
+        val gy = (lum(x - 1, y + 1) + 2 * lum(x, y + 1) + lum(x + 1, y + 1)) -
+          (lum(x - 1, y - 1) + 2 * lum(x, y - 1) + lum(x + 1, y - 1))
+        val mag = math.abs(gx).toLong + math.abs(gy).toLong
+        edgeSum += mag
+        if (mag >= 128L) nStrong += 1L
+        checksum += (x * 7L + y * 13L + 1L) * mag
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, edgeSum, nStrong, checksum)
+  }
+
   /** Deterministic "resize": integer-divide dimensions by `factor`
     * (floored at 1) and average-pool the feature vector in factor-sized
     * chunks — the metadata/feature side of a resize without a codec. A
