@@ -255,6 +255,98 @@ object Analytics110 {
         .orderBy("pin", "s_nationkey")
     }),
 
+    // Zero-copy CLONE: hard-link the latest snapshot into a new table
+    // dir, then OVERWRITE the source — the clone must still read the
+    // full pre-overwrite contents (links share storage, not
+    // lifecycle). The oracle replays the full supplier slice: a clone
+    // that broke or went stale would hash-mismatch.
+    "q374_fw_clone" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val tag = Paths.get(dir).getFileName.toString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_clone_src", tag)
+      val dst = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_clone_dst", tag)
+      Seq(base, dst).foreach { p =>
+        if (Files.exists(p)) {
+          val listing = Files.list(p)
+          try listing.forEach(f => Files.deleteIfExists(f))
+          finally listing.close()
+        }
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      graft.sources.FwMaintenance
+        .cloneTable(spark, base.toString, dst.toString)
+      // source rewrite AFTER the clone: the clone must not notice
+      src.filter(col("s_suppkey") % 10 === 0)
+        .repartition(1)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(dst.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Hard ROLLBACK: three snapshots, roll back to v2 — newer files
+    // are deleted, the manifest trims, and live reads equal v2's
+    // contents exactly (the oracle replays them); the history surface
+    // pins that exactly two versions remain.
+    "q375_fw_rollback" -> ((spark, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fw_rollback", Paths.get(dir).getFileName.toString)
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
+      }
+      Files.createDirectories(base)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      // v3: a duplicate slice rollback must erase
+      src.filter(col("s_suppkey") % 7 === 0)
+        .repartition(1)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      graft.sources.FwMaintenance.rollback(spark, base.toString, 2L)
+      val versions = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true").option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_versions"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .crossJoin(broadcast(versions))
+        .orderBy("s_nationkey")
+    }),
+
     // INCREMENTAL read between snapshots: changesFromVersion=1 reads
     // ONLY the files versions 2+ added (the Delta change-feed idea at
     // file grain — the batch writer never mutates a published file, so
@@ -821,6 +913,19 @@ object Analytics110 {
       SELECT pin, s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
         min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       FROM v GROUP BY 1, 2 ORDER BY pin, s_nationkey""",
+
+    "q374_fw_clone" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM supplier WHERE s_suppkey <= 100000
+      GROUP BY 1 ORDER BY s_nationkey""",
+
+    "q375_fw_rollback" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        CAST(2 AS BIGINT) AS n_versions
+      FROM supplier WHERE s_suppkey <= 100000
+      GROUP BY 1 ORDER BY s_nationkey""",
 
     // each commit appended 2 files; records replay from the fixture
     // predicate, bytes = records x (8+18+4+24 widths + newline)

@@ -320,6 +320,97 @@ object FwMaintenance {
       .filter(d => d.isDirectory && d.getName.contains("="))
       .sortBy(_.getName)
 
+  /** What a clone did. */
+  final case class CloneReport(filesLinked: Int, bytes: Long,
+      hardLinked: Boolean)
+
+  /** Zero-copy table CLONE (Delta shallow clone, except nothing ever
+    * dangles): hard-link the LATEST snapshot's data files and sidecars
+    * into `dst` and commit them there as version 1. Hard links share
+    * storage, not lifecycle — a later vacuum/overwrite in the source
+    * only unlinks the source's NAME, the clone's inode reference keeps
+    * the bytes alive, so the clone never breaks. Falls back to copying
+    * when the filesystem refuses links (cross-device).
+    */
+  def cloneTable(spark: SparkSession, src: String,
+      dst: String): CloneReport = {
+    requireFlat(src, "clone")
+    val files = FwVersions.read(src)
+    require(files.nonEmpty,
+      s"FixedWidth clone: no batch write has committed at $src")
+    val latest = files.maxBy(_._1)._2
+    val dstDir = new java.io.File(dst)
+    dstDir.mkdirs()
+    require(Option(dstDir.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"FixedWidth clone: destination $dst is not empty")
+    var bytes = 0L
+    var hard = true
+    def link(name: String): Unit = {
+      val from = new java.io.File(src, name).toPath
+      val to = new java.io.File(dst, name).toPath
+      try java.nio.file.Files.createLink(to, from)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          hard = false
+          java.nio.file.Files.copy(from, to)
+      }
+    }
+    latest.foreach { case (name, b) =>
+      link(name)
+      bytes += (if (b >= 0) b else new java.io.File(src, name).length())
+      val sc = new java.io.File(FwStats.sidecarFor(
+        new java.io.File(src, name).getPath))
+      if (sc.isFile) link(sc.getName)
+    }
+    FwVersions.rewrite(dst, Seq((1L, latest)),
+      Map(1L -> System.currentTimeMillis()))
+    CloneReport(latest.size, bytes, hard)
+  }
+
+  /** What a rollback did. */
+  final case class RollbackReport(versionsDropped: Int, filesRemoved: Int)
+
+  /** Hard ROLLBACK to snapshot `toVersion` (`git reset --hard` for the
+    * table, Delta RESTORE's destructive sibling): data files no
+    * retained version references are deleted (with sidecars), and the
+    * manifest is trimmed to versions ≤ `toVersion`, so live
+    * directory-listing reads, pins, history and timestamp travel all
+    * agree the newer versions never happened. Refuses when the target
+    * snapshot's files no longer survive at their committed lengths
+    * (a later TRUNCATE vacuumed them). Single-writer maintenance
+    * window, like every op here.
+    */
+  def rollback(spark: SparkSession, path: String,
+      toVersion: Long): RollbackReport = {
+    requireFlat(path, "rollback")
+    val all = FwVersions.read(path)
+    val target = FwVersions.resolve(path, toVersion) // loud if unknown
+    val dir = new java.io.File(path)
+    target.foreach { case (name, b) =>
+      val f = new java.io.File(dir, name)
+      require(f.isFile && (b < 0 || f.length() >= b),
+        s"FixedWidth rollback: version $toVersion references $name " +
+          s"($b bytes), which no longer exists at that length")
+    }
+    val retained = all.filter(_._1 <= toVersion)
+    val keepNames = retained.flatMap(_._2.map(_._1)).toSet
+    // vacuum's discipline: only files some manifest version EVER
+    // referenced are rollback's to delete — files outside any manifest
+    // (hand-built fixtures) are not ours to judge
+    val everReferenced = all.flatMap(_._2.map(_._1)).toSet
+    var removed = 0
+    FwFiles.list(path).foreach { f =>
+      if (everReferenced.contains(f.getName)
+        && !keepNames.contains(f.getName)) {
+        new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        require(f.delete(), s"could not roll back $f")
+        removed += 1
+      }
+    }
+    FwVersions.rewrite(path, retained, FwVersions.readTs(path))
+    RollbackReport(all.size - retained.size, removed)
+  }
+
   private def requireFlat(path: String, op: String): Unit =
     require(partitionDirs(path).isEmpty,
       s"FixedWidth $op is a flat-table operation for now; $path holds " +

@@ -1657,6 +1657,92 @@ class FixedWidthSpec extends AnyFunSuite {
       .option("schema", spec).load(dir).count() === 3L)
   }
 
+  test("clone hard-links the latest snapshot as the target's v1; a " +
+      "source overwrite cannot break the clone; non-empty targets " +
+      "refuse") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("fwclsrc").toFile.getAbsolutePath
+    def write(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(src)
+    write(Seq((1L, "a", 1.0), (2L, "b", 2.0)), "overwrite") // v1
+    write(Seq((3L, "c", 3.0)), "append") // v2
+    val dst = Files.createTempDirectory("fwcldst").toFile.getAbsolutePath
+    new java.io.File(dst).delete() // cloneTable creates it
+    val report = FwMaintenance.cloneTable(spark, src, dst)
+    assert(report.filesLinked === 2 && report.bytes === 3L * 21,
+      report.toString)
+    def readAll(dir: String) = spark.read
+      .format("graft.sources.FixedWidth").option("schema", spec).load(dir)
+    assert(readAll(dst).count() === 3L)
+    // the clone is version 1 of ITS OWN history
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", spec).load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      === Seq((1L, 3L)))
+    // zone-map sidecars came along: a pruning filter still skips files
+    assert(readAll(dst).filter(col("id") === 3L).count() === 1L)
+    // source TRUNCATE deletes the source's names; the clone's hard
+    // links keep the bytes alive
+    write(Seq((9L, "z", 9.0)), "overwrite")
+    assert(readAll(src).count() === 1L)
+    assert(readAll(dst).count() === 3L, "clone survives source rewrite")
+    val eFull = intercept[Exception] {
+      FwMaintenance.cloneTable(spark, src, dst)
+    }
+    assert(eFull.getMessage.contains("not empty"), eFull.getMessage)
+  }
+
+  test("rollback deletes newer files and trims history; manifest-" +
+      "unknown fixtures survive; targets whose files were truncated " +
+      "away refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fwrb").toFile.getAbsolutePath
+    def write(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.format("graft.sources.FixedWidth").option("schema", spec)
+        .mode(mode).save(dir)
+    write(Seq((1L, "a", 1.0)), "overwrite") // v1
+    write(Seq((2L, "b", 2.0)), "append") // v2
+    write(Seq((3L, "c", 3.0)), "append") // v3
+    // a hand-built fixture the manifest never saw: not rollback's
+    val fixture = new java.io.File(dir, "zz_fixture.fw")
+    Files.write(fixture.toPath,
+      FixedWidthWriter.render(schema, Seq(Seq[Any](7L, "fix", 0.5))))
+    val report = FwMaintenance.rollback(spark, dir, toVersion = 1L)
+    assert(report === FwMaintenance.RollbackReport(
+      versionsDropped = 2, filesRemoved = 2), report.toString)
+    assert(fixture.exists(), "fixtures outside the manifest survive")
+    // live read = v1 + the fixture; pinned read = exactly v1
+    def readAll = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+    assert(readAll.count() === 2L)
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("versionAsOf", "1").load(dir)
+      .count() === 1L)
+    val eGone = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "2").load(dir)
+        .collect()
+    }
+    assert(eGone.getMessage.contains("no version 2"), eGone.getMessage)
+    // a later write continues the trimmed history at v2
+    fixture.delete()
+    write(Seq((4L, "d", 4.0)), "append")
+    assert(readAll.count() === 2L)
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", spec).load(dir)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // a TRUNCATE deletes v1/v2's files: rolling back past it refuses
+    write(Seq((9L, "z", 9.0)), "overwrite") // v3, deletes older files
+    val eTrunc = intercept[Exception] {
+      FwMaintenance.rollback(spark, dir, toVersion = 1L)
+    }
+    assert(eTrunc.getMessage.contains("no longer exists"),
+      eTrunc.getMessage)
+  }
+
   test("bucketed layout: equality predicates name their buckets; a " +
       "same-bucketing fact-fact join runs with zero shuffle") {
     val d1 = Files.createTempDirectory("fwbkt1").toFile.getAbsolutePath
