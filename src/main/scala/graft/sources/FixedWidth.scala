@@ -1503,6 +1503,13 @@ private[sources] object FwNum {
       case None =>
         val d = n.doubleValue
         if (java.lang.Double.isNaN(d)) None
+        // out-of-range constants order strictly: comparing via
+        // l.toDouble would round Long.MaxValue UP to 2^63 and report
+        // a false equality against the constant 2^63 exactly
+        else if (d >= 9.223372036854776e18) Some(-1)
+        else if (d < -9.223372036854776e18) Some(1)
+        // remaining: fractional, hence |d| < 2^53 where doubles are
+        // exact and l.toDouble cannot misorder against it
         else Some(java.lang.Double.compare(l.toDouble, d))
     }
 }
