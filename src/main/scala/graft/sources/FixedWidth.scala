@@ -1309,7 +1309,19 @@ private[sources] class FwPartScan(fullSchema: StructType,
       case GreaterThanOrEqual(_, v) => cmpTo(v).forall(_ >= 0)
       case LessThan(_, v) => cmpTo(v).forall(_ < 0)
       case LessThanOrEqual(_, v) => cmpTo(v).forall(_ <= 0)
-      case In(_, vs) => vs.exists(x => cmpTo(x).contains(0))
+      case In(_, vs) =>
+        // a null element matches nothing (SQL IN) and NaN equals
+        // nothing — both EXACT no-matches; but an ALIEN-typed element
+        // (a shape Catalyst never pushes) keeps the partition rather
+        // than pruning on a guess
+        def comparable(x: Any): Boolean = (value, x) match {
+          case (_: Long | _: Int, _: java.lang.Number) => true
+          case (_: String, _: String) => true
+          case (_: String, _: UTF8String) => true
+          case _ => false
+        }
+        if (vs.exists(x => x != null && !comparable(x))) true
+        else vs.exists(x => cmpTo(x).contains(0))
       case IsNotNull(_) => true // partition values are non-null
       case _ => true // unknown runtime shape: conservative
     }

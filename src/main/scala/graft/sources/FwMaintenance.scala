@@ -355,16 +355,23 @@ object FwMaintenance {
           java.nio.file.Files.copy(from, to)
       }
     }
-    latest.foreach { case (name, b) =>
+    // legacy name-only entries (b = -1) mean "live length" — pin them
+    // to the length observed NOW, so an external producer appending to
+    // the shared inode later cannot grow the clone's view
+    val pinned = latest.map { case (name, b) =>
+      (name,
+        if (b >= 0) b else new java.io.File(src, name).length())
+    }
+    pinned.foreach { case (name, b) =>
       link(name)
-      bytes += (if (b >= 0) b else new java.io.File(src, name).length())
+      bytes += b
       val sc = new java.io.File(FwStats.sidecarFor(
         new java.io.File(src, name).getPath))
       if (sc.isFile) link(sc.getName)
     }
-    FwVersions.rewrite(dst, Seq((1L, latest)),
+    FwVersions.rewrite(dst, Seq((1L, pinned)),
       Map(1L -> System.currentTimeMillis()))
-    CloneReport(latest.size, bytes, hard)
+    CloneReport(pinned.size, bytes, hard)
   }
 
   /** What a rollback did. */

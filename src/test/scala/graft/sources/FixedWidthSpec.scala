@@ -960,6 +960,11 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(scan.evalP(5L, GreaterThan("nk", java.lang.Double.valueOf(4.5))),
       "underivable-exactly bound keeps the partition")
     assert(!scan.evalP(5L, EqualTo("nk", java.lang.Long.valueOf(7L))))
+    assert(scan.evalP(5L, In("nk", Array[Any]("oops", 7L))),
+      "an alien-typed In element keeps the partition (conservative)")
+    assert(!scan.evalP(5L,
+      In("nk", Array[Any](java.lang.Double.valueOf(Double.NaN)))),
+      "NaN equals nothing: exact no-match, prune")
 
     // seek narrowing: a fractional bound must NOT narrow (the reader
     // never re-checks pushed filters on seek-excluded records); the
