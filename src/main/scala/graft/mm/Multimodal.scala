@@ -415,6 +415,12 @@ object Multimodal {
       throw new UnsupportedOperationException(
         s"ImageIO has no reader for this payload (${bytes.length} bytes)")
     val raster = img.getRaster
+    // a grayscale or palette-indexed decode yields <3 bands; getSample
+    // on band 1/2 would throw ArrayIndexOutOfBounds — fail the same
+    // loud way as an undecodable payload instead
+    if (raster.getNumBands < 3)
+      throw new UnsupportedOperationException(
+        s"sobel expects an RGB raster, got ${raster.getNumBands} band(s)")
     val (w, h) = (img.getWidth, img.getHeight)
     def lum(x: Int, y: Int): Int = {
       val r = raster.getSample(x, y, 0)

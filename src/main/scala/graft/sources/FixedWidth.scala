@@ -115,10 +115,14 @@ private[sources] object FwTable {
     * rather than silently resolving to the epoch.
     */
   def parseTs(s: String): Long =
-    if (s.matches("-?\\d+")) s.toLong
-    else try java.time.Instant.parse(s).toEpochMilli
-    catch {
-      case e: java.time.format.DateTimeParseException =>
+    try {
+      if (s.matches("-?\\d+")) s.toLong
+      else java.time.Instant.parse(s).toEpochMilli
+    } catch {
+      // NumberFormatException: a >19-digit all-digit string overflows
+      // toLong — same friendly error as an unparseable instant
+      case e @ (_: java.time.format.DateTimeParseException
+          | _: NumberFormatException) =>
         throw new IllegalArgumentException(
           s"FixedWidth: timestampAsOf must be epoch millis or an " +
             s"ISO-8601 instant, got '$s'", e)
@@ -1494,6 +1498,22 @@ private[sources] object FwNum {
   def exactLong(n: java.lang.Number): Option[Long] = n match {
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short
         | _: java.lang.Byte => Some(n.longValue)
+    // arbitrary-precision boxes (shapes Catalyst never pushes, but the
+    // exactness contract covers ANY Number): longValueExact answers or
+    // declines — the double path would round above 2^53 and fabricate
+    // a wrong "exact" long (9007199254740993 -> ...992)
+    case bd: java.math.BigDecimal =>
+      try Some(bd.longValueExact)
+      catch { case _: ArithmeticException => None }
+    case bi: java.math.BigInteger =>
+      try Some(bi.longValueExact)
+      catch { case _: ArithmeticException => None }
+    case bd: scala.math.BigDecimal =>
+      try Some(bd.underlying.longValueExact)
+      catch { case _: ArithmeticException => None }
+    case bi: scala.math.BigInt =>
+      try Some(bi.underlying.longValueExact)
+      catch { case _: ArithmeticException => None }
     case _ =>
       val d = n.doubleValue
       // upper bound exclusive: 2^63 as a double is > Long.MaxValue
@@ -1512,6 +1532,20 @@ private[sources] object FwNum {
   def cmpLong(l: Long, n: java.lang.Number): Option[Int] =
     exactLong(n) match {
       case Some(x) => Some(java.lang.Long.compare(l, x))
+      // big boxes that declined exactLong (fractional/out-of-range)
+      // still compare exactly in decimal space — above 2^53 the double
+      // path could misorder a fractional BigDecimal
+      case None if n.isInstanceOf[java.math.BigDecimal] =>
+        Some(new java.math.BigDecimal(l)
+          .compareTo(n.asInstanceOf[java.math.BigDecimal]))
+      case None if n.isInstanceOf[java.math.BigInteger] =>
+        Some(java.math.BigInteger.valueOf(l)
+          .compareTo(n.asInstanceOf[java.math.BigInteger]))
+      case None if n.isInstanceOf[scala.math.BigDecimal] =>
+        Some(scala.math.BigDecimal(l)
+          .compare(n.asInstanceOf[scala.math.BigDecimal]))
+      case None if n.isInstanceOf[scala.math.BigInt] =>
+        Some(scala.math.BigInt(l).compare(n.asInstanceOf[scala.math.BigInt]))
       case None =>
         val d = n.doubleValue
         if (java.lang.Double.isNaN(d)) None

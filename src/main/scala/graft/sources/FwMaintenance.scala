@@ -291,6 +291,9 @@ object FwMaintenance {
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isFile && f.getName.endsWith(".tmp")
         && f.getName != "_fw_versions.json.tmp"
+        // lastModified() == 0 signals an I/O error, not 1970: unknown
+        // age must read as "possibly in-flight", never as sweepable
+        && f.lastModified() > 0L
         && f.lastModified() <= cutoff) {
         f.delete(); strays += 1
       }
@@ -345,10 +348,11 @@ object FwMaintenance {
       s"FixedWidth clone: destination $dst is not empty")
     var bytes = 0L
     var hard = true
-    def link(name: String): Unit = {
+    def link(name: String, forceCopy: Boolean): Unit = {
       val from = new java.io.File(src, name).toPath
       val to = new java.io.File(dst, name).toPath
-      try java.nio.file.Files.createLink(to, from)
+      if (forceCopy) java.nio.file.Files.copy(from, to)
+      else try java.nio.file.Files.createLink(to, from)
       catch {
         case _: UnsupportedOperationException | _: java.io.IOException =>
           hard = false
@@ -356,20 +360,23 @@ object FwMaintenance {
       }
     }
     // legacy name-only entries (b = -1) mean "live length" — pin them
-    // to the length observed NOW, so an external producer appending to
-    // the shared inode later cannot grow the clone's view
+    // to the length observed NOW, and COPY them instead of hard-linking:
+    // a pin in the manifest only protects versionAsOf reads, while a
+    // default live read lists the inode's current length, so a shared
+    // inode an external producer keeps appending to would still grow
+    // the clone's live view. A private copy is append-proof for both.
     val pinned = latest.map { case (name, b) =>
       (name,
-        if (b >= 0) b else new java.io.File(src, name).length())
+        if (b >= 0) b else new java.io.File(src, name).length(), b < 0)
     }
-    pinned.foreach { case (name, b) =>
-      link(name)
+    pinned.foreach { case (name, b, legacyLive) =>
+      link(name, forceCopy = legacyLive)
       bytes += b
       val sc = new java.io.File(FwStats.sidecarFor(
         new java.io.File(src, name).getPath))
-      if (sc.isFile) link(sc.getName)
+      if (sc.isFile) link(sc.getName, forceCopy = legacyLive)
     }
-    FwVersions.rewrite(dst, Seq((1L, pinned)),
+    FwVersions.rewrite(dst, Seq((1L, pinned.map(p => (p._1, p._2)))),
       Map(1L -> System.currentTimeMillis()))
     CloneReport(pinned.size, bytes, hard)
   }

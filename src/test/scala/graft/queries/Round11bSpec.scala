@@ -56,4 +56,16 @@ class Round11bSpec extends AnyFunSuite {
     assert(c1 === 0L + 1L * (0 + 0 + 0))
     assert(s1 === 0L)
   }
+
+  test("m33 kernel: a grayscale raster fails loudly, not with an " +
+      "ArrayIndexOutOfBounds from a missing band") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val e = intercept[UnsupportedOperationException] {
+      graft.mm.Multimodal.sobelFromImage(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("band"), e.getMessage)
+  }
 }

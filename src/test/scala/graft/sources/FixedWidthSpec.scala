@@ -1699,6 +1699,47 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(eFull.getMessage.contains("not empty"), eFull.getMessage)
   }
 
+  test("clone COPIES legacy live-length files: an external producer " +
+      "appending to the source file cannot grow the clone's live view") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("fwclleg").toFile.getAbsolutePath
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+      .coalesce(1).write.format("graft.sources.FixedWidth")
+      .option("schema", spec).mode("overwrite").save(src)
+    // degrade the manifest to a legacy name-only (live-length) entry
+    val files = FwVersions.read(src)
+    FwVersions.rewrite(src,
+      files.map { case (v, fs) => (v, fs.map(f => (f._1, -1L))) })
+    val dst = Files.createTempDirectory("fwcllegd").toFile.getAbsolutePath
+    new java.io.File(dst).delete()
+    FwMaintenance.cloneTable(spark, src, dst)
+    def readAll(dir: String) = spark.read
+      .format("graft.sources.FixedWidth").option("schema", spec).load(dir)
+    assert(readAll(dst).count() === 2L)
+    // external producer appends a record to the source's file in place
+    val dataFile = new java.io.File(src,
+      FwVersions.read(src).head._2.head._1)
+    val fos = new java.io.FileOutputStream(dataFile, true)
+    try fos.write("   3c            3.0\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally fos.close()
+    assert(readAll(src).count() === 3L, "source live read sees the append")
+    assert(readAll(dst).count() === 2L,
+      "a hard-linked shared inode would have grown the clone's live view")
+  }
+
+  test("timestampAsOf rejects oversized digit strings with the " +
+      "friendly error, not a raw NumberFormatException") {
+    val e = intercept[IllegalArgumentException] {
+      FwTable.parseTs("123456789012345678901234567890")
+    }
+    assert(e.getMessage.contains("epoch millis or an ISO-8601 instant"),
+      e.getMessage)
+    assert(FwTable.parseTs("1755100000000") === 1755100000000L)
+    assert(FwTable.parseTs("2026-08-15T10:00:00Z") ===
+      java.time.Instant.parse("2026-08-15T10:00:00Z").toEpochMilli)
+  }
+
   test("rollback deletes newer files and trims history; manifest-" +
       "unknown fixtures survive; targets whose files were truncated " +
       "away refuse") {

@@ -74,6 +74,35 @@ class FwNumSpec extends AnyFunSuite {
     }
   }
 
+  test("arbitrary-precision boxes are exact, never rounded through " +
+      "doubleValue: 2^53+1 stays 2^53+1 and fractional/overflow " +
+      "declines") {
+    val p53p1 = java.math.BigDecimal.valueOf((1L << 53) + 1)
+    assert(FwNum.exactLong(p53p1) === Some((1L << 53) + 1),
+      "doubleValue would have rounded 9007199254740993 to ...992")
+    assert(FwNum.exactLong(new java.math.BigDecimal("5.7")) === None)
+    assert(FwNum.exactLong(new java.math.BigDecimal("5.00")) === Some(5L))
+    val over = new java.math.BigDecimal(Long.MaxValue).add(
+      java.math.BigDecimal.ONE)
+    assert(FwNum.exactLong(over) === None)
+    assert(FwNum.exactLong(over.toBigInteger) === None)
+    assert(FwNum.exactLong(
+      java.math.BigInteger.valueOf(Long.MinValue)) === Some(Long.MinValue))
+    assert(FwNum.exactLong(BigDecimal((1L << 53) + 1)) ===
+      Some((1L << 53) + 1))
+    assert(FwNum.exactLong(BigInt(Long.MaxValue)) === Some(Long.MaxValue))
+    // ordering: fractional BigDecimal above 2^53 — the double path
+    // would round 9007199254740993.5 and misorder against ...993
+    val frac = new java.math.BigDecimal("9007199254740993.5")
+    assert(FwNum.cmpLong((1L << 53) + 1, frac) === Some(-1))
+    assert(FwNum.cmpLong((1L << 53) + 2, frac) === Some(1))
+    assert(FwNum.cmpLong(Long.MaxValue, over) === Some(-1))
+    assert(FwNum.cmpLong(Long.MaxValue, over.toBigInteger) === Some(-1))
+    assert(FwNum.cmpLong(0L, new java.math.BigDecimal("-0.5")) === Some(1))
+    assert(FwNum.cmpLong(7L, BigDecimal("7.000")) === Some(0))
+    assert(FwNum.cmpLong(-3L, BigInt(-3)) === Some(0))
+  }
+
   test("integral boxes pass through exactly") {
     samples(genLong, 500).foreach { l =>
       assert(FwNum.exactLong(java.lang.Long.valueOf(l)) === Some(l))
