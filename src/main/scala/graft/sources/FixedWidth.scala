@@ -350,7 +350,14 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     case FwMultiCommitMessage(ts) => ts
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  // the whole publish phase runs under the table's commit lock: two
+  // concurrent batch commits serialize into a legal history (append +
+  // append both land with distinct versions; overwrite's truncate and
+  // publish can never interleave with another writer's publish)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    FwVersions.withLock(path)(commitLocked(messages))
+
+  private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) {
       val all = FwFiles.list(path) ++
         partitionBy.toSeq.flatMap(c =>
@@ -383,7 +390,7 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     // Partitioned/bucketed tables do not version (their layout is the
     // directory tree; snapshot pinning is a flat-table contract).
     if (partitionBy.isEmpty && bucketBy.isEmpty)
-      FwVersions.commitSnapshot(path)
+      FwVersions.commitSnapshotLocked(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1843,6 +1850,67 @@ private[sources] object FwVersions {
   def manifestFor(path: String): java.io.File =
     new java.io.File(path, "_fw_versions.json")
 
+  private def lockFor(path: String): java.io.File =
+    new java.io.File(path, "_fw_versions.lock")
+
+  /** A commit lock held longer than this is a crashed writer's (the
+    * critical section is a directory listing plus one JSON publish —
+    * milliseconds); it gets broken so the table never wedges.
+    */
+  val LockStaleMillis: Long = 60L * 1000
+  private val LockWaitMillis: Long = 30L * 1000
+
+  /** Serialize a manifest read-modify-write against every other
+    * committer of this table: an O_EXCL lock-file create is atomic on
+    * POSIX and object stores with if-none-match, so two writers cannot
+    * both hold it. This is the mutual exclusion HALF of optimistic
+    * concurrency — writers still do their expensive work outside the
+    * lock and only re-check + publish inside (see
+    * [[requireVersion]]).
+    */
+  def withLock[A](path: String)(body: => A): A = {
+    val lf = lockFor(path)
+    val deadline = System.currentTimeMillis() + LockWaitMillis
+    var acquired = false
+    while (!acquired) {
+      try { java.nio.file.Files.createFile(lf.toPath); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val lm = lf.lastModified()
+          // lm == 0 means the lock vanished between exists and stat
+          // (or stat failed): just retry
+          if (lm > 0 && System.currentTimeMillis() - lm > LockStaleMillis)
+            lf.delete() // crashed writer; break it
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"FixedWidth: could not acquire commit lock $lf within " +
+                s"${LockWaitMillis / 1000}s (held by a live writer?)")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally lf.delete()
+  }
+
+  /** Newest committed version, 0 when no batch write has committed. */
+  def currentMax(path: String): Long = {
+    val all = read(path)
+    if (all.isEmpty) 0L else all.map(_._1).max
+  }
+
+  /** The optimistic-concurrency check: callers that planned a
+    * read-compute-replace against version `planned` call this INSIDE
+    * [[withLock]] right before publishing; a version committed in
+    * between means the plan is stale and must abort (sweeping its tmp
+    * outputs) instead of silently losing the other writer's commit.
+    */
+  def requireVersion(path: String, planned: Long, op: String): Unit = {
+    val cur = currentMax(path)
+    if (cur != planned)
+      throw new java.util.ConcurrentModificationException(
+        s"FixedWidth $op at $path planned against version $planned " +
+          s"but version $cur has since committed; re-plan and retry")
+  }
+
   def read(path: String): Seq[(Long, Seq[(String, Long)])] = {
     val f = manifestFor(path)
     if (!f.isFile) Seq.empty
@@ -1929,9 +1997,19 @@ private[sources] object FwVersions {
 
   /** Record the post-commit snapshot as the next version. Runs on the
     * driver inside the batch commit, after every data file is
-    * published.
+    * published. Takes the commit lock so two concurrent committers
+    * serialize (each snapshot is a full directory listing, so two
+    * appends both land and get distinct version numbers).
     */
-  def commitSnapshot(path: String): Long = {
+  def commitSnapshot(path: String): Long =
+    withLock(path)(commitSnapshotLocked(path))
+
+  /** [[commitSnapshot]] body for callers already inside [[withLock]]
+    * (maintenance ops hold the lock across publish + input removal +
+    * snapshot so their read-compute-replace is atomic vs other
+    * committers).
+    */
+  def commitSnapshotLocked(path: String): Long = {
     val prior = read(path)
     val priorTs = readTs(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L

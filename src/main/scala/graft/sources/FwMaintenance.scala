@@ -28,14 +28,19 @@ import org.apache.spark.sql.SparkSession
   * Transactionality is the filesystem's, same as every other writer
   * here: new files ride the tmp→rename publish protocol, inputs are
   * deleted only after every group is published, and the snapshot
-  * manifest commits last. Like Delta's VACUUM, compaction is a
-  * maintenance operation: run it without concurrent LIVE readers of
-  * the same table (versioned readers pinned at pre-compaction
-  * snapshots fail loudly once the inputs are deleted — the documented
-  * manifest contract for vacuumed files). On a real cluster the
-  * remaining hardening step is an intent log so a crash between
-  * publish and delete is replayable; single-writer maintenance windows
-  * make that unnecessary here.
+  * manifest commits last. CONCURRENT WRITERS are handled with
+  * optimistic concurrency (the Delta protocol shape): each
+  * read-compute-replace op records the manifest version it planned
+  * against, does its expensive work lock-free, then re-checks the
+  * version inside the table's commit lock (`FwVersions.withLock`)
+  * before publishing — a version committed in between makes the op
+  * sweep its tmp outputs and raise ConcurrentModificationException
+  * instead of silently losing the other writer's commit. Concurrent
+  * LIVE readers of the same table remain the caller's to schedule
+  * (versioned readers pinned at pre-compaction snapshots fail loudly
+  * once the inputs are deleted — the documented manifest contract for
+  * vacuumed files). On a real cluster the remaining hardening step is
+  * an intent log so a crash between publish and delete is replayable.
   */
 object FwMaintenance {
 
@@ -71,6 +76,14 @@ object FwMaintenance {
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    // optimistic concurrency: remember the version this plan reads
+    // BEFORE listing files — the publish phase re-checks it under the
+    // commit lock and aborts (sweeping its outputs) if another writer
+    // committed in between. Partitioned layouts do not version; their
+    // compaction keeps the documented single-writer window.
+    val planVersion =
+      if (partitionDirs(path).isEmpty) Some(FwVersions.currentMax(path))
+      else None
     // partitioned layouts compact too — per PARTITION: a group never
     // crosses a `<col>=<value>` directory (the dir name carries the
     // value, so cross-dir concatenation would rewrite history). The
@@ -113,30 +126,44 @@ object FwMaintenance {
       .collect()
 
     // publish phase, then input removal, then the snapshot — the same
-    // ordering discipline as FwBatchWrite.commit
-    results.foreach { r =>
-      val tmp = new java.io.File(r.tmpData)
-      val target = new java.io.File(tmp.getParentFile,
-        tmp.getName.stripSuffix(".tmp"))
-      require(tmp.renameTo(target), s"could not publish $tmp -> $target")
-      if (r.hasSidecar) {
-        val sTmp = new java.io.File(
-          FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
-        val sTarget = new java.io.File(sTmp.getParentFile,
-          sTmp.getName.stripSuffix(".tmp"))
-        require(sTmp.renameTo(sTarget),
-          s"could not publish $sTmp -> $sTarget")
-      }
+    // ordering discipline as FwBatchWrite.commit — all inside the
+    // commit lock, after the optimistic version re-check: a conflict
+    // aborts BEFORE anything destructive, sweeping this run's tmps
+    def sweepOutputs(): Unit = results.foreach { r =>
+      new java.io.File(r.tmpData).delete()
+      new java.io.File(
+        FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp").delete()
     }
-    planned.foreach(_.inputs.foreach { case (p, _) =>
-      new java.io.File(FwStats.sidecarFor(p)).delete()
-      require(new java.io.File(p).delete(), s"could not remove input $p")
-    })
-    // partitioned layouts do not version (the flat-table snapshot
-    // contract); flat tables burn the next manifest version
-    val version =
-      if (partitioned.isEmpty) Some(FwVersions.commitSnapshot(path))
+    val version = FwVersions.withLock(path) {
+      planVersion.foreach { v =>
+        try FwVersions.requireVersion(path, v, "compaction")
+        catch { case e: java.util.ConcurrentModificationException =>
+          sweepOutputs(); throw e
+        }
+      }
+      results.foreach { r =>
+        val tmp = new java.io.File(r.tmpData)
+        val target = new java.io.File(tmp.getParentFile,
+          tmp.getName.stripSuffix(".tmp"))
+        require(tmp.renameTo(target), s"could not publish $tmp -> $target")
+        if (r.hasSidecar) {
+          val sTmp = new java.io.File(
+            FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
+          val sTarget = new java.io.File(sTmp.getParentFile,
+            sTmp.getName.stripSuffix(".tmp"))
+          require(sTmp.renameTo(sTarget),
+            s"could not publish $sTmp -> $sTarget")
+        }
+      }
+      planned.foreach(_.inputs.foreach { case (p, _) =>
+        new java.io.File(FwStats.sidecarFor(p)).delete()
+        require(new java.io.File(p).delete(), s"could not remove input $p")
+      })
+      // partitioned layouts do not version (the flat-table snapshot
+      // contract); flat tables burn the next manifest version
+      if (partitioned.isEmpty) Some(FwVersions.commitSnapshotLocked(path))
       else None
+    }
 
     val compacted = planned.map(_.inputs.size).sum
     CompactionReport(
@@ -258,6 +285,10 @@ object FwMaintenance {
       s"strayTtlMillis must be >= 0: $strayTtlMillis")
     requireFlat(path, "vacuum")
     val dir = new java.io.File(path)
+    // the trim + orphan removal is a manifest read-modify-write: hold
+    // the commit lock across it so a concurrent commit can neither be
+    // lost by the trim nor snapshot files the sweep is removing
+    val (dropped, orphans, retainedCount) = FwVersions.withLock(path) {
     val all = FwVersions.read(path)
     val retained = all.sortBy(-_._1).take(retainLast).sortBy(_._1)
     val dropped = all.size - retained.size
@@ -282,6 +313,8 @@ object FwMaintenance {
         orphans += 1
       }
     }
+    (dropped, orphans, retained.size)
+    } // withLock
     // the Delta VACUUM convention: a tmp is a "stray" only once it is
     // older than the retention window — a fresh tmp may belong to an
     // in-flight writer whose commit would fail on renameTo if we swept
@@ -298,7 +331,7 @@ object FwMaintenance {
         f.delete(); strays += 1
       }
     }
-    VacuumReport(retained.size, dropped, strays, orphans)
+    VacuumReport(retainedCount, dropped, strays, orphans)
   }
 
   /** Default age a `.tmp` must reach before vacuum treats it as a
@@ -397,6 +430,9 @@ object FwMaintenance {
   def rollback(spark: SparkSession, path: String,
       toVersion: Long): RollbackReport = {
     requireFlat(path, "rollback")
+    // read-trim-delete under the commit lock: a commit landing midway
+    // could otherwise be trimmed away or reference swept files
+    FwVersions.withLock(path) {
     val all = FwVersions.read(path)
     val target = FwVersions.resolve(path, toVersion) // loud if unknown
     val dir = new java.io.File(path)
@@ -423,6 +459,7 @@ object FwMaintenance {
     }
     FwVersions.rewrite(path, retained, FwVersions.readTs(path))
     RollbackReport(all.size - retained.size, removed)
+    } // withLock
   }
 
   private def requireFlat(path: String, op: String): Unit =
@@ -460,6 +497,9 @@ object FwMaintenance {
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): MergeReport = {
     requireFlat(path, "merge")
+    // optimistic concurrency: version this plan reads, re-checked
+    // under the commit lock before anything publishes
+    val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.functions.{col, count}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -501,7 +541,21 @@ object FwMaintenance {
       .values.toVector
     val dir = new java.io.File(path)
 
-    // publish rewrites that actually changed; discard false positives
+    // publish rewrites that actually changed; discard false positives.
+    // The whole publish + input-removal + snapshot phase holds the
+    // commit lock, after the optimistic version re-check (a conflict
+    // sweeps this run's tmps and aborts before anything destructive).
+    FwVersions.withLock(path) {
+    try FwVersions.requireVersion(path, planVersion, "merge")
+    catch { case e: java.util.ConcurrentModificationException =>
+      results.foreach { r =>
+        new java.io.File(r.tmpData).delete()
+        new java.io.File(
+          FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
+          .delete()
+      }
+      throw e
+    }
     var rewritten = 0
     results.foreach { r =>
       val tmp = new java.io.File(r.tmpData)
@@ -545,9 +599,10 @@ object FwMaintenance {
       }
     }
     require(publishedInputs.size == rewritten) // sanity: 1 tmp per plan
-    val version = FwVersions.commitSnapshot(path)
+    val version = FwVersions.commitSnapshotLocked(path)
     MergeReport(version, rewritten, files.length - rewritten,
       results.map(_.rowsUpdated).sum, inserts.size.toLong)
+    } // withLock
   }
 
   /** Key-set DELETE (the GDPR-erasure primitive): every table row
@@ -564,6 +619,9 @@ object FwMaintenance {
       keys: org.apache.spark.sql.DataFrame,
       keyCol: String): DeleteReport = {
     requireFlat(path, "deleteByKeys")
+    // optimistic concurrency: version this plan reads, re-checked
+    // under the commit lock before anything publishes
+    val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -591,6 +649,19 @@ object FwMaintenance {
         .collect()
 
     val dir = new java.io.File(path)
+    // publish under the commit lock after the optimistic re-check —
+    // a conflict sweeps this run's tmps and aborts cleanly
+    FwVersions.withLock(path) {
+    try FwVersions.requireVersion(path, planVersion, "delete")
+    catch { case e: java.util.ConcurrentModificationException =>
+      results.foreach { r =>
+        new java.io.File(r.tmpData).delete()
+        new java.io.File(
+          FwStats.sidecarFor(r.tmpData.stripSuffix(".tmp")) + ".tmp")
+          .delete()
+      }
+      throw e
+    }
     var rewritten = 0
     var removed = 0
     results.zip(plans).foreach { case (r, p) =>
@@ -618,9 +689,10 @@ object FwMaintenance {
           s"could not remove deleted-from input ${p.file}")
       }
     }
-    val version = FwVersions.commitSnapshot(path)
+    val version = FwVersions.commitSnapshotLocked(path)
     DeleteReport(version, rewritten, removed,
       results.map(_.rowsUpdated).sum)
+    } // withLock
   }
 
   /** Envelope pruning shared by merge and delete: a live sidecar whose
