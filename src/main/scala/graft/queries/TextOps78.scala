@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *    including the chars a span-excision pass would retain.
   *
   *    Scale shape: the position explode is map-side; the only
-  *    all-data shuffle is the window keyed on the 20-char gram (the
-  *    same exchange the gram groupBy needs — at 100 TB you'd hash the
-  *    gram to 8 bytes map-side first and accept 64-bit collision
-  *    rates; here the gram string itself keys the exchange so the
-  *    DuckDB oracle can replay it exactly). Island merging runs in
-  *    per-document windows — partitioned, never global.
+  *    all-data shuffle is the window keyed on the gram's 62-bit
+  *    `Md5Pack` — the 20-char gram hashes to 8 bytes MAP-SIDE, so the
+  *    exchange ships ~2.5× fewer key bytes than the raw string would
+  *    (the collision rate at 2^62 is negligible and symmetric: the
+  *    DuckDB oracle replays the identical hash via `duckMd5Pack`, so
+  *    any collision collapses the same windows on both sides). Island
+  *    merging runs in per-document windows — partitioned, never
+  *    global.
   */
 object TextOps78 {
   import Tables.t
@@ -40,7 +42,8 @@ object TextOps78 {
           explode(expr("sequence(1, length(text) - 19)")).as("p"),
           col("text"))
         .select(col("doc_id"), col("p"),
-          expr("substring(text, p, 20)").as("g"))
+          graft.functions.Md5Pack(expr("substring(text, p, 20)"))
+            .as("g"))
       // duplicated position = its gram occurs more than once anywhere;
       // one gram-keyed window instead of a groupBy + self-join
       val dup = grams
@@ -84,13 +87,15 @@ object TextOps78 {
     // the same anchor/window/island pipeline in DuckDB; integer sums
     // cast back to BIGINT (DuckDB integer SUM widens to HUGEINT)
     "d61_exact_substring_spans" ->
-      """WITH pos AS (
+      s"""WITH pos AS (
         |  SELECT doc_id,
         |    CAST(unnest(range(1, length(text) - 18)) AS INTEGER) AS p,
         |    text
         |  FROM documents WHERE length(text) >= 20),
         |g AS (
-        |  SELECT doc_id, p, substring(text, p, 20) AS g FROM pos),
+        |  SELECT doc_id, p,
+        |    ${Tables.duckMd5Pack("substring(text, p, 20)")} AS g
+        |  FROM pos),
         |d AS (
         |  SELECT doc_id, p FROM (
         |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS n

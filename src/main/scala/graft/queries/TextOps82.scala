@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    and the canonical windows retained.
   *
   *    Scale shape: the keeper choice is ONE row_number window keyed on
-  *    the gram (same exchange d61's duplication count rides);
-  *    interval union stays in per-document windows. At 100 TB the
-  *    gram string key would become an 8-byte map-side hash, as in
-  *    d61.
+  *    the gram's 62-bit `Md5Pack` (same exchange d61's duplication
+  *    count rides; the 20-char gram hashes to 8 bytes map-side, and
+  *    the oracle replays the identical hash via `duckMd5Pack`, so a
+  *    collision collapses the same windows on both sides); interval
+  *    union stays in per-document windows.
   */
 object TextOps82 {
   import Tables.t
@@ -35,7 +36,8 @@ object TextOps82 {
           explode(expr("sequence(1, length(text) - 19)")).as("p"),
           col("text"))
         .select(col("doc_id"), col("p"),
-          expr("substring(text, p, 20)").as("g"))
+          graft.functions.Md5Pack(expr("substring(text, p, 20)"))
+            .as("g"))
       // one gram-keyed window serves both decisions: is this window
       // duplicated, and is this occurrence the canonical (first) one
       val wg = Window.partitionBy("g")
@@ -89,13 +91,15 @@ object TextOps82 {
 
   val oracleSql: Map[String, String] = Map(
     "d63_span_excision" ->
-      """WITH pos AS (
+      s"""WITH pos AS (
         |  SELECT doc_id,
         |    CAST(unnest(range(1, length(text) - 18)) AS INTEGER) AS p,
         |    text
         |  FROM documents WHERE length(text) >= 20),
         |g AS (
-        |  SELECT doc_id, p, substring(text, p, 20) AS g FROM pos),
+        |  SELECT doc_id, p,
+        |    ${Tables.duckMd5Pack("substring(text, p, 20)")} AS g
+        |  FROM pos),
         |r AS (
         |  SELECT doc_id, p,
         |    count(*) OVER (PARTITION BY g) AS n,

@@ -359,13 +359,18 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 
   private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) {
-      val all = FwFiles.list(path) ++
+      // TRUNCATE is scorched-earth: retained COW history dies with the
+      // live set (physical listing), and every sidecar — stats AND
+      // deletion vectors — goes too, so a recycled file name can never
+      // inherit a stale vector
+      val all = FwFiles.listPhysical(path) ++
         partitionBy.toSeq.flatMap(c =>
           FwFiles.listPartitioned(path, c).map(_._2)) ++
         bucketBy.toSeq.flatMap(_ =>
           FwFiles.listPartitioned(path, "bucket").map(_._2))
       all.foreach { f =>
         new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        FwDv.delete(f.getPath)
         f.delete()
       }
     }
@@ -832,11 +837,17 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
       aggregation.aggregateExpressions.forall(e =>
         e.isInstanceOf[CountStar] || minMaxColumn(e).isDefined)
     if (!shapesOk) return false
+    val listed = FwFiles.listAt(path, versionAsOf, changesFrom)
+    // a file with an applicable deletion vector cannot answer from
+    // metadata: its byte count overstates COUNT(*) and a deleted
+    // record could have held the MIN/MAX — stand down, scan normally
+    if (listed.exists(lf =>
+        FwDv.ordinalsAsOf(lf.file.getPath, versionAsOf).nonEmpty))
+      return false
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
     if (!needsStats) return true
-    val allStats = FwFiles.listAt(path, versionAsOf, changesFrom)
-      .map(lf => FwStats.read(lf.file, lf.bytes))
+    val allStats = listed.map(lf => FwStats.read(lf.file, lf.bytes))
     // every file needs a (non-stale) sidecar, and per MIN/MAX column:
     //  - integral columns need exact-Long entries (a legacy double
     //    entry may be rounded beyond 2^53 — decline, scan normally);
@@ -1685,7 +1696,30 @@ private[sources] object FwSeek {
 }
 
 private[sources] object FwFiles {
+  /** The LIVE file listing: every published `.fw` in the directory
+    * EXCEPT files a copy-on-write rewrite has superseded (referenced
+    * by some manifest version but not the newest — retained on disk
+    * for time travel and the change feed until VACUUM sweeps them, the
+    * Delta tombstone discipline). Files no manifest version has ever
+    * referenced (hand-built fixtures, streaming epochs before a batch
+    * commit) are always live.
+    */
   def list(path: String): Array[java.io.File] = {
+    val physical = listPhysical(path)
+    val versions = FwVersions.read(path)
+    if (versions.isEmpty) physical
+    else {
+      val latest = versions.maxBy(_._1)._2.map(_._1).toSet
+      val ever = versions.flatMap(_._2.map(_._1)).toSet
+      physical.filter(f =>
+        latest.contains(f.getName) || !ever.contains(f.getName))
+    }
+  }
+
+  /** Every `.fw` on disk, superseded history included — for sweepers
+    * (vacuum, rollback, TRUNCATE) that manage the history itself.
+    */
+  def listPhysical(path: String): Array[java.io.File] = {
     val dir = new java.io.File(path)
     if (dir.isDirectory)
       dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".fw"))
@@ -2009,7 +2043,14 @@ private[sources] object FwVersions {
     * snapshot so their read-compute-replace is atomic vs other
     * committers).
     */
-  def commitSnapshotLocked(path: String): Long = {
+  def commitSnapshotLocked(path: String): Long =
+    commitSnapshotLocked(path, Set.empty)
+
+  /** `excluding`: file names THIS commit supersedes (a COW rewrite's
+    * inputs) — they stay on disk for older pins but leave the live
+    * set, so the new snapshot must not list them.
+    */
+  def commitSnapshotLocked(path: String, excluding: Set[String]): Long = {
     val prior = read(path)
     val priorTs = readTs(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
@@ -2017,6 +2058,7 @@ private[sources] object FwVersions {
     // PREFIX of each immutable file, and versioned planning reads the
     // manifest once instead of stat()ing every file
     val snapshot = FwFiles.list(path)
+      .filter(f => !excluding.contains(f.getName))
       .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
     // commit time, forced strictly increasing so two commits inside
     // one millisecond stay distinguishable to timestamp travel
@@ -2084,6 +2126,117 @@ private[sources] final case class FwDblStats(lo: Option[Double],
   */
 private[sources] final case class FwStrStats(lo: String, hi: String,
     exact: Boolean) extends FwColStats
+
+/** Per-file DELETION VECTORS — merge-on-read deletes (the Delta/Iceberg
+  * deletion-vector device): a key-set delete that would rewrite whole
+  * files under copy-on-write instead publishes a `<file>.fwdv` sidecar
+  * naming the deleted RECORD ORDINALS; the scan consults it and skips
+  * those records. A 10-row delete on a 10 GB file costs one tiny JSON
+  * write instead of a 10 GB rewrite; compaction later materializes the
+  * DV away (rewriting without the dead records) and deletes it.
+  *
+  * Versioning: each DV entry carries the snapshot version it applies
+  * FROM (`since`), so `versionAsOf` pins before the delete still read
+  * the rows — the sidecar is append-only history, not a mutation of
+  * the snapshot contract. Entries whose `since` exceeds a rollback
+  * target are trimmed by rollback (the delete itself is rolled back).
+  *
+  * Metadata-surface discipline: zone-map pruning stays valid under a
+  * DV (the envelope is a superset), but answers FROM metadata alone
+  * (COUNT(*)/MIN/MAX pushdown, exact planner statistics) stand down
+  * for any file with an applicable DV — a deleted record could have
+  * held the extreme.
+  */
+private[sources] object FwDv {
+  def dvFor(dataPath: String): String = dataPath + "dv"
+
+  /** (since, sorted ordinals) entries, oldest first. */
+  def read(dataPath: String): Seq[(Long, Array[Long])] = {
+    val f = new java.io.File(dvFor(dataPath))
+    if (!f.isFile) Seq.empty
+    else {
+      import org.json4s._
+      jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) \ "dv" match {
+        case JArray(es) => es.map { e =>
+          val since = e \ "since" match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case other => throw new IllegalArgumentException(
+              s"bad .fwdv since: $other")
+          }
+          val ords = e \ "ords" match {
+            case JArray(vs) => vs.map {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case other => throw new IllegalArgumentException(
+                s"bad .fwdv ordinal: $other")
+            }.toArray
+            case other => throw new IllegalArgumentException(
+              s"bad .fwdv ords: $other")
+          }
+          (since, ords)
+        }
+        case JNothing => Seq.empty
+        case other =>
+          throw new IllegalArgumentException(s"bad .fwdv: $other")
+      }
+    }
+  }
+
+  /** Deleted ordinals a read pinned at `versionAsOf` must honor
+    * (live reads honor everything), sorted ascending.
+    */
+  def ordinalsAsOf(dataPath: String,
+      versionAsOf: Option[Long]): Array[Long] = {
+    val entries = read(dataPath)
+    if (entries.isEmpty) Array.empty
+    else entries.filter(e => versionAsOf.forall(_ >= e._1))
+      .flatMap(_._2).distinct.sorted.toArray
+  }
+
+  /** The file's record length (bytes incl. newline), recorded so
+    * schema-free consumers (compaction) can locate records to drop.
+    */
+  def readRowLen(dataPath: String): Option[Long] = {
+    val f = new java.io.File(dvFor(dataPath))
+    if (!f.isFile) None
+    else {
+      import org.json4s._
+      jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8")) \ "rowLen" match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }
+    }
+  }
+
+  /** Publish the full entry list (tmp → atomic rename). */
+  def write(dataPath: String, rowLen: Long,
+      entries: Seq[(Long, Array[Long])]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val doc: org.json4s.JObject =
+      ("rowLen" -> rowLen) ~ ("dv" -> entries.map { case (since, os) =>
+        ("since" -> since) ~ ("ords" -> os.toSeq)
+      })
+    val target = new java.io.File(dvFor(dataPath))
+    val tmp = new java.io.File(target.getPath + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete the DV (and any tmp) alongside its data file. */
+  def delete(dataPath: String): Unit = {
+    new java.io.File(dvFor(dataPath)).delete()
+    new java.io.File(dvFor(dataPath) + ".tmp").delete()
+  }
+}
 
 private[sources] object FwStats {
   def sidecarFor(dataPath: String): String = dataPath + "stats"
@@ -2387,9 +2540,13 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    val totalBytes = FwFiles.listAt(path, versionAsOf, changesFrom)
-      .map(_.bytes).sum
-    val rows = totalBytes / rowLen
+    val listed = FwFiles.listAt(path, versionAsOf, changesFrom)
+    val totalBytes = listed.map(_.bytes).sum
+    // deletion vectors void records without shrinking files: keep the
+    // planner's row count exact so CBO broadcast decisions stay honest
+    val dvDeleted = listed.map(lf =>
+      FwDv.ordinalsAsOf(lf.file.getPath, versionAsOf).length.toLong).sum
+    val rows = totalBytes / rowLen - dvDeleted
     val keptBytes = FixedWidth.widths(required).sum + 1L
     val projectedBytes = rows * keptBytes
     new org.apache.spark.sql.connector.read.Statistics {
@@ -2429,9 +2586,16 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
         case None => (0L, n)
       }
       FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
-      (lo until hi by recordsPerSplit).map(start =>
-        FwPartition(lf.file.getPath, start,
-          math.min(recordsPerSplit, hi - start)))
+      // deletion vector: ship each split exactly its window's deleted
+      // ordinals (the DV JSON is tiny; the slice keeps tasks minimal)
+      val dv = FwDv.ordinalsAsOf(lf.file.getPath, versionAsOf)
+      (lo until hi by recordsPerSplit).map { start =>
+        val cnt = math.min(recordsPerSplit, hi - start)
+        val slice =
+          if (dv.isEmpty) Array.empty[Long]
+          else dv.filter(o => o >= start && o < start + cnt)
+        FwPartition(lf.file.getPath, start, cnt, slice)
+      }
     }.toArray[InputPartition]
   }
 
@@ -2454,6 +2618,14 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     require(changesFrom.isEmpty,
       "FixedWidth: changesFromVersion is batch-only; a stream already " +
         "tracks its own incremental offsets")
+    // a stream's offset is a record COUNT; deletion vectors void
+    // records mid-file, which a count-based cursor cannot express —
+    // refuse loudly instead of re-emitting deleted rows
+    require(FwFiles.list(path).forall(f =>
+      FwDv.read(f.getPath).isEmpty),
+      "FixedWidth: this table carries deletion vectors (merge-on-read " +
+        "deletes); streaming reads are append-only — compact first to " +
+        "materialize the DVs away")
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
       recordsPerSplit, maxRecordsPerTrigger)
   }
@@ -2565,8 +2737,12 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** `deleted`: sorted ABSOLUTE record ordinals within this partition's
+  * window that a deletion vector voids (empty for DV-less files).
+  */
 private[sources] case class FwPartition(file: String, startRecord: Long,
-    numRecords: Long) extends InputPartition
+    numRecords: Long, deleted: Array[Long] = Array.empty)
+    extends InputPartition
 
 private[sources] class FwReaderFactory(fullSchema: StructType,
     requiredNames: Array[String], pushed: Array[Filter])
@@ -2607,11 +2783,25 @@ private[sources] class FwReader(fullSchema: StructType,
   private val buf = new Array[Byte](rowLen)
   private val slots = new Array[Any](neededIdx.length)
   private var remaining = part.numRecords
+  private var ordinal = part.startRecord // absolute record index
+  private var dvIdx = 0 // pointer into the sorted deleted-ordinal array
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (remaining > 0) {
       remaining -= 1
+      // deletion-vector skip: both the scan cursor and the DV are in
+      // ascending ordinal order, so one forward pointer suffices
+      // (ordinals below this window — a planner that shipped the whole
+      // file's DV — just fast-forward past)
+      while (dvIdx < part.deleted.length && part.deleted(dvIdx) < ordinal)
+        dvIdx += 1
+      if (dvIdx < part.deleted.length && part.deleted(dvIdx) == ordinal) {
+        dvIdx += 1
+        ordinal += 1
+        raf.seek(ordinal * rowLen.toLong)
+      } else {
+      ordinal += 1
       raf.readFully(buf)
       var s = 0
       while (s < neededIdx.length) {
@@ -2622,6 +2812,7 @@ private[sources] class FwReader(fullSchema: StructType,
         current = new GenericInternalRow(
           outSlots.map(slots(_)).asInstanceOf[Array[Any]])
         return true
+      }
       }
     }
     false

@@ -155,14 +155,25 @@ object FwMaintenance {
             s"could not publish $sTmp -> $sTarget")
         }
       }
-      planned.foreach(_.inputs.foreach { case (p, _) =>
-        new java.io.File(FwStats.sidecarFor(p)).delete()
-        require(new java.io.File(p).delete(), s"could not remove input $p")
-      })
-      // partitioned layouts do not version (the flat-table snapshot
-      // contract); flat tables burn the next manifest version
-      if (partitioned.isEmpty) Some(FwVersions.commitSnapshotLocked(path))
-      else None
+      if (partitioned.isEmpty) {
+        // flat tables RETAIN their compacted inputs (and the input
+        // sidecars/DVs) for older pins and the change feed — vacuum
+        // sweeps them once their versions drop; they leave the live
+        // set via the snapshot's exclusion list
+        val replaced =
+          retireInputs(path, planned.flatMap(_.inputs.map(_._1)))
+        Some(FwVersions.commitSnapshotLocked(path, replaced))
+      } else {
+        // partitioned layouts do not version: no manifest can retire
+        // an input from the live listing, so inputs delete eagerly
+        planned.foreach(_.inputs.foreach { case (p, _) =>
+          new java.io.File(FwStats.sidecarFor(p)).delete()
+          FwDv.delete(p)
+          require(new java.io.File(p).delete(),
+            s"could not remove input $p")
+        })
+        None
+      }
     }
 
     val compacted = planned.map(_.inputs.size).sum
@@ -188,19 +199,52 @@ object FwMaintenance {
     val outDir = new java.io.File(g.inputs.head._1).getParentFile
     val tmp = new java.io.File(outDir, name + ".tmp")
     val out = new java.io.FileOutputStream(tmp)
+    // deletion vectors MATERIALIZE here: a DV'd input copies record by
+    // record, dropping the voided ordinals (the DV's own rowLen locates
+    // them — compaction needs no schema); clean inputs keep the
+    // zero-decode channel path
+    val dvs: Vector[Array[Long]] =
+      g.inputs.map { case (p, _) => FwDv.ordinalsAsOf(p, None) }
+    val anyDv = dvs.exists(_.nonEmpty)
     try {
       val outCh = out.getChannel
-      g.inputs.foreach { case (p, len) =>
-        val in = new java.io.FileInputStream(p)
-        try {
-          val ch = in.getChannel
-          var pos = 0L
-          while (pos < len) {
-            val n = ch.transferTo(pos, len - pos, outCh)
-            require(n > 0, s"unexpected EOF copying $p at byte $pos")
-            pos += n
-          }
-        } finally in.close()
+      g.inputs.zip(dvs).foreach { case ((p, len), dv) =>
+        if (dv.isEmpty) {
+          val in = new java.io.FileInputStream(p)
+          try {
+            val ch = in.getChannel
+            var pos = 0L
+            while (pos < len) {
+              val n = ch.transferTo(pos, len - pos, outCh)
+              require(n > 0, s"unexpected EOF copying $p at byte $pos")
+              pos += n
+            }
+          } finally in.close()
+        } else {
+          val rowLen = FwDv.readRowLen(p).getOrElse(
+            throw new IllegalStateException(
+              s"$p has a deletion vector without a rowLen")).toInt
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(p))
+          try {
+            val buf = new Array[Byte](rowLen)
+            var records = len / rowLen
+            var ordinal = 0L
+            var dvIdx = 0
+            while (records > 0) {
+              records -= 1
+              var got = 0
+              while (got < rowLen) {
+                val n = in.read(buf, got, rowLen - got)
+                require(n > 0, s"unexpected EOF in $p")
+                got += n
+              }
+              if (dvIdx < dv.length && dv(dvIdx) == ordinal) dvIdx += 1
+              else out.write(buf)
+              ordinal += 1
+            }
+          } finally in.close()
+        }
       }
     } finally out.close()
 
@@ -209,6 +253,10 @@ object FwMaintenance {
     }
     val merged: Option[Map[String, FwColStats]] =
       if (stats.exists(_.isEmpty)) None // a statless input: unknown rows
+      // a DV'd input's envelope may be wider than its LIVE rows: the
+      // output gets no sidecar (absence = never prune, never answer —
+      // the statless-input poison discipline)
+      else if (anyDv) None
       else Some(mergeStats(stats.flatten))
     // sort certificates survive when provable: every input certified on
     // the SAME column and the per-file envelopes are ordered across the
@@ -305,10 +353,11 @@ object FwMaintenance {
     // before a batch commit) are not ours to judge
     val everReferenced: Set[String] = all.flatMap(_._2.map(_._1)).toSet
     var orphans = 0
-    if (all.nonEmpty) FwFiles.list(path).foreach { f =>
+    if (all.nonEmpty) FwFiles.listPhysical(path).foreach { f =>
       if (everReferenced.contains(f.getName)
         && !referenced.contains(f.getName)) {
         new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        FwDv.delete(f.getPath)
         require(f.delete(), s"could not vacuum $f")
         orphans += 1
       }
@@ -347,9 +396,134 @@ object FwMaintenance {
       filesRemoved: Int,
       rowsDeleted: Long)
 
-  private final case class MergePlan(file: String, bytes: Long)
+  private final case class MergePlan(file: String, bytes: Long,
+      deleted: Array[Long] = Array.empty)
   private final case class MergeResult(tmpData: String, matched: Seq[Any],
       rowsUpdated: Long, rowsCopied: Long)
+
+  /** What a merge-on-read delete did: zero data bytes rewritten — only
+    * `.fwdv` sidecars published.
+    */
+  final case class MoRDeleteReport(
+      version: Long,
+      dvFilesWritten: Int,
+      rowsDeleted: Long)
+
+  /** Merge-on-read key-set DELETE: instead of rewriting every file the
+    * key envelopes cannot exclude (copy-on-write, [[deleteByKeys]]),
+    * publish per-file DELETION VECTORS naming the matched record
+    * ordinals and burn a snapshot version they apply from. A 10-row
+    * erasure on a 100 TB table costs a handful of tiny JSON sidecars —
+    * the scan skips the dead ordinals, `versionAsOf` pins before the
+    * delete still see the rows, and a later [[optimize]] materializes
+    * the vectors away. Same key/envelope contract as [[deleteByKeys]];
+    * absent keys are clean no-ops.
+    */
+  def deleteByKeysMoR(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): MoRDeleteReport = {
+    requireFlat(path, "deleteByKeysMoR")
+    val planVersion = FwVersions.currentMax(path)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val ki = schema.fieldNames.indexOf(keyCol)
+    require(ki >= 0, s"delete key $keyCol is not a table column")
+    val keyType = schema.fields(ki).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"delete key must be integral or string, got $keyType")
+    val keySet: Set[Any] = keys.select(col(keyCol)).distinct().collect()
+      .map { r =>
+        require(!r.isNullAt(0), "delete keys must not be null")
+        normKey(r.get(0))
+      }.toSet
+    require(keySet.nonEmpty, "delete with an empty key set is a no-op")
+
+    val files = FwFiles.list(path)
+    val touched = pruneTouched(files, keyCol,
+      keyType == StringType, keySet)
+    val bc = spark.sparkContext.broadcast(keySet)
+    val rowLen = FixedWidth.widths(schema).sum + 1
+    // already-voided ordinals are not deleted again (rowsDeleted stays
+    // the count of rows that actually stopped existing)
+    val plans = touched.map(f => MergePlan(f.getPath, f.length(),
+      FwDv.ordinalsAsOf(f.getPath, None))).toVector
+    val found: Array[(String, Array[Long])] =
+      if (plans.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(plans, plans.size)
+        .map(p => (p.file, matchOrdinals(schema, ki, p, bc.value)))
+        .collect()
+    val withHits = found.filter(_._2.nonEmpty)
+
+    FwVersions.withLock(path) {
+      FwVersions.requireVersion(path, planVersion, "deleteByKeysMoR")
+      // nothing matched: no version burned, no sidecar written
+      if (withHits.isEmpty) MoRDeleteReport(planVersion, 0, 0L)
+      else {
+        val newVersion = FwVersions.currentMax(path) + 1
+        withHits.foreach { case (file, ords) =>
+          FwDv.write(file, rowLen.toLong,
+            FwDv.read(file) :+ ((newVersion, ords)))
+        }
+        val committed = FwVersions.commitSnapshotLocked(path)
+        require(committed == newVersion,
+          s"MoR delete version skew: wrote since=$newVersion, " +
+            s"committed $committed")
+        MoRDeleteReport(committed, withHits.length,
+          withHits.map(_._2.length.toLong).sum)
+      }
+    }
+  }
+
+  /** Runs on an executor: record ordinals in `plan.file` whose key is
+    * in `keys`, excluding ordinals an existing DV already voids.
+    */
+  private def matchOrdinals(
+      schema: org.apache.spark.sql.types.StructType,
+      keyIdx: Int, plan: MergePlan, keys: Set[Any]): Array[Long] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val widths = FixedWidth.widths(schema)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val rowLen = widths.sum + 1
+    val out = Array.newBuilder[Long]
+    val input = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(plan.file))
+    try {
+      val buf = new Array[Byte](rowLen)
+      var records = plan.bytes / rowLen
+      var ordinal = 0L
+      var dvIdx = 0
+      while (records > 0) {
+        records -= 1
+        var got = 0
+        while (got < rowLen) {
+          val n = input.read(buf, got, rowLen - got)
+          require(n > 0, s"unexpected EOF in ${plan.file}")
+          got += n
+        }
+        val voided = dvIdx < plan.deleted.length &&
+          plan.deleted(dvIdx) == ordinal
+        if (voided) dvIdx += 1
+        else {
+          var a = offsets(keyIdx)
+          var b = offsets(keyIdx) + widths(keyIdx)
+          while (a < b && buf(a) == ' ') a += 1
+          while (b > a && buf(b - 1) == ' ') b -= 1
+          if (a < b) {
+            val s = new String(buf, a, b - a,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val key: Any = schema.fields(keyIdx).dataType match {
+              case LongType | IntegerType => s.toLong
+              case _ => s
+            }
+            if (keys.contains(key)) out += ordinal
+          }
+        }
+        ordinal += 1
+      }
+    } finally input.close()
+    out.result()
+  }
 
   private def partitionDirs(path: String): Array[java.io.File] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -408,6 +582,15 @@ object FwMaintenance {
       val sc = new java.io.File(FwStats.sidecarFor(
         new java.io.File(src, name).getPath))
       if (sc.isFile) link(sc.getName, forceCopy = legacyLive)
+      // deletion vectors ride along REWRITTEN, not linked: the clone's
+      // history starts at v1, so every applicable entry pins to
+      // since=1 (deleted rows stay deleted in the clone's live AND
+      // pinned reads; the source's version numbers mean nothing here)
+      val srcData = new java.io.File(src, name).getPath
+      val ords = FwDv.ordinalsAsOf(srcData, None)
+      if (ords.nonEmpty)
+        FwDv.write(new java.io.File(dst, name).getPath,
+          FwDv.readRowLen(srcData).get, Seq((1L, ords)))
     }
     FwVersions.rewrite(dst, Seq((1L, pinned.map(p => (p._1, p._2)))),
       Map(1L -> System.currentTimeMillis()))
@@ -449,12 +632,26 @@ object FwMaintenance {
     // (hand-built fixtures) are not ours to judge
     val everReferenced = all.flatMap(_._2.map(_._1)).toSet
     var removed = 0
-    FwFiles.list(path).foreach { f =>
+    FwFiles.listPhysical(path).foreach { f =>
       if (everReferenced.contains(f.getName)
         && !keepNames.contains(f.getName)) {
         new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
+        FwDv.delete(f.getPath)
         require(f.delete(), s"could not roll back $f")
         removed += 1
+      }
+    }
+    // deletion-vector entries from versions being rolled back are
+    // themselves rolled back: surviving files drop entries whose
+    // `since` exceeds the target (the deleted rows come back, exactly
+    // like versionAsOf=toVersion reads them)
+    FwFiles.listPhysical(path).foreach { f =>
+      val entries = FwDv.read(f.getPath)
+      if (entries.exists(_._1 > toVersion)) {
+        val kept = entries.filter(_._1 <= toVersion)
+        if (kept.isEmpty) FwDv.delete(f.getPath)
+        else FwDv.write(f.getPath,
+          FwDv.readRowLen(f.getPath).get, kept)
       }
     }
     FwVersions.rewrite(path, retained, FwVersions.readTs(path))
@@ -467,6 +664,33 @@ object FwMaintenance {
       s"FixedWidth $op is a flat-table operation for now; $path holds " +
         "a hive-style partitioned layout (records do not carry the " +
         "partition column, so keyed rewrites cannot route values)")
+
+  /** Retire a COW rewrite's superseded input files. Inputs some
+    * manifest version references are RETAINED on disk — data, stats
+    * sidecar, and deletion vector — so `versionAsOf` pins before the
+    * rewrite keep reading (and keep pruning, and keep honoring their
+    * DVs); they leave the live set via the new snapshot's exclusion
+    * list, and vacuum sweeps them once their last referencing version
+    * expires (the Delta tombstone discipline). Inputs NO version has
+    * ever referenced (hand-planted fixture files) delete eagerly: the
+    * manifest-aware live listing keeps never-referenced files
+    * unconditionally live, so retention would double-count them.
+    * Returns the names for [[FwVersions.commitSnapshotLocked]]'s
+    * exclusion list.
+    */
+  private def retireInputs(path: String,
+      inputs: Seq[String]): Set[String] = {
+    val ever = FwVersions.read(path).flatMap(_._2.map(_._1)).toSet
+    val (retained, eager) = inputs.partition(p =>
+      ever.contains(new java.io.File(p).getName))
+    eager.foreach { p =>
+      new java.io.File(FwStats.sidecarFor(p)).delete()
+      FwDv.delete(p)
+      require(new java.io.File(p).delete(),
+        s"could not remove superseded input $p")
+    }
+    retained.map(p => new java.io.File(p).getName).toSet
+  }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCol`: every table row
     * whose key appears in `updates` is replaced by the update row,
@@ -529,7 +753,8 @@ object FwMaintenance {
 
     val bc = spark.sparkContext.broadcast(
       upRows.view.mapValues(v => Some(v): Option[Seq[Any]]).toMap)
-    val plans = touched.map(f => MergePlan(f.getPath, f.length())).toVector
+    val plans = touched.map(f => MergePlan(f.getPath, f.length(),
+      FwDv.ordinalsAsOf(f.getPath, None))).toVector
     val results: Array[MergeResult] =
       if (plans.isEmpty) Array.empty
       else spark.sparkContext.parallelize(plans, plans.size)
@@ -588,18 +813,16 @@ object FwMaintenance {
       val sTarget = new java.io.File(dir, sTmp.getName.stripSuffix(".tmp"))
       require(sTmp.renameTo(sTarget), s"could not publish $sTmp")
     }
-    // originals of PUBLISHED rewrites go last, then the snapshot
-    val publishedInputs = results.filter(_.rowsUpdated > 0).map(_.tmpData)
-      .toSet
-    results.zip(plans).foreach { case (r, p) =>
-      if (r.rowsUpdated > 0) {
-        new java.io.File(FwStats.sidecarFor(p.file)).delete()
-        require(new java.io.File(p.file).delete(),
-          s"could not remove merged input ${p.file}")
-      }
+    // superseded originals retire AFTER their rewrites publish, then
+    // the snapshot — retained on disk for version pins and the change
+    // feed (the rewrite materializes each input's DV away in the LIVE
+    // set; the retained original keeps its own DV for pinned reads)
+    val superseded = results.zip(plans).collect {
+      case (r, p) if r.rowsUpdated > 0 => p.file
     }
-    require(publishedInputs.size == rewritten) // sanity: 1 tmp per plan
-    val version = FwVersions.commitSnapshotLocked(path)
+    require(superseded.size == rewritten) // sanity: 1 rewrite per plan
+    val version = FwVersions.commitSnapshotLocked(path,
+      retireInputs(path, superseded))
     MergeReport(version, rewritten, files.length - rewritten,
       results.map(_.rowsUpdated).sum, inserts.size.toLong)
     } // withLock
@@ -641,7 +864,8 @@ object FwMaintenance {
       keyType == StringType, keySet)
     val bc = spark.sparkContext.broadcast(
       keySet.map(k => k -> (None: Option[Seq[Any]])).toMap)
-    val plans = touched.map(f => MergePlan(f.getPath, f.length())).toVector
+    val plans = touched.map(f => MergePlan(f.getPath, f.length(),
+      FwDv.ordinalsAsOf(f.getPath, None))).toVector
     val results: Array[MergeResult] =
       if (plans.isEmpty) Array.empty
       else spark.sparkContext.parallelize(plans, plans.size)
@@ -664,6 +888,7 @@ object FwMaintenance {
     }
     var rewritten = 0
     var removed = 0
+    val superseded = Vector.newBuilder[String]
     results.zip(plans).foreach { case (r, p) =>
       val tmp = new java.io.File(r.tmpData)
       val sTmp = new java.io.File(
@@ -684,12 +909,13 @@ object FwMaintenance {
           require(sTmp.renameTo(sTarget),
             s"could not publish $sTmp -> $sTarget")
         }
-        new java.io.File(FwStats.sidecarFor(p.file)).delete()
-        require(new java.io.File(p.file).delete(),
-          s"could not remove deleted-from input ${p.file}")
+        // the input retires but is RETAINED (sidecar and DV included)
+        // for version pins and the change feed
+        superseded += p.file
       }
     }
-    val version = FwVersions.commitSnapshotLocked(path)
+    val version = FwVersions.commitSnapshotLocked(path,
+      retireInputs(path, superseded.result()))
     DeleteReport(version, rewritten, removed,
       results.map(_.rowsUpdated).sum)
     } // withLock
@@ -753,6 +979,8 @@ object FwMaintenance {
     try {
       val buf = new Array[Byte](rowLen)
       var records = plan.bytes / rowLen
+      var ordinal = 0L
+      var dvIdx = 0
       while (records > 0) {
         records -= 1
         var got = 0
@@ -761,6 +989,15 @@ object FwMaintenance {
           require(n > 0, s"unexpected EOF in ${plan.file}")
           got += n
         }
+        // a record an existing deletion vector voids is DEAD: copying
+        // it into the rewrite would resurrect it — emit nothing (the
+        // rewrite materializes the DV away; callers drop the .fwdv
+        // with the input)
+        val voided = dvIdx < plan.deleted.length &&
+          plan.deleted(dvIdx) == ordinal
+        ordinal += 1
+        if (voided) { dvIdx += 1 }
+        else {
         def slice(i: Int): String = {
           var a = offsets(i)
           var b = offsets(i) + widths(i)
@@ -802,6 +1039,7 @@ object FwMaintenance {
                 case _ => ()
               }
             }
+        }
         }
       }
     } finally { input.close(); out.close() }

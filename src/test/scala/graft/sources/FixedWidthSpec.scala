@@ -987,10 +987,13 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(report.committedVersion === Some(2L), report.toString)
     assert(report.filesBefore === 4 && report.filesAfter === 1
       && report.groups === 1, report.toString)
-    val dataFiles = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".fw"))
+    // the LIVE set is the one compacted file; the 4 inputs are
+    // retained on disk for version pins until vacuum
+    val dataFiles = FwFiles.list(dir)
     assert(dataFiles.length === 1, dataFiles.map(_.getName).mkString(","))
     assert(dataFiles.head.getName.startsWith("compact-"))
+    assert(FwFiles.listPhysical(dir).length === 5,
+      "compacted inputs are retained for time travel")
     // every record survives, byte-for-byte (fixed-width concatenation)
     val re = spark.read.format("graft.sources.FixedWidth")
       .option("schema", sc4).load(dir)
@@ -1012,12 +1015,18 @@ class FixedWidthSpec extends AnyFunSuite {
       .orderBy("version").collect()
     assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
       Seq((1L, 4L, 4000L), (2L, 1L, 4000L)))
-    // the pre-compaction snapshot's files are vacuumed: loud failure
+    // the pre-compaction pin still reads from the retained inputs
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", sc4).option("versionAsOf", "1").load(dir)
+      .count() === 4000L)
+    // vacuum sweeps the retained inputs; the dropped pin fails loudly
+    FwMaintenance.vacuum(spark, dir, retainLast = 1)
+    assert(FwFiles.listPhysical(dir).length === 1)
     val e = intercept[Exception] {
       spark.read.format("graft.sources.FixedWidth")
         .option("schema", sc4).option("versionAsOf", "1").load(dir).collect()
     }
-    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    assert(e.getMessage.contains("no version 1"), e.getMessage)
   }
 
   test("compaction: a statless input poisons only its own group's sidecar") {
@@ -1615,11 +1624,12 @@ class FixedWidthSpec extends AnyFunSuite {
     // an in-flight writer's fresh tmp must survive the sweep
     val freshTmp = new java.io.File(dir, "inflight.fw.tmp")
     Files.write(freshTmp.toPath, Array[Byte](9))
-    // resurrect a name that only version 1's era knew (an external
-    // producer reusing a vacuumed name): v1-only references vanish
     val v1Files = FwVersions.read(dir).find(_._1 == 1L).get._2.map(_._1)
-    // (append-only: v1's file is still referenced by v3 — build the
-    // orphan by dropping it from the RETAINED versions via compaction)
+    // compaction retires (and RETAINS) the three appended files; once
+    // retainLast=1 drops every version referencing them, all three are
+    // vacuum's orphans — including v1's name even if an external
+    // producer reused it (truncated here to prove the sweep goes by
+    // reference, not by content)
     val r0 = FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
     assert(r0.committedVersion === Some(4L)) // v4 = one compacted file
     val resurrected = new java.io.File(dir, v1Files.head)
@@ -1627,7 +1637,7 @@ class FixedWidthSpec extends AnyFunSuite {
 
     val report = FwMaintenance.vacuum(spark, dir, retainLast = 1)
     assert(report === FwMaintenance.VacuumReport(versionsRetained = 1,
-      versionsDropped = 3, strayTmpsRemoved = 1, orphanFilesRemoved = 1),
+      versionsDropped = 3, strayTmpsRemoved = 1, orphanFilesRemoved = 3),
       report.toString)
     assert(!resurrected.exists(), "the dropped-version name is swept")
     assert(!oldStray.exists())
