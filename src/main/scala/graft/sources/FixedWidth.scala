@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
@@ -131,7 +131,7 @@ private[sources] object FwTable {
 
 private[sources] class FwTable(tableSchema: StructType,
     properties: Map[String, String]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   // For writes (and external-metadata reads) Spark hands getTable the
   // DATAFRAME's schema, which has no width metadata — the layout truth
   // is always the `schema` option.
@@ -235,6 +235,96 @@ private[sources] class FwTable(tableSchema: StructType,
   private[sources] def atTimestamp(millis: Long): FwTable =
     new FwTable(tableSchema,
       properties + ("timestampAsOf" -> millis.toString))
+
+  /** Storage location (scheme-stripped) — for catalog procedures. */
+  private[sources] def dataPath: String =
+    pathFor(CaseInsensitiveStringMap.empty())
+  /** Width-bearing schema — for catalog procedures. */
+  private[sources] def declaredSchema: StructType = declared
+
+  // ---- SQL DELETE (SupportsDeleteV2, merge-on-read) ------------------
+  /** `DELETE FROM cat.ns.t WHERE <key predicate>` routes here — the
+    * group-based v2 delete. Accepted shapes are exactly what
+    * [[FwMaintenance.deleteKeySetMoR]] erases via deletion-vector
+    * sidecars: ONE `=` or `IN` predicate on a single integral/string
+    * column with non-null literals (zero data files rewritten; version
+    * pins before the delete keep reading the rows). An EMPTY predicate
+    * array — `DELETE FROM t` / TRUNCATE TABLE — retires every live
+    * file into retained history ([[FwMaintenance.truncateRetain]]).
+    * Everything else declines in [[canDeleteWhere]] so Spark raises
+    * its clean cannot-delete analysis error instead of this table
+    * guessing at semantics. Pinned tables (versionAsOf/timestampAsOf)
+    * and partitioned/bucketed layouts always decline.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    deletePlan(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val plan = deletePlan(predicates).getOrElse(
+      throw new IllegalArgumentException(
+        "FixedWidth DELETE supports a single =/IN predicate on one " +
+          s"integral or string column; got " +
+          predicates.map(_.describe()).mkString(" AND ")))
+    val path = dataPath
+    require(path != null, "FixedWidth DELETE requires a path")
+    plan match {
+      case None => FwMaintenance.truncateRetain(path)
+      case Some((keyCol, keys)) =>
+        FwMaintenance.deleteKeySetMoR(
+          org.apache.spark.sql.SparkSession.active, path, declared,
+          keys, keyCol)
+    }
+    ()
+  }
+
+  /** None = cannot delete; Some(None) = truncate; Some(Some((col,
+    * normalized keys))) = merge-on-read key delete.
+    */
+  private def deletePlan(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Option[Option[(String, Set[Any])]] = {
+    // a pinned or partitioned table never deletes in place
+    if (Seq("versionAsOf", "timestampAsOf", "changesFromVersion",
+        "partitionBy", "bucketBy").exists(properties.contains))
+      return None
+    if (properties.get("path").isEmpty) return None
+    // `DELETE FROM t` arrives as no predicates or a literal TRUE —
+    // both mean "every row": truncate into retained history
+    if (predicates.isEmpty) return Some(None)
+    if (predicates.length != 1) return None
+    if (predicates.head.name() == "ALWAYS_TRUE"
+      || predicates.head.describe() == "TRUE") return Some(None)
+    def norm(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (_, null) => None
+      case (LongType, n: java.lang.Long) => Some(n.longValue)
+      case (LongType, n: java.lang.Integer) => Some(n.longValue)
+      case (IntegerType, n: java.lang.Integer) => Some(n.longValue)
+      case (IntegerType, n: java.lang.Long)
+        if n.longValue == n.intValue.toLong => Some(n.longValue)
+      case (StringType, s: String) => Some(s)
+      case (StringType, s: UTF8String) => Some(s.toString)
+      case _ => None
+    }
+    def keyed(col: String, values: Seq[Any]): Option[(String, Set[Any])] = {
+      val i = declared.fieldNames.indexOf(col)
+      if (i < 0) return None
+      val dt = declared.fields(i).dataType
+      if (!Seq(LongType, IntegerType, StringType).contains(dt)) return None
+      val normed = values.map(norm(dt, _))
+      if (normed.exists(_.isEmpty) || normed.isEmpty) None
+      else Some((col, normed.flatten.toSet))
+    }
+    org.apache.spark.sql.graftbridge
+      .predicateToV1(predicates.head) match {
+      case Some(EqualTo(c, v)) => keyed(c, Seq(v)).map(Some(_))
+      case Some(In(c, vs)) => keyed(c, vs.toSeq).map(Some(_))
+      case _ => None
+    }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = pathFor(info.options)
     require(path != null, "FixedWidth write requires a path")

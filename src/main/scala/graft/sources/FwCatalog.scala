@@ -34,13 +34,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * unchanged.
   */
 class FwCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private val tables = new ConcurrentHashMap[Identifier, FwTable]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // ---- ProcedureCatalog: maintenance ops as SQL CALL -----------------
+  // `CALL fw.optimize('ns.t', 1048576)` etc — see FwProcedures for the
+  // procedure set; named args and implicit casts come from the
+  // analyzer's InvokeProcedures rule.
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    FwProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    FwProcedures.load(this, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"FixedWidth catalog has no procedure ${ident.name()}; " +
+          s"available: ${FwProcedures.names.mkString(", ")}"))
 
   // ---- FunctionCatalog: the `bucket` transform function -------------
   // Storage-partitioned joins over bucket(n, col) layouts require the

@@ -423,20 +423,31 @@ object FwMaintenance {
       schema: org.apache.spark.sql.types.StructType,
       keys: org.apache.spark.sql.DataFrame,
       keyCol: String): MoRDeleteReport = {
+    import org.apache.spark.sql.functions.col
+    val keySet: Set[Any] = keys.select(col(keyCol)).distinct().collect()
+      .map { r =>
+        require(!r.isNullAt(0), "delete keys must not be null")
+        normKey(r.get(0))
+      }.toSet
+    deleteKeySetMoR(spark, path, schema, keySet, keyCol)
+  }
+
+  /** [[deleteByKeysMoR]] with the key set already on the driver — the
+    * entry SQL `DELETE FROM fw.ns.t WHERE k = … / k IN (…)` uses (the
+    * literals come off the predicate, there is no keys DataFrame).
+    * Keys must be pre-normalized to Long/String.
+    */
+  private[sources] def deleteKeySetMoR(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keySet: Set[Any], keyCol: String): MoRDeleteReport = {
     requireFlat(path, "deleteByKeysMoR")
     val planVersion = FwVersions.currentMax(path)
-    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
     require(ki >= 0, s"delete key $keyCol is not a table column")
     val keyType = schema.fields(ki).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"delete key must be integral or string, got $keyType")
-    val keySet: Set[Any] = keys.select(col(keyCol)).distinct().collect()
-      .map { r =>
-        require(!r.isNullAt(0), "delete keys must not be null")
-        normKey(r.get(0))
-      }.toSet
     require(keySet.nonEmpty, "delete with an empty key set is a no-op")
 
     val files = FwFiles.list(path)
@@ -690,6 +701,24 @@ object FwMaintenance {
         s"could not remove superseded input $p")
     }
     retained.map(p => new java.io.File(p).getName).toSet
+  }
+
+  /** SQL TRUNCATE / unconditional DELETE, with history: every live
+    * file retires through [[retireInputs]] — referenced files stay on
+    * disk for version pins (a pre-truncate `versionAsOf` still reads
+    * everything; vacuum sweeps the history later), never-referenced
+    * fixtures delete eagerly — and an EMPTY snapshot commits as the
+    * next version. Returns the committed version, or None when the
+    * table was already empty (no version burned).
+    */
+  def truncateRetain(path: String): Option[Long] = {
+    requireFlat(path, "truncate")
+    FwVersions.withLock(path) {
+      val live = FwFiles.list(path)
+      if (live.isEmpty) None
+      else Some(FwVersions.commitSnapshotLocked(path,
+        retireInputs(path, live.map(_.getPath).toSeq)))
+    }
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCol`: every table row

@@ -17,4 +17,12 @@ object graftbridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** V2 filter Predicate → V1 source Filter, for SupportsDeleteV2
+    * implementations that want the stable v1 EqualTo/In shapes.
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }
