@@ -61,9 +61,12 @@ object Bench {
     // A query's min is CONVERGED once its 3 fastest samples agree within
     // 30% — then a round-over-round delta is the plan's cost moving, not
     // a co-tenant GC pause (r08: d36 sampled [4.8, 22.1, 13.5, 6.5, 4.1]
-    // across iterations and read as a 1.41x "regression").
+    // across iterations and read as a 1.41x "regression"). Sub-second
+    // queries are converged by fiat: a 1.5x spread there is tens of
+    // milliseconds of JIT/GC jitter, not a cost signal worth flagging.
     def converged(ts: Seq[Double]): Boolean =
-      ts.size >= 3 && ts.sorted.take(3).max <= 1.3 * ts.min
+      ts.min < 1.0 ||
+        (ts.size >= 3 && ts.sorted.take(3).max <= 1.3 * ts.min)
     // Second pass for the headline entries: the 10 slowest queries are
     // exactly the ones a judge reads against last round, so they get
     // extra samples (up to 4 each) until the min converges. Phase-2 runs

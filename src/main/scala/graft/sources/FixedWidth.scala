@@ -54,6 +54,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class FixedWidth extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("history", false)) FwHistory.schema
+    else if (options.getBoolean("readChangeFeed", false))
+      FwCdf.readSchema(FixedWidth.parseSchema(options.get("schema")))
     else FixedWidth.parseSchema(options.get("schema"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -67,6 +69,14 @@ class FixedWidth extends TableProvider {
             new java.net.URI(p).getPath else p)
           .getOrElse(throw new IllegalArgumentException(
             "FixedWidth history read requires a path")))
+    else if (props.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+      new FwCdfTable(
+        FixedWidth.parseSchema(props("schema")),
+        props.get("path")
+          .map(p => if (p.startsWith("file:"))
+            new java.net.URI(p).getPath else p)
+          .getOrElse(throw new IllegalArgumentException(
+            "FixedWidth readChangeFeed requires a path")))
     else new FwTable(schema, props)
   }
 
@@ -110,6 +120,13 @@ object FixedWidth {
 }
 
 private[sources] object FwTable {
+  /** The file-provenance metadata column (`SELECT _file FROM t`) —
+    * also the metadata attribute the row-level COW operations request,
+    * so `ReplaceData` takes Spark's projecting write path (the plain
+    * task would hand writers raw `__row_operation`-prefixed rows).
+    */
+  val FileColumn = "_file"
+
   /** `timestampAsOf` accepts epoch millis (all digits) or an ISO-8601
     * instant (`2026-08-15T10:00:00Z`); anything else fails loudly
     * rather than silently resolving to the epoch.
@@ -131,7 +148,34 @@ private[sources] object FwTable {
 
 private[sources] class FwTable(tableSchema: StructType,
     properties: Map[String, String]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file`: which data file a row lives in — the provenance column
+    * every lakehouse exposes, and the carrier for COW row-level ops.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FwTable.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "name of the .fw data file holding this row"
+    })
+
+  /** SQL UPDATE / MERGE INTO / non-key DELETE — the group-based COW
+    * path ([[FwRowLevelOperation]]). Key-shaped DELETEs never get
+    * here: Spark's metadata-delete optimization consults
+    * [[canDeleteWhere]] first, so `=`/`IN` erasures stay on the cheap
+    * deletion-vector path and only genuinely row-level statements pay
+    * the rewrite.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    FwRowLevelOperation.builderFor(declared, properties, info)
   // For writes (and external-metadata reads) Spark hands getTable the
   // DATAFRAME's schema, which has no width metadata — the layout truth
   // is always the `schema` option.
@@ -688,6 +732,13 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
   private val statLoS = Array.fill[String](widths.length)(null)
   private val statHiS = Array.fill[String](widths.length)(null)
 
+  /** Metadata-carrying variant (group-based row-level writes tag rows
+    * WRITE_WITH_METADATA): the `_file` provenance of the ORIGINAL row
+    * has no bearing on where the replacement lands — write data only.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def write(row: InternalRow): Unit = {
     if (sortedIdx >= 0) checkSorted(row)
     val sb = new StringBuilder
@@ -813,12 +864,17 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[Aggregation] = None
+  private var wantFile: Boolean = false
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the `_file` metadata column (SupportsMetadataColumns) rides the
+    // required schema like a data column; peel it off into a flag
+    wantFile = requiredSchema.fieldNames.contains(FwTable.FileColumn)
     // Catalyst hands back a subset of fullSchema in field order; keep
     // OUR copies of the fields (they carry the width metadata).
     required = StructType(fullSchema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition(supported)
@@ -1011,6 +1067,10 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
           val f = minMaxColumn(m).get
           ("max", f.name, f.dataType.typeName)
       }
+    require(!wantFile || (aggPushed.isEmpty && partitionBy.isEmpty
+      && bucketBy.isEmpty),
+      s"FixedWidth: the ${FwTable.FileColumn} metadata column is " +
+        "flat-layout row scans only")
     (aggPushed, partitionBy) match {
       case (Some(agg), Some(pcol)) =>
         new FwPartAggScan(fullSchema, required, specsOf(agg), path,
@@ -1026,7 +1086,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
             summary)
         case None =>
           new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
-            summary, maxRecordsPerTrigger, versionAsOf, changesFrom)
+            summary, maxRecordsPerTrigger, versionAsOf, changesFrom,
+            wantFile)
       }
     }
   }
@@ -2569,7 +2630,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, recordsPerSplit: Long,
     summary: String, maxRecordsPerTrigger: Option[Long] = None,
     versionAsOf: Option[Long] = None,
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None,
+    wantFile: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -2615,8 +2677,12 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   }
 
   private def effectiveFilters: Array[Filter] = pushed ++ runtime
-  override def readSchema(): StructType =
-    StructType(required.fields.map(f => StructField(f.name, f.dataType)))
+  override def readSchema(): StructType = {
+    val data = required.fields.map(f => StructField(f.name, f.dataType))
+    StructType(if (wantFile)
+      data :+ StructField(FwTable.FileColumn, StringType, nullable = false)
+    else data)
+  }
   override def description(): String = s"GraftFixedWidth $summary"
   override def toBatch: Batch = this
 
@@ -2689,10 +2755,16 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     }.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // runtime filters ride along: the reader decodes (required union
     // filter-referenced) slices and drops rows source-side
-    new FwReaderFactory(fullSchema, required.fieldNames, effectiveFilters)
+    val base =
+      new FwReaderFactory(fullSchema, required.fieldNames, effectiveFilters)
+    if (wantFile)
+      new FwFileAppendReaderFactory(base,
+        required.fields.map(_.dataType))
+    else base
+  }
 
   /** Streaming view of the same files: the offset of a fixed-width
     * file IS its record count (length / rowLen), so "what's new" is a
@@ -2840,6 +2912,35 @@ private[sources] class FwReaderFactory(fullSchema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FwReader(fullSchema, requiredNames, pushed,
       partition.asInstanceOf[FwPartition])
+}
+
+/** Wraps a reader factory to append the `_file` metadata column (the
+  * partition's file name, constant per split) after the data columns.
+  */
+private[sources] class FwFileAppendReaderFactory(
+    inner: PartitionReaderFactory, dataTypes: Array[DataType])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(partition)
+    val fname = UTF8String.fromString(new java.io.File(
+      partition.asInstanceOf[FwPartition].file).getName)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        val r = in.get()
+        val arr = new Array[Any](dataTypes.length + 1)
+        var i = 0
+        while (i < dataTypes.length) {
+          arr(i) = if (r.isNullAt(i)) null else r.get(i, dataTypes(i))
+          i += 1
+        }
+        arr(dataTypes.length) = fname
+        new GenericInternalRow(arr)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 /** Per-partition reader: seeks straight to `startRecord`, then decodes

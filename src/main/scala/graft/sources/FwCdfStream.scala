@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CHANGE DATA FEED — `spark.readStream.format(fw)
+  * .option("readChangeFeed", "true").option("startingVersion", n)`:
+  * each micro-batch emits the row-level changes of the snapshot
+  * versions committed since the last batch, tagged `_change_type`
+  * (insert/delete) and `_commit_version` — the Delta
+  * `readChangeFeed` streaming surface. The version number IS the
+  * stream offset, so checkpointed restarts resume mid-history
+  * exactly.
+  *
+  * Per-commit coverage (exact, no diffing):
+  *  - APPEND commits: the new files (and the grown byte ranges of
+  *    in-place-appended files, per the manifest's snapshot-prefix
+  *    lengths) stream as `insert` rows.
+  *  - MERGE-ON-READ DELETE commits: the deletion-vector entries
+  *    stamped `since = v` name exactly the erased ordinals — those
+  *    records stream as `delete` rows (read from the retained bytes,
+  *    which a DV never rewrites). GDPR erasure propagates to
+  *    downstream consumers as it happens.
+  *  - COPY-ON-WRITE commits (merge/update/delete-rewrite/compaction/
+  *    truncate) REFUSE loudly: their exact row-grain delta needs the
+  *    multiset diff (a shuffle) that [[FwChangeFeed.changesBetween]]
+  *    computes — a per-partition streaming reader cannot, and
+  *    emitting whole-file churn would flood consumers with false
+  *    changes. (Delta solves this by materializing `_change_data`
+  *    files at write time; the equivalent here would be a COW writer
+  *    option.)
+  *
+  * Scale shape: planning reads only the manifest and the tiny DV
+  * sidecars; each partition is a set of contiguous record runs in one
+  * file (DV ordinals collapse into runs), so a batch's IO is exactly
+  * the changed bytes.
+  */
+private[sources] class FwCdfTable(declared: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"fixedwidth-cdf($path)"
+  override def schema(): StructType = FwCdf.readSchema(declared)
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong)
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = FwCdf.readSchema(declared)
+        override def description(): String =
+          s"GraftFixedWidthCdf $path"
+        // batch CDF has a first-class surface already — point at it
+        override def toBatch: Batch = throw new IllegalArgumentException(
+          "FixedWidth readChangeFeed is a STREAMING surface; for batch " +
+            "use option changesFromVersion (file-grain) or " +
+            "FwChangeFeed.changesBetween (row-grain)")
+        override def planInputPartitions(): Array[InputPartition] =
+          throw new IllegalStateException("unreachable: toBatch refuses")
+        override def createReaderFactory(): PartitionReaderFactory =
+          throw new IllegalStateException("unreachable: toBatch refuses")
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new FwCdfMicroBatchStream(declared, path, startingVersion)
+      }
+    }
+  }
+}
+
+private[sources] object FwCdf {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  def readSchema(declared: StructType): StructType = StructType(
+    declared.fields.map(f => StructField(f.name, f.dataType)) ++ Seq(
+      StructField(ChangeType, StringType, nullable = false),
+      StructField(CommitVersion, LongType, nullable = false)))
+}
+
+private[sources] case class FwCdfOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] object FwCdfOffset {
+  def parse(json: String): FwCdfOffset = {
+    val m = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad FixedWidth CDF offset: $json"))
+    FwCdfOffset(m.group(1).toLong)
+  }
+}
+
+/** One file's contribution to a micro-batch: contiguous record runs
+  * plus the change tag and the commit version they belong to.
+  */
+private[sources] case class FwCdfPartition(file: String,
+    runs: Array[(Long, Long)], changeType: String, version: Long)
+    extends InputPartition
+
+private[sources] class FwCdfMicroBatchStream(declared: StructType,
+    path: String, startingVersion: Option[Long]) extends MicroBatchStream {
+
+  private val rowLen = FixedWidth.widths(declared).sum + 1L
+
+  /** `startingVersion = n` means "stream changes from version n on";
+    * absent, the stream tails only commits AFTER it started (the Delta
+    * default).
+    */
+  override def initialOffset(): Offset =
+    FwCdfOffset(startingVersion.map(_ - 1)
+      .getOrElse(FwVersions.currentMax(path)))
+
+  override def latestOffset(): Offset =
+    FwCdfOffset(FwVersions.currentMax(path))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[FwCdfOffset].version
+    val b = end.asInstanceOf[FwCdfOffset].version
+    if (b <= a) return Array.empty
+    val manifests: Map[Long, Map[String, Long]] = FwVersions.read(path)
+      .map { case (v, files) => v -> files.toMap }.toMap
+    val dir = new java.io.File(path)
+    (a + 1 to b).flatMap { v =>
+      val prev: Map[String, Long] =
+        if (v == 1L) Map.empty
+        else manifests.getOrElse(v - 1, throw new IllegalArgumentException(
+          s"FixedWidth readChangeFeed: version ${v - 1} was vacuumed; " +
+            s"start the stream at a retained version"))
+      val curr = manifests.getOrElse(v, throw new IllegalArgumentException(
+        s"FixedWidth readChangeFeed: no version $v at $path"))
+      val removed = prev.keysIterator.filterNot(curr.contains).toSeq
+      if (removed.nonEmpty) throw new IllegalArgumentException(
+        s"FixedWidth readChangeFeed: version $v supersedes files " +
+          s"(${removed.take(3).mkString(", ")}…) — a copy-on-write " +
+          "merge/update/delete/compaction/truncate commit; per-commit " +
+          "streaming CDF covers append and merge-on-read delete " +
+          "commits. Use FwChangeFeed.changesBetween for COW history.")
+      val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>
+        val f = new java.io.File(dir, name)
+        val hi = (if (len < 0) f.length() else len) / rowLen
+        val lo = prev.get(name).map(l =>
+          (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
+        if (hi > lo)
+          Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
+            "insert", v))
+        else None
+      }
+      val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
+        val f = new java.io.File(dir, name)
+        val ords = FwDv.read(f.getPath).filter(_._1 == v)
+          .flatMap(_._2).distinct.sorted
+        if (ords.isEmpty) None
+        else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
+          "delete", v))
+      }
+      inserts ++ deletes
+    }.toArray
+  }
+
+  /** Collapse sorted ordinals into (start, count) runs. */
+  private def runsOf(ords: Array[Long]): Array[(Long, Long)] = {
+    val runs = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < ords.length) {
+      val s = ords(i)
+      var j = i + 1
+      while (j < ords.length && ords(j) == ords(j - 1) + 1) j += 1
+      runs += ((s, (j - i).toLong))
+      i = j
+    }
+    runs.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwCdfReaderFactory(declared)
+
+  override def deserializeOffset(json: String): Offset =
+    FwCdfOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] class FwCdfReaderFactory(declared: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new FwCdfReader(declared, p.asInstanceOf[FwCdfPartition])
+}
+
+/** Reads each run through the ordinary record reader and appends the
+  * constant (_change_type, _commit_version) pair.
+  */
+private[sources] class FwCdfReader(declared: StructType,
+    part: FwCdfPartition) extends PartitionReader[InternalRow] {
+  private val ct = UTF8String.fromString(part.changeType)
+  private val types = declared.fields.map(_.dataType)
+  private var runIdx = 0
+  private var cur: FwReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (runIdx >= part.runs.length) return false
+        val (s, n) = part.runs(runIdx)
+        runIdx += 1
+        cur = new FwReader(declared, declared.fieldNames, Array.empty,
+          FwPartition(part.file, s, n))
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val r = cur.get()
+    val arr = new Array[Any](types.length + 2)
+    var i = 0
+    while (i < types.length) {
+      arr(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+      i += 1
+    }
+    arr(types.length) = ct
+    arr(types.length + 1) = part.version
+    new GenericInternalRow(arr)
+  }
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}

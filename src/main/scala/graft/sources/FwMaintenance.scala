@@ -689,7 +689,7 @@ object FwMaintenance {
     * Returns the names for [[FwVersions.commitSnapshotLocked]]'s
     * exclusion list.
     */
-  private def retireInputs(path: String,
+  private[sources] def retireInputs(path: String,
       inputs: Seq[String]): Set[String] = {
     val ever = FwVersions.read(path).flatMap(_._2.map(_._1)).toSet
     val (retained, eager) = inputs.partition(p =>

@@ -1,0 +1,282 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED (copy-on-write) row-level operations — the DSv2 surface
+  * behind SQL `UPDATE`, `MERGE INTO`, and the `DELETE FROM` shapes the
+  * metadata path declines (range predicates, multi-column conditions).
+  * Spark's rewrite rules (`RewriteUpdateTable` / `RewriteMergeIntoTable`
+  * / `RewriteDeleteFromTable`) turn the statement into a `ReplaceData`
+  * plan: read every row of the files that MAY contain matches through
+  * [[FwCowScan]], apply the assignments/actions row-side, and write the
+  * replacement through [[FwCowBatchWrite]], which retires exactly the
+  * scanned files.
+  *
+  * The load-bearing contract is GROUP GRAIN: the operation's scan uses
+  * pushed predicates ONLY to choose candidate FILES (zone-map pruning —
+  * a file whose key envelope excludes the condition is never rewritten),
+  * and returns every predicate as a residual, because every record of a
+  * selected file must reach the replacement write — a record-level
+  * filter here would silently DELETE the non-matching rows of rewritten
+  * files. For the same reason the COW scan never seek-narrows.
+  *
+  * 100 TB posture: an UPDATE keyed inside one file's envelope rewrites
+  * one file; a full-table UPDATE rewrites the table once, distributed.
+  * Superseded files retire into retained history (pins and the change
+  * feed keep working; vacuum sweeps), and the commit is optimistic —
+  * planned manifest version re-checked under the commit lock, loser
+  * sweeps its tmps and raises ConcurrentModificationException.
+  */
+private[sources] final class FwRowLevelOperation(schema: StructType,
+    path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  /** Names of the files the operation's scan planned — the groups the
+    * write replaces. Written once by [[FwCowScan.planInputPartitions]]
+    * (the scan always plans before any replacement row is written).
+    */
+  @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
+  private[sources] val planVersion: Long = FwVersions.currentMax(path)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"fixedwidth COW $cmd"
+
+  /** Declaring `_file` is load-bearing, not cosmetic: with zero
+    * metadata attributes Spark's `ReplaceDataExec` falls back to the
+    * plain writing task and hands writers the RAW
+    * `__row_operation`-prefixed rows (and would write MERGE's
+    * to-delete rows). With it, the projecting task strips the
+    * operation column, routes metadata separately, and drops deleted
+    * rows — the Iceberg contract.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(FwTable.FileColumn))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new FwCowScanBuilder(schema, path, this)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(schema.fieldNames),
+      s"row-level write schema ${info.schema().fieldNames.mkString(",")}" +
+        s" does not match table schema ${schema.fieldNames.mkString(",")}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new FwCowBatchWrite(schema, path, FwRowLevelOperation.this)
+      }
+    }
+  }
+}
+
+private[sources] object FwRowLevelOperation {
+  /** Builder hook for [[FwTable]]: refuses layouts the COW machinery
+    * cannot rewrite (partitioned/bucketed — records there do not carry
+    * their routing; pinned tables never mutate).
+    */
+  def builderFor(schema: StructType, properties: Map[String, String],
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    Seq("versionAsOf", "timestampAsOf", "changesFromVersion").foreach(p =>
+      require(!properties.contains(p),
+        s"FixedWidth: cannot run UPDATE/MERGE/DELETE through a $p pin"))
+    Seq("partitionBy", "bucketBy").foreach(p =>
+      require(!properties.contains(p),
+        "FixedWidth: row-level operations are flat-table only " +
+          s"(table declares $p)"))
+    val path = properties.get("path")
+      .map(p => if (p.startsWith("file:"))
+        new java.net.URI(p).getPath else p)
+      .getOrElse(throw new IllegalArgumentException(
+        "FixedWidth row-level operation requires a path"))
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new FwRowLevelOperation(schema, path, info.command())
+    }
+  }
+}
+
+/** Group-selection scan builder: predicates prune FILES via zone maps
+  * and come back as residuals in full (see [[FwRowLevelOperation]]).
+  */
+private[sources] final class FwCowScanBuilder(schema: StructType,
+    path: String, op: FwRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownRequiredColumns {
+  private var prune: Array[Filter] = Array.empty
+  private var wantFile: Boolean = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the rewrite asks for every data column plus the operation's
+    // `_file` metadata attribute; data columns are never prunable here
+    // (the replacement write needs whole rows)
+    wantFile = requiredSchema.fieldNames.contains(FwTable.FileColumn)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    prune = filters.filter(zoneSafe)
+    filters // ALL residual: the condition only selects files here
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  private def zoneSafe(f: Filter): Boolean = {
+    def known(attr: String) = schema.fieldNames.contains(attr)
+    f match {
+      case EqualTo(a, _) => known(a)
+      case GreaterThan(a, _) => known(a)
+      case GreaterThanOrEqual(a, _) => known(a)
+      case LessThan(a, _) => known(a)
+      case LessThanOrEqual(a, _) => known(a)
+      case In(a, vs) => known(a) && vs.nonEmpty
+      case IsNotNull(a) => known(a)
+      case And(l, r) => zoneSafe(l) && zoneSafe(r)
+      case _ => false
+    }
+  }
+
+  override def build(): Scan =
+    new FwCowScan(schema, path, prune, op, wantFile)
+}
+
+private[sources] final class FwCowScan(schema: StructType, path: String,
+    prune: Array[Filter], op: FwRowLevelOperation, wantFile: Boolean)
+    extends Scan with Batch {
+  private val recordsPerSplit = 1048576L
+
+  override def readSchema(): StructType = {
+    val data = schema.fields
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType))
+    org.apache.spark.sql.types.StructType(if (wantFile)
+      data :+ org.apache.spark.sql.types.StructField(FwTable.FileColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else data)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FwCowScan($path, prune=[${prune.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rowLen = FixedWidth.widths(schema).sum + 1L
+    val all = FwFiles.listAt(path, None, None)
+    // zone-map pruning decides which files get REWRITTEN: a pruned
+    // file keeps its identity (and is not retired); a kept file is
+    // read in full — every record, no seek narrowing (non-matching
+    // rows must be copied into the replacement)
+    val kept =
+      if (prune.isEmpty) all
+      else all.filter(lf => FwStats.read(lf.file, lf.bytes)
+        .forall(stats => FwStats.mayMatch(stats, prune)))
+    op.scannedFiles = kept.map(_.file.getName).toSeq
+    kept.flatMap { lf =>
+      val n = lf.bytes / rowLen
+      require(lf.bytes % rowLen == 0,
+        s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
+          s"multiple of the record length $rowLen")
+      // live read: deletion vectors apply, so a COW rewrite
+      // materializes them away instead of resurrecting dead rows
+      val dv = FwDv.ordinalsAsOf(lf.file.getPath, None)
+      (0L until n by recordsPerSplit).map { start =>
+        val cnt = math.min(recordsPerSplit, n - start)
+        val slice =
+          if (dv.isEmpty) Array.empty[Long]
+          else dv.filter(o => o >= start && o < start + cnt)
+        FwPartition(lf.file.getPath, start, cnt, slice)
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // no record-level filtering: the ReplaceData plan re-applies the
+    // condition row-side and must see every row of every kept file
+    val base = new FwReaderFactory(schema, schema.fieldNames, Array.empty)
+    if (wantFile)
+      new FwFileAppendReaderFactory(base, schema.fields.map(_.dataType))
+    else base
+  }
+}
+
+/** Publishes the replacement files, retires the scanned originals into
+  * retained history, and commits the post-rewrite snapshot — all under
+  * the commit lock after the optimistic version re-check.
+  */
+private[sources] final class FwCowBatchWrite(schema: StructType,
+    path: String, op: FwRowLevelOperation) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new FwCowWriterFactory(schema, path)
+
+  private def tmps(m: WriterCommitMessage): Seq[String] = m match {
+    case FwCommitMessage(t) => Seq(t)
+    case FwMultiCommitMessage(ts) => ts
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val allPaths = messages.flatMap(tmps)
+    // Spark runs one dummy task over an empty RDD (so the factory and
+    // commit protocol still execute); its 0-byte tmp is not data —
+    // drop it rather than publishing an empty file. A rewrite whose
+    // every row was deleted also lands here: the retirement below
+    // still runs off scannedFiles, so the rows genuinely vanish.
+    val (empties, paths) =
+      allPaths.partition(p => new java.io.File(p).length() == 0)
+    empties.foreach { tmp =>
+      new java.io.File(tmp).delete()
+      new java.io.File(
+        FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
+    }
+    FwVersions.withLock(path) {
+      def sweep(): Unit = paths.foreach { tmp =>
+        new java.io.File(tmp).delete()
+        new java.io.File(
+          FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
+      }
+      try FwVersions.requireVersion(path, op.planVersion,
+        s"row-level ${op.command()}")
+      catch { case e: java.util.ConcurrentModificationException =>
+        sweep(); throw e
+      }
+      paths.foreach { tmp =>
+        val f = new java.io.File(tmp)
+        val target = new java.io.File(f.getParentFile,
+          f.getName.stripSuffix(".tmp"))
+        require(f.renameTo(target), s"could not publish $tmp -> $target")
+        val sTmp = new java.io.File(
+          FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp")
+        if (sTmp.isFile) {
+          val sTarget = new java.io.File(sTmp.getParentFile,
+            sTmp.getName.stripSuffix(".tmp"))
+          require(sTmp.renameTo(sTarget),
+            s"could not publish $sTmp -> $sTarget")
+        }
+      }
+      // a rewrite that scanned nothing and wrote nothing (the condition
+      // statically excluded every file) burns no version
+      if (op.scannedFiles.nonEmpty || paths.nonEmpty) {
+        val dir = new java.io.File(path)
+        val replaced = FwMaintenance.retireInputs(path,
+          op.scannedFiles.map(n => new java.io.File(dir, n).getPath))
+        FwVersions.commitSnapshotLocked(path, replaced)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.flatMap(tmps).foreach { tmp =>
+      new java.io.File(tmp).delete()
+      new java.io.File(
+        FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
+    }
+}
+
+private[sources] final class FwCowWriterFactory(schema: StructType,
+    path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new FwDataWriter(schema, path, partitionId, taskId, prefix = "cow",
+      writeStats = true)
+}

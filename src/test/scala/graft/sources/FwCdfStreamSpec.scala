@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming change data feed: version-number offsets, per-commit
+  * insert rows for appends (including in-place growth), delete rows
+  * from merge-on-read deletion vectors, loud refusal of copy-on-write
+  * commits, and checkpointed restart resuming mid-history.
+  */
+class FwCdfStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val spec = "id:long:4,name:string:6,score:double:10"
+  private val schema = FixedWidth.parseSchema(spec)
+
+  private def freshTable(rows: Seq[(Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("fwcdfs").toFile.getAbsolutePath
+    rows.toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  private def append(dir: String, rows: Seq[(Long, String, Double)]): Unit =
+    rows.toDF("id", "name", "score").coalesce(1)
+      .write.format("graft.sources.FixedWidth").option("schema", spec)
+      .mode("append").save(dir)
+
+  private var qn = 0
+  /** Drain the CDF stream into a memory sink; returns (query, table). */
+  private def startStream(dir: String, opts: Map[String, String],
+      checkpoint: Option[String] = None) = {
+    qn += 1
+    val name = s"fwcdf_sink_$qn"
+    val r = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+    val withOpts = opts.foldLeft(r)((r, kv) => r.option(kv._1, kv._2))
+    val w = withOpts.load(dir).writeStream.format("memory").queryName(name)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      .start()
+    (q, name)
+  }
+
+  private def drain(name: String): Seq[(String, Long, Long, String)] =
+    spark.table(name)
+      .select("_change_type", "_commit_version", "id", "name")
+      .as[(String, Long, Long, String)].collect().toSeq.sorted
+
+  test("startingVersion=1 replays the full history as tagged inserts; " +
+      "appends keep streaming with their commit versions") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // v1
+    append(dir, Seq((3L, "c", 3.0))) // v2
+    val (q, sink) = startStream(dir, Map("startingVersion" -> "1"))
+    try {
+      q.processAllAvailable()
+      assert(drain(sink) === Seq(
+        ("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b"),
+        ("insert", 2L, 3L, "c")))
+      append(dir, Seq((4L, "d", 4.0))) // v3
+      q.processAllAvailable()
+      assert(drain(sink).contains(("insert", 3L, 4L, "d")))
+    } finally q.stop()
+  }
+
+  test("a merge-on-read delete streams the erased rows as delete " +
+      "changes, read from the retained bytes") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0)))
+    val (q, sink) = startStream(dir, Map("startingVersion" -> "1"))
+    try {
+      q.processAllAvailable()
+      FwMaintenance.deleteByKeysMoR(spark, dir, schema,
+        Seq(2L).toDF("id"), "id") // v2
+      q.processAllAvailable()
+      assert(drain(sink) === Seq(
+        ("delete", 2L, 2L, "b"),
+        ("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b"),
+        ("insert", 1L, 3L, "c")))
+    } finally q.stop()
+  }
+
+  test("a copy-on-write commit in range fails the stream with the " +
+      "pointer to the batch row-grain CDF") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    FwMaintenance.merge(spark, dir, schema,
+      Seq((1L, "A", 10.0)).toDF("id", "name", "score"), "id") // v2 COW
+    val (q, _) = startStream(dir, Map("startingVersion" -> "1"))
+    try {
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("copy-on-write")),
+        msgs(e).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("without startingVersion the stream tails only commits after " +
+      "it started") {
+    val dir = freshTable(Seq((1L, "a", 1.0)))
+    val (q, sink) = startStream(dir, Map.empty)
+    try {
+      q.processAllAvailable()
+      assert(drain(sink).isEmpty, "history before the stream is skipped")
+      append(dir, Seq((2L, "b", 2.0))) // v2
+      q.processAllAvailable()
+      assert(drain(sink) === Seq(("insert", 2L, 2L, "b")))
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from the committed version " +
+      "offset — no replay, no gap") {
+    val dir = freshTable(Seq((1L, "a", 1.0)))
+    val cp = Files.createTempDirectory("fwcdfcp").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("fwcdfout").toFile.getAbsolutePath
+    // the memory sink cannot recover a checkpoint; a parquet sink can
+    def start() = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    def got() = spark.read.parquet(out)
+      .select("_change_type", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got() === Seq(("insert", 1L, 1L)))
+    } finally q1.stop()
+    append(dir, Seq((2L, "b", 2.0))) // v2, while the stream is down
+    FwMaintenance.deleteByKeysMoR(spark, dir, schema,
+      Seq(1L).toDF("id"), "id") // v3, also while down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly the downtime delta arrives: v2's insert, v3's delete
+      assert(got() === Seq(("delete", 3L, 1L),
+        ("insert", 1L, 1L), ("insert", 2L, 2L)))
+    } finally q2.stop()
+  }
+}

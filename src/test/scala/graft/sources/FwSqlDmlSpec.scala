@@ -89,17 +89,33 @@ class FwSqlDmlSpec extends AnyFunSuite {
     assert(ids(t) === Seq(100L))
   }
 
-  test("unsupported DELETE shapes fail loudly instead of guessing") {
+  test("DELETE shapes the metadata path declines fall through to the " +
+      "COW row-level rewrite and still delete correctly") {
     val (t, _) = fresh()
-    // non-key column type (double), range predicate, multi-column AND
-    for (cond <- Seq("score > 5.0", "id > 3", "id = 1 AND name = 'n1'",
-        "name LIKE 'n%'")) {
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $t WHERE $cond")
-      }
-      assert(e.getMessage != null)
+    // non-key column type (double), range predicate, multi-column AND,
+    // LIKE — all shapes canDeleteWhere declines (FwRowLevelSpec pins
+    // that key-shaped deletes stay on the zero-rewrite DV path)
+    spark.sql(s"DELETE FROM $t WHERE score > 5.0 AND score < 8.0") // 4,5
+    assert(ids(t) === Seq(1L, 2L, 3L, 6L, 7L, 8L))
+    spark.sql(s"DELETE FROM $t WHERE name LIKE 'n8%'")
+    assert(ids(t) === Seq(1L, 2L, 3L, 6L, 7L))
+  }
+
+  test("SELECT _file exposes row provenance; files() grouping counts " +
+      "match file sizes") {
+    val (t, dir) = fresh()
+    val byFile = spark.sql(
+      s"SELECT _file, count(*) AS n FROM $t GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byFile.values.sum === 8L)
+    assert(byFile.keySet.forall(_.endsWith(".fw")))
+    // each file's count is its bytes / record length (4+6+10+3 pads…)
+    val rowLen = FixedWidth.widths(
+      FixedWidth.parseSchema("id:long:4,name:string:6,score:double:10"))
+      .sum + 1
+    byFile.foreach { case (name, cnt) =>
+      assert(new java.io.File(dir, name).length() === cnt * rowLen)
     }
-    assert(ids(t).size === 8, "failed deletes must not change the table")
   }
 
   test("CALL fw.optimize compacts and reports; named arguments bind") {
