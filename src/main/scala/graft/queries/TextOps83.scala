@@ -40,28 +40,28 @@ import graft.functions.VectorOps
 object TextOps83 {
   import Tables.t
 
-  private val K = 5        // reported answer size (recall@5)
-  private val KBuild = 10  // internal graph out-degree (richer wedges:
+  private[queries] val K = 5        // reported answer size (recall@5)
+  private[queries] val KBuild = 10  // internal graph out-degree (richer wedges:
                            // k=5 stalls near 0.35; the NN-Descent paper
                            // builds with K ~ 2-4x the query k)
-  private val Rounds = 3   // NN-Descent refinement rounds
-  private val Ef = 10      // search frontier width
-  private val Hops = 3     // greedy search hops
-  private val Probes = 50  // fixed probe panel: vec_id < 50
+  private[queries] val Rounds = 3   // NN-Descent refinement rounds
+  private[queries] val Ef = 10      // search frontier width
+  private[queries] val Hops = 3     // greedy search hops
+  private[queries] val Probes = 50  // fixed probe panel: vec_id < 50
 
   /** embeddings with non-null vectors; (vec_id, embedding). */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
 
-  private def score(e: DataFrame)(pairs: DataFrame): DataFrame = pairs
+  private[queries] def score(e: DataFrame)(pairs: DataFrame): DataFrame = pairs
     .join(e.select(col("vec_id").as("u"), col("embedding").as("ue")), "u")
     .join(e.select(col("vec_id").as("v"), col("embedding").as("ve")), "v")
     .select(col("u"), col("v"),
       round(VectorOps.cosine(col("ue"), col("ve")), 6).as("cos"))
 
-  private def topK(k: Int)(scored: DataFrame): DataFrame =
+  private[queries] def topK(k: Int)(scored: DataFrame): DataFrame =
     topKRanked(k)(scored).select("u", "v")
 
   /** Like topK but keeps the rank, so a KBuild-degree graph can answer
@@ -72,7 +72,7 @@ object TextOps83 {
       .filter(col("rank") <= k)
   }
 
-  private def undirected(b: DataFrame): DataFrame = {
+  private[queries] def undirected(b: DataFrame): DataFrame = {
     val uv = b.select("u", "v")
     uv.unionAll(uv.select(col("v").as("u"), col("u").as("v"))).distinct()
   }
@@ -80,7 +80,7 @@ object TextOps83 {
   /** NN-Descent: md5-slot random init, then `rounds` wedge-expansion
     * refinements. Returns b0 :: b1 :: ... :: b_rounds (all persisted).
     */
-  private def descend(spark: SparkSession, e: DataFrame, n: Long,
+  private[queries] def descend(spark: SparkSession, e: DataFrame, n: Long,
       rounds: Int): Seq[DataFrame] = {
     val slots = e.select(col("vec_id").as("v"),
       pmod(graft.functions.Md5Pack(
@@ -111,7 +111,7 @@ object TextOps83 {
   }
 
   /** Exact top-5 ground truth for the probe panel (u < Probes). */
-  private def exactPanel(e: DataFrame): DataFrame =
+  private[queries] def exactPanel(e: DataFrame): DataFrame =
     topK(K)(e.filter(col("vec_id") < Probes)
       .select(col("vec_id").as("u"), col("embedding").as("ue"))
       .join(e.select(col("vec_id").as("v"), col("embedding").as("ve")),
@@ -190,11 +190,11 @@ object TextOps83 {
   // product per candidate instead of three — the chain re-runs for
   // every CTE reference, so this is the difference between minutes
   // and tens of minutes of oracle time
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a.emb, $b.emb) / ($a.nrm * $b.nrm), 6)"
 
   /** CTEs e, nn, slots, draws, init, s0, b0 — identical to s38's. */
-  private def duckInit: String = {
+  private[queries] def duckInit: String = {
     val slotOwn = Tables.duckMd5Pack("'nnd_' || CAST(vec_id AS VARCHAR)")
     val slotDraw = Tables.duckMd5Pack(
       "'nnd_' || CAST(u AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
@@ -225,7 +225,7 @@ object TextOps83 {
   }
 
   /** One NN-Descent round: g_i/cand_i/s_i/b_i from b_{i-1}. */
-  private def duckRound(i: Int): String =
+  private[queries] def duckRound(i: Int): String =
     s"""g$i AS MATERIALIZED (
        |  SELECT u, v FROM b${i - 1}
        |  UNION SELECT v AS u, u AS v FROM b${i - 1}),
@@ -246,7 +246,7 @@ object TextOps83 {
        |  WHERE rank <= $KBuild)""".stripMargin
 
   /** Exact probe-panel top-5: se, ex. */
-  private def duckExact: String =
+  private[queries] def duckExact: String =
     s"""se AS (
        |  SELECT p.vec_id AS u, c.vec_id AS v, ${cosSql("p", "c")} AS cos
        |  FROM e p JOIN e c
