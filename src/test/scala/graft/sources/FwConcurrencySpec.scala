@@ -134,6 +134,61 @@ class FwConcurrencySpec extends AnyFunSuite {
       "commit lock must be released")
   }
 
+  test("a SQL UPDATE (row-level COW) that planned against a stale " +
+      "version sweeps its cow tmps and raises; the rival commit wins") {
+    val dir = Files.createTempDirectory("fwocc5").toFile.getAbsolutePath
+    val s = {
+      val sp = spark
+      sp.conf.set("spark.sql.catalog.fwocc", classOf[FwCatalog].getName)
+      sp
+    }
+    s.sql(s"""CREATE TABLE fwocc.ns.t (id BIGINT, name STRING,
+      score DOUBLE) OPTIONS (path '$dir', widths '4,6,10')""")
+    s.sql("INSERT INTO fwocc.ns.t VALUES (1,'a',1.0), (2,'b',2.0)")
+    assert(FwVersions.currentMax(dir) === 1L)
+
+    val lock = new java.io.File(dir, "_fw_versions.lock")
+    Files.createFile(lock.toPath)
+    @volatile var uError: Throwable = null
+    val u = new Thread(() => {
+      try s.sql("UPDATE fwocc.ns.t SET score = 9.0 WHERE id = 1")
+      catch { case t: Throwable => uError = t }
+    })
+    u.start()
+    // wait for the rewrite's replacement tmp, so the UPDATE is past
+    // its write tasks and parked on the commit lock
+    val deadline = System.currentTimeMillis() + 30000
+    def cowTmps() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("cow-")
+        && f.getName.endsWith(".tmp"))
+    while (cowTmps().isEmpty
+      && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cowTmps().nonEmpty, "UPDATE never produced its cow tmp")
+
+    // the rival commits v2 under the lock, then releases
+    val extra = new java.io.File(dir, "rival.fw")
+    Files.write(extra.toPath,
+      "   9z            9.0\n".getBytes("UTF-8"))
+    assert(FwVersions.commitSnapshotLocked(dir) === 2L)
+    lock.delete()
+
+    u.join(30000)
+    assert(!u.isAlive, "UPDATE thread hung")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(uError != null && causes(uError).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"stale UPDATE must raise ConcurrentModification, got $uError")
+    // loser swept: no cow tmps, no cow files published, no v3
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(n => n.startsWith("cow-")), names.toSeq)
+    assert(FwVersions.currentMax(dir) === 2L)
+    // the update never applied; both original rows and the rival live
+    assert(readAll(dir).filter(col("score") === 9.0).count() === 1L,
+      "only the rival's 9.0 row exists")
+    assert(readAll(dir).count() === 3L)
+  }
+
   test("a crashed writer's stale lock is broken; a fresh lock is " +
       "honored until timeout") {
     val dir = Files.createTempDirectory("fwocc4").toFile.getAbsolutePath
