@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions, batch 149 (SURVEY.md §2.4, lakehouse row) —
+  * write-side transactional guarantees for the FW source:
+  *
+  *  - q384: IDEMPOTENT APPENDS (the Delta `txn` action) — a batch
+  *    append carrying `txnAppId`/`txnVersion` stamps its (app,
+  *    version) pair into the manifest version it commits; a RETRY of
+  *    the same job version (the crashed-orchestrator / at-least-once
+  *    scheduler case) finds the high-water mark already at or above
+  *    its txnVersion, sweeps its tmp files, and returns WITHOUT
+  *    committing — so the retried write is exactly-once at the table
+  *    level. The query replays a loader that appends twice with the
+  *    same txnVersion (one commit) and once with the next (commits),
+  *    and proves both the row counts and the version count.
+  *
+  *    Scale shape: the check is one manifest read inside the commit
+  *    lock — O(history length) driver-side JSON, zero record IO; the
+  *    dedup never scans data files.
+  */
+object Analytics149 {
+  import Tables.t
+
+  private val FwSchema =
+    "s_suppkey:long:8,s_name:string:18,s_nationkey:int:4,s_acctbal:double:24"
+  private val FwFixtureMaxKey = 100000L
+
+  private def freshBase(tag: String, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      tag, Paths.get(dir).getFileName.toString)
+    if (Files.exists(base)) {
+      val listing = Files.list(base)
+      try listing.forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
+    }
+    Files.createDirectories(base)
+    base
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_fw_idempotent_append" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_txn", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      // v1: plain overwrite (no txn) — the base even-key half
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      def loaderAppend(slice: DataFrame, jobVersion: Long): Unit =
+        slice.repartition(2)
+          .write.format("graft.sources.FixedWidth")
+          .option("schema", FwSchema)
+          .option("txnAppId", "nightly_loader")
+          .option("txnVersion", jobVersion.toString)
+          .mode("append").save(base.toString)
+      val odd = src.filter(col("s_suppkey") % 2 =!= 0)
+      loaderAppend(odd, 1L) // v2: commits
+      loaderAppend(odd, 1L) // RETRY of job 1: must not commit again
+      val sevens = src.filter(col("s_suppkey") % 7 === 0)
+      loaderAppend(sevens, 2L) // v3: a NEW job version commits
+      loaderAppend(sevens, 2L) // retry of job 2: skipped too
+      val versions = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true").option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_versions"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(col("s_suppkey")).as("key_sum"))
+        .crossJoin(broadcast(versions))
+        .orderBy("s_nationkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // every key lands once (even v1 + odd v2); the %7 slice lands a
+    // second time via job version 2; the two RETRIES contribute zero
+    "q384_fw_idempotent_append" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey <= 100000),
+      expanded AS (
+        SELECT s_suppkey, s_nationkey FROM s
+        UNION ALL
+        SELECT s_suppkey, s_nationkey FROM s WHERE s_suppkey % 7 = 0)
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM expanded GROUP BY s_nationkey ORDER BY s_nationkey""",
+  )
+}

@@ -378,12 +378,31 @@ private[sources] class FwTable(tableSchema: StructType,
     val buckets = bucketsFor(info.options)
     require(buckets.isEmpty || pcolFor(info.options).isEmpty,
       "FixedWidth: bucketBy and partitionBy are mutually exclusive")
+    val txn = (Option(info.options.get("txnAppId")),
+        Option(info.options.get("txnVersion"))) match {
+      case (Some(app), Some(v)) =>
+        require(buckets.isEmpty && pcolFor(info.options).isEmpty,
+          "FixedWidth: txnAppId/txnVersion (idempotent writes) are a " +
+            "flat-table contract — partitioned/bucketed layouts do " +
+            "not version")
+        val tv =
+          try v.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"FixedWidth: txnVersion must be a long, got '$v'")
+          }
+        Some((app, tv))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "FixedWidth: txnAppId and txnVersion must be set together")
+    }
     new FwWriteBuilder(declared, path, pcolFor(info.options),
       Option(info.options.get("sortedBy")).map { c =>
         require(declared.fieldNames.contains(c),
           s"FixedWidth: sortedBy column $c is not in the schema")
         c
-      }, buckets)
+      }, buckets, txn)
   }
 }
 
@@ -398,13 +417,14 @@ private[sources] class FwTable(tableSchema: StructType,
 private[sources] class FwWriteBuilder(schema: StructType, path: String,
     partitionBy: Option[String] = None,
     sortedBy: Option[String] = None,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[(String, Int)] = None,
+    txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
-      truncateFirst, partitionBy, sortedBy, bucketBy)
+      truncateFirst, partitionBy, sortedBy, bucketBy, txn)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(partitionBy.isEmpty,
         "FixedWidth: partitionBy is batch-only; streaming epochs do " +
@@ -419,6 +439,9 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
       require(sortedBy.isEmpty,
         "FixedWidth: sortedBy is batch-only; streaming writers do " +
           "not certify sort order")
+      require(txn.isEmpty,
+        "FixedWidth: txnAppId/txnVersion are batch-only; streaming " +
+          "exactly-once rides the checkpoint epoch, not manifest txns")
       new FwStreamingWrite(schema, path)
     }
   }
@@ -474,7 +497,8 @@ private[sources] case class FwMultiCommitMessage(tmpPaths: Seq[String])
 private[sources] class FwBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, partitionBy: Option[String] = None,
     sortedBy: Option[String] = None,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[(String, Int)] = None,
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FwWriterFactory(schema, path, partitionBy, sortedBy, bucketBy)
@@ -492,6 +516,14 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     FwVersions.withLock(path)(commitLocked(messages))
 
   private def commitLocked(messages: Array[WriterCommitMessage]): Unit = {
+    // idempotent-append check (the Delta txn discipline): a retried
+    // job version at or below the manifest's high-water mark for this
+    // app already committed — sweep the tmps and return WITHOUT
+    // publishing, so retries are exactly-once at the table level
+    val txnDup = txn.exists { case (app, tv) =>
+      FwVersions.txnHighWater(path).get(app).exists(_ >= tv)
+    }
+    if (txnDup) { abort(messages); return }
     if (truncateFirst) {
       // TRUNCATE is scorched-earth: retained COW history dies with the
       // live set (physical listing), and every sidecar — stats AND
@@ -529,7 +561,7 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     // Partitioned/bucketed tables do not version (their layout is the
     // directory tree; snapshot pinning is a flat-table contract).
     if (partitionBy.isEmpty && bucketBy.isEmpty)
-      FwVersions.commitSnapshotLocked(path)
+      FwVersions.commitSnapshotLocked(path, Set.empty, txn)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2160,6 +2192,46 @@ private[sources] object FwVersions {
     }
   }
 
+  /** Writer-transaction record per version: `(appId, txnVersion)` for
+    * versions committed with the idempotent-append options; versions
+    * from plain writes have no record. The Delta `txn` action reduced
+    * to the manifest: a retried job re-presenting an (app, ver) pair
+    * at or below the recorded high-water mark is a duplicate and must
+    * not commit again.
+    */
+  def readTxn(path: String): Map[Long, (String, Long)] = {
+    val f = manifestFor(path)
+    if (!f.isFile) Map.empty
+    else JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "versions" match {
+      case JArray(vs) => vs.flatMap { v =>
+        val JInt(n) = v \ "v"
+        v \ "txn" match {
+          case JObject(_) =>
+            val JString(app) = v \ "txn" \ "a"
+            val tv = v \ "txn" \ "tv" match {
+              case JInt(t) => t.toLong
+              case JLong(t) => t
+              case other => throw new IllegalArgumentException(
+                s"bad _fw_versions.json txn version: $other")
+            }
+            Some(n.toLong -> ((app, tv)))
+          case _ => None
+        }
+      }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"bad _fw_versions.json: $other")
+    }
+  }
+
+  /** Highest committed txnVersion per application id — the idempotency
+    * high-water marks a new transactional commit checks against.
+    */
+  def txnHighWater(path: String): Map[String, Long] =
+    readTxn(path).values.groupBy(_._1)
+      .map { case (app, vs) => app -> vs.map(_._2).max }
+
   /** Delta-style timestamp travel: the NEWEST version whose commit
     * time is at or before `tsMillis`. Versions from pre-timestamp
     * manifests (ts unknown) are never eligible — an explicit error
@@ -2197,11 +2269,17 @@ private[sources] object FwVersions {
   def commitSnapshotLocked(path: String): Long =
     commitSnapshotLocked(path, Set.empty)
 
+  def commitSnapshotLocked(path: String, excluding: Set[String]): Long =
+    commitSnapshotLocked(path, excluding, None)
+
   /** `excluding`: file names THIS commit supersedes (a COW rewrite's
     * inputs) — they stay on disk for older pins but leave the live
-    * set, so the new snapshot must not list them.
+    * set, so the new snapshot must not list them. `txn`: the writer's
+    * (appId, txnVersion) idempotency record, stamped into the new
+    * version so a retry of the same job version is detectable.
     */
-  def commitSnapshotLocked(path: String, excluding: Set[String]): Long = {
+  def commitSnapshotLocked(path: String, excluding: Set[String],
+      txn: Option[(String, Long)]): Long = {
     val prior = read(path)
     val priorTs = readTs(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
@@ -2215,7 +2293,9 @@ private[sources] object FwVersions {
     // one millisecond stay distinguishable to timestamp travel
     val now = math.max(System.currentTimeMillis(),
       priorTs.values.foldLeft(-1L)(math.max) + 1)
-    rewrite(path, prior :+ ((next, snapshot)), priorTs + (next -> now))
+    val txns = txn.fold(readTxn(path))(t => readTxn(path) + (next -> t))
+    rewrite(path, prior :+ ((next, snapshot)), priorTs + (next -> now),
+      txns)
     next
   }
 
@@ -2226,14 +2306,19 @@ private[sources] object FwVersions {
     */
   def rewrite(path: String,
       versions: Seq[(Long, Seq[(String, Long)])],
-      tsOf: Map[Long, Long] = Map.empty): Unit = {
+      tsOf: Map[Long, Long] = Map.empty,
+      txnOf: Map[Long, (String, Long)] = Map.empty): Unit = {
     import org.json4s.JsonDSL._
     val doc: JObject = "versions" ->
       versions.map { case (v, files) =>
         val base = ("v" -> v) ~ ("files" -> files.map { case (n, b) =>
           ("n" -> n) ~ ("b" -> b): JObject
         })
-        tsOf.get(v).filter(_ >= 0).fold(base)(t => base ~ ("ts" -> t))
+        val withTs =
+          tsOf.get(v).filter(_ >= 0).fold(base)(t => base ~ ("ts" -> t))
+        txnOf.get(v).fold(withTs) { case (app, tv) =>
+          withTs ~ ("txn" -> (("a" -> app) ~ ("tv" -> tv)))
+        }
       }
     val target = manifestFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")

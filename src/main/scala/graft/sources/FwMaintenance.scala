@@ -343,7 +343,8 @@ object FwMaintenance {
     // the trim keeps each retained version's commit time, so
     // timestamp travel stays usable across a vacuum
     if (dropped > 0)
-      FwVersions.rewrite(path, retained, FwVersions.readTs(path))
+      FwVersions.rewrite(path, retained, FwVersions.readTs(path),
+        FwVersions.readTxn(path))
 
     val referenced: Set[String] =
       retained.flatMap(_._2.map(_._1)).toSet
@@ -665,7 +666,8 @@ object FwMaintenance {
           FwDv.readRowLen(f.getPath).get, kept)
       }
     }
-    FwVersions.rewrite(path, retained, FwVersions.readTs(path))
+    FwVersions.rewrite(path, retained, FwVersions.readTs(path),
+      FwVersions.readTxn(path))
     RollbackReport(all.size - retained.size, removed)
     } // withLock
   }
