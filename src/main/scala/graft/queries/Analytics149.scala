@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   *    Scale shape: the check is one manifest read inside the commit
   *    lock — O(history length) driver-side JSON, zero record IO; the
   *    dedup never scans data files.
+  *
+  *  - q385: CHECK CONSTRAINTS enforced at write (the Delta
+  *    `ADD CONSTRAINT` discipline, `graft.sources.FwConstraints`) —
+  *    a named SQL predicate added to the table (existing rows
+  *    validated first) that every subsequent batch write enforces
+  *    row-by-row via a codegen'd predicate compiled once per task
+  *    from the driver-analyzed expression. A violating batch fails
+  *    ATOMICALLY: the whole commit aborts and its tmps are swept, so
+  *    the query proves the violating append contributed zero rows,
+  *    zero versions — and the valid appends landed.
+  *
+  *    Scale shape: per-row cost is one generated-code boolean per
+  *    constraint (no interpreter, no extra pass); validation of the
+  *    existing table is one distributed filter-count.
   */
 object Analytics149 {
   import Tables.t
@@ -77,6 +91,56 @@ object Analytics149 {
         .crossJoin(broadcast(versions))
         .orderBy("s_nationkey")
     }),
+
+    "q385_fw_constraints" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_check", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      graft.sources.FwConstraints.add(spark, base.toString, FwSchema,
+        "key_bound", s"s_suppkey <= $FwFixtureMaxKey")
+      // a compliant append commits (v2)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      // a violating append must abort WHOLESALE — even its rows that
+      // individually satisfy the constraint
+      val caught =
+        try {
+          src.limit(50)
+            .withColumn("s_suppkey",
+              col("s_suppkey") + lit(10L * FwFixtureMaxKey))
+            .write.format("graft.sources.FixedWidth")
+            .option("schema", FwSchema).mode("append").save(base.toString)
+          false
+        } catch {
+          case e: Throwable =>
+            var cur = e; var hit = false
+            while (cur != null && !hit) {
+              hit = cur.getMessage != null &&
+                cur.getMessage.contains("CHECK constraint 'key_bound'")
+              cur = cur.getCause
+            }
+            hit
+        }
+      val versions = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true").option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_versions"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          max(col("s_suppkey")).as("max_key"))
+        .crossJoin(broadcast(versions))
+        .withColumn("violation_caught", lit(caught))
+        .orderBy("s_nationkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,5 +158,15 @@ object Analytics149 {
         CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
         CAST(3 AS BIGINT) AS n_versions
       FROM expanded GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // the violating append contributed nothing: counts and max keys
+    // replay from the bounded supplier predicate alone; 2 versions
+    "q385_fw_constraints" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        max(s_suppkey) AS max_key,
+        CAST(2 AS BIGINT) AS n_versions,
+        TRUE AS violation_caught
+      FROM supplier WHERE s_suppkey <= 100000
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
   )
 }

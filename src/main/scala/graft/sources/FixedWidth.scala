@@ -500,8 +500,14 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     bucketBy: Option[(String, Int)] = None,
     txn: Option[(String, Long)] = None)
     extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FwWriterFactory(schema, path, partitionBy, sortedBy, bucketBy)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // CHECK constraints resolve ONCE on the driver (full analysis
+    // against the write schema); the bound expressions ship to tasks
+    val checks = FwConstraints.read(path).map(c =>
+      (c.name, c.expr, FwConstraints.bind(schema, c.expr)))
+    new FwWriterFactory(schema, path, partitionBy, sortedBy, bucketBy,
+      checks)
+  }
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
@@ -575,10 +581,12 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
 private[sources] class FwWriterFactory(schema: StructType, path: String,
     partitionBy: Option[String] = None,
     sortedBy: Option[String] = None,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[(String, Int)] = None,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    (partitionBy, bucketBy) match {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val base: DataWriter[InternalRow] = (partitionBy, bucketBy) match {
       case (Some(pcol), _) =>
         new FwPartitionedDataWriter(schema, path, pcol, partitionId,
           taskId, sortedBy.filter(_ != pcol))
@@ -589,6 +597,44 @@ private[sources] class FwWriterFactory(schema: StructType, path: String,
         new FwDataWriter(schema, path, partitionId, taskId,
           writeStats = true, sortedBy = sortedBy)
     }
+    if (checks.isEmpty) base else new FwConstraintWriter(base, checks)
+  }
+}
+
+/** Per-task CHECK enforcement: every row passes each constraint's
+  * codegen'd predicate before reaching the real writer; an explicit
+  * FALSE fails the task (Spark aborts the write, tmps are swept).
+  * Compilation happens once per task from the driver-bound expression.
+  */
+private[sources] class FwConstraintWriter(
+    inner: DataWriter[InternalRow],
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DataWriter[InternalRow] {
+  private val preds = checks.map { case (n, e, b) =>
+    (n, e, FwConstraints.violationPredicate(b))
+  }.toArray
+
+  private def enforce(row: InternalRow): Unit = {
+    var i = 0
+    while (i < preds.length) {
+      if (preds(i)._3.eval(row))
+        throw new IllegalArgumentException(
+          s"FixedWidth: CHECK constraint '${preds(i)._1}' " +
+            s"(${preds(i)._2}) violated")
+      i += 1
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    enforce(row); inner.write(row)
+  }
+  override def write(metadata: InternalRow, row: InternalRow): Unit = {
+    enforce(row); inner.write(metadata, row)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Hash-bucketed writer: rows route to `bucket=<id>` directories by a

@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object FwProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "rollback",
-    "clone", "truncate")
+    "clone", "truncate", "add_constraint", "drop_constraint")
 
   def load(cat: FwCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -40,6 +40,8 @@ private[sources] object FwProcedures {
       case "rollback" => Some(new RollbackProcedure(cat))
       case "clone" => Some(new CloneProcedure(cat))
       case "truncate" => Some(new TruncateProcedure(cat))
+      case "add_constraint" => Some(new AddConstraintProcedure(cat))
+      case "drop_constraint" => Some(new DropConstraintProcedure(cat))
       case _ => None
     }
 
@@ -180,6 +182,51 @@ private[sources] object FwProcedures {
       val (path, _) = resolve(input.getUTF8String(0).toString)
       val v = FwMaintenance.truncateRetain(path)
       result(out, Seq(v.orNull))
+    }
+  }
+
+  /** `CALL fw.add_constraint(tbl, name, expr)` → named CHECK
+    * constraint; validates every existing row before publishing.
+    */
+  private final class AddConstraintProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a named CHECK constraint (validates existing rows first); " +
+        "every subsequent write enforces it row-by-row"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType), in("name", StringType),
+      in("expr", StringType))
+    private val out = StructType(Seq(
+      StructField("constraint_name", StringType, nullable = false),
+      StructField("n_constraints", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val cname = input.getUTF8String(1).toString
+      val expr = input.getUTF8String(2).toString
+      val (path, schema) = resolve(tbl)
+      FwConstraints.add(spark, path, schema,
+        spark.table(s"${cat.name()}.$tbl"), cname, expr)
+      result(out, Seq(cname, FwConstraints.read(path).size))
+    }
+  }
+
+  /** `CALL fw.drop_constraint(tbl, name)` → remove a CHECK constraint. */
+  private final class DropConstraintProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "drop_constraint"
+    override def description(): String =
+      "drop a named CHECK constraint"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType), in("name", StringType))
+    private val out = StructType(Seq(
+      StructField("n_constraints", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val cname = input.getUTF8String(1).toString
+      val (path, _) = resolve(tbl)
+      FwConstraints.drop(path, cname)
+      result(out, Seq(FwConstraints.read(path).size))
     }
   }
 }
