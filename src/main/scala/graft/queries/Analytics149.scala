@@ -34,6 +34,28 @@ import org.apache.spark.sql.functions._
   *    Scale shape: per-row cost is one generated-code boolean per
   *    constraint (no interpreter, no extra pass); validation of the
   *    existing table is one distributed filter-count.
+  *
+  *  - q386: WRITE-AUDIT-PUBLISH (Iceberg branch semantics,
+  *    `graft.sources.FwRefs`) — a write carrying `branch=audit`
+  *    commits its snapshot but moves only the `audit` ref; `main`
+  *    freezes at the pre-stage version and every un-pinned read
+  *    resolves through it, so production readers cannot see unaudited
+  *    data. While the stage is pending, every OTHER commit path
+  *    (plain append, compaction, truncate, row-level DML) refuses
+  *    loudly BEFORE publishing a byte — a snapshot is a full listing,
+  *    so committing around a stage would silently leak it. The audit
+  *    query runs against `branch=audit`; `publish` fast-forwards main
+  *    atomically (one refs-file rename).
+  *
+  *  - q387: TAGS + RETENTION — an immutable named pin on a committed
+  *    version (`FwMaintenance.tag`). Vacuum's history trim retains
+  *    every ref'd version, so a release tag outlives any retainLast
+  *    window until deleted; reads resolve it via
+  *    `.option("branch", name)`.
+  *
+  *    Scale shape for both: refs are one tiny JSON read-modify-write
+  *    under the commit lock — zero record IO at any table size; the
+  *    default-view resolution adds one manifest lookup to planning.
   */
 object Analytics149 {
   import Tables.t
@@ -141,6 +163,85 @@ object Analytics149 {
         .withColumn("violation_caught", lit(caught))
         .orderBy("s_nationkey")
     }),
+
+    "q386_fw_wap" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_wap", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      def fw = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+      // v1 (the production view)
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      // stage the odd half onto the audit branch (v2; main stays v1)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).option("branch", "audit")
+        .mode("append").save(base.toString)
+      val nMainBefore = fw.load(base.toString).count()
+      val nBranch = fw.option("branch", "audit").load(base.toString)
+        .count()
+      // the WAP guard: a plain append while the stage is pending must
+      // refuse before publishing anything
+      val blocked =
+        try {
+          src.limit(10)
+            .write.format("graft.sources.FixedWidth")
+            .option("schema", FwSchema).mode("append").save(base.toString)
+          false
+        } catch {
+          case e: Throwable =>
+            var cur = e; var hit = false
+            while (cur != null && !hit) {
+              hit = cur.getMessage != null &&
+                cur.getMessage.contains("pending stage")
+              cur = cur.getCause
+            }
+            hit
+        }
+      val pub = graft.sources.FwMaintenance.publish(base.toString, "audit")
+      val nMainAfter = fw.load(base.toString).count()
+      spark.range(1).select(
+        lit(nMainBefore).as("n_main_before"),
+        lit(nBranch).as("n_branch"),
+        lit(blocked).as("blocked_while_staged"),
+        lit(pub.publishedVersion).as("published_version"),
+        lit(nMainAfter).as("n_main_after"))
+    }),
+
+    "q387_fw_tags" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_tag", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      def fw = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema)
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      graft.sources.FwMaintenance.tag(base.toString, "rel_1", 1L)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      // retention says keep 1 version; the tag protects v1 anyway
+      graft.sources.FwMaintenance.vacuum(spark, base.toString,
+        retainLast = 1)
+      val nTagged = fw.option("branch", "rel_1").load(base.toString)
+        .count()
+      val nLive = fw.load(base.toString).count()
+      val nVersions = fw.option("history", "true").load(base.toString)
+        .count()
+      spark.range(1).select(
+        lit(nTagged).as("n_tagged"),
+        lit(nLive).as("n_live"),
+        lit(nVersions).as("n_versions"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +269,25 @@ object Analytics149 {
         TRUE AS violation_caught
       FROM supplier WHERE s_suppkey <= 100000
       GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // staged = odd half, invisible to main until publish; the blocked
+    // plain append contributed nothing
+    "q386_fw_wap" -> """
+      SELECT
+        CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_main_before,
+        CAST(count(*) AS BIGINT) AS n_branch,
+        TRUE AS blocked_while_staged,
+        CAST(2 AS BIGINT) AS published_version,
+        CAST(count(*) AS BIGINT) AS n_main_after
+      FROM supplier WHERE s_suppkey <= 100000""",
+
+    // the tag pinned v1 (the even half) through a retainLast=1 vacuum;
+    // both versions stay in history
+    "q387_fw_tags" -> """
+      SELECT
+        CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+        CAST(count(*) AS BIGINT) AS n_live,
+        CAST(2 AS BIGINT) AS n_versions
+      FROM supplier WHERE s_suppkey <= 100000""",
   )
 }

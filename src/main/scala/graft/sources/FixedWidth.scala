@@ -253,14 +253,31 @@ private[sources] class FwTable(tableSchema: StructType,
       .orElse(properties.get("versionAsOf").map(_.toLong))
     val tsPin = Option(options.get("timestampAsOf"))
       .orElse(properties.get("timestampAsOf"))
-    require(verPin.isEmpty || tsPin.isEmpty,
-      "FixedWidth: versionAsOf and timestampAsOf are mutually exclusive")
-    new FwScanBuilder(declared, pathFor(options),
+    val branchPin = Option(options.get("branch"))
+      .orElse(properties.get("branch"))
+    require(Seq(verPin, tsPin, branchPin).count(_.isDefined) <= 1,
+      "FixedWidth: versionAsOf, timestampAsOf and branch are " +
+        "mutually exclusive")
+    val changesFrom = Option(options.get("changesFromVersion")).map(_.toLong)
+    val path = pathFor(options)
+    // WAP default view: once refs exist, an un-pinned read resolves
+    // through `main` instead of the live listing — staged data is
+    // invisible until published (partitioned/bucketed layouts have no
+    // manifest, so they keep the live listing)
+    val mainPin =
+      if (verPin.isEmpty && tsPin.isEmpty && branchPin.isEmpty &&
+        changesFrom.isEmpty && pcolFor(options).isEmpty &&
+        bucketsFor(options).isEmpty)
+        FwRefs.mainVersion(path)
+      else None
+    new FwScanBuilder(declared, path,
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
       Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
       verPin.orElse(tsPin.map(s => FwVersions.resolveTimestamp(
-        pathFor(options), FwTable.parseTs(s)))),
-      Option(options.get("changesFromVersion")).map(_.toLong),
+          path, FwTable.parseTs(s))))
+        .orElse(branchPin.map(b => FwRefs.resolve(path, b)))
+        .orElse(mainPin),
+      changesFrom,
       pcolFor(options), bucketsFor(options))
   }
 
@@ -397,12 +414,19 @@ private[sources] class FwTable(tableSchema: StructType,
       case _ => throw new IllegalArgumentException(
         "FixedWidth: txnAppId and txnVersion must be set together")
     }
+    val stage = Option(info.options.get("branch"))
+      .filter(_ != "main")
+    require(stage.isEmpty ||
+      (buckets.isEmpty && pcolFor(info.options).isEmpty),
+      "FixedWidth: branch writes (write-audit-publish) are a " +
+        "flat-table contract — partitioned/bucketed layouts do not " +
+        "version")
     new FwWriteBuilder(declared, path, pcolFor(info.options),
       Option(info.options.get("sortedBy")).map { c =>
         require(declared.fieldNames.contains(c),
           s"FixedWidth: sortedBy column $c is not in the schema")
         c
-      }, buckets, txn)
+      }, buckets, txn, stage)
   }
 }
 
@@ -418,13 +442,14 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
     partitionBy: Option[String] = None,
     sortedBy: Option[String] = None,
     bucketBy: Option[(String, Int)] = None,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    stage: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FwBatchWrite(schema, path,
-      truncateFirst, partitionBy, sortedBy, bucketBy, txn)
+      truncateFirst, partitionBy, sortedBy, bucketBy, txn, stage)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(partitionBy.isEmpty,
         "FixedWidth: partitionBy is batch-only; streaming epochs do " +
@@ -442,6 +467,9 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
       require(txn.isEmpty,
         "FixedWidth: txnAppId/txnVersion are batch-only; streaming " +
           "exactly-once rides the checkpoint epoch, not manifest txns")
+      require(stage.isEmpty,
+        "FixedWidth: branch writes are batch-only; streaming epochs " +
+          "do not version")
       new FwStreamingWrite(schema, path)
     }
   }
@@ -498,7 +526,8 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean, partitionBy: Option[String] = None,
     sortedBy: Option[String] = None,
     bucketBy: Option[(String, Int)] = None,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    stage: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // CHECK constraints resolve ONCE on the driver (full analysis
@@ -530,6 +559,13 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
       FwVersions.txnHighWater(path).get(app).exists(_ >= tv)
     }
     if (txnDup) { abort(messages); return }
+    require(!(truncateFirst && stage.isDefined),
+      "FixedWidth: overwrite cannot stage to a branch — truncate " +
+        "physically deletes the files every other ref still reads")
+    // stage-vs-commit legality BEFORE any file publishes: an illegal
+    // interleave must leave zero torn state
+    if (partitionBy.isEmpty && bucketBy.isEmpty)
+      FwVersions.requireCommitSlot(path, stage)
     if (truncateFirst) {
       // TRUNCATE is scorched-earth: retained COW history dies with the
       // live set (physical listing), and every sidecar — stats AND
@@ -567,7 +603,7 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     // Partitioned/bucketed tables do not version (their layout is the
     // directory tree; snapshot pinning is a flat-table contract).
     if (partitionBy.isEmpty && bucketBy.isEmpty)
-      FwVersions.commitSnapshotLocked(path, Set.empty, txn)
+      FwVersions.commitSnapshotLocked(path, Set.empty, txn, stage)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2318,14 +2354,61 @@ private[sources] object FwVersions {
   def commitSnapshotLocked(path: String, excluding: Set[String]): Long =
     commitSnapshotLocked(path, excluding, None)
 
+  def commitSnapshotLocked(path: String, excluding: Set[String],
+      txn: Option[(String, Long)]): Long =
+    commitSnapshotLocked(path, excluding, txn, None)
+
   /** `excluding`: file names THIS commit supersedes (a COW rewrite's
     * inputs) — they stay on disk for older pins but leave the live
     * set, so the new snapshot must not list them. `txn`: the writer's
     * (appId, txnVersion) idempotency record, stamped into the new
     * version so a retry of the same job version is detectable.
+    * `stageBranch`: commit to a side branch — `main` (and therefore
+    * every default reader) does not move; a plain commit fast-forwards
+    * `main` when refs exist. Either way, a snapshot is a full
+    * directory listing, so while a stage is pending every OTHER
+    * commit path must refuse (it would fold the staged files into its
+    * own snapshot — a silent leak into `main`).
     */
+  /** The stage-vs-commit compatibility check, WITHOUT side effects —
+    * commit paths call this (inside the lock) BEFORE publishing any
+    * file, so an illegal commit fails with zero torn state; the
+    * snapshot itself re-runs it and then mutates refs.
+    */
+  def requireCommitSlot(path: String, stageBranch: Option[String]): Unit = {
+    val pending = FwRefs.pendingStage(path)
+    stageBranch match {
+      case Some(b) =>
+        require(b != "main",
+          "FixedWidth: branch=main is the default commit path — omit " +
+            "the option instead of staging to main")
+        require(FwRefs.get(path, b).forall(!_.isTag),
+          s"FixedWidth: '$b' is a tag; tags are immutable")
+        pending.filter(_.name != b).foreach { p =>
+          throw new IllegalStateException(
+            s"FixedWidth: branch '${p.name}' already has a pending " +
+              s"stage at version ${p.version}; publish or drop it " +
+              s"before staging '$b'")
+        }
+        require(currentMax(path) >= 1,
+          "FixedWidth: staging requires a committed base version — " +
+            "write the table once before opening an audit branch")
+      case None =>
+        pending.foreach { p =>
+          throw new IllegalStateException(
+            s"FixedWidth: branch '${p.name}' has a pending stage at " +
+              s"version ${p.version}; publish or drop it before " +
+              "committing to main")
+        }
+    }
+  }
+
   def commitSnapshotLocked(path: String, excluding: Set[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)], stageBranch: Option[String]): Long = {
+    requireCommitSlot(path, stageBranch)
+    // first stage freezes the default view where it stands
+    if (stageBranch.isDefined && FwRefs.mainVersion(path).isEmpty)
+      FwRefs.set(path, "main", currentMax(path), isTag = false)
     val prior = read(path)
     val priorTs = readTs(path)
     val next = if (prior.isEmpty) 1L else prior.map(_._1).max + 1L
@@ -2342,6 +2425,12 @@ private[sources] object FwVersions {
     val txns = txn.fold(readTxn(path))(t => readTxn(path) + (next -> t))
     rewrite(path, prior :+ ((next, snapshot)), priorTs + (next -> now),
       txns)
+    stageBranch match {
+      case Some(b) => FwRefs.set(path, b, next, isTag = false)
+      case None =>
+        if (FwRefs.mainVersion(path).isDefined)
+          FwRefs.set(path, "main", next, isTag = false)
+    }
     next
   }
 

@@ -76,6 +76,7 @@ object FwMaintenance {
   def optimize(spark: SparkSession, path: String,
       targetBytes: Long): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    FwVersions.requireCommitSlot(path, None)
     // optimistic concurrency: remember the version this plan reads
     // BEFORE listing files — the publish phase re-checks it under the
     // commit lock and aborts (sweeping its outputs) if another writer
@@ -338,7 +339,13 @@ object FwMaintenance {
     // lost by the trim nor snapshot files the sweep is removing
     val (dropped, orphans, retainedCount) = FwVersions.withLock(path) {
     val all = FwVersions.read(path)
-    val retained = all.sortBy(-_._1).take(retainLast).sortBy(_._1)
+    // ref'd versions (branches AND tags) outlive the retention window:
+    // a release tag must stay readable until the tag itself is deleted
+    val refPinned = FwRefs.read(path).map(_.version).toSet
+    val lastN = all.sortBy(-_._1).take(retainLast).map(_._1).toSet
+    val retained =
+      all.filter(v => lastN.contains(v._1) || refPinned.contains(v._1))
+        .sortBy(_._1)
     val dropped = all.size - retained.size
     // the trim keeps each retained version's commit time, so
     // timestamp travel stays usable across a vacuum
@@ -442,6 +449,7 @@ object FwMaintenance {
       schema: org.apache.spark.sql.types.StructType,
       keySet: Set[Any], keyCol: String): MoRDeleteReport = {
     requireFlat(path, "deleteByKeysMoR")
+    FwVersions.requireCommitSlot(path, None)
     val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -668,6 +676,9 @@ object FwMaintenance {
     }
     FwVersions.rewrite(path, retained, FwVersions.readTs(path),
       FwVersions.readTxn(path))
+    // branches above the target clamp to it; tags above it die with
+    // their snapshots
+    FwRefs.clampTo(path, toVersion)
     RollbackReport(all.size - retained.size, removed)
     } // withLock
   }
@@ -716,12 +727,100 @@ object FwMaintenance {
   def truncateRetain(path: String): Option[Long] = {
     requireFlat(path, "truncate")
     FwVersions.withLock(path) {
+      FwVersions.requireCommitSlot(path, None)
       val live = FwFiles.list(path)
       if (live.isEmpty) None
       else Some(FwVersions.commitSnapshotLocked(path,
         retireInputs(path, live.map(_.getPath).toSeq)))
     }
   }
+
+  // ---- Write-audit-publish: branch + tag lifecycle -------------------
+
+  final case class PublishReport(publishedVersion: Long,
+      previousMain: Long)
+
+  /** Fast-forward `main` to the audited branch head and close the
+    * stage window (the ref dies; its snapshot lives on as `main`).
+    * The WAP "publish" step: after this, default readers see the
+    * staged data, atomically (one refs-file rename).
+    */
+  def publish(path: String, branch: String): PublishReport = {
+    requireFlat(path, "publish")
+    FwVersions.withLock(path) {
+      val r = FwRefs.get(path, branch).getOrElse(
+        throw new IllegalArgumentException(
+          s"FixedWidth: no branch '$branch' to publish at $path"))
+      require(!r.isTag, s"FixedWidth: '$branch' is a tag, not a branch")
+      val main = FwRefs.mainVersion(path).getOrElse(
+        throw new IllegalStateException(
+          s"FixedWidth: table at $path has no main ref"))
+      require(r.version >= main,
+        s"FixedWidth: branch '$branch' (v${r.version}) is behind " +
+          s"main (v$main); nothing to publish")
+      FwRefs.set(path, "main", r.version, isTag = false)
+      FwRefs.delete(path, branch)
+      PublishReport(r.version, main)
+    }
+  }
+
+  final case class DropStageReport(droppedVersions: Int,
+      filesRemoved: Int)
+
+  /** Abandon a pending stage: the branch ref dies and every snapshot
+    * above `main` rolls back hard (the staged files are physically
+    * removed — they were never published, nothing else references
+    * them). The WAP "audit failed" path.
+    */
+  def dropStage(spark: SparkSession, path: String,
+      branch: String): DropStageReport = {
+    requireFlat(path, "dropStage")
+    val mainV = FwVersions.withLock(path) {
+      val r = FwRefs.get(path, branch).getOrElse(
+        throw new IllegalArgumentException(
+          s"FixedWidth: no branch '$branch' to drop at $path"))
+      require(!r.isTag,
+        s"FixedWidth: '$branch' is a tag; use deleteTag")
+      require(branch != "main", "FixedWidth: cannot drop main")
+      FwRefs.delete(path, branch)
+      FwRefs.mainVersion(path).getOrElse(
+        throw new IllegalStateException(
+          s"FixedWidth: table at $path has no main ref"))
+    }
+    // rollback takes the lock itself; the ref is already gone, so a
+    // racing commit cannot resurrect the stage in between
+    val rb = rollback(spark, path, mainV)
+    DropStageReport(rb.versionsDropped, rb.filesRemoved)
+  }
+
+  /** Pin a committed version under an immutable name (release marker).
+    * Tags resolve in reads via `.option("branch", name)` and protect
+    * their version from vacuum's retention trim until deleted.
+    */
+  def tag(path: String, name: String, version: Long): Unit = {
+    requireFlat(path, "tag")
+    FwVersions.withLock(path) {
+      require(name != "main", "FixedWidth: 'main' is reserved")
+      require(FwRefs.get(path, name).isEmpty,
+        s"FixedWidth: ref '$name' already exists at $path")
+      FwVersions.resolve(path, version) // loud if unknown
+      // tagging freezes the default view the same way staging does:
+      // refs exist from here on, so un-pinned reads resolve main
+      if (FwRefs.mainVersion(path).isEmpty)
+        FwRefs.set(path, "main", FwVersions.currentMax(path),
+          isTag = false)
+      FwRefs.set(path, name, version, isTag = true)
+    }
+  }
+
+  def deleteTag(path: String, name: String): Unit =
+    FwVersions.withLock(path) {
+      val r = FwRefs.get(path, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"FixedWidth: no tag '$name' at $path"))
+      require(r.isTag, s"FixedWidth: '$name' is a branch, not a tag")
+      FwRefs.delete(path, name)
+    }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCol`: every table row
     * whose key appears in `updates` is replaced by the update row,
@@ -751,6 +850,7 @@ object FwMaintenance {
       schema: org.apache.spark.sql.types.StructType,
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): MergeReport = {
+    FwVersions.requireCommitSlot(path, None)
     requireFlat(path, "merge")
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
@@ -873,6 +973,7 @@ object FwMaintenance {
       keys: org.apache.spark.sql.DataFrame,
       keyCol: String): DeleteReport = {
     requireFlat(path, "deleteByKeys")
+    FwVersions.requireCommitSlot(path, None)
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
     val planVersion = FwVersions.currentMax(path)

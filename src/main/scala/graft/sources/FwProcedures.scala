@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object FwProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "rollback",
-    "clone", "truncate", "add_constraint", "drop_constraint")
+    "clone", "truncate", "add_constraint", "drop_constraint",
+    "publish", "tag")
 
   def load(cat: FwCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -42,6 +43,8 @@ private[sources] object FwProcedures {
       case "truncate" => Some(new TruncateProcedure(cat))
       case "add_constraint" => Some(new AddConstraintProcedure(cat))
       case "drop_constraint" => Some(new DropConstraintProcedure(cat))
+      case "publish" => Some(new PublishProcedure(cat))
+      case "tag" => Some(new TagProcedure(cat))
       case _ => None
     }
 
@@ -227,6 +230,48 @@ private[sources] object FwProcedures {
       val (path, _) = resolve(tbl)
       FwConstraints.drop(path, cname)
       result(out, Seq(FwConstraints.read(path).size))
+    }
+  }
+
+  /** `CALL fw.publish(tbl, branch)` → WAP publish: fast-forward main
+    * to the audited branch head.
+    */
+  private final class PublishProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "publish"
+    override def description(): String =
+      "fast-forward main to a staged branch head (write-audit-publish)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType), in("branch", StringType))
+    private val out = StructType(Seq(
+      StructField("published_version", LongType, nullable = false),
+      StructField("previous_main", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (path, _) = resolve(input.getUTF8String(0).toString)
+      val r = FwMaintenance.publish(path,
+        input.getUTF8String(1).toString)
+      result(out, Seq(r.publishedVersion, r.previousMain))
+    }
+  }
+
+  /** `CALL fw.tag(tbl, name, version)` → immutable release pin. */
+  private final class TagProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a committed version under an immutable tag name"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType), in("name", StringType),
+      in("version", LongType))
+    private val out = StructType(Seq(
+      StructField("tag_name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (path, _) = resolve(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val v = input.getLong(2)
+      FwMaintenance.tag(path, name, v)
+      result(out, Seq(name, v))
     }
   }
 }

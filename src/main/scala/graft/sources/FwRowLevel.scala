@@ -235,9 +235,14 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
         new java.io.File(
           FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
       }
-      try FwVersions.requireVersion(path, op.planVersion,
-        s"row-level ${op.command()}")
-      catch { case e: java.util.ConcurrentModificationException =>
+      try {
+        FwVersions.requireVersion(path, op.planVersion,
+          s"row-level ${op.command()}")
+        // stage legality BEFORE publishing — a pending audit branch
+        // must fail this commit with zero torn state
+        FwVersions.requireCommitSlot(path, None)
+      } catch { case e @ (_: java.util.ConcurrentModificationException
+          | _: IllegalStateException) =>
         sweep(); throw e
       }
       paths.foreach { tmp =>
