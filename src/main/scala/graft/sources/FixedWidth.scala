@@ -477,10 +477,21 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
 
 /** Streaming sink: each epoch's tasks write
   * `part-<epoch>-<pid>-<task>.fw.tmp`; the driver publishes them on
-  * epoch commit. Offsets in the checkpoint plus publish-on-commit give
-  * the usual at-least-once file-sink semantics; readers only ever see
-  * whole `.fw` files (and the fixed-width invariant means a published
-  * file can never tear a record).
+  * epoch commit. Readers only ever see whole `.fw` files (and the
+  * fixed-width invariant means a published file can never tear a
+  * record).
+  *
+  * EXACTLY-ONCE at the table level: the sink keeps an epoch log
+  * (`_fw_epochs.json`, under the table's commit lock). A restarted
+  * query replaying an epoch the log already records is swept, not
+  * re-published; and because a crash can land BETWEEN publishing an
+  * epoch's files and recording it, the commit is made idempotent by
+  * construction — it first removes any `.fw` files carrying this
+  * epoch's name prefix (leftovers of a torn, unrecorded commit; a
+  * RECORDED epoch never reaches this path), then publishes, then
+  * records the epoch. The file-sink transaction-log discipline with
+  * the log reduced to epoch ids, which works here because an epoch's
+  * file names are prefix-stamped with its id.
   */
 private[sources] class FwStreamingWrite(schema: StructType, path: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -489,12 +500,30 @@ private[sources] class FwStreamingWrite(schema: StructType, path: String)
     new FwStreamingWriterFactory(schema, path)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case FwCommitMessage(tmp) =>
-      val f = new java.io.File(tmp)
-      if (f.exists()) {
-        val target = new java.io.File(f.getParentFile,
-          f.getName.stripSuffix(".tmp"))
-        require(f.renameTo(target), s"could not publish $tmp -> $target")
+    FwVersions.withLock(path) {
+      if (FwEpochs.committed(path, epochId)) {
+        // restart replay of a recorded epoch: sweep, publish nothing
+        messages.foreach {
+          case FwCommitMessage(tmp) => new java.io.File(tmp).delete()
+          case _ => ()
+        }
+      } else {
+        // sweep a torn earlier attempt of this (unrecorded) epoch
+        val prefix = f"part-$epochId-"
+        new java.io.File(path).listFiles().foreach { f =>
+          if (f.getName.startsWith(prefix) && f.getName.endsWith(".fw"))
+            f.delete()
+        }
+        messages.foreach { case FwCommitMessage(tmp) =>
+          val f = new java.io.File(tmp)
+          if (f.exists()) {
+            val target = new java.io.File(f.getParentFile,
+              f.getName.stripSuffix(".tmp"))
+            require(f.renameTo(target),
+              s"could not publish $tmp -> $target")
+          }
+        }
+        FwEpochs.record(path, epochId)
       }
     }
 
@@ -503,6 +532,54 @@ private[sources] class FwStreamingWrite(schema: StructType, path: String)
       case FwCommitMessage(tmp) => new java.io.File(tmp).delete()
       case _ => ()
     }
+}
+
+/** The streaming sink's epoch log — committed epoch ids in
+  * `_fw_epochs.json`, bounded to the newest [[FwEpochs.Retain]] (a
+  * restart replays the checkpoint's LAST epoch, so a deep history is
+  * never consulted). Callers hold the table's commit lock.
+  */
+private[sources] object FwEpochs {
+  val Retain = 1000
+
+  private def fileFor(path: String): java.io.File =
+    new java.io.File(path, "_fw_epochs.json")
+
+  def read(path: String): Seq[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = fileFor(path)
+    if (!f.isFile) Seq.empty
+    else JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "epochs" match {
+      case JArray(es) => es.map {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case other => throw new IllegalArgumentException(
+          s"bad _fw_epochs.json entry: $other")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"bad _fw_epochs.json: $other")
+    }
+  }
+
+  def committed(path: String, epochId: Long): Boolean =
+    read(path).contains(epochId)
+
+  def record(path: String, epochId: Long): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val epochs = (read(path) :+ epochId).sorted.takeRight(Retain)
+    val target = fileFor(path)
+    val tmp = new java.io.File(target.getPath + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      JsonMethods.compact(JsonMethods.render("epochs" -> epochs))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 private[sources] class FwStreamingWriterFactory(schema: StructType,
