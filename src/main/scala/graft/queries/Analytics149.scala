@@ -56,6 +56,22 @@ import org.apache.spark.sql.functions._
   *    Scale shape for both: refs are one tiny JSON read-modify-write
   *    under the commit lock — zero record IO at any table size; the
   *    default-view resolution adds one manifest lookup to planning.
+  *
+  *  - q388: METADATA-ONLY ADD COLUMN (`graft.sources.FwSchemaLog`;
+  *    SQL `ALTER TABLE … ADD COLUMN … COMMENT 'width=n'`) — widening
+  *    a table rewrites ZERO bytes: the schema log appends the new
+  *    spec version and stamps every pre-evolution file with its
+  *    layout; readers parse each file at its own record length
+  *    (prefix layouts — offsets of existing columns never move) and
+  *    surface the missing column as NULL. The query proves the mixed
+  *    read: old rows NULL, new rows carry values, counts/filters
+  *    exact across both layouts.
+  *
+  *    Scale shape: evolution cost is one JSON write at any table
+  *    size; per-file layout resolution is a driver-side map lookup at
+  *    planning. Head-slicing ops (compaction, ordinal deletes,
+  *    streaming offsets) guard until uniform; a COW pass upgrades old
+  *    files as a side effect of any row-level write.
   */
 object Analytics149 {
   import Tables.t
@@ -242,6 +258,36 @@ object Analytics149 {
         lit(nLive).as("n_live"),
         lit(nVersions).as("n_versions"))
     }),
+
+    "q388_fw_add_column" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_addcol", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      // v1 files: the even half, written at the 4-column layout
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      // metadata-only widen: zero bytes rewritten
+      graft.sources.FwSchemaLog.addColumn(base.toString, FwSchema,
+        "s_bonus:long:10")
+      val wide = s"$FwSchema,s_bonus:long:10"
+      // head-layout appends: the odd half, bonus = 2*key
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .withColumn("s_bonus", col("s_suppkey") * 2L)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", wide).mode("append").save(base.toString)
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", wide).load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(when(col("s_bonus").isNull, 1L).otherwise(0L))
+            .as("n_old_layout"),
+          sum(coalesce(col("s_bonus"), lit(0L))).as("bonus_sum"))
+        .orderBy("s_nationkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,5 +335,15 @@ object Analytics149 {
         CAST(count(*) AS BIGINT) AS n_live,
         CAST(2 AS BIGINT) AS n_versions
       FROM supplier WHERE s_suppkey <= 100000""",
+
+    // evens predate the column (NULL); odds carry bonus = 2*key
+    "q388_fw_add_column" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_old_layout,
+        CAST(sum(CASE WHEN s_suppkey % 2 <> 0 THEN 2 * s_suppkey
+          ELSE 0 END) AS BIGINT) AS bonus_sum
+      FROM supplier WHERE s_suppkey <= 100000
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
   )
 }

@@ -302,6 +302,8 @@ private[sources] class FwTable(tableSchema: StructType,
     pathFor(CaseInsensitiveStringMap.empty())
   /** Width-bearing schema — for catalog procedures. */
   private[sources] def declaredSchema: StructType = declared
+  /** The constructor property map — for catalog ALTER rebuilds. */
+  private[sources] def tableProps: Map[String, String] = properties
 
   // ---- SQL DELETE (SupportsDeleteV2, merge-on-read) ------------------
   /** `DELETE FROM cat.ns.t WHERE <key predicate>` routes here — the
@@ -496,8 +498,10 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
 private[sources] class FwStreamingWrite(schema: StructType, path: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    FwSchemaLog.requireHead(path, schema) // evolved → head layout only
     new FwStreamingWriterFactory(schema, path)
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     FwVersions.withLock(path) {
@@ -643,6 +647,9 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     // interleave must leave zero torn state
     if (partitionBy.isEmpty && bucketBy.isEmpty)
       FwVersions.requireCommitSlot(path, stage)
+    // an evolved table accepts only head-layout writes (a stale-schema
+    // writer would publish files the head parse mis-slices)
+    FwSchemaLog.requireHead(path, schema)
     if (truncateFirst) {
       // TRUNCATE is scorched-earth: retained COW history dies with the
       // live set (physical listing), and every sidecar — stats AND
@@ -658,6 +665,9 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
         FwDv.delete(f.getPath)
         f.delete()
       }
+      // every file is gone: stale name→schema-version stamps must go
+      // too, or a recycled name would inherit the wrong layout
+      FwSchemaLog.purgeFiles(path)
     }
     messages.flatMap(tmps).foreach { tmp =>
       val f = new java.io.File(tmp)
@@ -1169,6 +1179,10 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     // are the one shape they CAN answer without record IO
     if (partitionBy.isDefined) return partGroupByOk(aggregation)
     if (bucketBy.isDefined) return false // dirs carry no value ranges
+    // schema-evolved tables mix record lengths; the metadata COUNT's
+    // bytes/rowLen arithmetic would be wrong — decline, the row scan
+    // (which IS per-file-layout-aware) answers instead
+    if (FwSchemaLog.read(path).exists(_.specs.length > 1)) return false
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -2990,16 +3004,26 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     * dimension joins as a BROADCAST side without any manual hint —
     * stats-driven planning, not guesswork.
     */
+  /** Per-file schema resolution (metadata-only ADD COLUMN); None for
+    * never-evolved tables — the common case stays zero-overhead.
+    */
+  private lazy val schemaLog: Option[FwSchemaLog.Log] =
+    FwSchemaLog.requireHead(path, fullSchema)
+  private def rowLenFor(fileName: String): Long =
+    schemaLog.map(_.rowLenOf(fileName))
+      .getOrElse(FixedWidth.widths(fullSchema).sum + 1L)
+  private def dataColsFor(fileName: String): Int =
+    schemaLog.map(_.dataColsOf(fileName)).getOrElse(-1)
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
     val listed = FwFiles.listAt(path, versionAsOf, changesFrom)
-    val totalBytes = listed.map(_.bytes).sum
     // deletion vectors void records without shrinking files: keep the
     // planner's row count exact so CBO broadcast decisions stay honest
     val dvDeleted = listed.map(lf =>
       FwDv.ordinalsAsOf(lf.file.getPath, versionAsOf).length.toLong).sum
-    val rows = totalBytes / rowLen - dvDeleted
+    val rows =
+      listed.map(lf => lf.bytes / rowLenFor(lf.file.getName)).sum - dvDeleted
     val keptBytes = FixedWidth.widths(required).sum + 1L
     val projectedBytes = rows * keptBytes
     new org.apache.spark.sql.connector.read.Statistics {
@@ -3011,7 +3035,6 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
     val all = FwFiles.listAt(path, versionAsOf, changesFrom)
     // zone-map pruning: a file whose sidecar ranges exclude the pushed
     // filters is skipped before a single byte of it is read
@@ -3023,6 +3046,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     FixedWidth.lastSkippedFiles = skipped.length
     FixedWidth.lastSeekSkippedRecords = 0L
     kept.flatMap { lf =>
+      val rowLen = rowLenFor(lf.file.getName)
+      val dataCols = dataColsFor(lf.file.getName)
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
         s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
@@ -3047,7 +3072,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
         val slice =
           if (dv.isEmpty) Array.empty[Long]
           else dv.filter(o => o >= start && o < start + cnt)
-        FwPartition(lf.file.getPath, start, cnt, slice)
+        FwPartition(lf.file.getPath, start, cnt, slice, dataCols)
       }
     }.toArray[InputPartition]
   }
@@ -3085,6 +3110,9 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
       "FixedWidth: this table carries deletion vectors (merge-on-read " +
         "deletes); streaming reads are append-only — compact first to " +
         "materialize the DVs away")
+    // a stream's offset is length/rowLen at ONE layout; mixed-layout
+    // files would corrupt the cursor
+    FwSchemaLog.requireUniform(path, "streaming read")
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
       recordsPerSplit, maxRecordsPerTrigger)
   }
@@ -3199,8 +3227,13 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
 /** `deleted`: sorted ABSOLUTE record ordinals within this partition's
   * window that a deletion vector voids (empty for DV-less files).
   */
+/** `dataCols` = number of LEADING schema fields physically present in
+  * this file (-1 = all): files written before a metadata-only ADD
+  * COLUMN parse at their own prefix layout, missing columns are NULL.
+  */
 private[sources] case class FwPartition(file: String, startRecord: Long,
-    numRecords: Long, deleted: Array[Long] = Array.empty)
+    numRecords: Long, deleted: Array[Long] = Array.empty,
+    dataCols: Int = -1)
     extends InputPartition
 
 private[sources] class FwReaderFactory(fullSchema: StructType,
@@ -3249,7 +3282,12 @@ private[sources] class FwReader(fullSchema: StructType,
     extends PartitionReader[InternalRow] {
   private val widths = FixedWidth.widths(fullSchema)
   private val offsets = widths.scanLeft(0)(_ + _)
-  private val recLen = widths.sum
+  // schema evolution: a pre-evolution file holds only the first
+  // `dataCols` fields — its records are the PREFIX layout; absent
+  // trailing fields read as NULL
+  private val presentCols =
+    if (part.dataCols < 0) fullSchema.length else part.dataCols
+  private val recLen = offsets(presentCols)
   private val rowLen = recLen + 1
 
   private def refs(f: Filter): Set[String] = f.references.toSet
@@ -3309,6 +3347,7 @@ private[sources] class FwReader(fullSchema: StructType,
   override def close(): Unit = raf.close()
 
   private def parseField(i: Int): Any = {
+    if (i >= presentCols) return null
     val start = offsets(i)
     var a = start
     var b = start + widths(i)

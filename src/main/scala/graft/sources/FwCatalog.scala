@@ -173,9 +173,60 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
     table
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "fixedwidth tables are immutable metadata; DROP and re-CREATE")
+  /** `ALTER TABLE t ADD COLUMN c BIGINT COMMENT 'width=10'` —
+    * metadata-only schema evolution: the column appends to the schema
+    * log ([[FwSchemaLog.addColumn]]), no data file is touched, old
+    * files read NULL for it. The COMMENT carries the fixed-width
+    * layout width (DDL has no other slot for it). Other ALTER shapes
+    * stay unsupported: fixed-width offsets make renames/drops/type
+    * changes a rewrite, not metadata.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "fixedwidth: ADD COLUMN supports top-level columns only")
+        val name = add.fieldNames().head
+        val tpe = add.dataType().typeName match {
+          case "long" | "bigint" => "long"
+          case "integer" => "int"
+          case "double" => "double"
+          case "string" => "string"
+          case other => throw new IllegalArgumentException(
+            s"fixedwidth does not support column type $other ($name)")
+        }
+        val width = Option(add.comment())
+          .flatMap { c =>
+            val m = java.util.regex.Pattern
+              .compile("width=(\\d+)").matcher(c)
+            if (m.find()) Some(m.group(1).toInt) else None
+          }
+          .getOrElse(throw new IllegalArgumentException(
+            "fixedwidth: ADD COLUMN needs its layout width — declare " +
+              s"it as COMMENT 'width=<n>' (column $name)"))
+        val fw = t match {
+          case f: FwTable => f
+          case other => throw new IllegalArgumentException(
+            s"$ident is not a fixedwidth table: $other")
+        }
+        val path = fw.dataPath
+        val currentSpec = fw.tableProps.getOrElse("schema",
+          throw new IllegalStateException(s"table $ident has no spec"))
+        FwSchemaLog.addColumn(path, currentSpec, s"$name:$tpe:$width")
+        val newSpec = s"$currentSpec,$name:$tpe:$width"
+        val replaced = new FwTable(FixedWidth.parseSchema(newSpec),
+          fw.tableProps + ("schema" -> newSpec))
+        tables.put(ident, replaced)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"fixedwidth: unsupported ALTER ($other) — offsets make " +
+            "renames/drops/type changes a rewrite, not metadata; only " +
+            "ADD COLUMN evolves in place")
+    }
+    tables.get(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) != null

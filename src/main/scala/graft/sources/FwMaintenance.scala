@@ -77,6 +77,7 @@ object FwMaintenance {
       targetBytes: Long): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     FwVersions.requireCommitSlot(path, None)
+    FwSchemaLog.requireUniform(path, "optimize")
     // optimistic concurrency: remember the version this plan reads
     // BEFORE listing files — the publish phase re-checks it under the
     // commit lock and aborts (sweeping its outputs) if another writer
@@ -450,6 +451,7 @@ object FwMaintenance {
       keySet: Set[Any], keyCol: String): MoRDeleteReport = {
     requireFlat(path, "deleteByKeysMoR")
     FwVersions.requireCommitSlot(path, None)
+    FwSchemaLog.requireUniform(path, "deleteByKeysMoR")
     val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -614,6 +616,18 @@ object FwMaintenance {
     }
     FwVersions.rewrite(dst, Seq((1L, pinned.map(p => (p._1, p._2)))),
       Map(1L -> System.currentTimeMillis()))
+    // table-level metadata rides along: the schema log (without it an
+    // evolved clone would mis-parse its pre-evolution files — the
+    // file→version stamps are name-keyed and names are preserved) and
+    // the CHECK constraints (a clone inherits its source's invariants,
+    // the Delta CLONE contract). Refs do NOT copy: branches/tags index
+    // the SOURCE's version history, which the clone restarts at v1.
+    Seq(FwSchemaLog.fileFor(src) -> FwSchemaLog.fileFor(dst),
+      FwConstraints.fileFor(src) -> FwConstraints.fileFor(dst))
+      .foreach { case (from, to) =>
+        if (from.isFile)
+          java.nio.file.Files.copy(from.toPath, to.toPath)
+      }
     CloneReport(pinned.size, bytes, hard)
   }
 
@@ -851,6 +865,7 @@ object FwMaintenance {
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): MergeReport = {
     FwVersions.requireCommitSlot(path, None)
+    FwSchemaLog.requireUniform(path, "merge")
     requireFlat(path, "merge")
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
@@ -974,6 +989,7 @@ object FwMaintenance {
       keyCol: String): DeleteReport = {
     requireFlat(path, "deleteByKeys")
     FwVersions.requireCommitSlot(path, None)
+    FwSchemaLog.requireUniform(path, "deleteByKeys")
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
     val planVersion = FwVersions.currentMax(path)

@@ -160,7 +160,10 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
     s"FwCowScan($path, prune=[${prune.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val rowLen = FixedWidth.widths(schema).sum + 1L
+    // schema evolution: each file parses at ITS layout (missing
+    // trailing columns NULL); replacements write the head layout, so
+    // a COW pass doubles as the old-file upgrade path
+    val log = FwSchemaLog.requireHead(path, schema)
     val all = FwFiles.listAt(path, None, None)
     // zone-map pruning decides which files get REWRITTEN: a pruned
     // file keeps its identity (and is not retired); a kept file is
@@ -172,6 +175,9 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
         .forall(stats => FwStats.mayMatch(stats, prune)))
     op.scannedFiles = kept.map(_.file.getName).toSeq
     kept.flatMap { lf =>
+      val rowLen = log.map(_.rowLenOf(lf.file.getName))
+        .getOrElse(FixedWidth.widths(schema).sum + 1L)
+      val dataCols = log.map(_.dataColsOf(lf.file.getName)).getOrElse(-1)
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
         s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
@@ -184,7 +190,7 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
         val slice =
           if (dv.isEmpty) Array.empty[Long]
           else dv.filter(o => o >= start && o < start + cnt)
-        FwPartition(lf.file.getPath, start, cnt, slice)
+        FwPartition(lf.file.getPath, start, cnt, slice, dataCols)
       }
     }.toArray[InputPartition]
   }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Metadata-only ADD COLUMN on the FW source: old files parse at their
+  * own prefix layout with NULL for the missing trailing columns, new
+  * files carry the head layout, counts and filters stay exact over the
+  * mix, stale-schema reads/writes are refused, head-slicing ops guard
+  * until the table is uniform again, and a COW pass upgrades old files
+  * in place.
+  */
+class FwSchemaEvolutionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val specV1 = "id:long:4,score:double:10"
+  private val specV2 = "id:long:4,score:double:10,bonus:long:6"
+
+  private def write(dir: String, spec: String, df: org.apache.spark.sql.DataFrame,
+      mode: String): Unit =
+    df.repartition(1).write.format("graft.sources.FixedWidth")
+      .option("schema", spec).mode(mode).save(dir)
+
+  private def read(dir: String, spec: String) = spark.read
+    .format("graft.sources.FixedWidth").option("schema", spec).load(dir)
+
+  test("old files read NULL for the added column; the mix counts and " +
+      "filters exactly") {
+    val dir = Files.createTempDirectory("fwse1").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5), (2L, 2.5)).toDF("id", "score"),
+      "overwrite")
+    FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+    write(dir, specV2,
+      Seq((3L, 3.5, 30L), (4L, 4.5, 40L)).toDF("id", "score", "bonus"),
+      "append")
+    val all = read(dir, specV2).orderBy("id").collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(all.take(2).forall(_.isNullAt(2)), "old rows: bonus NULL")
+    assert(all.drop(2).map(_.getLong(2)).toSeq === Seq(30L, 40L))
+    assert(read(dir, specV2).count() === 4L)
+    // SQL null semantics over the mixed layout
+    assert(read(dir, specV2).filter(col("bonus") > 0).count() === 2L)
+    assert(read(dir, specV2).filter(col("bonus").isNull).count() === 2L)
+    // prefix columns still parse and filter across both layouts
+    assert(read(dir, specV2).filter(col("score") > 2.0).count() === 3L)
+  }
+
+  test("stale-schema reads and writes are refused after evolution") {
+    val dir = Files.createTempDirectory("fwse2").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5)).toDF("id", "score"), "overwrite")
+    FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+    val er = intercept[Exception] { read(dir, specV1).count() }
+    assert(chainHas(er, "must carry the head schema"))
+    val ew = intercept[Exception] {
+      write(dir, specV1, Seq((2L, 2.5)).toDF("id", "score"), "append")
+    }
+    assert(chainHas(ew, "must carry the head schema"))
+  }
+
+  test("pre-evolution snapshots read through versionAsOf with NULLs") {
+    val dir = Files.createTempDirectory("fwse3").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5)).toDF("id", "score"), "overwrite")
+    FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+    write(dir, specV2, Seq((2L, 2.5, 20L)).toDF("id", "score", "bonus"),
+      "append")
+    val v1 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specV2).option("versionAsOf", "1").load(dir)
+      .collect()
+    assert(v1.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(v1.head.isNullAt(2))
+  }
+
+  test("head-slicing ops guard on non-uniform tables; a COW UPDATE " +
+      "upgrades every live file and lifts the guard") {
+    val dir = Files.createTempDirectory("fwse4").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwse", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwse.ns.t")
+    spark.sql(s"""CREATE TABLE fwse.ns.t (id BIGINT, score DOUBLE)
+      OPTIONS (path '$dir', widths '4,10')""")
+    spark.sql("INSERT INTO fwse.ns.t VALUES (1, 1.5), (2, 2.5)")
+    // SQL surface: ALTER TABLE ADD COLUMN, width in the comment
+    spark.sql("ALTER TABLE fwse.ns.t ADD COLUMN bonus BIGINT " +
+      "COMMENT 'width=6'")
+    spark.sql("INSERT INTO fwse.ns.t VALUES (3, 3.5, 30)")
+    val eo = intercept[Exception] {
+      FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+    }
+    assert(chainHas(eo, "older schema versions"))
+    // identity COW rewrite: every live file lands at the head layout
+    spark.sql("UPDATE fwse.ns.t SET score = score WHERE id >= 0")
+    val rows = spark.table("fwse.ns.t").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    assert(rows(2).getLong(2) === 30L)
+    // uniform again: compaction may proceed
+    FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+    assert(spark.table("fwse.ns.t").count() === 3L)
+  }
+
+  test("a second evolution stacks; three layouts coexist") {
+    val dir = Files.createTempDirectory("fwse5").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5)).toDF("id", "score"), "overwrite")
+    FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+    write(dir, specV2, Seq((2L, 2.5, 20L)).toDF("id", "score", "bonus"),
+      "append")
+    FwSchemaLog.addColumn(dir, specV2, "tag:string:5")
+    val specV3 = s"$specV2,tag:string:5"
+    write(dir, specV3,
+      Seq((3L, 3.5, 30L, "x")).toDF("id", "score", "bonus", "tag"),
+      "append")
+    val rows = read(dir, specV3).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getLong(2) === 20L && rows(1).isNullAt(3))
+    assert(rows(2).getLong(2) === 30L && rows(2).getString(3) === "x")
+  }
+
+  private def chainHas(t: Throwable, s: String): Boolean = {
+    var cur = t
+    while (cur != null) {
+      if (cur.getMessage != null && cur.getMessage.contains(s)) return true
+      cur = cur.getCause
+    }
+    false
+  }
+}
