@@ -259,6 +259,43 @@ object Analytics149 {
         lit(nVersions).as("n_versions"))
     }),
 
+    // Non-destructive RESTORE: an accidental TRUNCATE (v3) undone by
+    // committing v4 = v2's file list — retained files make it pure
+    // metadata, and the whole history (including the truncate) stays
+    // readable. The destructive sibling is q375's rollback.
+    "q389_fw_restore" -> ((spark, dir) => {
+      val base = freshBase("graft_fw_restore", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.filter(col("s_suppkey") % 2 === 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      src.filter(col("s_suppkey") % 2 =!= 0)
+        .repartition(2)
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("append").save(base.toString)
+      // the accident: v3 empties the table (files retained)
+      graft.sources.FwMaintenance.truncateRetain(base.toString)
+      val emptied = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(base.toString).count()
+      val r = graft.sources.FwMaintenance.restore(base.toString, 2L)
+      val versions = spark.read.format("graft.sources.FixedWidth")
+        .option("history", "true").option("schema", FwSchema)
+        .load(base.toString)
+        .agg(count(lit(1)).as("n_versions"))
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).load(base.toString)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          sum(col("s_suppkey")).as("key_sum"))
+        .crossJoin(broadcast(versions))
+        .withColumn("emptied_rows", lit(emptied))
+        .withColumn("new_version", lit(r.newVersion))
+        .orderBy("s_nationkey")
+    }),
+
     "q388_fw_add_column" -> ((spark, dir) => {
       val base = freshBase("graft_fw_addcol", dir)
       val src = t(spark, dir, "supplier")
@@ -335,6 +372,17 @@ object Analytics149 {
         CAST(count(*) AS BIGINT) AS n_live,
         CAST(2 AS BIGINT) AS n_versions
       FROM supplier WHERE s_suppkey <= 100000""",
+
+    // the restore brings every row back; the truncate read 0; 4
+    // versions: evens, all, empty, restored
+    "q389_fw_restore" -> """
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_sup,
+        CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        CAST(4 AS BIGINT) AS n_versions,
+        CAST(0 AS BIGINT) AS emptied_rows,
+        CAST(4 AS BIGINT) AS new_version
+      FROM supplier WHERE s_suppkey <= 100000
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     // evens predate the column (NULL); odds carry bonus = 2*key
     "q388_fw_add_column" -> """

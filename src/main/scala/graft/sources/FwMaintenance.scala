@@ -63,8 +63,9 @@ object FwMaintenance {
       bytesRewritten: Long)
 
   private final case class GroupPlan(inputs: Vector[(String, Long)],
-      index: Int)
-  private final case class GroupResult(tmpData: String, hasSidecar: Boolean)
+      index: Int, sv: Int = -1)
+  private final case class GroupResult(tmpData: String, hasSidecar: Boolean,
+      sv: Int = -1)
 
   /** Bin-pack every published `.fw` file smaller than `targetBytes`
     * into groups of combined size ≤ `targetBytes` (greedy, name
@@ -77,7 +78,12 @@ object FwMaintenance {
       targetBytes: Long): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     FwVersions.requireCommitSlot(path, None)
-    FwSchemaLog.requireUniform(path, "optimize")
+    // schema evolution: same-layout files concatenate safely, so groups
+    // simply never cross a schema version; non-head outputs get their
+    // layout stamped into the schema log at publish
+    val schemaLog0 = FwSchemaLog.read(path)
+    def svOf(name: String): Int =
+      schemaLog0.map(_.svOf(name)).getOrElse(-1)
     // optimistic concurrency: remember the version this plan reads
     // BEFORE listing files — the publish phase re-checks it under the
     // commit lock and aborts (sweeping its outputs) if another writer
@@ -101,18 +107,21 @@ object FwMaintenance {
     val groups = Vector.newBuilder[GroupPlan]
     var cur = Vector.empty[(String, Long)]
     var curParent: String = null
+    var curSv = -1
     var curBytes = 0L
     var gi = 0
     def close(): Unit = {
-      if (cur.size >= 2) { groups += GroupPlan(cur, gi); gi += 1 }
+      if (cur.size >= 2) { groups += GroupPlan(cur, gi, curSv); gi += 1 }
       cur = Vector.empty; curBytes = 0L
     }
     smalls.foreach { f =>
       val len = f.length()
       val parent = f.getParentFile.getPath
+      val sv = svOf(f.getName)
       if (cur.nonEmpty && (curBytes + len > targetBytes
-        || parent != curParent)) close()
+        || parent != curParent || sv != curSv)) close()
       curParent = parent
+      curSv = sv
       cur :+= ((f.getPath, len)); curBytes += len
     }
     close()
@@ -141,6 +150,19 @@ object FwMaintenance {
         try FwVersions.requireVersion(path, v, "compaction")
         catch { case e: java.util.ConcurrentModificationException =>
           sweepOutputs(); throw e
+        }
+      }
+      // a compacted pre-evolution group's output IS that layout: stamp
+      // it BEFORE the rename publishes the file (readers do not take
+      // the commit lock — an unstamped listing would parse it as head)
+      schemaLog0.foreach { log0 =>
+        val stamps = results.collect {
+          case r if r.sv > 0 && r.sv != log0.head =>
+            new java.io.File(r.tmpData.stripSuffix(".tmp")).getName -> r.sv
+        }
+        if (stamps.nonEmpty) {
+          val cur = FwSchemaLog.read(path).get
+          FwSchemaLog.write(path, cur.copy(fileSv = cur.fileSv ++ stamps))
         }
       }
       results.foreach { r =>
@@ -282,7 +304,7 @@ object FwMaintenance {
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
         m, tmp.length(), sortedBy)
     }
-    GroupResult(tmp.getPath, merged.isDefined)
+    GroupResult(tmp.getPath, merged.isDefined, g.sv)
   }
 
   /** prev file's max ≤ next file's min, in the stats' own domain.
@@ -362,14 +384,22 @@ object FwMaintenance {
     // before a batch commit) are not ours to judge
     val everReferenced: Set[String] = all.flatMap(_._2.map(_._1)).toSet
     var orphans = 0
+    val sweptNames = Set.newBuilder[String]
     if (all.nonEmpty) FwFiles.listPhysical(path).foreach { f =>
       if (everReferenced.contains(f.getName)
         && !referenced.contains(f.getName)) {
         new java.io.File(FwStats.sidecarFor(f.getPath)).delete()
         FwDv.delete(f.getPath)
         require(f.delete(), s"could not vacuum $f")
+        sweptNames += f.getName
         orphans += 1
       }
+    }
+    // schema-log stamps of swept files die with them (a later write
+    // recycling the name must not inherit an old layout)
+    val swept = sweptNames.result()
+    if (swept.nonEmpty) FwSchemaLog.read(path).foreach { log =>
+      FwSchemaLog.write(path, log.copy(fileSv = log.fileSv -- swept))
     }
     (dropped, orphans, retained.size)
     } // withLock
@@ -746,6 +776,51 @@ object FwMaintenance {
       if (live.isEmpty) None
       else Some(FwVersions.commitSnapshotLocked(path,
         retireInputs(path, live.map(_.getPath).toSeq)))
+    }
+  }
+
+  final case class RestoreReport(restoredVersion: Long,
+      newVersion: Long, files: Int)
+
+  /** Non-destructive RESTORE (Delta RESTORE, rollback's history-
+    * preserving sibling): commit a NEW snapshot version whose file
+    * list is exactly snapshot `toVersion`'s — the mistake (a bad load,
+    * an accidental truncate) is undone while every version, pin, and
+    * the change feed between then and now stays readable. Works
+    * because superseded files are RETAINED on disk until vacuum: the
+    * restore just points the head back at them. Refuses when the
+    * target's files no longer survive at their recorded lengths
+    * (vacuumed away), and — for now — when a surviving file carries
+    * deletion-vector entries NEWER than the target (a live read of
+    * the restored head applies every DV entry, so those rows would
+    * stay dead; compact first to materialize, then restore).
+    */
+  def restore(path: String, toVersion: Long): RestoreReport = {
+    requireFlat(path, "restore")
+    FwVersions.withLock(path) {
+      FwVersions.requireCommitSlot(path, None)
+      val target = FwVersions.resolve(path, toVersion) // loud if unknown
+      val dir = new java.io.File(path)
+      target.foreach { case (name, b) =>
+        val f = new java.io.File(dir, name)
+        require(f.isFile && (b < 0 || f.length() >= b),
+          s"FixedWidth restore: version $toVersion references $name " +
+            s"($b bytes), which no longer exists at that length")
+        require(!FwDv.read(f.getPath).exists(_._1 > toVersion),
+          s"FixedWidth restore: $name carries deletion-vector entries " +
+            s"newer than version $toVersion; run optimize to " +
+            "materialize them, then restore")
+      }
+      val prior = FwVersions.read(path)
+      val priorTs = FwVersions.readTs(path)
+      val next = prior.map(_._1).max + 1L
+      val now = math.max(System.currentTimeMillis(),
+        priorTs.values.foldLeft(-1L)(math.max) + 1)
+      FwVersions.rewrite(path, prior :+ ((next, target)),
+        priorTs + (next -> now), FwVersions.readTxn(path))
+      if (FwRefs.mainVersion(path).isDefined)
+        FwRefs.set(path, "main", next, isTag = false)
+      RestoreReport(toVersion, next, target.size)
     }
   }
 

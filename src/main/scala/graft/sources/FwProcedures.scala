@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object FwProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "rollback",
     "clone", "truncate", "add_constraint", "drop_constraint",
-    "publish", "tag")
+    "publish", "tag", "restore")
 
   def load(cat: FwCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -45,6 +45,7 @@ private[sources] object FwProcedures {
       case "drop_constraint" => Some(new DropConstraintProcedure(cat))
       case "publish" => Some(new PublishProcedure(cat))
       case "tag" => Some(new TagProcedure(cat))
+      case "restore" => Some(new RestoreProcedure(cat))
       case _ => None
     }
 
@@ -272,6 +273,27 @@ private[sources] object FwProcedures {
       val v = input.getLong(2)
       FwMaintenance.tag(path, name, v)
       result(out, Seq(name, v))
+    }
+  }
+
+  /** `CALL fw.restore(tbl, version)` → non-destructive restore: a new
+    * snapshot whose file list equals the old version's; history stays.
+    */
+  private final class RestoreProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "restore"
+    override def description(): String =
+      "commit a new snapshot equal to an old version (history kept)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType), in("version", LongType))
+    private val out = StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (path, _) = resolve(input.getUTF8String(0).toString)
+      val r = FwMaintenance.restore(path, input.getLong(1))
+      result(out, Seq(r.restoredVersion, r.newVersion, r.files))
     }
   }
 }

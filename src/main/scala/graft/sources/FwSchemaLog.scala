@@ -126,10 +126,12 @@ object FwSchemaLog {
     }
   }
 
-  /** Guard for operations that slice records at the head layout
-    * (compaction's byte concatenation, COW rewrites, ordinal matching,
-    * streaming offsets): they are only sound when every file they may
-    * touch already IS head-layout.
+  /** Guard for operations that slice records at the head layout (COW
+    * merge/delete ordinal matching, streaming offsets): they are only
+    * sound when every file they may touch already IS head-layout.
+    * Compaction does NOT need this — it groups per layout and stamps
+    * its outputs; row-level SQL DML doesn't either — its COW scan is
+    * per-file-layout-aware and upgrades as it rewrites.
     */
   private[sources] def requireUniform(path: String, op: String): Unit =
     read(path).foreach { log =>
