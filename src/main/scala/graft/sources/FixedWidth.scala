@@ -297,6 +297,13 @@ private[sources] class FwTable(tableSchema: StructType,
     new FwTable(tableSchema,
       properties + ("timestampAsOf" -> millis.toString))
 
+  /** A copy pinned to a named ref — SQL `VERSION AS OF 'branch'` (the
+    * Iceberg branch/tag-read idiom: a non-numeric version string names
+    * a ref). Resolution to a version happens at scan time.
+    */
+  private[sources] def atBranch(name: String): FwTable =
+    new FwTable(tableSchema, properties + ("branch" -> name))
+
   /** Storage location (scheme-stripped) — for catalog procedures. */
   private[sources] def dataPath: String =
     pathFor(CaseInsensitiveStringMap.empty())

@@ -91,9 +91,11 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tables.get(ident)
     if (t == null) throw new NoSuchTableException(ident)
-    require(version.matches("\\d+"),
-      s"fixedwidth version must be a snapshot number, got '$version'")
-    t.atVersion(version)
+    // numeric → snapshot pin; anything else names a branch or tag
+    // (the Iceberg VERSION AS OF 'ref' idiom) — resolution, and the
+    // loud unknown-ref failure, happen at scan time
+    if (version.matches("\\d+")) t.atVersion(version)
+    else t.atBranch(version)
   }
 
   /** SQL `TIMESTAMP AS OF ts` — Spark hands the instant as epoch

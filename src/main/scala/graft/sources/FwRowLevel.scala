@@ -214,7 +214,12 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new FwCowWriterFactory(schema, path)
+    new FwCowWriterFactory(schema, path,
+      // CHECK constraints bind on the driver and gate the COW write
+      // exactly like a batch append: an UPDATE/MERGE assigning a
+      // violating value must abort, not publish
+      FwConstraints.read(path).map(c =>
+        (c.name, c.expr, FwConstraints.bind(schema, c.expr))))
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
@@ -285,9 +290,14 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
 }
 
 private[sources] final class FwCowWriterFactory(schema: StructType,
-    path: String) extends DataWriterFactory {
+    path: String,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new FwDataWriter(schema, path, partitionId, taskId, prefix = "cow",
-      writeStats = true)
+      taskId: Long): DataWriter[InternalRow] = {
+    val base = new FwDataWriter(schema, path, partitionId, taskId,
+      prefix = "cow", writeStats = true)
+    if (checks.isEmpty) base else new FwConstraintWriter(base, checks)
+  }
 }

@@ -114,6 +114,26 @@ class FwConstraintSpec extends AnyFunSuite {
     assert(spark.table("fwck.ns.t").count() === 3L)
   }
 
+  test("row-level COW writes enforce constraints too: a violating " +
+      "UPDATE aborts, table unchanged") {
+    val dir = Files.createTempDirectory("fwck7").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwck2", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwck2.ns.t")
+    spark.sql(s"""CREATE TABLE fwck2.ns.t (id BIGINT, name STRING,
+      score DOUBLE) OPTIONS (path '$dir', widths '4,6,10')""")
+    spark.sql("INSERT INTO fwck2.ns.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    FwConstraints.add(spark, dir, "id:long:4,name:string:6,score:double:10",
+      "pos", "score > 0")
+    spark.sql("UPDATE fwck2.ns.t SET score = score + 1 WHERE id = 1")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE fwck2.ns.t SET score = -9 WHERE id = 2")
+    }
+    assert(exists(e, _.getMessage.contains("CHECK constraint 'pos'")))
+    val rows = spark.table("fwck2.ns.t").orderBy("id").collect()
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(2.0, 2.0),
+      "failed UPDATE must leave the table untouched")
+  }
+
   /** Any throwable in the cause chain matching `p`. */
   private def exists(t: Throwable, p: Throwable => Boolean): Boolean = {
     var cur = t

@@ -132,6 +132,35 @@ class FwWapSpec extends AnyFunSuite {
     assert(ids(dir) === Set(1L))
   }
 
+  test("SQL VERSION AS OF resolves branch and tag names through the " +
+      "catalog") {
+    val dir = Files.createTempDirectory("fwwap6").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwwapc", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwwapc.ns.t")
+    spark.sql(s"""CREATE TABLE fwwapc.ns.t (id BIGINT, name STRING,
+      score DOUBLE) OPTIONS (path '$dir', widths '4,6,10')""")
+    spark.sql("INSERT INTO fwwapc.ns.t VALUES (1, 'a', 1.0)")
+    FwMaintenance.tag(dir, "rel_1", 1L)
+    spark.sql("INSERT INTO fwwapc.ns.t VALUES (2, 'b', 2.0)")
+    write(dir, Seq((3L, "c", 3.0)), "append", Some("audit"))
+    assert(spark.sql(
+      "SELECT id FROM fwwapc.ns.t VERSION AS OF 'rel_1'")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(spark.sql(
+      "SELECT id FROM fwwapc.ns.t VERSION AS OF 'audit'")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(spark.table("fwwapc.ns.t")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "default view stays at main")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM fwwapc.ns.t VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("no branch or tag 'nope'")))
+    FwMaintenance.dropStage(spark, dir, "audit")
+  }
+
   private def chain(t: Throwable): Seq[Throwable] = {
     var cur = t
     val b = Seq.newBuilder[Throwable]
