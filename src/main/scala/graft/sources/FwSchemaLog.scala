@@ -99,6 +99,14 @@ object FwSchemaLog {
       colSpec: String): Unit = {
     require(new java.io.File(path).isDirectory,
       s"no FixedWidth table at $path")
+    // flat-table contract: partitioned/bucketed layouts keep files in
+    // `<k>=<v>` subdirectories the stamp pass does not walk — evolving
+    // one would leave old files head-parsed (silent mis-slicing)
+    require(!Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .exists(d => d.isDirectory && d.getName.contains("=")),
+      s"FixedWidth: ADD COLUMN is a flat-table operation; $path holds " +
+        "a partitioned or bucketed layout")
     FwVersions.withLock(path) {
       val existing = read(path)
       existing.foreach { log =>

@@ -87,8 +87,13 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE fwse.ns.t ADD COLUMN bonus BIGINT " +
       "COMMENT 'width=6'")
     spark.sql("INSERT INTO fwse.ns.t VALUES (3, 3.5, 30)")
+    // compaction is sv-aware (groups per layout) — it runs fine on the
+    // mixed table; ordinal-matching ops still guard
+    FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
     val eo = intercept[Exception] {
-      FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20)
+      FwMaintenance.deleteByKeysMoR(spark, dir,
+        FixedWidth.parseSchema("id:long:4,score:double:10,bonus:long:6"),
+        Seq(Tuple1(1L)).toDF("id"), "id")
     }
     assert(chainHas(eo, "older schema versions"))
     // identity COW rewrite: every live file lands at the head layout
@@ -118,6 +123,18 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
     assert(rows(1).getLong(2) === 20L && rows(1).isNullAt(3))
     assert(rows(2).getLong(2) === 30L && rows(2).getString(3) === "x")
+  }
+
+  test("ADD COLUMN refuses partitioned and bucketed layouts") {
+    val dir = Files.createTempDirectory("fwse6").toFile.getAbsolutePath
+    Seq((1L, 1.5)).toDF("id", "score").repartition(1)
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", specV1).option("bucketBy", "id")
+      .option("buckets", "2").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+    }
+    assert(e.getMessage.contains("flat-table"))
   }
 
   private def chainHas(t: Throwable, s: String): Boolean = {
