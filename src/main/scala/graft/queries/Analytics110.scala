@@ -938,11 +938,12 @@ object Analytics110 {
         FROM s)
       SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
         CAST(even * 55 AS BIGINT) AS n_bytes,
-        CAST(even AS BIGINT) AS n_records
+        CAST(even AS BIGINT) AS n_records,
+        'overwrite' AS operation
       FROM c
       UNION ALL
       SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
-        CAST(total * 55 AS BIGINT), CAST(total AS BIGINT)
+        CAST(total * 55 AS BIGINT), CAST(total AS BIGINT), 'append'
       FROM c
       ORDER BY version""",
 

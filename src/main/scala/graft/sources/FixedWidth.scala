@@ -697,7 +697,8 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     // Partitioned/bucketed tables do not version (their layout is the
     // directory tree; snapshot pinning is a flat-table contract).
     if (partitionBy.isEmpty && bucketBy.isEmpty)
-      FwVersions.commitSnapshotLocked(path, Set.empty, txn, stage)
+      FwVersions.commitSnapshotLocked(path, Set.empty, txn, stage,
+        if (truncateFirst) "overwrite" else "append")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2174,7 +2175,8 @@ private[sources] object FwHistory {
     StructField("version", LongType, nullable = false),
     StructField("n_files", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("n_records", LongType, nullable = false)))
+    StructField("n_records", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false)))
 }
 
 private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
@@ -2194,11 +2196,13 @@ private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
       override def planInputPartitions(): Array[InputPartition] = {
         val rowLen = FixedWidth.widths(dataSchema).sum + 1L
         val dir = new java.io.File(path)
+        val ops = FwVersions.readOps(path)
         val rows = FwVersions.read(path).map { case (v, files) =>
           val bytes = files.map { case (n, b) =>
             if (b >= 0) b else new java.io.File(dir, n).length()
           }.sum
-          Array[Any](v, files.length.toLong, bytes, bytes / rowLen)
+          Array[Any](v, files.length.toLong, bytes, bytes / rowLen,
+            UTF8String.fromString(ops.getOrElse(v, "unknown")))
         }
         Array(FwHistoryPartition(rows.toArray))
       }
@@ -2405,6 +2409,28 @@ private[sources] object FwVersions {
     }
   }
 
+  /** Operation name per version ("append", "optimize", "restore", …);
+    * versions from pre-op manifests are absent (history shows
+    * "unknown"). The Delta DESCRIBE HISTORY operation column.
+    */
+  def readOps(path: String): Map[Long, String] = {
+    val f = manifestFor(path)
+    if (!f.isFile) Map.empty
+    else JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "versions" match {
+      case JArray(vs) => vs.flatMap { v =>
+        val JInt(n) = v \ "v"
+        v \ "op" match {
+          case JString(op) => Some(n.toLong -> op)
+          case _ => None
+        }
+      }.toMap
+      case other =>
+        throw new IllegalArgumentException(s"bad _fw_versions.json: $other")
+    }
+  }
+
   /** Highest committed txnVersion per application id — the idempotency
     * high-water marks a new transactional commit checks against.
     */
@@ -2456,6 +2482,10 @@ private[sources] object FwVersions {
       txn: Option[(String, Long)]): Long =
     commitSnapshotLocked(path, excluding, txn, None)
 
+  def commitSnapshotLocked(path: String, excluding: Set[String],
+      op: String): Long =
+    commitSnapshotLocked(path, excluding, None, None, op)
+
   /** `excluding`: file names THIS commit supersedes (a COW rewrite's
     * inputs) — they stay on disk for older pins but leave the live
     * set, so the new snapshot must not list them. `txn`: the writer's
@@ -2502,7 +2532,8 @@ private[sources] object FwVersions {
   }
 
   def commitSnapshotLocked(path: String, excluding: Set[String],
-      txn: Option[(String, Long)], stageBranch: Option[String]): Long = {
+      txn: Option[(String, Long)], stageBranch: Option[String],
+      op: String = "append"): Long = {
     requireCommitSlot(path, stageBranch)
     // first stage freezes the default view where it stands
     if (stageBranch.isDefined && FwRefs.mainVersion(path).isEmpty)
@@ -2521,8 +2552,9 @@ private[sources] object FwVersions {
     val now = math.max(System.currentTimeMillis(),
       priorTs.values.foldLeft(-1L)(math.max) + 1)
     val txns = txn.fold(readTxn(path))(t => readTxn(path) + (next -> t))
+    val opName = stageBranch.fold(op)(b => s"stage:$b")
     rewrite(path, prior :+ ((next, snapshot)), priorTs + (next -> now),
-      txns)
+      txns, readOps(path) + (next -> opName))
     stageBranch match {
       case Some(b) => FwRefs.set(path, b, next, isTag = false)
       case None =>
@@ -2540,7 +2572,8 @@ private[sources] object FwVersions {
   def rewrite(path: String,
       versions: Seq[(Long, Seq[(String, Long)])],
       tsOf: Map[Long, Long] = Map.empty,
-      txnOf: Map[Long, (String, Long)] = Map.empty): Unit = {
+      txnOf: Map[Long, (String, Long)] = Map.empty,
+      opOf: Map[Long, String] = Map.empty): Unit = {
     import org.json4s.JsonDSL._
     val doc: JObject = "versions" ->
       versions.map { case (v, files) =>
@@ -2549,9 +2582,10 @@ private[sources] object FwVersions {
         })
         val withTs =
           tsOf.get(v).filter(_ >= 0).fold(base)(t => base ~ ("ts" -> t))
-        txnOf.get(v).fold(withTs) { case (app, tv) =>
+        val withTxn = txnOf.get(v).fold(withTs) { case (app, tv) =>
           withTs ~ ("txn" -> (("a" -> app) ~ ("tv" -> tv)))
         }
+        opOf.get(v).fold(withTxn)(o => withTxn ~ ("op" -> o))
       }
     val target = manifestFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")

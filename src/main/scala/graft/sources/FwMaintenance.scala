@@ -186,7 +186,7 @@ object FwMaintenance {
         // set via the snapshot's exclusion list
         val replaced =
           retireInputs(path, planned.flatMap(_.inputs.map(_._1)))
-        Some(FwVersions.commitSnapshotLocked(path, replaced))
+        Some(FwVersions.commitSnapshotLocked(path, replaced, "optimize"))
       } else {
         // partitioned layouts do not version: no manifest can retire
         // an input from the live listing, so inputs delete eagerly
@@ -374,7 +374,7 @@ object FwMaintenance {
     // timestamp travel stays usable across a vacuum
     if (dropped > 0)
       FwVersions.rewrite(path, retained, FwVersions.readTs(path),
-        FwVersions.readTxn(path))
+        FwVersions.readTxn(path), FwVersions.readOps(path))
 
     val referenced: Set[String] =
       retained.flatMap(_._2.map(_._1)).toSet
@@ -517,7 +517,8 @@ object FwMaintenance {
           FwDv.write(file, rowLen.toLong,
             FwDv.read(file) :+ ((newVersion, ords)))
         }
-        val committed = FwVersions.commitSnapshotLocked(path)
+        val committed =
+          FwVersions.commitSnapshotLocked(path, Set.empty, "delete-mor")
         require(committed == newVersion,
           s"MoR delete version skew: wrote since=$newVersion, " +
             s"committed $committed")
@@ -645,7 +646,8 @@ object FwMaintenance {
           FwDv.readRowLen(srcData).get, Seq((1L, ords)))
     }
     FwVersions.rewrite(dst, Seq((1L, pinned.map(p => (p._1, p._2)))),
-      Map(1L -> System.currentTimeMillis()))
+      Map(1L -> System.currentTimeMillis()), Map.empty,
+      Map(1L -> "clone"))
     // table-level metadata rides along: the schema log (without it an
     // evolved clone would mis-parse its pre-evolution files — the
     // file→version stamps are name-keyed and names are preserved) and
@@ -719,7 +721,7 @@ object FwMaintenance {
       }
     }
     FwVersions.rewrite(path, retained, FwVersions.readTs(path),
-      FwVersions.readTxn(path))
+      FwVersions.readTxn(path), FwVersions.readOps(path))
     // branches above the target clamp to it; tags above it die with
     // their snapshots
     FwRefs.clampTo(path, toVersion)
@@ -775,7 +777,7 @@ object FwMaintenance {
       val live = FwFiles.list(path)
       if (live.isEmpty) None
       else Some(FwVersions.commitSnapshotLocked(path,
-        retireInputs(path, live.map(_.getPath).toSeq)))
+        retireInputs(path, live.map(_.getPath).toSeq), "truncate"))
     }
   }
 
@@ -817,7 +819,8 @@ object FwMaintenance {
       val now = math.max(System.currentTimeMillis(),
         priorTs.values.foldLeft(-1L)(math.max) + 1)
       FwVersions.rewrite(path, prior :+ ((next, target)),
-        priorTs + (next -> now), FwVersions.readTxn(path))
+        priorTs + (next -> now), FwVersions.readTxn(path),
+        FwVersions.readOps(path) + (next -> "restore"))
       if (FwRefs.mainVersion(path).isDefined)
         FwRefs.set(path, "main", next, isTag = false)
       RestoreReport(toVersion, next, target.size)
@@ -1043,7 +1046,7 @@ object FwMaintenance {
     }
     require(superseded.size == rewritten) // sanity: 1 rewrite per plan
     val version = FwVersions.commitSnapshotLocked(path,
-      retireInputs(path, superseded))
+      retireInputs(path, superseded), "merge")
     MergeReport(version, rewritten, files.length - rewritten,
       results.map(_.rowsUpdated).sum, inserts.size.toLong)
     } // withLock
@@ -1138,7 +1141,7 @@ object FwMaintenance {
       }
     }
     val version = FwVersions.commitSnapshotLocked(path,
-      retireInputs(path, superseded.result()))
+      retireInputs(path, superseded.result()), "delete")
     DeleteReport(version, rewritten, removed,
       results.map(_.rowsUpdated).sum)
     } // withLock

@@ -276,7 +276,8 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
         val dir = new java.io.File(path)
         val replaced = FwMaintenance.retireInputs(path,
           op.scannedFiles.map(n => new java.io.File(dir, n).getPath))
-        FwVersions.commitSnapshotLocked(path, replaced)
+        FwVersions.commitSnapshotLocked(path, replaced,
+          s"replace-${op.command().toString.toLowerCase}")
       }
     }
   }

@@ -47,6 +47,13 @@ class FwRestoreSpec extends AnyFunSuite {
     // appends continue normally on the restored head
     write(dir, Seq((3L, 3.0)), "append")
     assert(ids(dir) === Set(1L, 2L, 3L))
+    // the history table names every operation (DESCRIBE HISTORY)
+    val ops = spark.read.format("graft.sources.FixedWidth")
+      .option("history", "true").option("schema", spec).load(dir)
+      .orderBy("version").select("operation").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops === Seq("overwrite", "append", "truncate", "restore",
+      "append"))
   }
 
   test("restore refuses when newer deletion vectors would keep rows " +
