@@ -69,9 +69,10 @@ import org.apache.spark.sql.functions._
   *
   *    Scale shape: evolution cost is one JSON write at any table
   *    size; per-file layout resolution is a driver-side map lookup at
-  *    planning. Head-slicing ops (compaction, ordinal deletes,
-  *    streaming offsets) guard until uniform; a COW pass upgrades old
-  *    files as a side effect of any row-level write.
+  *    planning. Head-slicing ops (ordinal deletes, streaming offsets)
+  *    guard until uniform; compaction groups per layout and stamps
+  *    its outputs; a COW pass upgrades old files as a side effect of
+  *    any row-level write.
   */
 object Analytics149 {
   import Tables.t
