@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *    corpus is short random-ish text where longer grams never
   *    collide — the operator is N-independent.
   *
+  *  - t68: DECONTAMINATED CORPUS REPORT — the ACT half of t67 (the
+  *    d61→d63 detect-then-act pairing): every contaminated training
+  *    doc is excised and the per-source yield (docs and tokens,
+  *    before and after) is reported — the table a curation run
+  *    publishes before training starts. All outputs are exact
+  *    integers; the scale shape is t67's.
+  *
   *    Scale shape: grams hash to 8-byte Md5Pack keys map-side (never
   *    shuffling raw 13-token strings — the d61 lesson), the eval side
   *    is broadcast (benchmark suites are tiny next to the corpus), and
@@ -96,6 +103,42 @@ object TextOps86 {
           col("lw").cast("double").as("logw"),
           col("gkey").cast("double").as("gumbel_key"))
         .orderBy("doc_id")
+    }),
+
+    // The ACT half of t67's detection (the d61→d63 pairing): drop every
+    // contaminated training doc and report the per-source yield — the
+    // numbers a data-curation run publishes before training. All-integer
+    // outputs; the gram join is the same 8-byte-hashed broadcast shape.
+    "t68_decontaminated_corpus" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      val grams = t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= GramN)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${GramN - 1})," +
+            s" p -> array_join(slice(w, p, $GramN), ' '))")).as("gram"))
+        .select(col("doc_id"),
+          graft.functions.Md5Pack(col("gram")).as("g"))
+        .distinct()
+      val isEval = col("doc_id") % 97 === 0
+      val contaminated = grams.filter(!isEval)
+        .join(broadcast(grams.filter(isEval).select("g")), "g")
+        .select("doc_id").distinct()
+      val train = docs.filter(!isEval)
+        .join(contaminated.withColumn("bad", lit(1L)),
+          Seq("doc_id"), "left")
+      train.groupBy("source")
+        .agg(count(lit(1)).as("docs_before"),
+          sum(when(col("bad").isNull, 1L).otherwise(0L))
+            .as("docs_after"),
+          sum(col("n_tokens")).as("tokens_before"),
+          sum(when(col("bad").isNull, col("n_tokens")).otherwise(0L))
+            .as("tokens_after"))
+        .orderBy("source")
     }),
 
     "t67_ngram_contamination" -> ((spark, dir) => {
@@ -172,6 +215,39 @@ object TextOps86 {
          |FROM (SELECT * FROM keyed
          |      ORDER BY gkey DESC, doc_id LIMIT $SelectK)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "t68_decontaminated_corpus" -> {
+      val gramHash =
+        Tables.duckMd5Pack(s"array_to_string(w[p:p+${GramN - 1}], ' ')")
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= $GramN),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, $gramHash AS g
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(1, len(w) - ${GramN - 2})) AS p
+         |        FROM ws)),
+         |bad AS (
+         |  SELECT DISTINCT tg.doc_id
+         |  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0) tg
+         |  JOIN (SELECT g FROM grams WHERE doc_id % 97 = 0) eg
+         |  USING (g)),
+         |train AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    (bad.doc_id IS NOT NULL) AS is_bad
+         |  FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL AND d.doc_id % 97 <> 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         |  CAST(sum(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS docs_after,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+         |  CAST(sum(CASE WHEN is_bad THEN 0 ELSE n_tokens END) AS BIGINT)
+         |    AS tokens_after
+         |FROM train GROUP BY source ORDER BY source""".stripMargin
     },
 
     "t67_ngram_contamination" -> {
