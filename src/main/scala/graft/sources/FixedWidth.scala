@@ -278,7 +278,13 @@ private[sources] class FwTable(tableSchema: StructType,
         .orElse(branchPin.map(b => FwRefs.resolve(path, b)))
         .orElse(mainPin),
       changesFrom,
-      pcolFor(options), bucketsFor(options))
+      pcolFor(options), bucketsFor(options),
+      // the implicit main-pin is a BATCH default view, not a user pin:
+      // a stream must keep following main/live instead of tripping the
+      // "versionAsOf is batch-only" guard just because a ref exists
+      followMain = verPin.isEmpty && tsPin.isEmpty && branchPin.isEmpty &&
+        changesFrom.isEmpty && pcolFor(options).isEmpty &&
+        bucketsFor(options).isEmpty)
   }
 
   /** A copy of this table pinned to one snapshot version — what
@@ -485,7 +491,7 @@ private[sources] class FwWriteBuilder(schema: StructType, path: String,
 }
 
 /** Streaming sink: each epoch's tasks write
-  * `part-<epoch>-<pid>-<task>.fw.tmp`; the driver publishes them on
+  * `epoch-<epoch>-<pid>-<task>.fw.tmp`; the driver publishes them on
   * epoch commit. Readers only ever see whole `.fw` files (and the
   * fixed-width invariant means a published file can never tear a
   * record).
@@ -507,7 +513,12 @@ private[sources] class FwStreamingWrite(schema: StructType, path: String)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     FwSchemaLog.requireHead(path, schema) // evolved → head layout only
-    new FwStreamingWriterFactory(schema, path)
+    // CHECK constraints gate EVERY write path (the Delta invariant
+    // discipline) — streaming epochs enforce the same driver-bound
+    // predicates as batch commits
+    val checks = FwConstraints.read(path).map(c =>
+      (c.name, c.expr, FwConstraints.bind(schema, c.expr)))
+    new FwStreamingWriterFactory(schema, path, checks)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -519,8 +530,10 @@ private[sources] class FwStreamingWrite(schema: StructType, path: String)
           case _ => ()
         }
       } else {
-        // sweep a torn earlier attempt of this (unrecorded) epoch
-        val prefix = f"part-$epochId-"
+        // sweep a torn earlier attempt of this (unrecorded) epoch —
+        // the epoch- prefix is streaming-only, so the sweep can never
+        // match a committed batch file (part-%05d-…)
+        val prefix = f"epoch-$epochId-"
         new java.io.File(path).listFiles().foreach { f =>
           if (f.getName.startsWith(prefix) && f.getName.endsWith(".fw"))
             f.delete()
@@ -594,12 +607,20 @@ private[sources] object FwEpochs {
 }
 
 private[sources] class FwStreamingWriterFactory(schema: StructType,
-    path: String)
+    path: String,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new FwDataWriter(schema, path, partitionId, taskId,
-      prefix = s"part-$epochId")
+      epochId: Long): DataWriter[InternalRow] = {
+    // `epoch-` prefix: a name batch writers can never produce
+    // (part-%05d-…), so the torn-epoch sweep can key on the epoch id
+    // without ever matching committed batch data
+    val base: DataWriter[InternalRow] =
+      new FwDataWriter(schema, path, partitionId, taskId,
+        prefix = s"epoch-$epochId")
+    if (checks.isEmpty) base else new FwConstraintWriter(base, checks)
+  }
 }
 
 private[sources] case class FwCommitMessage(tmpPath: String)
@@ -617,18 +638,29 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
     txn: Option[(String, Long)] = None,
     stage: Option[String] = None)
     extends BatchWrite {
+  // Every tmp this write's tasks produce carries this tag in its file
+  // name, so abort can sweep files whose commit message never reached
+  // the driver (a task that commits after the job already failed —
+  // Spark's message slot for it is null forever).
+  private val writeTag =
+    "-w" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // CHECK constraints resolve ONCE on the driver (full analysis
     // against the write schema); the bound expressions ship to tasks
     val checks = FwConstraints.read(path).map(c =>
       (c.name, c.expr, FwConstraints.bind(schema, c.expr)))
     new FwWriterFactory(schema, path, partitionBy, sortedBy, bucketBy,
-      checks)
+      checks, writeTag)
   }
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
     case FwMultiCommitMessage(ts) => ts
+    // Spark passes a null slot for every task that never reached
+    // commit() — abort-after-task-failure must still sweep the tasks
+    // that DID commit, not MatchError on the ones that didn't
+    case null => Seq.empty
   }
 
   // the whole publish phase runs under the table's commit lock: two
@@ -701,12 +733,26 @@ private[sources] class FwBatchWrite(schema: StructType, path: String,
         if (truncateFirst) "overwrite" else "append")
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.flatMap(tmps).foreach { tmp =>
       new java.io.File(tmp).delete()
       new java.io.File(
         FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
     }
+    // Message-less stragglers: a task whose commit raced the job abort
+    // published no message, but its tmps carry this write's tag — sweep
+    // them by name. Other writers' tags never match, so legal
+    // concurrent commits are untouched.
+    val root = new java.io.File(path)
+    val dirs = root +: Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq
+    dirs.foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.endsWith(".tmp") && f.getName.contains(writeTag))
+          f.delete()
+      }
+    }
+  }
 }
 
 private[sources] class FwWriterFactory(schema: StructType, path: String,
@@ -714,19 +760,20 @@ private[sources] class FwWriterFactory(schema: StructType, path: String,
     sortedBy: Option[String] = None,
     bucketBy: Option[(String, Int)] = None,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    nameTag: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val base: DataWriter[InternalRow] = (partitionBy, bucketBy) match {
       case (Some(pcol), _) =>
         new FwPartitionedDataWriter(schema, path, pcol, partitionId,
-          taskId, sortedBy.filter(_ != pcol))
+          taskId, sortedBy.filter(_ != pcol), nameTag = nameTag)
       case (None, Some((bcol, n))) =>
         new FwBucketedDataWriter(schema, path, bcol, n, partitionId,
-          taskId, sortedBy)
+          taskId, sortedBy, nameTag = nameTag)
       case _ =>
         new FwDataWriter(schema, path, partitionId, taskId,
-          writeStats = true, sortedBy = sortedBy)
+          writeStats = true, sortedBy = sortedBy, nameTag = nameTag)
     }
     if (checks.isEmpty) base else new FwConstraintWriter(base, checks)
   }
@@ -778,7 +825,7 @@ private[sources] class FwConstraintWriter(
   */
 private[sources] class FwBucketedDataWriter(schema: StructType,
     path: String, bcol: String, numBuckets: Int, partitionId: Int,
-    taskId: Long, sortedBy: Option[String] = None)
+    taskId: Long, sortedBy: Option[String] = None, nameTag: String = "")
     extends DataWriter[InternalRow] {
   private val bIdx = schema.fieldNames.indexOf(bcol)
   private val writers =
@@ -798,7 +845,7 @@ private[sources] class FwBucketedDataWriter(schema: StructType,
     writers.getOrElseUpdate(bucketOf(row), {
       val sub = new java.io.File(path, s"bucket=${bucketOf(row)}")
       new FwDataWriter(schema, sub.getPath, partitionId, taskId,
-        writeStats = true, sortedBy = sortedBy)
+        writeStats = true, sortedBy = sortedBy, nameTag = nameTag)
     }).write(row)
 
   override def commit(): WriterCommitMessage =
@@ -832,7 +879,7 @@ private[sources] object FwBuckets {
   */
 private[sources] class FwPartitionedDataWriter(schema: StructType,
     path: String, pcol: String, partitionId: Int, taskId: Long,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None, nameTag: String = "")
     extends DataWriter[InternalRow] {
   private val pIdx = schema.fieldNames.indexOf(pcol)
   private val dataSchema = StructType(
@@ -854,7 +901,7 @@ private[sources] class FwPartitionedDataWriter(schema: StructType,
     val w = writers.getOrElseUpdate(valueOf(row), {
       val sub = new java.io.File(path, s"$pcol=${valueOf(row)}")
       new FwDataWriter(dataSchema, sub.getPath, partitionId, taskId,
-        writeStats = true, sortedBy = sortedBy)
+        writeStats = true, sortedBy = sortedBy, nameTag = nameTag)
     })
     val vals = new Array[Any](dataSchema.length)
     var i = 0
@@ -886,7 +933,8 @@ private[sources] class FwPartitionedDataWriter(schema: StructType,
 
 private[sources] class FwDataWriter(schema: StructType, path: String,
     partitionId: Int, taskId: Long, prefix: String = "part",
-    writeStats: Boolean = false, sortedBy: Option[String] = None)
+    writeStats: Boolean = false, sortedBy: Option[String] = None,
+    nameTag: String = "")
     extends DataWriter[InternalRow] {
   private val widths = FixedWidth.widths(schema)
   // sortedBy is a VERIFIED claim, not a sort: the writer watches the
@@ -922,7 +970,7 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
     prevSortVal = v
   }
   private val tmp = new java.io.File(path,
-    f"$prefix-$partitionId%05d-$taskId.fw.tmp")
+    f"$prefix-$partitionId%05d-$taskId$nameTag.fw.tmp")
   tmp.getParentFile.mkdirs()
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(tmp))
@@ -1059,7 +1107,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     versionAsOf: Option[Long] = None,
     changesFrom: Option[Long] = None,
     partitionBy: Option[String] = None,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[(String, Int)] = None,
+    followMain: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -1300,7 +1349,7 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
         case None =>
           new FwScan(fullSchema, required, pushed, path, recordsPerSplit,
             summary, maxRecordsPerTrigger, versionAsOf, changesFrom,
-            wantFile)
+            wantFile, followMain)
       }
     }
   }
@@ -2983,7 +3032,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     summary: String, maxRecordsPerTrigger: Option[Long] = None,
     versionAsOf: Option[Long] = None,
     changesFrom: Option[Long] = None,
-    wantFile: Boolean = false)
+    wantFile: Boolean = false,
+    followMain: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -3136,8 +3186,10 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // a stream follows the LIVE table; pinning it to a past snapshot is
-    // a contradiction, not a silent full-history replay
-    require(versionAsOf.isEmpty,
+    // a contradiction, not a silent full-history replay. The implicit
+    // main-pin (followMain) is exempt: it is the batch default view,
+    // and the stream re-resolves `main` per micro-batch instead.
+    require(versionAsOf.isEmpty || followMain,
       "FixedWidth: versionAsOf is batch-only; a stream cannot be pinned " +
         "to a past snapshot")
     require(changesFrom.isEmpty,
@@ -3155,7 +3207,7 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     // files would corrupt the cursor
     FwSchemaLog.requireUniform(path, "streaming read")
     new FwMicroBatchStream(fullSchema, required.fieldNames, pushed, path,
-      recordsPerSplit, maxRecordsPerTrigger)
+      recordsPerSplit, maxRecordsPerTrigger, followMain)
   }
 }
 
@@ -3200,7 +3252,8 @@ private[sources] object FwOffset {
 
 private[sources] class FwMicroBatchStream(fullSchema: StructType,
     requiredNames: Array[String], pushed: Array[Filter], path: String,
-    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None)
+    recordsPerSplit: Long, maxRecordsPerTrigger: Option[Long] = None,
+    followMain: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
@@ -3212,8 +3265,19 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
   // A file caught mid-append rounds DOWN to its last complete record —
   // throwing here would fail the whole streaming query instead of just
   // picking up the torn tail next batch.
-  private def availableCounts(): Map[String, Long] =
-    FwFiles.list(path).map(f => f.getPath -> f.length() / rowLen).toMap
+  // With refs on the table (followMain), each batch re-resolves `main`
+  // and admits only its snapshot's files: WAP-staged data stays
+  // invisible to the stream until published, exactly like batch reads.
+  // Published files are immutable, so live length == snapshot length.
+  private def availableCounts(): Map[String, Long] = {
+    val files =
+      if (followMain) FwRefs.mainVersion(path) match {
+        case Some(v) => FwFiles.listAt(path, Some(v), None).map(_.file)
+        case None => FwFiles.list(path)
+      }
+      else FwFiles.list(path)
+    files.map(f => f.getPath -> f.length() / rowLen).toMap
+  }
 
   override def latestOffset(): Offset = FwOffset(availableCounts())
 

@@ -186,7 +186,16 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tables.get(ident)
     if (t == null) throw new NoSuchTableException(ident)
-    changes.foreach {
+    val fw = t match {
+      case f: FwTable => f
+      case other => throw new IllegalArgumentException(
+        s"$ident is not a fixedwidth table: $other")
+    }
+    // Validate EVERY change before applying ANY, so a multi-column
+    // `ADD COLUMNS (a, b)` fully applies or fully fails — applying
+    // per-change against a pre-ALTER spec snapshot would half-evolve
+    // the schema log when a later column is rejected.
+    val adds = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "fixedwidth: ADD COLUMN supports top-level columns only")
@@ -208,26 +217,28 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new IllegalArgumentException(
             "fixedwidth: ADD COLUMN needs its layout width — declare " +
               s"it as COMMENT 'width=<n>' (column $name)"))
-        val fw = t match {
-          case f: FwTable => f
-          case other => throw new IllegalArgumentException(
-            s"$ident is not a fixedwidth table: $other")
-        }
-        val path = fw.dataPath
-        val currentSpec = fw.tableProps.getOrElse("schema",
-          throw new IllegalStateException(s"table $ident has no spec"))
-        FwSchemaLog.addColumn(path, currentSpec, s"$name:$tpe:$width")
-        val newSpec = s"$currentSpec,$name:$tpe:$width"
-        val replaced = new FwTable(FixedWidth.parseSchema(newSpec),
-          fw.tableProps + ("schema" -> newSpec))
-        tables.put(ident, replaced)
+        s"$name:$tpe:$width"
       case other =>
         throw new UnsupportedOperationException(
           s"fixedwidth: unsupported ALTER ($other) — offsets make " +
             "renames/drops/type changes a rewrite, not metadata; only " +
             "ADD COLUMN evolves in place")
     }
-    tables.get(ident)
+    val path = fw.dataPath
+    val baseSpec = fw.tableProps.getOrElse("schema",
+      throw new IllegalStateException(s"table $ident has no spec"))
+    // the final spec must parse (duplicate names, bad widths) BEFORE
+    // any log append happens
+    val finalSpec = (baseSpec +: adds).mkString(",")
+    FixedWidth.parseSchema(finalSpec)
+    adds.foldLeft(baseSpec) { (spec, colSpec) =>
+      FwSchemaLog.addColumn(path, spec, colSpec)
+      s"$spec,$colSpec"
+    }
+    val replaced = new FwTable(FixedWidth.parseSchema(finalSpec),
+      fw.tableProps + ("schema" -> finalSpec))
+    tables.put(ident, replaced)
+    replaced
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -681,7 +681,14 @@ object FwMaintenance {
     requireFlat(path, "rollback")
     // read-trim-delete under the commit lock: a commit landing midway
     // could otherwise be trimmed away or reference swept files
-    FwVersions.withLock(path) {
+    FwVersions.withLock(path)(rollbackLocked(path, toVersion))
+  }
+
+  /** [[rollback]]'s body, for callers already holding the commit lock
+    * (dropStage folds ref-delete + rollback into one critical section).
+    */
+  private def rollbackLocked(path: String,
+      toVersion: Long): RollbackReport = {
     val all = FwVersions.read(path)
     val target = FwVersions.resolve(path, toVersion) // loud if unknown
     val dir = new java.io.File(path)
@@ -726,7 +733,6 @@ object FwMaintenance {
     // their snapshots
     FwRefs.clampTo(path, toVersion)
     RollbackReport(all.size - retained.size, removed)
-    } // withLock
   }
 
   private def requireFlat(path: String, op: String): Unit =
@@ -867,7 +873,11 @@ object FwMaintenance {
   def dropStage(spark: SparkSession, path: String,
       branch: String): DropStageReport = {
     requireFlat(path, "dropStage")
-    val mainV = FwVersions.withLock(path) {
+    // ref-delete AND version rollback under ONE lock section: with the
+    // ref gone, requireCommitSlot admits plain commits again, so a
+    // commit landing between a split delete and rollback would be
+    // physically deleted by the rollback — an unrelated write lost
+    FwVersions.withLock(path) {
       val r = FwRefs.get(path, branch).getOrElse(
         throw new IllegalArgumentException(
           s"FixedWidth: no branch '$branch' to drop at $path"))
@@ -875,14 +885,12 @@ object FwMaintenance {
         s"FixedWidth: '$branch' is a tag; use deleteTag")
       require(branch != "main", "FixedWidth: cannot drop main")
       FwRefs.delete(path, branch)
-      FwRefs.mainVersion(path).getOrElse(
+      val mainV = FwRefs.mainVersion(path).getOrElse(
         throw new IllegalStateException(
           s"FixedWidth: table at $path has no main ref"))
+      val rb = rollbackLocked(path, mainV)
+      DropStageReport(rb.versionsDropped, rb.filesRemoved)
     }
-    // rollback takes the lock itself; the ref is already gone, so a
-    // racing commit cannot resurrect the stage in between
-    val rb = rollback(spark, path, mainV)
-    DropStageReport(rb.versionsDropped, rb.filesRemoved)
   }
 
   /** Pin a committed version under an immutable name (release marker).

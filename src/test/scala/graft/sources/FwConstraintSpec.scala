@@ -134,6 +134,81 @@ class FwConstraintSpec extends AnyFunSuite {
       "failed UPDATE must leave the table untouched")
   }
 
+  test("streaming writes enforce CHECK constraints (the Delta " +
+      "invariant discipline: every write path is gated)") {
+    val dir = Files.createTempDirectory("fwckS").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("fwckSck").toFile.getAbsolutePath
+    write(dir, Seq((1L, "a", 1.0)), "overwrite")
+    FwConstraints.add(spark, dir, spec, "pos_score", "score > 0")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("id", "name", "score").writeStream
+      .format("graft.sources.FixedWidth").option("schema", spec)
+      .option("checkpointLocation", ckpt).start(dir)
+    try {
+      mem.addData((2L, "b", 2.0))
+      q.processAllAvailable()
+      assert(readAll(dir).count() === 2L)
+      mem.addData((3L, "c", -1.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(exists(e, t => t.getMessage != null &&
+        t.getMessage.contains("CHECK constraint 'pos_score'")))
+    } finally q.stop()
+    assert(readAll(dir).count() === 2L,
+      "a violating epoch must publish nothing")
+    assert(!new java.io.File(dir).listFiles
+      .exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("FwBatchWrite.abort tolerates null commit-message slots and " +
+      "still sweeps the committed tasks' tmps") {
+    val dir = Files.createTempDirectory("fwck8").toFile.getAbsolutePath
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val tmp = new java.io.File(dir, "part-00000-7.fw.tmp")
+    Files.write(tmp.toPath, Array[Byte](48, 10))
+    val w = new FwBatchWrite(schema, dir, truncateFirst = false)
+    // Spark passes null for every task that never reached commit();
+    // abort must sweep the tasks that DID, not MatchError on the rest
+    w.abort(Array(FwCommitMessage(tmp.getAbsolutePath), null, null))
+    assert(!tmp.exists, "committed task's tmp must be swept")
+  }
+
+  test("a mid-write task failure in a multi-task write leaves zero " +
+      ".tmp files behind") {
+    val dir = Files.createTempDirectory("fwck9").toFile.getAbsolutePath
+    write(dir, Seq((1L, "a", 1.0)), "overwrite")
+    FwConstraints.add(spark, dir, spec, "pos_score", "score > 0")
+    // 2 tasks: slice 0 all-valid and tiny (commits first), slice 1
+    // fails on its LAST row, well after slice 0's commit message
+    // landed -> abort sees [message, null] and must sweep the
+    // committed task's tmps despite the null slot
+    import org.apache.spark.sql.Row
+    val schema = readAll(dir).schema
+    val slow = (0 until 100000).map(i => Row(10L + i % 1000, "ok", 1.0)) :+
+      Row(9999L, "bad", -1.0)
+    val rdd = spark.sparkContext.parallelize(Seq(Row(2L, "b", 2.0)), 1)
+      .union(spark.sparkContext.parallelize(slow, 1))
+    val e = intercept[Exception] {
+      spark.createDataFrame(rdd, schema).write
+        .format("graft.sources.FixedWidth").option("schema", spec)
+        .mode("append").save(dir)
+    }
+    assert(exists(e, _.getMessage.contains("CHECK constraint 'pos_score'")))
+    assert(readAll(dir).count() === 1L)
+    // a killed sibling task sweeps its own tmp asynchronously (Spark
+    // returns the job failure without waiting for kill cleanup) — poll
+    def tmps() = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".tmp"))
+    val deadline = System.currentTimeMillis() + 10000
+    while (tmps().nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(tmps().isEmpty,
+      s"abort after task failure must sweep every committed tmp; " +
+        s"leftover: ${tmps().map(_.getName).mkString(",")}")
+  }
+
   /** Any throwable in the cause chain matching `p`. */
   private def exists(t: Throwable, p: Throwable => Boolean): Boolean = {
     var cur = t

@@ -79,6 +79,26 @@ class FwEpochSpec extends AnyFunSuite {
     assert(FwEpochs.read(dir) === Seq(0L, 1L))
   }
 
+  test("the torn-epoch sweep never matches batch file names (epoch id " +
+      "vs partition id collision)") {
+    val dir = Files.createTempDirectory("fwep4").toFile.getAbsolutePath
+    runEpoch(dir, 0L, Seq((1L, 1.0)), taskId = 10)
+    // a batch writer names files part-%05d-<task>.fw: partition 10000
+    // produces part-10000-7.fw — exactly what a prefix sweep keyed on
+    // epoch 10000 would match. Plant that shape (hand-planted files
+    // are live by listing) and commit epoch 10000 over it.
+    val published = new java.io.File(dir).listFiles
+      .find(f => f.getName.startsWith("epoch-0-")
+        && f.getName.endsWith(".fw")).get
+    val batchShaped = new java.io.File(dir, "part-10000-7.fw")
+    require(published.renameTo(batchShaped))
+    assert(count(dir) === 1L)
+    runEpoch(dir, 10000L, Seq((2L, 2.0)), taskId = 11)
+    assert(batchShaped.exists,
+      "epoch 10000's torn-attempt sweep must not delete batch data")
+    assert(count(dir) === 2L)
+  }
+
   test("end-to-end: a real streaming query lands each batch once") {
     val dir = Files.createTempDirectory("fwep3").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("fwep3ck").toFile.getAbsolutePath

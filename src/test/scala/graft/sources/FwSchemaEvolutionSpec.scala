@@ -137,6 +137,36 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flat-table"))
   }
 
+  test("multi-column ALTER is atomic: all columns land, and a bad " +
+      "column rejects the whole ALTER with no half-evolved log") {
+    val dir = Files.createTempDirectory("fwse7").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwse7", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwse7.ns.t")
+    spark.sql(s"""CREATE TABLE fwse7.ns.t (id BIGINT, score DOUBLE)
+      OPTIONS (path '$dir', widths '4,10')""")
+    spark.sql("INSERT INTO fwse7.ns.t VALUES (1, 1.5)")
+    // both columns in ONE statement: the second must see the first's
+    // spec as head, not the pre-ALTER snapshot
+    spark.sql("ALTER TABLE fwse7.ns.t ADD COLUMNS (" +
+      "bonus BIGINT COMMENT 'width=6', tag STRING COMMENT 'width=5')")
+    spark.sql("INSERT INTO fwse7.ns.t VALUES (2, 2.5, 20, 'x')")
+    val rows = spark.table("fwse7.ns.t").orderBy("id").collect()
+    assert(rows.length === 2 && rows(1).getLong(2) === 20L
+      && rows(1).getString(3) === "x")
+    // a width-less column rejects the WHOLE alter: the valid column
+    // before it must not have been applied
+    val logBefore = FwSchemaLog.read(dir).map(_.specs.length)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE fwse7.ns.t ADD COLUMNS (" +
+        "ok BIGINT COMMENT 'width=6', bad BIGINT)")
+    }
+    assert(chainHas(e, "needs its layout width"))
+    assert(FwSchemaLog.read(dir).map(_.specs.length) === logBefore,
+      "a rejected multi-column ALTER must leave the schema log alone")
+    spark.sql("INSERT INTO fwse7.ns.t VALUES (3, 3.5, 30, 'y')")
+    assert(spark.table("fwse7.ns.t").count() === 3L)
+  }
+
   private def chainHas(t: Throwable, s: String): Boolean = {
     var cur = t
     while (cur != null) {

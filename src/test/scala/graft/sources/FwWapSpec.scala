@@ -161,6 +161,33 @@ class FwWapSpec extends AnyFunSuite {
     FwMaintenance.dropStage(spark, dir, "audit")
   }
 
+  test("tagging a table does not break streaming reads; streams " +
+      "follow main across a WAP cycle") {
+    val dir = Files.createTempDirectory("fwwap9").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("fwwap9ck").toFile.getAbsolutePath
+    write(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)), "overwrite")
+    // tagging creates the main ref — the implicit main-pin must stay a
+    // batch default, not a streaming "versionAsOf is batch-only" trap
+    FwMaintenance.tag(dir, "v1", FwVersions.currentMax(dir))
+    val q = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec).load(dir)
+      .writeStream.format("memory").queryName("fwwap9_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fwwap9_sink").count() === 2L,
+        "a tagged table must still serve streaming reads")
+      write(dir, Seq((3L, "c", 3.0)), "append", Some("audit"))
+      q.processAllAvailable()
+      assert(spark.table("fwwap9_sink").count() === 2L,
+        "WAP-staged rows must not leak into the stream before publish")
+      FwMaintenance.publish(dir, "audit")
+      q.processAllAvailable()
+      assert(spark.table("fwwap9_sink").count() === 3L,
+        "published rows must flow to the stream")
+    } finally q.stop()
+  }
+
   private def chain(t: Throwable): Seq[Throwable] = {
     var cur = t
     val b = Seq.newBuilder[Throwable]
