@@ -939,11 +939,17 @@ object Analytics110 {
       SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
         CAST(even * 55 AS BIGINT) AS n_bytes,
         CAST(even AS BIGINT) AS n_records,
+        CAST(2 AS BIGINT) AS n_added_files,
+        CAST(0 AS BIGINT) AS n_removed_files,
+        CAST(even AS BIGINT) AS n_added_records,
+        CAST(0 AS BIGINT) AS n_removed_records,
         'overwrite' AS operation
       FROM c
       UNION ALL
       SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
-        CAST(total * 55 AS BIGINT), CAST(total AS BIGINT), 'append'
+        CAST(total * 55 AS BIGINT), CAST(total AS BIGINT),
+        CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(total - even AS BIGINT), CAST(0 AS BIGINT), 'append'
       FROM c
       ORDER BY version""",
 

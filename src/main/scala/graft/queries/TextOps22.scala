@@ -20,16 +20,27 @@ object TextOps22 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d32_lsh_recall" -> ((spark, dir) => {
+      // Each leg runs exactly ONCE: persist + the three counts below
+      // are the only executions, and the report is three SCALARS — so
+      // it collapses to a driver-local one-row frame (constant-size
+      // collect), the legs unpersist before returning, and the final
+      // plan carries zero replayed pipeline lineage. (The previous
+      // shape re-aggregated the persisted frames inside the result
+      // plan: correct, but the result's lineage replayed both
+      // pipelines in every plan walk, and ~5s of re-agg overhead
+      // survived at sf0.1.)
       val exact = TextOps2.queries("d11_prefix_filter_pairs")(spark, dir)
         .select(col("a_id"), col("b_id")).persist()
-      exact.count()
       val lsh = TextOps.queries("d4_minhash_pairs")(spark, dir)
         .select(col("a_id"), col("b_id")).persist()
-      lsh.count()
-      val matched = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
-        .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_matched"))))
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nMatched =
+        exact.join(lsh, Seq("a_id", "b_id"), "left_semi").count()
+      exact.unpersist(false)
+      lsh.unpersist(false)
+      import spark.implicits._
+      Seq((nExact, nLsh, nMatched)).toDF("n_exact", "n_lsh", "n_matched")
         .select(col("n_exact"), col("n_lsh"), col("n_matched"),
           (col("n_exact") - col("n_matched")).as("n_missed"),
           (col("n_lsh") - col("n_matched")).as("n_lsh_only"),

@@ -2225,6 +2225,16 @@ private[sources] object FwHistory {
     StructField("n_files", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_records", LongType, nullable = false),
+    // per-commit operation metrics (the Delta operationMetrics /
+    // DESCRIBE HISTORY numFiles/numOutputRows discipline), derived
+    // metadata-only from consecutive manifest versions: files are
+    // immutable once published, so version set-difference IS the
+    // commit's add/remove set; deletion-vector removals count via
+    // their stamped `since` version
+    StructField("n_added_files", LongType, nullable = false),
+    StructField("n_removed_files", LongType, nullable = false),
+    StructField("n_added_records", LongType, nullable = false),
+    StructField("n_removed_records", LongType, nullable = false),
     StructField("operation", StringType, nullable = false)))
 }
 
@@ -2246,11 +2256,30 @@ private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
         val rowLen = FixedWidth.widths(dataSchema).sum + 1L
         val dir = new java.io.File(path)
         val ops = FwVersions.readOps(path)
-        val rows = FwVersions.read(path).map { case (v, files) =>
-          val bytes = files.map { case (n, b) =>
-            if (b >= 0) b else new java.io.File(dir, n).length()
-          }.sum
+        val manifest = FwVersions.read(path)
+        def lenOf(n: String, b: Long): Long =
+          if (b >= 0) b else new java.io.File(dir, n).length()
+        // merge-on-read deletes move no files; their removed-record
+        // count is the DV entries stamped with this commit's version
+        val dvByVersion: Map[Long, Long] = manifest
+          .flatMap(_._2.map(_._1)).distinct
+          .flatMap(n => FwDv.read(new java.io.File(dir, n).getPath)
+            .map { case (since, ords) => (since, ords.length.toLong) })
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+        var prev = Map.empty[String, Long]
+        val rows = manifest.map { case (v, files) =>
+          val cur = files.toMap
+          val added = files.filter { case (n, _) => !prev.contains(n) }
+          val removed = prev.filter { case (n, _) => !cur.contains(n) }
+          val bytes = files.map { case (n, b) => lenOf(n, b) }.sum
+          val addedBytes = added.map { case (n, b) => lenOf(n, b) }.sum
+          val removedBytes =
+            removed.map { case (n, b) => lenOf(n, b) }.sum
+          prev = cur
           Array[Any](v, files.length.toLong, bytes, bytes / rowLen,
+            added.length.toLong, removed.size.toLong,
+            addedBytes / rowLen,
+            removedBytes / rowLen + dvByVersion.getOrElse(v, 0L),
             UTF8String.fromString(ops.getOrElse(v, "unknown")))
         }
         Array(FwHistoryPartition(rows.toArray))

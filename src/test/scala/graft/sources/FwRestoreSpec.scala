@@ -48,12 +48,21 @@ class FwRestoreSpec extends AnyFunSuite {
     write(dir, Seq((3L, 3.0)), "append")
     assert(ids(dir) === Set(1L, 2L, 3L))
     // the history table names every operation (DESCRIBE HISTORY)
-    val ops = spark.read.format("graft.sources.FixedWidth")
+    // and carries per-commit metrics: added/removed files and records
+    // per version, derived from consecutive manifest snapshots
+    val hist = spark.read.format("graft.sources.FixedWidth")
       .option("history", "true").option("schema", spec).load(dir)
-      .orderBy("version").select("operation").collect()
-      .map(_.getString(0)).toSeq
-    assert(ops === Seq("overwrite", "append", "truncate", "restore",
-      "append"))
+      .orderBy("version")
+      .select("operation", "n_added_files", "n_removed_files",
+        "n_added_records", "n_removed_records").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(hist === Seq(
+      ("overwrite", 1L, 0L, 1L, 0L),
+      ("append", 1L, 0L, 1L, 0L),
+      ("truncate", 0L, 2L, 0L, 2L),
+      ("restore", 2L, 0L, 2L, 0L),
+      ("append", 1L, 0L, 1L, 0L)))
   }
 
   test("restore refuses when newer deletion vectors would keep rows " +
