@@ -25,18 +25,8 @@ object Analytics145 {
 
   private val FwFixtureMaxKey = 100000L
 
-  private def freshBase(tag: String, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
-      tag, Paths.get(dir).getFileName.toString)
-    if (Files.exists(base)) {
-      val listing = Files.list(base)
-      try listing.forEach(p => Files.deleteIfExists(p))
-      finally listing.close()
-    }
-    Files.createDirectories(base)
-    base
-  }
+  private def freshBase(tag: String, dir: String): java.nio.file.Path =
+    Tables.freshFwBase(tag, dir)
 
   /** Register the catalog, (re)create `cat.ns.sup` over a fresh dir,
     * and fill it from the supplier parquet in one INSERT (= snapshot

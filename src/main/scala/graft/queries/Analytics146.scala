@@ -33,18 +33,8 @@ object Analytics146 {
     "s_suppkey:long:8,s_name:string:18,s_nationkey:int:4,s_acctbal:double:24"
   private val FwFixtureMaxKey = 100000L
 
-  private def freshBase(tag: String, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
-      tag, Paths.get(dir).getFileName.toString)
-    if (Files.exists(base)) {
-      val listing = Files.list(base)
-      try listing.forEach(p => Files.deleteIfExists(p))
-      finally listing.close()
-    }
-    Files.createDirectories(base)
-    base
-  }
+  private def freshBase(tag: String, dir: String): java.nio.file.Path =
+    Tables.freshFwBase(tag, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q380_fw_cdf_ivm" -> ((spark, dir) => {

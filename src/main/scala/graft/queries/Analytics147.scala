@@ -25,18 +25,8 @@ object Analytics147 {
 
   private val FwFixtureMaxKey = 100000L
 
-  private def freshBase(tag: String, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
-      tag, Paths.get(dir).getFileName.toString)
-    if (Files.exists(base)) {
-      val listing = Files.list(base)
-      try listing.forEach(p => Files.deleteIfExists(p))
-      finally listing.close()
-    }
-    Files.createDirectories(base)
-    base
-  }
+  private def freshBase(tag: String, dir: String): java.nio.file.Path =
+    Tables.freshFwBase(tag, dir)
 
   private def supTable(spark: SparkSession, dir: String, cat: String,
       tag: String): String = {

@@ -31,18 +31,8 @@ object Analytics148 {
   private val FactSchema =
     "l_orderkey:long:10,l_suppkey:long:8,qty:long:4,l_returnflag:string:1"
 
-  private def freshBase(tag: String, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
-      tag, Paths.get(dir).getFileName.toString)
-    if (Files.exists(base)) {
-      val listing = Files.list(base)
-      try listing.forEach(p => Files.deleteIfExists(p))
-      finally listing.close()
-    }
-    Files.createDirectories(base)
-    base
-  }
+  private def freshBase(tag: String, dir: String): java.nio.file.Path =
+    Tables.freshFwBase(tag, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q383_fw_erasure_cascade" -> ((spark, dir) => {

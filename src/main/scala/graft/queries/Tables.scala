@@ -9,6 +9,26 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** A clean per-sf fixture dir under java.io.tmpdir for FW-table
+    * queries: recreated empty on every call. Deletion is RECURSIVE —
+    * fixture tables carry subdirectories (hive partition dirs,
+    * materialized change data under `_fw_changes/`).
+    */
+  def freshFwBase(tag: String, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      tag, Paths.get(dir).getFileName.toString)
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(nuke)
+      f.delete()
+    }
+    if (Files.exists(base))
+      Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach(nuke)
+    Files.createDirectories(base)
+    base
+  }
+
   /** The events table's `ts` physical type has varied across testdata
     * generations — TIMESTAMP(NANOS) (which Spark 4 rejects outright;
     * readable only as nanos-since-epoch longs via the legacy conf),

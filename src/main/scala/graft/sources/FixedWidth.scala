@@ -117,6 +117,22 @@ object FixedWidth {
 
   private[sources] def widths(schema: StructType): Array[Int] =
     schema.fields.map(_.metadata.getLong("width").toInt)
+
+  /** [[parseSchema]]'s inverse: the `name:type:width,...` spec string
+    * of a width-bearing schema.
+    */
+  private[sources] def specOf(schema: StructType): String =
+    schema.fields.map { f =>
+      val tpe = f.dataType match {
+        case LongType => "long"
+        case IntegerType => "int"
+        case DoubleType => "double"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"FixedWidth: unsupported field type '$other' (${f.name})")
+      }
+      s"${f.name}:$tpe:${f.metadata.getLong("width")}"
+    }.mkString(",")
 }
 
 private[sources] object FwTable {

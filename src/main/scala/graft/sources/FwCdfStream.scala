@@ -29,13 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    which a DV never rewrites). GDPR erasure propagates to
   *    downstream consumers as it happens.
   *  - COPY-ON-WRITE commits (merge/update/delete-rewrite/compaction/
-  *    truncate) REFUSE loudly: their exact row-grain delta needs the
-  *    multiset diff (a shuffle) that [[FwChangeFeed.changesBetween]]
-  *    computes — a per-partition streaming reader cannot, and
-  *    emitting whole-file churn would flood consumers with false
-  *    changes. (Delta solves this by materializing `_change_data`
-  *    files at write time; the equivalent here would be a COW writer
-  *    option.)
+  *    truncate-retain) stream from their MATERIALIZED change files
+  *    ([[FwChangeData]], the Delta `_change_data` discipline): the
+  *    row-level commit writes them eagerly; a commit that predates the
+  *    stream materializes lazily on first read (retained history keeps
+  *    both snapshots readable). Whole-file churn never reaches
+  *    consumers — a compaction commit diffs to zero rows and streams
+  *    nothing. Only a commit whose pre-images were vacuumed before
+  *    anyone materialized its delta still refuses.
   *
   * Scale shape: planning reads only the manifest and the tiny DV
   * sidecars; each partition is a set of contiguous record runs in one
@@ -140,12 +141,34 @@ private[sources] class FwCdfMicroBatchStream(declared: StructType,
       val curr = manifests.getOrElse(v, throw new IllegalArgumentException(
         s"FixedWidth readChangeFeed: no version $v at $path"))
       val removed = prev.keysIterator.filterNot(curr.contains).toSeq
-      if (removed.nonEmpty) throw new IllegalArgumentException(
-        s"FixedWidth readChangeFeed: version $v supersedes files " +
-          s"(${removed.take(3).mkString(", ")}…) — a copy-on-write " +
-          "merge/update/delete/compaction/truncate commit; per-commit " +
-          "streaming CDF covers append and merge-on-read delete " +
-          "commits. Use FwChangeFeed.changesBetween for COW history.")
+      if (removed.nonEmpty) {
+        // COPY-ON-WRITE commit (merge/update/delete-rewrite/compaction/
+        // truncate-retain): its exact row-grain delta lives in the
+        // materialized change files — written eagerly by the row-level
+        // commit, or computed here once (the inputs retired into
+        // retained history, so both snapshots are still readable). A
+        // compaction commit diffs to zero rows and streams nothing.
+        if (!FwChangeData.exists(path, v)) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          try FwChangeData.materialize(spark, path, declared, v)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"FixedWidth readChangeFeed: version $v supersedes files " +
+                s"(${removed.take(3).mkString(", ")}…) — a copy-on-write " +
+                "commit whose change data is not materialized and whose " +
+                "pre-images are no longer readable (vacuumed?). Start " +
+                "the stream at a retained version or use " +
+                s"FwChangeFeed.changesBetween. [${e.getMessage}]", e)
+          }
+        }
+        Seq("delete", "insert").flatMap { ct =>
+          val f = FwChangeData.changeFile(path, v, ct)
+          val n = (if (f.isFile) f.length() else 0L) / rowLen
+          if (n > 0)
+            Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
+          else None
+        }
+      } else {
       val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>
         val f = new java.io.File(dir, name)
         val hi = (if (len < 0) f.length() else len) / rowLen
@@ -165,6 +188,7 @@ private[sources] class FwCdfMicroBatchStream(declared: StructType,
           "delete", v))
       }
       inserts ++ deletes
+      }
     }.toArray
   }
 

@@ -58,3 +58,93 @@ object FwChangeFeed {
         .withColumn("_change_type", lit("delete")))
   }
 }
+
+/** MATERIALIZED per-commit change data (the Delta `_change_data`
+  * discipline): a copy-on-write commit's exact row-grain delta, written
+  * once as plain fixed-width files under `<table>/_fw_changes/` —
+  * `v<version>-delete.fw` (pre-images) and `v<version>-insert.fw`
+  * (post-images) — so the streaming change feed can plan a COW commit
+  * as static file reads instead of refusing.
+  *
+  * The delta is [[FwChangeFeed.changesBetween]](v-1, v): because COW
+  * inputs retire into RETAINED history, both snapshots stay readable,
+  * and the diff touches only the files in exactly one of the two
+  * snapshots — at 100 TB an UPDATE that rewrote 1 GB diffs 2 GB, never
+  * the table. A compaction/cluster commit diffs to ZERO rows, so the
+  * stream rides over it silently instead of breaking.
+  *
+  * Written eagerly after a row-level COW commit (best-effort), and
+  * lazily by the first CDF reader that needs a version (idempotent: a
+  * `v<version>._done` marker commits the pair atomically last). If the
+  * pre-image files were vacuumed before anyone materialized, the read
+  * refuses exactly like before.
+  */
+object FwChangeData {
+  private def dirFor(path: String) = new java.io.File(path, "_fw_changes")
+  private def marker(path: String, v: Long) =
+    new java.io.File(dirFor(path), s"v$v._done")
+
+  def changeFile(path: String, v: Long, ct: String): java.io.File =
+    new java.io.File(dirFor(path), s"v$v-$ct.fw")
+
+  def exists(path: String, v: Long): Boolean = marker(path, v).isFile
+
+  /** Remove change data for versions a vacuum trimmed away. */
+  private[sources] def dropBelow(path: String, minRetained: Long): Unit = {
+    val d = dirFor(path)
+    if (!d.isDirectory) return
+    val name = "v(\\d+)[.-].*".r
+    d.listFiles().foreach { f =>
+      f.getName match {
+        case name(v) if v.toLong < minRetained => f.delete()
+        case _ => ()
+      }
+    }
+  }
+
+  /** Compute and publish version `v`'s change files. Idempotent;
+    * throws if the diff's inputs are no longer readable (vacuumed
+    * pre-images) — callers surface that as the stream refusal.
+    */
+  def materialize(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, v: Long): Unit = {
+    if (exists(path, v)) return
+    require(v >= 2, s"version $v has no predecessor to diff against")
+    val spec = FixedWidth.specOf(schema)
+    val d = dirFor(path)
+    d.mkdirs()
+    val delta = FwChangeFeed
+      .changesBetween(spark, path, spec, v - 1, v)
+      .persist()
+    try {
+      Seq("delete", "insert").foreach { ct =>
+        val tmpDir = java.nio.file.Files
+          .createTempDirectory(s"fwcd-$ct").toFile
+        try {
+          delta.filter(org.apache.spark.sql.functions
+              .col("_change_type") === ct)
+            .drop("_change_type")
+            .coalesce(1)
+            .write.format("graft.sources.FixedWidth")
+            .option("schema", spec).mode("overwrite")
+            .save(tmpDir.getAbsolutePath)
+          val tmpTarget =
+            new java.io.File(d, s"v$v-$ct.fw.tmp")
+          val out = new java.io.FileOutputStream(tmpTarget)
+          try tmpDir.listFiles().sortBy(_.getName).foreach { p =>
+            if (p.getName.endsWith(".fw"))
+              java.nio.file.Files.copy(p.toPath, out)
+          } finally out.close()
+          val target = changeFile(path, v, ct)
+          target.delete() // torn earlier attempt
+          require(tmpTarget.renameTo(target),
+            s"could not publish $tmpTarget -> $target")
+        } finally {
+          tmpDir.listFiles().foreach(_.delete())
+          tmpDir.delete()
+        }
+      }
+      marker(path, v).createNewFile()
+    } finally delta.unpersist(false)
+  }
+}

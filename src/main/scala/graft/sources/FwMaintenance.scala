@@ -401,6 +401,10 @@ object FwMaintenance {
     if (swept.nonEmpty) FwSchemaLog.read(path).foreach { log =>
       FwSchemaLog.write(path, log.copy(fileSv = log.fileSv -- swept))
     }
+    // materialized change data of trimmed versions dies with them (a
+    // stream can no longer start below the retention floor anyway)
+    if (dropped > 0 && retained.nonEmpty)
+      FwChangeData.dropBelow(path, retained.map(_._1).min)
     (dropped, orphans, retained.size)
     } // withLock
     // the Delta VACUUM convention: a tmp is a "stray" only once it is

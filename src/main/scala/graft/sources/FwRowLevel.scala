@@ -276,11 +276,26 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
         val dir = new java.io.File(path)
         val replaced = FwMaintenance.retireInputs(path,
           op.scannedFiles.map(n => new java.io.File(dir, n).getPath))
-        FwVersions.commitSnapshotLocked(path, replaced,
-          s"replace-${op.command().toString.toLowerCase}")
+        committedVersion = Some(FwVersions.commitSnapshotLocked(path,
+          replaced, s"replace-${op.command().toString.toLowerCase}"))
+      }
+    }
+    // Materialize the commit's change data eagerly (outside the lock —
+    // both snapshots are durable) so a streaming change feed plans this
+    // COW commit without running the diff itself. Best-effort: a
+    // failure here leaves the lazy-materialize path to cover it.
+    committedVersion.foreach { v =>
+      try FwChangeData.materialize(
+        org.apache.spark.sql.SparkSession.active, path, schema, v)
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"change-data materialization for $path v$v deferred: " +
+            e.getMessage)
       }
     }
   }
+
+  @volatile private var committedVersion: Option[Long] = None
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.flatMap(tmps).foreach { tmp =>

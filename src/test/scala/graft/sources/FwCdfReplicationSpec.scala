@@ -46,16 +46,20 @@ class FwCdfReplicationSpec extends AnyFunSuite {
             .as[Long].collect().sorted
           versions.foreach { v =>
             val ofV = b.filter(col("_commit_version") === v)
+            // within a commit, deletes apply BEFORE inserts: a COW
+            // UPDATE arrives as delete(pre-image) + insert(post-image)
+            // of the SAME key — inserting first would leave two copies
+            // for the key-delete to kill together
+            val del = ofV.filter(col("_change_type") === "delete")
+              .select("id")
+            if (!del.isEmpty)
+              FwMaintenance.deleteByKeysMoR(spark, dst, schema, del, "id")
             val ins = ofV.filter(col("_change_type") === "insert")
               .select("id", "name", "score")
             if (!ins.isEmpty)
               ins.coalesce(1).write
                 .format("graft.sources.FixedWidth")
                 .option("schema", spec).mode("append").save(dst)
-            val del = ofV.filter(col("_change_type") === "delete")
-              .select("id")
-            if (!del.isEmpty)
-              FwMaintenance.deleteByKeysMoR(spark, dst, schema, del, "id")
           }
         } finally { b.unpersist(); () }
       }.start()
@@ -70,14 +74,23 @@ class FwCdfReplicationSpec extends AnyFunSuite {
       FwMaintenance.deleteByKeysMoR(spark, src, schema,
         Seq(2L).toDF("id"), "id") // v3
       q.processAllAvailable()
-      val replica = readLive(dst)
+      def stateOf(dir: String) = readLive(dir)
         .select("id", "name", "score").as[(Long, String, Double)]
         .collect().toSet
-      val source = readLive(src)
-        .select("id", "name", "score").as[(Long, String, Double)]
-        .collect().toSet
-      assert(replica === source, "replica must converge to the source")
-      assert(replica.map(_._1) === Set(1L, 3L, 4L))
+      assert(stateOf(dst) === stateOf(src),
+        "replica must converge to the source")
+      assert(stateOf(dst).map(_._1) === Set(1L, 3L, 4L))
+      // a SQL UPDATE (copy-on-write commit) replicates too: the
+      // materialized change data streams delete(pre) + insert(post)
+      spark.conf.set("spark.sql.catalog.fwrepl", "graft.sources.FwCatalog")
+      spark.sql("DROP TABLE IF EXISTS fwrepl.ns.src")
+      spark.sql(s"""CREATE TABLE fwrepl.ns.src (id BIGINT, name STRING,
+        score DOUBLE) OPTIONS (path '$src', widths '4,6,10')""")
+      spark.sql("UPDATE fwrepl.ns.src SET score = 40.0 WHERE id = 4")
+      q.processAllAvailable()
+      assert(stateOf(dst) === stateOf(src),
+        "replica must survive a SQL UPDATE on the source")
+      assert(stateOf(dst).contains((4L, "d", 40.0)))
     } finally q.stop()
   }
 }

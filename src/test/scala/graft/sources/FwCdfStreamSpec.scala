@@ -9,8 +9,10 @@ import graft.TestSpark
 
 /** Streaming change data feed: version-number offsets, per-commit
   * insert rows for appends (including in-place growth), delete rows
-  * from merge-on-read deletion vectors, loud refusal of copy-on-write
-  * commits, and checkpointed restart resuming mid-history.
+  * from merge-on-read deletion vectors, copy-on-write commits served
+  * from materialized change data (eager on row-level commits, lazy
+  * otherwise; compaction streams zero rows), and checkpointed restart
+  * resuming mid-history.
   */
 class FwCdfStreamSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -85,19 +87,50 @@ class FwCdfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("a copy-on-write commit in range fails the stream with the " +
-      "pointer to the batch row-grain CDF") {
+  test("a copy-on-write merge in range streams its exact delta " +
+      "(pre-image delete + post-image insert), lazily materialized") {
     val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     FwMaintenance.merge(spark, dir, schema,
       Seq((1L, "A", 10.0)).toDF("id", "name", "score"), "id") // v2 COW
-    val (q, _) = startStream(dir, Map("startingVersion" -> "1"))
+    val (q, sink) = startStream(dir, Map("startingVersion" -> "1"))
     try {
-      val e = intercept[Exception] { q.processAllAvailable() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("copy-on-write")),
-        msgs(e).mkString(" | "))
+      q.processAllAvailable()
+      // the carried row (2, b) appears in both snapshots and cancels:
+      // only the genuinely changed row streams, as delete + insert
+      assert(drain(sink) === Seq(
+        ("delete", 2L, 1L, "a"),
+        ("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b"),
+        ("insert", 2L, 1L, "A")))
+      assert(FwChangeData.exists(dir, 2L),
+        "first read materializes the commit's change files")
+    } finally q.stop()
+  }
+
+  test("a live stream rides over a SQL UPDATE (eager change data) and " +
+      "a compaction commit streams zero rows") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    spark.conf.set("spark.sql.catalog.fwcdfu", "graft.sources.FwCatalog")
+    spark.sql("DROP TABLE IF EXISTS fwcdfu.ns.t")
+    spark.sql(s"""CREATE TABLE fwcdfu.ns.t (id BIGINT, name STRING,
+      score DOUBLE) OPTIONS (path '$dir', widths '4,6,10')""")
+    val (q, sink) = startStream(dir, Map("startingVersion" -> "1"))
+    try {
+      q.processAllAvailable()
+      spark.sql("UPDATE fwcdfu.ns.t SET score = 9.0 WHERE id = 2") // v2
+      assert(FwChangeData.exists(dir, 2L),
+        "row-level COW commit materializes change data eagerly")
+      q.processAllAvailable()
+      assert(drain(sink) === Seq(
+        ("delete", 2L, 2L, "b"),
+        ("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b"),
+        ("insert", 2L, 2L, "b")))
+      append(dir, Seq((3L, "c", 3.0))) // v3
+      FwMaintenance.optimize(spark, dir, targetBytes = 1L << 20) // v4 COW
+      q.processAllAvailable()
+      val rows = drain(sink)
+      assert(rows.contains(("insert", 3L, 3L, "c")))
+      assert(!rows.exists(_._2 == 4L),
+        "a compaction commit moves bytes, not rows — zero CDF rows")
     } finally q.stop()
   }
 
