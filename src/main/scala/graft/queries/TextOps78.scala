@@ -79,6 +79,11 @@ object TextOps78 {
             .as("retained_chars"))
       perDoc.orderBy(col("dup_chars").desc, col("doc_id").asc).limit(15)
         .crossJoin(broadcast(corpus))
+        // the anchor-grain bound, stated IN the result: a repeat
+        // shorter than the K=20 anchor window is invisible to this
+        // profile (a true suffix-grain pass has no such floor) —
+        // consumers read the floor next to the counts it bounds
+        .withColumn("min_detectable_span", lit(20L))
         .orderBy(col("dup_chars").desc, col("doc_id").asc)
     }),
   )
@@ -137,7 +142,8 @@ object TextOps78 {
         |SELECT t.doc_id, t.n_spans, t.dup_chars, t.max_span,
         |  c.docs_with_dups, c.total_spans, c.total_dup_chars,
         |  tc.total_docs, tc.total_chars,
-        |  tc.total_chars - c.total_dup_chars AS retained_chars
+        |  tc.total_chars - c.total_dup_chars AS retained_chars,
+        |  CAST(20 AS BIGINT) AS min_detectable_span
         |FROM top t, corpus c, tc
         |ORDER BY t.dup_chars DESC, t.doc_id""".stripMargin,
   )

@@ -85,6 +85,10 @@ object TextOps82 {
           (col("n_chars") - col("excised_chars")).as("cleaned_chars"))
         .orderBy(col("excised_chars").desc, col("doc_id").asc).limit(15)
         .crossJoin(broadcast(corpus))
+        // the anchor-grain bound, stated IN the result: a repeat
+        // shorter than the K=20 anchor window is never cut (a true
+        // suffix-grain pass has no such floor)
+        .withColumn("min_detectable_span", lit(20L))
         .orderBy(col("excised_chars").desc, col("doc_id").asc)
     }),
   )
@@ -146,7 +150,8 @@ object TextOps82 {
         |SELECT t.doc_id, t.n_cuts, t.excised_chars, t.cleaned_chars,
         |  c.docs_cut, c.total_excised, tc.chars_before,
         |  tc.chars_before - c.total_excised AS chars_after,
-        |  k.canonical_windows
+        |  k.canonical_windows,
+        |  CAST(20 AS BIGINT) AS min_detectable_span
         |FROM top t, corpus c, tc, kept k
         |ORDER BY t.excised_chars DESC, t.doc_id""".stripMargin,
   )
