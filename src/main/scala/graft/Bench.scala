@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // clearCache() frees persist()s but NOT localCheckpoint blocks
+      // (graph/ANN queries checkpoint per round); the context cleaner
+      // frees those only after a GC proves the RDDs unreachable —
+      // default 30min never fires inside a suite, so force it often
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Light warmup: session + codegen paths of one query, untimed, so the

@@ -56,22 +56,24 @@ object Analytics24 {
       // (invoking d8 here would re-run the whole minhash pipeline —
       // measured 2× cost in the bench before this was inlined)
       val pairs = graft.queries.TextOps.queries("d4_minhash_pairs")(
-        spark, dir).select(col("a_id"), col("b_id")).persist()
-      pairs.count()
+        spark, dir).select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
       val clusters = graft.operators.ConnectedComponents
         .labels(pairs, "a_id", "b_id")
         .select(col("node").as("doc_id"),
           col("component").as("cluster_keeper"))
+        // checkpoint once: the summary needs two grains and clusters
+        // feeds both the join and the histogram — without the barrier
+        // the whole minhash pipeline re-executes per consumer, and
+        // persist would keep the full lineage in the result plan
+        // (258 census exchanges for a 4s query)
+        .localCheckpoint(true)
       val ka = clusters.select(col("doc_id").as("a_id"),
         col("cluster_keeper").as("keep_a"))
       val kb = clusters.select(col("doc_id").as("b_id"),
         col("cluster_keeper").as("keep_b"))
-      // persist once: the summary needs two grains and clusters feeds
-      // both the join and the histogram — without the barrier the
-      // whole minhash pipeline re-executes per consumer
-      clusters.persist(); clusters.count()
-      val joined = pairs.join(ka, "a_id").join(kb, "b_id").persist()
-      joined.count()
+      val joined = pairs.join(ka, "a_id").join(kb, "b_id")
+        .localCheckpoint(true)
       val summary = joined.agg(count(lit(1)).as("n"))
         .select(lit("pairs").as("metric"), lit(0L).as("size"), col("n"))
         .unionByName(joined.agg(

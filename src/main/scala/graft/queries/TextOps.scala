@@ -238,14 +238,16 @@ object TextOps {
     // semi-join, so the scoring step is O(pairs) at any corpus size.
     "d19_containment" -> ((spark, dir) => {
       // The pair frame is referenced THREE times below (both sides of
-      // the member-id union plus the scoring join) — persist + eager
-      // count so the d4 pipeline runs once, not once per reference
-      // (measured 18.5s → 3.8s isolated at sf0.1). Same device as d4's own
-      // candidate persist; the frame is pair-bounded, never corpus-sized.
+      // the member-id union plus the scoring join) — eager
+      // localCheckpoint so the d4 pipeline runs once, not once per
+      // reference (measured 18.5s → 3.8s isolated at sf0.1), AND the
+      // result plan carries no replayed d4 lineage (persist kept the
+      // full plan under every InMemoryRelation — 322 exchanges in the
+      // census for a 3.3s query). The frame is pair-bounded, never
+      // corpus-sized; Bench/Verify force periodic GC so the blocks free.
       val pairs = queries("d4_minhash_pairs")(spark, dir)
         .select(col("a_id"), col("b_id"))
-        .persist()
-      pairs.count()
+        .localCheckpoint(true)
       val ids = pairs.select(col("a_id").as("doc_id"))
         .union(pairs.select(col("b_id").as("doc_id"))).distinct()
       val ptk = t(spark, dir, "documents")

@@ -128,8 +128,12 @@ object FwChangeData {
             .write.format("graft.sources.FixedWidth")
             .option("schema", spec).mode("overwrite")
             .save(tmpDir.getAbsolutePath)
-          val tmpTarget =
-            new java.io.File(d, s"v$v-$ct.fw.tmp")
+          // unique tmp name: two readers may materialize the same
+          // version concurrently — both compute identical content, so
+          // the rename is last-wins, but they must never interleave
+          // writes into one tmp file
+          val tmpTarget = new java.io.File(d, s"v$v-$ct-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".fw.tmp")
           val out = new java.io.FileOutputStream(tmpTarget)
           try tmpDir.listFiles().sortBy(_.getName).foreach { p =>
             if (p.getName.endsWith(".fw"))
