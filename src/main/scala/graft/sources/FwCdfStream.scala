@@ -56,23 +56,36 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong)
+    val endingVersion =
+      Option(options.get("endingVersion")).map(_.toLong)
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = FwCdf.readSchema(declared)
         override def description(): String =
           s"GraftFixedWidthCdf $path"
-        // batch CDF has a first-class surface already — point at it
-        override def toBatch: Batch = throw new IllegalArgumentException(
-          "FixedWidth readChangeFeed is a STREAMING surface; for batch " +
-            "use option changesFromVersion (file-grain) or " +
-            "FwChangeFeed.changesBetween (row-grain)")
-        override def planInputPartitions(): Array[InputPartition] =
-          throw new IllegalStateException("unreachable: toBatch refuses")
+        // batch CDF: the commit range [startingVersion, endingVersion]
+        // planned through the same per-version machinery the stream
+        // uses (endingVersion defaults to the current head) — the
+        // Delta batch readChangeFeed surface
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val from = startingVersion.getOrElse(
+            throw new IllegalArgumentException(
+              "FixedWidth readChangeFeed in batch mode needs an " +
+                "explicit startingVersion (a batch read of 'changes " +
+                "since the stream started' has no meaning)"))
+          val to = endingVersion.getOrElse(FwVersions.currentMax(path))
+          FwCdf.partitionsBetween(declared, path, from - 1, to)
+        }
         override def createReaderFactory(): PartitionReaderFactory =
-          throw new IllegalStateException("unreachable: toBatch refuses")
+          new FwCdfReaderFactory(declared)
         override def toMicroBatchStream(
-            checkpointLocation: String): MicroBatchStream =
+            checkpointLocation: String): MicroBatchStream = {
+          require(endingVersion.isEmpty,
+            "FixedWidth readChangeFeed: endingVersion is batch-only; " +
+              "a stream follows the live head")
           new FwCdfMicroBatchStream(declared, path, startingVersion)
+        }
       }
     }
   }
@@ -86,6 +99,91 @@ private[sources] object FwCdf {
     declared.fields.map(f => StructField(f.name, f.dataType)) ++ Seq(
       StructField(ChangeType, StringType, nullable = false),
       StructField(CommitVersion, LongType, nullable = false)))
+
+  /** The change partitions of versions (a, b] — shared by the batch
+    * scan and each micro-batch. See [[FwCdfMicroBatchStream]]'s class
+    * doc for the per-commit coverage.
+    */
+  def partitionsBetween(declared: StructType, path: String,
+      a: Long, b: Long): Array[InputPartition] = {
+    val rowLen = FixedWidth.widths(declared).sum + 1L
+    if (b <= a) return Array.empty
+    val manifests: Map[Long, Map[String, Long]] = FwVersions.read(path)
+      .map { case (v, files) => v -> files.toMap }.toMap
+    val dir = new java.io.File(path)
+    (a + 1 to b).flatMap { v =>
+      val prev: Map[String, Long] =
+        if (v == 1L) Map.empty
+        else manifests.getOrElse(v - 1, throw new IllegalArgumentException(
+          s"FixedWidth readChangeFeed: version ${v - 1} was vacuumed; " +
+            s"start the read at a retained version"))
+      val curr = manifests.getOrElse(v, throw new IllegalArgumentException(
+        s"FixedWidth readChangeFeed: no version $v at $path"))
+      val removed = prev.keysIterator.filterNot(curr.contains).toSeq
+      if (removed.nonEmpty) {
+        // COPY-ON-WRITE commit (merge/update/delete-rewrite/compaction/
+        // truncate-retain): its exact row-grain delta lives in the
+        // materialized change files — written eagerly by the row-level
+        // commit, or computed here once (the inputs retired into
+        // retained history, so both snapshots are still readable). A
+        // compaction commit diffs to zero rows and streams nothing.
+        if (!FwChangeData.exists(path, v)) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          try FwChangeData.materialize(spark, path, declared, v)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"FixedWidth readChangeFeed: version $v supersedes files " +
+                s"(${removed.take(3).mkString(", ")}…) — a copy-on-write " +
+                "commit whose change data is not materialized and whose " +
+                "pre-images are no longer readable (vacuumed?). Start " +
+                "the read at a retained version or use " +
+                s"FwChangeFeed.changesBetween. [${e.getMessage}]", e)
+          }
+        }
+        Seq("delete", "insert").flatMap { ct =>
+          val f = FwChangeData.changeFile(path, v, ct)
+          val n = (if (f.isFile) f.length() else 0L) / rowLen
+          if (n > 0)
+            Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
+          else None
+        }
+      } else {
+        val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>
+          val f = new java.io.File(dir, name)
+          val hi = (if (len < 0) f.length() else len) / rowLen
+          val lo = prev.get(name).map(l =>
+            (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
+          if (hi > lo)
+            Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
+              "insert", v))
+          else None
+        }
+        val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
+          val f = new java.io.File(dir, name)
+          val ords = FwDv.read(f.getPath).filter(_._1 == v)
+            .flatMap(_._2).distinct.sorted
+          if (ords.isEmpty) None
+          else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
+            "delete", v))
+        }
+        inserts ++ deletes
+      }
+    }.toArray
+  }
+
+  /** Collapse sorted ordinals into (start, count) runs. */
+  private def runsOf(ords: Array[Long]): Array[(Long, Long)] = {
+    val runs = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < ords.length) {
+      val s = ords(i)
+      var j = i + 1
+      while (j < ords.length && ords(j) == ords(j - 1) + 1) j += 1
+      runs += ((s, (j - i).toLong))
+      i = j
+    }
+    runs.result()
+  }
 }
 
 private[sources] case class FwCdfOffset(version: Long) extends Offset {
@@ -111,8 +209,6 @@ private[sources] case class FwCdfPartition(file: String,
 private[sources] class FwCdfMicroBatchStream(declared: StructType,
     path: String, startingVersion: Option[Long]) extends MicroBatchStream {
 
-  private val rowLen = FixedWidth.widths(declared).sum + 1L
-
   /** `startingVersion = n` means "stream changes from version n on";
     * absent, the stream tails only commits AFTER it started (the Delta
     * default).
@@ -125,86 +221,10 @@ private[sources] class FwCdfMicroBatchStream(declared: StructType,
     FwCdfOffset(FwVersions.currentMax(path))
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[FwCdfOffset].version
-    val b = end.asInstanceOf[FwCdfOffset].version
-    if (b <= a) return Array.empty
-    val manifests: Map[Long, Map[String, Long]] = FwVersions.read(path)
-      .map { case (v, files) => v -> files.toMap }.toMap
-    val dir = new java.io.File(path)
-    (a + 1 to b).flatMap { v =>
-      val prev: Map[String, Long] =
-        if (v == 1L) Map.empty
-        else manifests.getOrElse(v - 1, throw new IllegalArgumentException(
-          s"FixedWidth readChangeFeed: version ${v - 1} was vacuumed; " +
-            s"start the stream at a retained version"))
-      val curr = manifests.getOrElse(v, throw new IllegalArgumentException(
-        s"FixedWidth readChangeFeed: no version $v at $path"))
-      val removed = prev.keysIterator.filterNot(curr.contains).toSeq
-      if (removed.nonEmpty) {
-        // COPY-ON-WRITE commit (merge/update/delete-rewrite/compaction/
-        // truncate-retain): its exact row-grain delta lives in the
-        // materialized change files — written eagerly by the row-level
-        // commit, or computed here once (the inputs retired into
-        // retained history, so both snapshots are still readable). A
-        // compaction commit diffs to zero rows and streams nothing.
-        if (!FwChangeData.exists(path, v)) {
-          val spark = org.apache.spark.sql.SparkSession.active
-          try FwChangeData.materialize(spark, path, declared, v)
-          catch { case e: Exception =>
-            throw new IllegalArgumentException(
-              s"FixedWidth readChangeFeed: version $v supersedes files " +
-                s"(${removed.take(3).mkString(", ")}…) — a copy-on-write " +
-                "commit whose change data is not materialized and whose " +
-                "pre-images are no longer readable (vacuumed?). Start " +
-                "the stream at a retained version or use " +
-                s"FwChangeFeed.changesBetween. [${e.getMessage}]", e)
-          }
-        }
-        Seq("delete", "insert").flatMap { ct =>
-          val f = FwChangeData.changeFile(path, v, ct)
-          val n = (if (f.isFile) f.length() else 0L) / rowLen
-          if (n > 0)
-            Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
-          else None
-        }
-      } else {
-      val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>
-        val f = new java.io.File(dir, name)
-        val hi = (if (len < 0) f.length() else len) / rowLen
-        val lo = prev.get(name).map(l =>
-          (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
-        if (hi > lo)
-          Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
-            "insert", v))
-        else None
-      }
-      val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
-        val f = new java.io.File(dir, name)
-        val ords = FwDv.read(f.getPath).filter(_._1 == v)
-          .flatMap(_._2).distinct.sorted
-        if (ords.isEmpty) None
-        else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
-          "delete", v))
-      }
-      inserts ++ deletes
-      }
-    }.toArray
-  }
-
-  /** Collapse sorted ordinals into (start, count) runs. */
-  private def runsOf(ords: Array[Long]): Array[(Long, Long)] = {
-    val runs = Array.newBuilder[(Long, Long)]
-    var i = 0
-    while (i < ords.length) {
-      val s = ords(i)
-      var j = i + 1
-      while (j < ords.length && ords(j) == ords(j - 1) + 1) j += 1
-      runs += ((s, (j - i).toLong))
-      i = j
-    }
-    runs.result()
-  }
+      end: Offset): Array[InputPartition] =
+    FwCdf.partitionsBetween(declared, path,
+      start.asInstanceOf[FwCdfOffset].version,
+      end.asInstanceOf[FwCdfOffset].version)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FwCdfReaderFactory(declared)

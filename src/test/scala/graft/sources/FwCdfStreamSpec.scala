@@ -134,6 +134,27 @@ class FwCdfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch readChangeFeed reads a version range, needs an explicit " +
+      "startingVersion, and honors endingVersion") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // v1
+    append(dir, Seq((3L, "c", 3.0))) // v2
+    FwMaintenance.deleteByKeysMoR(spark, dir, schema,
+      Seq(1L).toDF("id"), "id") // v3
+    def batch(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("readChangeFeed", "true")
+      opts.foldLeft(r)((r, kv) => r.option(kv._1, kv._2)).load(dir)
+        .select("_change_type", "_commit_version", "id")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    }
+    assert(batch("startingVersion" -> "2") === Seq(
+      ("delete", 3L, 1L), ("insert", 2L, 3L)))
+    assert(batch("startingVersion" -> "1", "endingVersion" -> "2") ===
+      Seq(("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 2L, 3L)))
+    val e = intercept[Exception] { batch() }
+    assert(e.getMessage.contains("explicit startingVersion"))
+  }
+
   test("without startingVersion the stream tails only commits after " +
       "it started") {
     val dir = freshTable(Seq((1L, "a", 1.0)))
