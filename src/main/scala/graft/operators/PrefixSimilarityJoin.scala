@@ -42,28 +42,38 @@ object PrefixSimilarityJoin {
       maxBucket: Int = 1000): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     // Set size rides the pre-explode row (size() of the array) instead
-    // of a third window over the exploded frame.
+    // of a third window over the exploded frame. Tokens hash to 62-bit
+    // Md5Pack keys MAP-SIDE (the d61/d63 device): every downstream
+    // exchange — the df window, the rank tie-break, the bucket walk —
+    // ships 8 bytes per token instead of the raw shingle string. Any
+    // consistent global token order satisfies the prefix theorem, and
+    // the final exact-Jaccard verification makes the OUTPUT invariant
+    // to which order was used, so hashed order ≡ string order for the
+    // result (a 2^62 collision could only coarsen a bucket — more
+    // candidates, same verified pairs).
     val tok = sets.select(col(idCol).as("_id"), size(col(setCol)).as("_sz"),
       explode(col(setCol)).as("_tok"))
+      .select(col("_id"), col("_sz"),
+        graft.functions.Md5Pack(col("_tok")).as("_th"))
     // Document frequency as a count over the token partition instead of
     // a groupBy + join-back: the join formulation executed the exploded
     // lineage TWICE (once into the aggregation, once into the join) and
     // paid a third shuffle for the join itself — measured ~40% of d11's
     // time at sf0.1. This shape runs the explode once and exactly two
     // exchanges: token (df) then id (rank/size).
-    val wDf = Window.partitionBy("_tok")
-    val wRank = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
+    val wDf = Window.partitionBy("_th")
+    val wRank = Window.partitionBy("_id").orderBy(col("_df"), col("_th"))
     val prefix = tok
       .withColumn("_df", count(lit(1)).over(wDf))
       .withColumn("_pos", row_number().over(wRank))
       .filter(col("_pos") <= col("_sz") - ceil(col("_sz") * tau) + 1)
-      .select("_id", "_tok", "_sz")
+      .select("_id", "_th", "_sz")
     // Length filter (PPJoin): J(a,b) ≥ τ forces min(|a|,|b|) ≥ τ·max —
     // carrying sizes through the bucket walk prunes size-incompatible
     // candidates BEFORE the array-intersect verify pays for them
     // (measured: drops ~40% of d11's candidate pairs at sf0.1).
     val cand = BucketedPairs
-      .pairs(prefix, Seq("_tok"),
+      .pairs(prefix, Seq("_th"),
         struct(col("_id").as("i"), col("_sz").as("s")), maxBucket)
       .filter(least(col("x")("s"), col("y")("s"))
         >= lit(tau) * greatest(col("x")("s"), col("y")("s")))

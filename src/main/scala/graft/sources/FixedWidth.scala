@@ -554,14 +554,16 @@ private[sources] class FwStreamingWrite(schema: StructType, path: String)
           if (f.getName.startsWith(prefix) && f.getName.endsWith(".fw"))
             f.delete()
         }
-        messages.foreach { case FwCommitMessage(tmp) =>
-          val f = new java.io.File(tmp)
-          if (f.exists()) {
-            val target = new java.io.File(f.getParentFile,
-              f.getName.stripSuffix(".tmp"))
-            require(f.renameTo(target),
-              s"could not publish $tmp -> $target")
-          }
+        messages.foreach {
+          case FwCommitMessage(tmp) =>
+            val f = new java.io.File(tmp)
+            if (f.exists()) {
+              val target = new java.io.File(f.getParentFile,
+                f.getName.stripSuffix(".tmp"))
+              require(f.renameTo(target),
+                s"could not publish $tmp -> $target")
+            }
+          case _ => () // defensive: never MatchError a commit path
         }
         FwEpochs.record(path, epochId)
       }

@@ -212,6 +212,11 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
 private[sources] final class FwCowBatchWrite(schema: StructType,
     path: String, op: FwRowLevelOperation) extends BatchWrite {
 
+  // see FwBatchWrite.writeTag: abort must sweep tasks whose commit
+  // message never reached the driver
+  private val writeTag =
+    "-w" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new FwCowWriterFactory(schema, path,
@@ -219,11 +224,14 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
       // exactly like a batch append: an UPDATE/MERGE assigning a
       // violating value must abort, not publish
       FwConstraints.read(path).map(c =>
-        (c.name, c.expr, FwConstraints.bind(schema, c.expr))))
+        (c.name, c.expr, FwConstraints.bind(schema, c.expr))), writeTag)
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)
     case FwMultiCommitMessage(ts) => ts
+    // Spark passes null for tasks that never committed (same contract
+    // FwBatchWrite.abort honors)
+    case null => Seq.empty
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -297,23 +305,33 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
 
   @volatile private var committedVersion: Option[Long] = None
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.flatMap(tmps).foreach { tmp =>
       new java.io.File(tmp).delete()
       new java.io.File(
         FwStats.sidecarFor(tmp.stripSuffix(".tmp")) + ".tmp").delete()
     }
+    // message-less stragglers (committed after the job failed): their
+    // tmps carry this write's tag — sweep by name (flat layout only;
+    // COW rewrites never write partition subdirs)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        if (f.getName.endsWith(".tmp") && f.getName.contains(writeTag))
+          f.delete()
+      }
+  }
 }
 
 private[sources] final class FwCowWriterFactory(schema: StructType,
     path: String,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    nameTag: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val base = new FwDataWriter(schema, path, partitionId, taskId,
-      prefix = "cow", writeStats = true)
+      prefix = "cow", writeStats = true, nameTag = nameTag)
     if (checks.isEmpty) base else new FwConstraintWriter(base, checks)
   }
 }
