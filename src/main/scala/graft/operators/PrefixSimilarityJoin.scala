@@ -49,8 +49,13 @@ object PrefixSimilarityJoin {
     // consistent global token order satisfies the prefix theorem, and
     // the final exact-Jaccard verification makes the OUTPUT invariant
     // to which order was used, so hashed order ≡ string order for the
-    // result (a 2^62 collision could only coarsen a bucket — more
-    // candidates, same verified pairs).
+    // result. Caveat: a 2^-62 collision merging two distinct tokens
+    // coarsens their bucket, and if the MERGED bucket exceeds
+    // maxBucket the walk drops it WHOLE — a false negative the exact
+    // verify cannot recover. At ~2^-62 per token pair this is
+    // negligible against any hardware fault rate; strict equivalence
+    // with string-token order would need salt-rehashing oversized
+    // buckets instead of hashing per-token.
     val tok = sets.select(col(idCol).as("_id"), size(col(setCol)).as("_sz"),
       explode(col(setCol)).as("_tok"))
       .select(col("_id"), col("_sz"),

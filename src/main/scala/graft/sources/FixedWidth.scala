@@ -2279,10 +2279,14 @@ private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
           if (b >= 0) b else new java.io.File(dir, n).length()
         // merge-on-read deletes move no files; their removed-record
         // count is the DV entries stamped with this commit's version
+        // per (file, since): DISTINCT ordinals, matching what the
+        // change feed actually emits (FwCdf.partitionsBetween dedups
+        // overlapping same-version entries the same way)
         val dvByVersion: Map[Long, Long] = manifest
           .flatMap(_._2.map(_._1)).distinct
           .flatMap(n => FwDv.read(new java.io.File(dir, n).getPath)
-            .map { case (since, ords) => (since, ords.length.toLong) })
+            .groupBy(_._1).map { case (since, es) =>
+              (since, es.flatMap(_._2).distinct.length.toLong) })
           .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
         var prev = Map.empty[String, Long]
         val rows = manifest.map { case (v, files) =>
@@ -3317,13 +3321,18 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
   // invisible to the stream until published, exactly like batch reads.
   // Published files are immutable, so live length == snapshot length.
   private def availableCounts(): Map[String, Long] = {
-    val files =
-      if (followMain) FwRefs.mainVersion(path) match {
-        case Some(v) => FwFiles.listAt(path, Some(v), None).map(_.file)
-        case None => FwFiles.list(path)
-      }
-      else FwFiles.list(path)
-    files.map(f => f.getPath -> f.length() / rowLen).toMap
+    if (followMain) FwRefs.mainVersion(path) match {
+      case Some(v) =>
+        // the snapshot's RECORDED byte length, not live length(): a
+        // file longer on disk than main's manifest says (staged/WAP
+        // appends the planner models as grown files) must not leak
+        // its tail into the stream
+        FwFiles.listAt(path, Some(v), None)
+          .map(lf => lf.file.getPath -> lf.bytes / rowLen).toMap
+      case None =>
+        FwFiles.list(path).map(f => f.getPath -> f.length() / rowLen).toMap
+    }
+    else FwFiles.list(path).map(f => f.getPath -> f.length() / rowLen).toMap
   }
 
   override def latestOffset(): Offset = FwOffset(availableCounts())

@@ -140,12 +140,16 @@ private[sources] object FwCdf {
                 s"FwChangeFeed.changesBetween. [${e.getMessage}]", e)
           }
         }
+        // one partition per materialized part file: the COW writer fans
+        // the delta out across tasks, and the CDF read keeps that
+        // parallelism instead of draining one giant file serially
         Seq("delete", "insert").flatMap { ct =>
-          val f = FwChangeData.changeFile(path, v, ct)
-          val n = (if (f.isFile) f.length() else 0L) / rowLen
-          if (n > 0)
-            Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
-          else None
+          FwChangeData.changeFiles(path, v, ct).flatMap { f =>
+            val n = f.length() / rowLen
+            if (n > 0)
+              Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
+            else None
+          }
         }
       } else {
         val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>

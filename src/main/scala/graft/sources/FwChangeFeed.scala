@@ -84,10 +84,32 @@ object FwChangeData {
   private def marker(path: String, v: Long) =
     new java.io.File(dirFor(path), s"v$v._done")
 
-  def changeFile(path: String, v: Long, ct: String): java.io.File =
-    new java.io.File(dirFor(path), s"v$v-$ct.fw")
+  /** All published change-data files for (version, change-type), in
+    * deterministic name order. A commit's delta is written as MULTIPLE
+    * part files under `v<N>-<ct>.d/` — one per write task, so a large
+    * UPDATE's change rows fan out across tasks on BOTH the write and
+    * the downstream CDF read instead of funnelling through one task.
+    * A single `v<N>-<ct>.fw` written by the earlier one-file layout is
+    * still honored (and preferred, so a later torn multi-part attempt
+    * can never shadow already-published data).
+    */
+  def changeFiles(path: String, v: Long, ct: String): Seq[java.io.File] = {
+    val legacy = new java.io.File(dirFor(path), s"v$v-$ct.fw")
+    if (legacy.isFile) Seq(legacy)
+    else {
+      val d = new java.io.File(dirFor(path), s"v$v-$ct.d")
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".fw"))
+        .sortBy(_.getName).toSeq
+    }
+  }
 
   def exists(path: String, v: Long): Boolean = marker(path, v).isFile
+
+  private def deleteEntry(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteEntry)
+    f.delete()
+  }
 
   /** Remove change data for versions a vacuum trimmed away. */
   private[sources] def dropBelow(path: String, minRetained: Long): Unit = {
@@ -96,7 +118,27 @@ object FwChangeData {
     val name = "v(\\d+)[.-].*".r
     d.listFiles().foreach { f =>
       f.getName match {
-        case name(v) if v.toLong < minRetained => f.delete()
+        case name(v) if v.toLong < minRetained => deleteEntry(f)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Remove change data for versions a ROLLBACK trimmed away. Without
+    * this, a newly committed COW version that REUSES a rolled-back
+    * version number would hit [[exists]]'s short-circuit and silently
+    * serve the OLD commit's change rows to batch and streaming
+    * readChangeFeed. Mirrors [[dropBelow]]; called inside the rollback
+    * lock before the manifest rewrite, so no commit can land a reused
+    * version while stale change data survives.
+    */
+  private[sources] def dropAbove(path: String, maxRetained: Long): Unit = {
+    val d = dirFor(path)
+    if (!d.isDirectory) return
+    val name = "v(\\d+)[.-].*".r
+    d.listFiles().foreach { f =>
+      f.getName match {
+        case name(v) if v.toLong > maxRetained => deleteEntry(f)
         case _ => ()
       }
     }
@@ -118,34 +160,40 @@ object FwChangeData {
       .persist()
     try {
       Seq("delete", "insert").foreach { ct =>
-        val tmpDir = java.nio.file.Files
-          .createTempDirectory(s"fwcd-$ct").toFile
-        try {
+        // A pre-marker single-file layout entry here can only be a
+        // torn attempt by an OLDER build (the marker gates all reads);
+        // remove it so changeFiles never prefers it over the parts.
+        new java.io.File(d, s"v$v-$ct.fw").delete()
+        val target = new java.io.File(d, s"v$v-$ct.d")
+        if (!target.isDirectory) {
+          // Parts land as the write tasks produced them — NO
+          // coalesce(1): a 100 TB UPDATE's delta is terabytes, and one
+          // task writing (then every reader re-reading) a single file
+          // is the bottleneck. The reader plans one partition per part.
+          // Unique tmp dir per attempt: two readers may materialize the
+          // same version concurrently; both compute identical content,
+          // and the dir rename publishes exactly one of them.
+          val tmpDir = new java.io.File(d, s"v$v-$ct-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".tmp")
           delta.filter(org.apache.spark.sql.functions
               .col("_change_type") === ct)
             .drop("_change_type")
-            .coalesce(1)
             .write.format("graft.sources.FixedWidth")
             .option("schema", spec).mode("overwrite")
             .save(tmpDir.getAbsolutePath)
-          // unique tmp name: two readers may materialize the same
-          // version concurrently — both compute identical content, so
-          // the rename is last-wins, but they must never interleave
-          // writes into one tmp file
-          val tmpTarget = new java.io.File(d, s"v$v-$ct-" +
-            java.util.UUID.randomUUID().toString.take(8) + ".fw.tmp")
-          val out = new java.io.FileOutputStream(tmpTarget)
-          try tmpDir.listFiles().sortBy(_.getName).foreach { p =>
-            if (p.getName.endsWith(".fw"))
-              java.nio.file.Files.copy(p.toPath, out)
-          } finally out.close()
-          val target = changeFile(path, v, ct)
-          target.delete() // torn earlier attempt
-          require(tmpTarget.renameTo(target),
-            s"could not publish $tmpTarget -> $target")
-        } finally {
-          tmpDir.listFiles().foreach(_.delete())
-          tmpDir.delete()
+          // keep only data parts — the sink's manifest/sidecar files
+          // describe a standalone table, not a change-data fragment
+          tmpDir.listFiles().foreach { p =>
+            if (!p.getName.endsWith(".fw")) deleteEntry(p)
+          }
+          try java.nio.file.Files.move(tmpDir.toPath, target.toPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException =>
+              // concurrent materializer won the publish; identical
+              // content, so simply discard this attempt
+              deleteEntry(tmpDir)
+          }
         }
       }
       marker(path, v).createNewFile()

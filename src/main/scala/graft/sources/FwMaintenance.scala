@@ -731,6 +731,11 @@ object FwMaintenance {
           FwDv.readRowLen(f.getPath).get, kept)
       }
     }
+    // materialized change data of rolled-back versions dies with them:
+    // a future COW commit reusing a trimmed version number must never
+    // hit FwChangeData.exists' short-circuit and serve the OLD
+    // commit's change rows (mirror of vacuum's dropBelow)
+    FwChangeData.dropAbove(path, toVersion)
     FwVersions.rewrite(path, retained, FwVersions.readTs(path),
       FwVersions.readTxn(path), FwVersions.readOps(path))
     // branches above the target clamp to it; tags above it die with

@@ -155,6 +155,60 @@ class FwCdfStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("explicit startingVersion"))
   }
 
+  test("a large COW delta materializes as MULTIPLE part files and the " +
+      "streamed CDF still equals changesBetween") {
+    val n = 400
+    val dir = freshTable((1L to n).map(i => (i, f"n$i%04d", i.toDouble)))
+    // rewrite half the rows: a COW merge whose delta (200 deletes +
+    // 200 inserts) spreads across the diff's shuffle partitions — the
+    // writer must NOT funnel it through one task/file
+    FwMaintenance.merge(spark, dir, schema,
+      (1L to n by 2).map(i => (i, f"N$i%04d", -i.toDouble))
+        .toDF("id", "name", "score"), "id") // v2 COW
+    val (q, sink) = startStream(dir, Map("startingVersion" -> "2"))
+    try {
+      q.processAllAvailable()
+      assert(FwChangeData.exists(dir, 2L))
+      val insParts = FwChangeData.changeFiles(dir, 2L, "insert")
+      val delParts = FwChangeData.changeFiles(dir, 2L, "delete")
+      assert(insParts.size > 1 && delParts.size > 1,
+        s"change data should land in >1 part (got ${insParts.size} " +
+          s"insert / ${delParts.size} delete parts)")
+      val streamed = drain(sink)
+      val batch = FwChangeFeed.changesBetween(spark, dir, spec, 1L, 2L)
+        .select("_change_type", "id", "name")
+        .as[(String, Long, String)].collect().toSeq.sorted
+      assert(streamed.map(r => (r._1, r._3, r._4)).sorted === batch,
+        "multi-part streamed CDF must equal the batch multiset diff")
+      assert(streamed.size === n, s"${n / 2} deletes + ${n / 2} inserts")
+    } finally q.stop()
+  }
+
+  test("rollback drops materialized change data, so a reused version " +
+      "number serves the NEW commit's delta, not the rolled-back one") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // v1
+    FwMaintenance.merge(spark, dir, schema,
+      Seq((1L, "A", 10.0)).toDF("id", "name", "score"), "id") // v2 COW
+    def batch() = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(dir)
+      .select("_change_type", "_commit_version", "id", "name")
+      .as[(String, Long, Long, String)].collect().toSeq.sorted
+    assert(batch() === Seq(("delete", 2L, 1L, "a"),
+      ("insert", 2L, 1L, "A"))) // forces (lazy) materialization
+    assert(FwChangeData.exists(dir, 2L))
+    FwMaintenance.rollback(spark, dir, 1L)
+    assert(!FwChangeData.exists(dir, 2L),
+      "rollback must drop change data above the target version")
+    assert(FwChangeData.changeFiles(dir, 2L, "insert").isEmpty &&
+      FwChangeData.changeFiles(dir, 2L, "delete").isEmpty)
+    FwMaintenance.merge(spark, dir, schema,
+      Seq((2L, "B", 20.0)).toDF("id", "name", "score"), "id") // NEW v2
+    assert(batch() === Seq(("delete", 2L, 2L, "b"),
+      ("insert", 2L, 2L, "B")),
+      "the reused version number must serve the new commit's rows")
+  }
+
   test("without startingVersion the stream tails only commits after " +
       "it started") {
     val dir = freshTable(Seq((1L, "a", 1.0)))
