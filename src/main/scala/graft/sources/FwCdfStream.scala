@@ -56,8 +56,22 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong)
+    val startingTimestamp = Option(options.get("startingTimestamp"))
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "FixedWidth readChangeFeed: startingVersion and " +
+        "startingTimestamp are mutually exclusive")
     val endingVersion =
       Option(options.get("endingVersion")).map(_.toLong)
+    // A wall-clock start resolves to the NEWEST version committed at
+    // or before it (the timestampAsOf discipline, q373) — that
+    // version's own changes are included, matching startingVersion's
+    // inclusive contract. A timestamp before the first commit refuses
+    // loudly via resolveTimestamp instead of silently replaying from
+    // v1. Resolved lazily at plan/stream-build time, against the
+    // manifest's commit stamps.
+    def resolvedStart: Option[Long] = startingVersion.orElse(
+      startingTimestamp.map(s =>
+        FwVersions.resolveTimestamp(path, FwTable.parseTs(s))))
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = FwCdf.readSchema(declared)
@@ -69,11 +83,12 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
         // Delta batch readChangeFeed surface
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
-          val from = startingVersion.getOrElse(
+          val from = resolvedStart.getOrElse(
             throw new IllegalArgumentException(
               "FixedWidth readChangeFeed in batch mode needs an " +
-                "explicit startingVersion (a batch read of 'changes " +
-                "since the stream started' has no meaning)"))
+                "explicit startingVersion or startingTimestamp (a " +
+                "batch read of 'changes since the stream started' " +
+                "has no meaning)"))
           val to = endingVersion.getOrElse(FwVersions.currentMax(path))
           FwCdf.partitionsBetween(declared, path, from - 1, to)
         }
@@ -84,7 +99,7 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
           require(endingVersion.isEmpty,
             "FixedWidth readChangeFeed: endingVersion is batch-only; " +
               "a stream follows the live head")
-          new FwCdfMicroBatchStream(declared, path, startingVersion)
+          new FwCdfMicroBatchStream(declared, path, resolvedStart)
         }
       }
     }
@@ -106,7 +121,17 @@ private[sources] object FwCdf {
     */
   def partitionsBetween(declared: StructType, path: String,
       a: Long, b: Long): Array[InputPartition] = {
-    val rowLen = FixedWidth.widths(declared).sum + 1L
+    // metadata-only ADD COLUMN: a range spanning the evolution reads
+    // every commit at the HEAD layout — pre-evolution files parse at
+    // their own prefix layout (per-file record length from the schema
+    // log) and the missing trailing columns surface as NULL, exactly
+    // like batch reads of the same files
+    val log = FwSchemaLog.requireHead(path, declared)
+    val headRowLen = FixedWidth.widths(declared).sum + 1L
+    def rowLenOf(name: String): Long =
+      log.map(_.rowLenOf(name)).getOrElse(headRowLen)
+    def dataColsOf(name: String): Int =
+      log.map(_.dataColsOf(name)).getOrElse(-1)
     if (b <= a) return Array.empty
     val manifests: Map[Long, Map[String, Long]] = FwVersions.read(path)
       .map { case (v, files) => v -> files.toMap }.toMap
@@ -142,24 +167,43 @@ private[sources] object FwCdf {
         }
         // one partition per materialized part file: the COW writer fans
         // the delta out across tasks, and the CDF read keeps that
-        // parallelism instead of draining one giant file serially
+        // parallelism instead of draining one giant file serially.
+        // Change data materialized BEFORE an ADD COLUMN is stored at
+        // the then-head layout — its recorded spec sidecar resolves
+        // the prefix width, and the reader NULL-backfills the rest.
+        val cdCols = FwChangeData.spec(path, v) match {
+          case Some(s) =>
+            val stored = FixedWidth.parseSchema(s)
+            require(stored.length <= declared.length &&
+              stored.fieldNames.sameElements(
+                declared.fieldNames.take(stored.length)),
+              s"FixedWidth readChangeFeed: change data of version $v " +
+                s"was materialized at layout '$s', which is not a " +
+                "prefix of the table's head schema")
+            stored.length
+          case None => declared.length // pre-sidecar data: head layout
+        }
+        val cdRowLen = FixedWidth.widths(declared)
+          .take(cdCols).map(_.toLong).sum + 1L
         Seq("delete", "insert").flatMap { ct =>
           FwChangeData.changeFiles(path, v, ct).flatMap { f =>
-            val n = f.length() / rowLen
+            val n = f.length() / cdRowLen
             if (n > 0)
-              Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v))
+              Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v,
+                if (cdCols == declared.length) -1 else cdCols))
             else None
           }
         }
       } else {
         val inserts = curr.toSeq.sortBy(_._1).flatMap { case (name, len) =>
           val f = new java.io.File(dir, name)
+          val rowLen = rowLenOf(name)
           val hi = (if (len < 0) f.length() else len) / rowLen
           val lo = prev.get(name).map(l =>
             (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
           if (hi > lo)
             Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
-              "insert", v))
+              "insert", v, dataColsOf(name)))
           else None
         }
         val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
@@ -168,7 +212,7 @@ private[sources] object FwCdf {
             .flatMap(_._2).distinct.sorted
           if (ords.isEmpty) None
           else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
-            "delete", v))
+            "delete", v, dataColsOf(name)))
         }
         inserts ++ deletes
       }
@@ -207,7 +251,8 @@ private[sources] object FwCdfOffset {
   * plus the change tag and the commit version they belong to.
   */
 private[sources] case class FwCdfPartition(file: String,
-    runs: Array[(Long, Long)], changeType: String, version: Long)
+    runs: Array[(Long, Long)], changeType: String, version: Long,
+    dataCols: Int = -1)
     extends InputPartition
 
 private[sources] class FwCdfMicroBatchStream(declared: StructType,
@@ -263,7 +308,7 @@ private[sources] class FwCdfReader(declared: StructType,
         val (s, n) = part.runs(runIdx)
         runIdx += 1
         cur = new FwReader(declared, declared.fieldNames, Array.empty,
-          FwPartition(part.file, s, n))
+          FwPartition(part.file, s, n, Array.empty, part.dataCols))
       }
       if (cur.next()) return true
       cur.close()

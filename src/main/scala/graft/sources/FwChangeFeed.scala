@@ -106,6 +106,23 @@ object FwChangeData {
 
   def exists(path: String, v: Long): Boolean = marker(path, v).isFile
 
+  private def specFile(path: String, v: Long) =
+    new java.io.File(dirFor(path), s"v$v.spec")
+
+  /** The layout version `v`'s change data was materialized at — the
+    * table head of THAT moment. A later metadata-only ADD COLUMN
+    * widens the head, and the CDF reader uses this recorded spec to
+    * parse the stored rows at their true prefix layout (NULL-backfill
+    * for the columns added since). None for pre-sidecar data, which
+    * by construction predates evolution support and reads at head.
+    */
+  def spec(path: String, v: Long): Option[String] = {
+    val f = specFile(path, v)
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
   private def deleteEntry(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteEntry)
     f.delete()
@@ -196,6 +213,10 @@ object FwChangeData {
           }
         }
       }
+      // record the layout BEFORE the marker publishes the pair: a
+      // reader that sees the marker must be able to resolve the spec
+      java.nio.file.Files.write(specFile(path, v).toPath,
+        spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       marker(path, v).createNewFile()
     } finally delta.unpersist(false)
   }

@@ -209,6 +209,93 @@ class FwCdfStreamSpec extends AnyFunSuite {
       "the reused version number must serve the new commit's rows")
   }
 
+  test("a CDF range spanning a metadata-only ADD COLUMN reads at the " +
+      "head layout with NULL back-fill for pre-evolution rows") {
+    val dir = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // v1
+    FwMaintenance.merge(spark, dir, schema,
+      Seq((1L, "A", 10.0)).toDF("id", "name", "score"), "id") // v2 COW
+    // materialize v2 at the PRE-evolution layout: the later head read
+    // must resolve it through the recorded spec sidecar
+    spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(dir).count()
+    assert(FwChangeData.spec(dir, 2L) === Some(spec),
+      "materialized change data records its layout")
+    FwSchemaLog.addColumn(dir, spec, "tag:string:5")
+    val spec2 = spec + ",tag:string:5"
+    Seq((3L, "c", 3.0, "gold")).toDF("id", "name", "score", "tag")
+      .coalesce(1).write.format("graft.sources.FixedWidth")
+      .option("schema", spec2).mode("append").save(dir) // v3 at head
+    // batch CDF over the WHOLE mixed-layout history, at the head
+    val rows = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+      .select("_change_type", "_commit_version", "id", "name", "tag")
+      .as[(String, Long, Long, String, Option[String])]
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+    assert(rows === Seq(
+      ("delete", 2L, 1L, "a", None),
+      ("insert", 1L, 1L, "a", None), ("insert", 1L, 2L, "b", None),
+      ("insert", 2L, 1L, "A", None),
+      ("insert", 3L, 3L, "c", Some("gold"))),
+      "pre-evolution commits NULL-backfill the added column; " +
+        "post-evolution rows carry real values")
+    // the STREAM sees the same mixed-layout history
+    qn += 1
+    val sink = s"fwcdf_sink_$qn"
+    val q = spark.readStream.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .select("_change_type", "_commit_version", "id", "name", "tag")
+        .as[(String, Long, Long, String, Option[String])]
+        .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+      assert(streamed === rows, "stream ≡ batch across the boundary")
+    } finally q.stop()
+  }
+
+  test("startingTimestamp resolves to the newest version at-or-before " +
+      "the wall-clock; pre-history timestamps refuse loudly") {
+    val dir = freshTable(Seq((1L, "a", 1.0))) // v1
+    append(dir, Seq((2L, "b", 2.0))) // v2
+    val ts = FwMaintenance.commitTimestamps(dir)
+    def batch(pin: String) = spark.read
+      .format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingTimestamp", pin).load(dir)
+      .select("_change_type", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(batch(ts(1L).toString) === Seq(
+      ("insert", 1L, 1L), ("insert", 2L, 2L)),
+      "a pin at v1's instant includes v1's own changes")
+    assert(batch(ts(2L).toString) === Seq(("insert", 2L, 2L)),
+      "a pin at v2's instant starts at v2")
+    assert(batch(java.time.Instant.ofEpochMilli(ts(2L)).toString) ===
+      Seq(("insert", 2L, 2L)), "ISO-8601 instants parse")
+    val e = intercept[Exception] { batch((ts(1L) - 1000).toString) }
+    assert(e.getMessage.contains("no version at or before"),
+      s"pre-history timestamp must refuse, got: ${e.getMessage}")
+    val both = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", ts(1L).toString).load(dir)
+        .collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    // streaming: a wall-clock start replays from the resolved version
+    val (q, sink) = startStream(dir,
+      Map("startingTimestamp" -> ts(1L).toString))
+    try {
+      q.processAllAvailable()
+      assert(drain(sink) === Seq(
+        ("insert", 1L, 1L, "a"), ("insert", 2L, 2L, "b")))
+    } finally q.stop()
+  }
+
   test("without startingVersion the stream tails only commits after " +
       "it started") {
     val dir = freshTable(Seq((1L, "a", 1.0)))
