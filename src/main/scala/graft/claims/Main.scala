@@ -10,16 +10,38 @@ import org.apache.spark.sql.SparkSession
   * with parallel multi-split scans (16 MB splits so even one large file
   * fans out) and candidate order is not the reference's input order.
   * Default preserves byte-level reference parity.
+  *
+  * The library's bug-compat parity modes (SURVEY §2.3 S9/S11) are
+  * reachable from the CLI too, so the reference's outputs reproduce
+  * byte-for-byte without writing Scala:
+  *  - `GRAFT_BUG_COMPAT_METRICS=true` reproduces the reference's
+  *    swallowed-KeyError metrics counters (claim_pipeline.py:198-205),
+  *    e.g. `malformed: 5` on the sample data.
+  *  - `GRAFT_BUG_COMPAT_FILE_ABORT=true` reproduces the mid-file abort
+  *    (claim_pipeline.py:213-215; requires order preservation, so it
+  *    refuses under GRAFT_PRESERVE_ORDER=false).
   */
 object Main {
+  /** The CLI's environment contract, separated for testability:
+    * returns (pipeline config, preserveInputOrder).
+    */
+  def configFromEnv(
+      env: Map[String, String]): (PipelineConfig, Boolean) = {
+    def flag(name: String): Boolean =
+      env.getOrElse(name, "false").toBoolean
+    (PipelineConfig(
+      bugCompatMetrics = flag("GRAFT_BUG_COMPAT_METRICS"),
+      bugCompatFileAbort = flag("GRAFT_BUG_COMPAT_FILE_ABORT")),
+      env.getOrElse("GRAFT_PRESERVE_ORDER", "true").toBoolean)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
       Console.err.println(
         "Usage error: graft.claims.Main <emr_alpha.csv> [emr_beta.json ...]")
       sys.exit(1)
     }
-    val preserveOrder =
-      sys.env.getOrElse("GRAFT_PRESERVE_ORDER", "true").toBoolean
+    val (config, preserveOrder) = Main.configFromEnv(sys.env)
     val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-claim-pipeline")
@@ -33,7 +55,7 @@ object Main {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val result = ClaimPipeline.run(spark, args.toSeq,
+      val result = ClaimPipeline.run(spark, args.toSeq, config = config,
         preserveInputOrder = preserveOrder)
       println(s"Output saved to ${result.outputPath}")
       println(result.metrics.render)

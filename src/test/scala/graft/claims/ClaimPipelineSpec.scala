@@ -105,6 +105,26 @@ class ClaimPipelineSpec extends AnyFunSuite {
       "non-retryable_or_ambiguous" -> 0, "malformed" -> 5))
   }
 
+  test("CLI env contract: GRAFT_BUG_COMPAT_* flags reach the pipeline " +
+      "config, and the metrics-mode run reproduces malformed: 5") {
+    val (defaults, defOrder) = Main.configFromEnv(Map.empty)
+    assert(defaults === PipelineConfig() && defOrder,
+      "no env → library defaults, order-preserving")
+    val (cfg, order) = Main.configFromEnv(Map(
+      "GRAFT_BUG_COMPAT_METRICS" -> "true",
+      "GRAFT_BUG_COMPAT_FILE_ABORT" -> "true"))
+    assert(cfg.bugCompatMetrics && cfg.bugCompatFileAbort && order)
+    // the exact config the CLI builds under GRAFT_BUG_COMPAT_METRICS=true
+    // reproduces the reference's counter-key routing on the sample data
+    val dir = tmpDir()
+    val result = ClaimPipeline.run(spark,
+      Seq(write(dir, "a.csv", alphaCsv), write(dir, "b.json", betaJson)),
+      config = Main.configFromEnv(
+        Map("GRAFT_BUG_COMPAT_METRICS" -> "true"))._1,
+      outputPath = s"$dir/cands.json", metricsPath = s"$dir/metrics.log")
+    assert(result.metrics.excludedByReason("malformed") === 5)
+  }
+
   test("beta-only run is byte-identical to the reference's checked-in outputs") {
     val dir = tmpDir()
     val result = runPipeline(Seq(write(dir, "emr_beta.json", betaJson)),
