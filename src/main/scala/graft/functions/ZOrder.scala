@@ -58,6 +58,42 @@ object ZOrder {
   def z2Sql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
+  /** Spread the low 16 bits of `v` so bit i lands at position 3*i —
+    * the dilate-by-3 mask ladder (the public-domain 21-bit variant of
+    * the Binary Magic Numbers device; 16 ⊂ 21 bits).
+    */
+  def spread16by3(v: Column): Column = {
+    val m0 = v.bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 32))
+      .bitwiseAND(lit(0x1f00000000ffffL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 16))
+      .bitwiseAND(lit(0x1f0000ff0000ffL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 8))
+      .bitwiseAND(lit(0x100f00f00f00f00fL))
+    val m4 = m3.bitwiseOR(shiftleft(m3, 4))
+      .bitwiseAND(lit(0x10c30c30c30c30c3L))
+    m4.bitwiseOR(shiftleft(m4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Morton code of three unsigned 16-bit coordinates (48-bit result). */
+  def z3(x: Column, y: Column, z: Column): Column =
+    spread16by3(x.cast("long"))
+      .bitwiseOR(shiftleft(spread16by3(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread16by3(z.cast("long")), 2))
+
+  /** Reference single-value dilate-by-3 (for tests): bit loop. */
+  def z3Ref(x: Int, y: Int, z: Int): Long = {
+    var d = 0L
+    var i = 0
+    while (i < 16) {
+      d |= ((x >> i) & 1L) << (3 * i)
+      d |= ((y >> i) & 1L) << (3 * i + 1)
+      d |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    d
+  }
+
   /** Reference single-value interleave (for tests): bit-by-bit loop. */
   def z2Ref(x: Int, y: Int): Long = {
     var z = 0L

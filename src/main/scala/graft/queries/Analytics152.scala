@@ -36,6 +36,55 @@ object Analytics152 {
   private val FwFixtureMaxKey = 100000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OPTIMIZE … ZORDER BY through CALL fw.optimize: an x-striped
+    // table (secondary-column predicates prune NOTHING) is clustered
+    // in place along the Morton curve, and the same py predicate then
+    // prunes most files via the zone-map sidecars the rewrite wrote.
+    // The oracle replays the surviving rows' aggregates and pins both
+    // pruning contracts as booleans; at 100 TB the rewrite is one
+    // range-shuffle of the live bytes, the read is metadata + the
+    // matching tiles.
+    "q394_fw_optimize_zorder" -> ((spark, dir) => {
+      val base = Tables.freshFwBase("graft_fw_zopt", dir)
+      val spec = "k:long:8,px:long:4,py:long:4"
+      val pts = t(spark, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        pmod(col("o_custkey"), lit(4096L)).cast("long").as("px"),
+        pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")), lit(4096)).cast("long")
+          .as("py"))
+      pts.repartitionByRange(4, col("px")).sortWithinPartitions("px")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", spec).mode("overwrite").save(base.toString)
+      def scanPy(): (Long, Int) = {
+        val n = spark.read.format("graft.sources.FixedWidth")
+          .option("schema", spec).load(base.toString)
+          .filter(col("py") >= 1100L && col("py") < 1250L).count()
+        (n, graft.sources.FixedWidth.lastSkippedFiles)
+      }
+      val (_, skippedBefore) = scanPy()
+      spark.conf.set("spark.sql.catalog.fwzoq",
+        "graft.sources.FwCatalog")
+      spark.sql("DROP TABLE IF EXISTS fwzoq.ns.zopt")
+      spark.sql(s"""CREATE TABLE fwzoq.ns.zopt (k BIGINT, px BIGINT,
+        py BIGINT) OPTIONS (path '${base.toString}', widths '8,4,4')""")
+      val liveBytes = new java.io.File(base.toString).listFiles()
+        .filter(_.getName.endsWith(".fw")).map(_.length()).sum
+      val report = spark.sql("CALL fwzoq.optimize(tbl => 'ns.zopt', " +
+        s"target_bytes => ${liveBytes / 16 + 1}, " +
+        "zorder_by => 'px,py')").collect()(0)
+      val (nAfter, skippedAfter) = scanPy()
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).load(base.toString)
+        .filter(col("py") >= 1100L && col("py") < 1250L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+          min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+          min(col("py")).as("min_py"), max(col("py")).as("max_py"))
+        .withColumn("rows_stable", lit(nAfter).cast("long") === col("n_rows"))
+        .withColumn("no_prune_before_call", lit(skippedBefore == 0))
+        .withColumn("prunes_after_call",
+          lit(skippedAfter >= report.getInt(2) / 3))
+    }),
     "q392_fw_cdf_evolution" -> ((spark, dir) => {
       val base = Tables.freshFwBase("graft_fw_cdfev", dir)
       val src = t(spark, dir, "supplier")
@@ -127,6 +176,22 @@ object Analytics152 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the clustered rewrite must neither add, drop, nor alter a row:
+    // the oracle recomputes the py-slice aggregates straight from
+    // orders and pins all three layout contracts TRUE
+    "q394_fw_optimize_zorder" -> """
+      WITH pts AS (
+        SELECT o_orderkey AS k,
+          CAST(o_custkey % 4096 AS BIGINT) AS px,
+          CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+            AS BIGINT) % 4096 AS BIGINT) AS py
+        FROM orders)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
+        min(px) AS min_px, max(px) AS max_px,
+        min(py) AS min_py, max(py) AS max_py,
+        TRUE AS rows_stable, TRUE AS no_prune_before_call,
+        TRUE AS prunes_after_call
+      FROM pts WHERE py >= 1100 AND py < 1250""",
     // every commit class replayed with explicit NULL back-fill:
     // v1 inserts + v2 pre/post images carry s_tier NULL (written
     // before the column existed); v3's appended rows carry 'gold'

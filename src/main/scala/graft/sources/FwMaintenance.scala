@@ -209,6 +209,141 @@ object FwMaintenance {
       bytesRewritten = planned.map(_.inputs.map(_._2).sum).sum)
   }
 
+  /** What a clustered rewrite did. */
+  final case class ZorderReport(
+      committedVersion: Option[Long],
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesRewritten: Long)
+
+  /** `OPTIMIZE … ZORDER BY (cols)` — the Delta/Iceberg CLUSTERED
+    * compaction: rewrite the table's live rows ordered along a
+    * space-filling curve over `cols` into ~`targetBytes` files, and
+    * commit the result as ONE copy-on-write snapshot version. Unlike
+    * bin-packing [[optimize]] (pure byte concatenation, preserves row
+    * placement), this decodes and globally re-orders, so per-file
+    * min/max envelopes become tight on EVERY clustered column and a
+    * predicate on any one of them prunes files — the q355 secondary-
+    * column contract, applied to a real table in place.
+    *
+    * Each column quantizes to a 16-bit rank by min-max scaling (one
+    * metadata-cheap agg pass; NULLs rank lowest), then the key is the
+    * Morton interleave (1–3 columns) or the Hilbert distance
+    * (2 columns, strictly better locality), both codegen'd. The
+    * rewrite itself is `repartitionByRange` on the key (Spark samples
+    * the boundaries) + an in-partition sort — one shuffle of exactly
+    * the live bytes, every task writing its own output file with its
+    * zone-map sidecar; at 100 TB the wall clock is the shuffle, not a
+    * driver loop.
+    *
+    * Commit discipline matches [[optimize]]: optimistic concurrency
+    * (plan version re-checked under the commit lock; a racing commit
+    * aborts this run, sweeping its outputs), inputs retire into
+    * retained history for older pins, and the change feed sees the
+    * commit diff to ZERO rows (the rows are identical; only placement
+    * moved — deletion vectors materialize, identical to compaction).
+    * A side effect of the full rewrite: every output is head-layout,
+    * so a schema-evolved table comes out uniform.
+    */
+  def optimizeZorder(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, cols: Seq[String],
+      targetBytes: Long, curve: String = "morton"): ZorderReport = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DateType, NumericType}
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(cols.nonEmpty && cols.size <= 3,
+      s"ZORDER BY takes 1-3 columns, got ${cols.size}")
+    require(curve == "morton" || curve == "hilbert",
+      s"curve must be morton or hilbert, got '$curve'")
+    require(curve != "hilbert" || cols.size == 2,
+      "the hilbert curve is 2-D; use morton for 1 or 3 columns")
+    requireFlat(path, "optimize zorder")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column $c is not in the table schema"))
+      require(f.dataType.isInstanceOf[NumericType] || f.dataType == DateType,
+        s"ZORDER BY supports numeric and date columns; " +
+          s"$c is ${f.dataType.simpleString}")
+    }
+    FwVersions.requireCommitSlot(path, None)
+    val planVersion = FwVersions.currentMax(path)
+    val live = FwFiles.list(path)
+    if (live.isEmpty) return ZorderReport(None, 0, 0, 0L)
+    val liveBytes = live.map(_.length()).sum
+    val spec = FixedWidth.specOf(schema)
+    val reader = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec)
+    // pin the read at the planned snapshot: a concurrent commit makes
+    // the publish-phase version re-check abort instead of clustering
+    // a half-seen live set
+    val df = (if (planVersion >= 1)
+      reader.option("versionAsOf", planVersion.toString) else reader)
+      .load(path)
+    def asD(c: String) = schema(schema.fieldIndex(c)).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled: Seq[org.apache.spark.sql.Column] =
+      cols.zipWithIndex.map { case (c, i) =>
+        if (mm.isNullAt(2 * i)) lit(0L)
+        else {
+          val mn = mm.getDouble(2 * i)
+          val mx = mm.getDouble(2 * i + 1)
+          if (mx <= mn) lit(0L)
+          else least(floor((coalesce(asD(c), lit(mn)) - lit(mn))
+            / lit(mx - mn) * 65535.0), lit(65535.0)).cast("long")
+        }
+      }
+    val zkey = (curve, scaled) match {
+      case (_, Seq(a)) => a
+      case ("hilbert", Seq(a, b)) => graft.functions.ZOrder.hilbert2(a, b, 16)
+      case ("morton", Seq(a, b)) => graft.functions.ZOrder.z2(a, b)
+      case (_, Seq(a, b, c3)) => graft.functions.ZOrder.z3(a, b, c3)
+    }
+    val nFiles = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes)
+      .min(1 << 20).toInt
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmpDir = new java.io.File(path, s"_fw_zorder_$uid")
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(nuke)
+      f.delete()
+    }
+    var filesAfter = 0
+    try {
+      df.withColumn("_fw_zkey", zkey)
+        .repartitionByRange(nFiles, col("_fw_zkey"))
+        .sortWithinPartitions("_fw_zkey")
+        .drop("_fw_zkey")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", spec).mode("overwrite")
+        .save(tmpDir.getAbsolutePath)
+      val dir = new java.io.File(path)
+      val version = FwVersions.withLock(path) {
+        FwVersions.requireVersion(path, planVersion, "optimize zorder")
+        val parts = tmpDir.listFiles()
+          .filter(_.getName.endsWith(".fw")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val target = new java.io.File(dir, f"zorder-$i%05d-$uid.fw")
+          val sc = new java.io.File(FwStats.sidecarFor(f.getPath))
+          if (sc.isFile)
+            require(sc.renameTo(new java.io.File(
+              FwStats.sidecarFor(target.getPath))),
+              s"could not publish sidecar of $f")
+          require(f.renameTo(target), s"could not publish $f -> $target")
+        }
+        filesAfter = parts.length
+        val replaced = retireInputs(path, live.map(_.getPath).toSeq)
+        FwVersions.commitSnapshotLocked(path, replaced, "optimize-zorder")
+      }
+      ZorderReport(Some(version), live.length, filesAfter, liveBytes)
+    } finally nuke(tmpDir)
+  }
+
   /** Runs on an executor: concatenate the group's inputs (exactly the
     * byte lengths recorded at planning — a producer growing a file in
     * place mid-run cannot tear the output off its record boundary)

@@ -89,14 +89,24 @@ private[sources] object FwProcedures {
     protected def spark: SparkSession = SparkSession.active
   }
 
-  /** `CALL fw.optimize(tbl, target_bytes)` → small-file compaction. */
+  /** `CALL fw.optimize(tbl, target_bytes)` → small-file compaction;
+    * with `zorder_by => 'c1,c2'` → clustered rewrite along a
+    * space-filling curve (`curve => 'morton'|'hilbert'`), so the
+    * q352/q355 multi-column data-skipping layout applies to a real
+    * table in place.
+    */
   private final class OptimizeProcedure(cat: FwCatalog)
       extends FwProcedure(cat) {
     override def name(): String = "optimize"
     override def description(): String =
-      "bin-pack small files toward target_bytes and commit a snapshot"
+      "bin-pack small files toward target_bytes and commit a snapshot; " +
+        "zorder_by => 'c1,c2' clusters along a space-filling curve instead"
     override def parameters(): Array[ProcedureParameter] = Array(
-      in("tbl", StringType), in("target_bytes", LongType))
+      in("tbl", StringType), in("target_bytes", LongType),
+      ProcedureParameter.in("zorder_by", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("curve", StringType)
+        .defaultValue("'morton'").build())
     private val out = StructType(Seq(
       StructField("committed_version", LongType),
       StructField("files_before", IntegerType, nullable = false),
@@ -104,10 +114,19 @@ private[sources] object FwProcedures {
       StructField("groups", IntegerType, nullable = false),
       StructField("bytes_rewritten", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (path, _) = resolve(input.getUTF8String(0).toString)
-      val r = FwMaintenance.optimize(spark, path, input.getLong(1))
-      result(out, Seq(r.committedVersion.orNull, r.filesBefore,
-        r.filesAfter, r.groups, r.bytesRewritten))
+      val (path, schema) = resolve(input.getUTF8String(0).toString)
+      val zorderBy = input.getUTF8String(2).toString.trim
+      if (zorderBy.isEmpty) {
+        val r = FwMaintenance.optimize(spark, path, input.getLong(1))
+        result(out, Seq(r.committedVersion.orNull, r.filesBefore,
+          r.filesAfter, r.groups, r.bytesRewritten))
+      } else {
+        val r = FwMaintenance.optimizeZorder(spark, path, schema,
+          zorderBy.split(',').map(_.trim).toSeq, input.getLong(1),
+          input.getUTF8String(3).toString)
+        result(out, Seq(r.committedVersion.orNull, r.filesBefore,
+          r.filesAfter, r.filesAfter, r.bytesRewritten))
+      }
     }
   }
 

@@ -51,4 +51,73 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     assert(skippedL === 0,
       s"x-stripes cannot bound y, got $skippedL pruned")
   }
+
+  test("CALL fw.optimize(zorder_by) clusters a real table in place: " +
+      "secondary-column predicates prune files the call laid out") {
+    spark.conf.set("spark.sql.catalog.fwzo", classOf[FwCatalog].getName)
+    val spec = "x:long:4,y:long:4"
+    def freshGrid(name: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("fwzopt")
+        .toFile.getAbsolutePath
+      spark.sql(s"DROP TABLE IF EXISTS fwzo.ns.$name")
+      spark.sql(s"""CREATE TABLE fwzo.ns.$name (x BIGINT, y BIGINT)
+        OPTIONS (path '$dir', widths '4,4')""")
+      // 64x64 grid written as x-stripes: every file's y envelope is
+      // full-range, so a y predicate can prune NOTHING before the call
+      spark.range(0, 4096)
+        .select((col("id") / 64).cast("long").as("x"),
+          (col("id") % 64).cast("long").as("y"))
+        .repartitionByRange(4, col("x")).sortWithinPartitions("x", "y")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", spec).mode("append").save(dir)
+      dir
+    }
+    def scanY(dir: String): (Long, Int) = {
+      val n = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).load(dir)
+        .filter(col("y") >= 0L && col("y") <= 7L).count()
+      (n, FixedWidth.lastSkippedFiles)
+    }
+    for ((name, curve) <- Seq(("gm", "morton"), ("gh", "hilbert"))) {
+      val dir = freshGrid(name)
+      val (n0, skipped0) = scanY(dir)
+      assert(n0 === 512L && skipped0 === 0,
+        s"pre-call x-stripes must not prune on y, got $skipped0")
+      // 4096 rows x 9 bytes = 36864 bytes; 2304-byte target -> 16 files
+      val r = spark.sql(s"CALL fwzo.optimize(tbl => 'ns.$name', " +
+        s"target_bytes => 2304, zorder_by => 'x,y', " +
+        s"curve => '$curve')").collect()(0)
+      assert(r.getLong(0) === 2L, s"clustered rewrite commits v2: $r")
+      assert(r.getInt(2) >= 12 && r.getInt(2) <= 16,
+        s"~16 clustered files, got ${r.getInt(2)}")
+      val (n1, skipped1) = scanY(dir)
+      assert(n1 === 512L, "clustering must not change the rows")
+      assert(skipped1 >= 10,
+        s"$curve tiles bound y: expected >=10 of ${r.getInt(2)} files " +
+          s"pruned on a secondary-column predicate, got $skipped1")
+      // the pre-call snapshot still reads through retained history
+      assert(spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("versionAsOf", "1").load(dir)
+        .count() === 4096L)
+    }
+    // guardrails: unknown column, string column, hilbert arity
+    val dir = freshGrid("gbad")
+    def call(args: String) = intercept[Exception] {
+      spark.sql(s"CALL fwzo.optimize(tbl => 'ns.gbad', " +
+        s"target_bytes => 2304, $args)").collect()
+    }.getMessage
+    assert(call("zorder_by => 'nope'").contains("not in the table"))
+    assert(call("zorder_by => 'x,y,x,y'").contains("1-3 columns"))
+    assert(call("zorder_by => 'x', curve => 'hilbert'")
+      .contains("hilbert curve is 2-D"))
+  }
+
+  test("z3 column expression matches the bit-by-bit reference") {
+    val probes = Seq((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+      (65535, 65535, 65535), (12345, 54321, 4096), (511, 512, 513))
+    val got = spark.createDataFrame(probes).toDF("x", "y", "z")
+      .select(ZOrder.z3(col("x"), col("y"), col("z")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === probes.map { case (x, y, z) => ZOrder.z3Ref(x, y, z) })
+  }
 }
