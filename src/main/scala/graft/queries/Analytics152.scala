@@ -85,6 +85,60 @@ object Analytics152 {
         .withColumn("prunes_after_call",
           lit(skippedAfter >= report.getInt(2) / 3))
     }),
+    // COLUMN MAPPING (RENAME/DROP COLUMN, metadata-only): the supplier
+    // fixture is renamed (s_acctbal -> s_balance), appended to, then
+    // loses s_name — not a byte of existing data moves; reads resolve
+    // through the mapping, appends render the dropped field's physical
+    // hole NULL, and time travel reads the v1 snapshot under the
+    // CURRENT logical schema. The oracle replays every leg from the
+    // fixture predicates, so the hash match pins the whole mapping
+    // semantics end to end.
+    "q395_fw_column_mapping" -> ((spark, dir) => {
+      val base = Tables.freshFwBase("graft_fw_colmap", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.repartitionByRange(2, col("s_suppkey"))
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      graft.sources.FwSchemaLog.ensureLog(base.toString, FwSchema)
+      graft.sources.FwSchemaLog.renameColumn(base.toString,
+        "s_acctbal", "s_balance")
+      val specRenamed = "s_suppkey:long:8,s_name:string:18," +
+        "s_nationkey:int:4,s_balance:double:24"
+      src.filter(col("s_suppkey") % 10 === 7)
+        .select((col("s_suppkey") + 700000L).as("s_suppkey"),
+          lit("MAPSUP").as("s_name"), lit(71).as("s_nationkey"),
+          lit(3.0).as("s_balance"))
+        .coalesce(1).write.format("graft.sources.FixedWidth")
+        .option("schema", specRenamed).mode("append").save(base.toString)
+      graft.sources.FwSchemaLog.dropColumn(base.toString, "s_name")
+      val specDropped =
+        "s_suppkey:long:8,s_nationkey:int:4,s_balance:double:24"
+      src.filter(col("s_suppkey") % 10 === 8)
+        .select((col("s_suppkey") + 800000L).as("s_suppkey"),
+          lit(72).as("s_nationkey"), lit(9.0).as("s_balance"))
+        .coalesce(1).write.format("graft.sources.FixedWidth")
+        .option("schema", specDropped).mode("append").save(base.toString)
+      def agg(df: DataFrame, pin: String) = df
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(round(s_balance, 2) as decimal(18,2))"))
+            .cast("double").as("sum_bal"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"))
+        .withColumn("pin", lit(pin))
+      val head = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", specDropped).load(base.toString)
+      val v1 = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", specDropped).option("versionAsOf", "1")
+        .load(base.toString)
+      agg(head, "head").unionAll(agg(v1, "v1"))
+        .select(col("pin"), col("s_nationkey"), col("n_rows"),
+          col("sum_bal"), col("min_key"), col("max_key"))
+        .orderBy("pin", "s_nationkey")
+    }),
+
     "q392_fw_cdf_evolution" -> ((spark, dir) => {
       val base = Tables.freshFwBase("graft_fw_cdfev", dir)
       val src = t(spark, dir, "supplier")
@@ -176,6 +230,29 @@ object Analytics152 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every mapping leg replayed: head = v1 rows (renamed balance) +
+    // the post-rename and post-drop appends; v1 = just the original
+    // fixture rows — all under the current logical names
+    "q395_fw_column_mapping" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal AS s_balance
+        FROM supplier WHERE s_suppkey <= 100000),
+      head AS (
+        SELECT s_suppkey, s_nationkey, s_balance FROM s
+        UNION ALL
+        SELECT s_suppkey + 700000, 71, 3.0 FROM s WHERE s_suppkey % 10 = 7
+        UNION ALL
+        SELECT s_suppkey + 800000, 72, 9.0 FROM s WHERE s_suppkey % 10 = 8),
+      legs AS (
+        SELECT 'head' AS pin, * FROM head
+        UNION ALL
+        SELECT 'v1', * FROM s)
+      SELECT pin, s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(round(s_balance, 2) AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_bal,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      FROM legs GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // the clustered rewrite must neither add, drop, nor alter a row:
     // the oracle recomputes the py-slice aggregates straight from
     // orders and pins all three layout contracts TRUE

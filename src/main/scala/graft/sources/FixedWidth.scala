@@ -190,14 +190,42 @@ private[sources] class FwTable(tableSchema: StructType,
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (mappedLog.isDefined)
+      throw new UnsupportedOperationException(
+        "FixedWidth: UPDATE/MERGE/row-level DELETE on a table with " +
+          "renamed or dropped columns (column mapping) is not " +
+          "supported yet — run the DML before renaming/dropping, or " +
+          "rewrite the table")
     FwRowLevelOperation.builderFor(declared, properties, info)
+  }
   // For writes (and external-metadata reads) Spark hands getTable the
   // DATAFRAME's schema, which has no width metadata — the layout truth
   // is always the `schema` option.
   private val declared: StructType =
     properties.get("schema").map(FixedWidth.parseSchema)
       .getOrElse(tableSchema)
+
+  // COLUMN MAPPING (RENAME/DROP COLUMN, the Delta column-mapping
+  // discipline): when the schema log carries a mapping, `declared` is
+  // the user-visible LOGICAL schema and every scan/write runs on the
+  // PHYSICALIZED layout — the full physical head (true byte offsets,
+  // dropped fields as reserved placeholders) with logical names on
+  // the mapped fields. Resolved lazily so fresh paths and unmapped
+  // tables stay zero-overhead.
+  private lazy val mappedLog: Option[FwSchemaLog.Log] = {
+    val p = dataPath
+    if (p == null) None
+    else FwSchemaLog.read(p).filter(_.hasMapping)
+  }
+  /** The layout schema internal machinery runs on. */
+  private lazy val layout: StructType = mappedLog.map { log =>
+    require(FwSchemaLog.structEq(declared, log.logicalHead),
+      s"FixedWidth: table at $dataPath has renamed/dropped columns; " +
+        "declare its current schema " +
+        s"'${FixedWidth.specOf(log.logicalHead)}'")
+    log.physicalized
+  }.getOrElse(declared)
 
   override def name(): String = s"fixedwidth(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = declared
@@ -286,7 +314,7 @@ private[sources] class FwTable(tableSchema: StructType,
         bucketsFor(options).isEmpty)
         FwRefs.mainVersion(path)
       else None
-    new FwScanBuilder(declared, path,
+    new FwScanBuilder(layout, path,
       Option(options.get("recordsPerSplit")).map(_.toLong).getOrElse(1L << 20),
       Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
       verPin.orElse(tsPin.map(s => FwVersions.resolveTimestamp(
@@ -390,6 +418,10 @@ private[sources] class FwTable(tableSchema: StructType,
     if (predicates.length != 1) return None
     if (predicates.head.name() == "ALWAYS_TRUE"
       || predicates.head.describe() == "TRUE") return Some(None)
+    // keyed MoR deletes locate ordinals by slicing records — not
+    // mapping-aware yet; declining here routes the statement to the
+    // row-level op, whose gate refuses loudly
+    if (mappedLog.isDefined) return None
     def norm(dt: DataType, v: Any): Option[Any] = (dt, v) match {
       case (_, null) => None
       case (LongType, n: java.lang.Long) => Some(n.longValue)
@@ -452,13 +484,117 @@ private[sources] class FwTable(tableSchema: StructType,
       "FixedWidth: branch writes (write-audit-publish) are a " +
         "flat-table contract — partitioned/bucketed layouts do not " +
         "version")
-    new FwWriteBuilder(declared, path, pcolFor(info.options),
+    val wb = new FwWriteBuilder(layout, path, pcolFor(info.options),
       Option(info.options.get("sortedBy")).map { c =>
         require(declared.fieldNames.contains(c),
           s"FixedWidth: sortedBy column $c is not in the schema")
         c
       }, buckets, txn, stage)
+    // column mapping: incoming rows carry the LOGICAL fields; the
+    // layout has every physical field. Wrap each task writer so rows
+    // expand to physical arity (dropped fields render NULL).
+    mappedLog match {
+      case None => wb
+      case Some(log) => new FwMappedWriteBuilder(wb, layout,
+        log.writeSlotMap)
+    }
   }
+}
+
+/** Decorates the write stack of a column-mapped table: every incoming
+  * LOGICAL row (the table's user-visible fields) expands to the full
+  * PHYSICAL layout before reaching the byte-level writers — mapped
+  * fields copy through, dropped fields render NULL (all-spaces). The
+  * expansion is a per-row array copy, fused into the task's write
+  * loop; nothing about the commit protocol changes.
+  */
+private[sources] class FwMappedWriteBuilder(inner: FwWriteBuilder,
+    layout: StructType, slotMap: Array[Int])
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = { inner.truncate(); this }
+  override def build(): Write = {
+    val w = inner.build()
+    new Write {
+      override def toBatch: BatchWrite = {
+        val b = w.toBatch
+        new BatchWrite {
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory =
+            new FwMappedWriterFactory(
+              b.createBatchWriterFactory(info), layout, slotMap)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            b.commit(messages)
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            b.abort(messages)
+        }
+      }
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        val s = w.toStreaming
+        new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+          override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+              : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+            new FwMappedStreamingWriterFactory(
+              s.createStreamingWriterFactory(info), layout, slotMap)
+          override def commit(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit =
+            s.commit(epochId, messages)
+          override def abort(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit =
+            s.abort(epochId, messages)
+        }
+      }
+    }
+  }
+}
+
+/** Serializable factory wrappers (ship to executors). */
+private[sources] class FwMappedWriterFactory(inner: DataWriterFactory,
+    layout: StructType, slotMap: Array[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new FwMappedRowWriter(inner.createWriter(partitionId, taskId),
+      layout, slotMap)
+}
+
+private[sources] class FwMappedStreamingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory,
+    layout: StructType, slotMap: Array[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FwMappedRowWriter(
+      inner.createWriter(partitionId, taskId, epochId), layout, slotMap)
+}
+
+/** Logical→physical row expansion for one task's writes. */
+private[sources] class FwMappedRowWriter(
+    inner: DataWriter[InternalRow], layout: StructType,
+    slotMap: Array[Int]) extends DataWriter[InternalRow] {
+  private val types = layout.fields.map(_.dataType)
+
+  private def expand(row: InternalRow): InternalRow = {
+    val arr = new Array[Any](slotMap.length)
+    var i = 0
+    while (i < slotMap.length) {
+      val li = slotMap(i)
+      arr(i) =
+        if (li < 0 || row.isNullAt(li)) null
+        else types(i) match {
+          case LongType => row.getLong(li)
+          case IntegerType => row.getInt(li)
+          case DoubleType => row.getDouble(li)
+          case _ => row.getUTF8String(li)
+        }
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
+
+  override def write(row: InternalRow): Unit = inner.write(expand(row))
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Distributed fixed-width writer: each task renders its partition to
@@ -1256,8 +1392,12 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     if (bucketBy.isDefined) return false // dirs carry no value ranges
     // schema-evolved tables mix record lengths; the metadata COUNT's
     // bytes/rowLen arithmetic would be wrong — decline, the row scan
-    // (which IS per-file-layout-aware) answers instead
-    if (FwSchemaLog.read(path).exists(_.specs.length > 1)) return false
+    // (which IS per-file-layout-aware) answers instead. Column-mapped
+    // tables decline too: old sidecars key stats by RETIRED names, so
+    // a renamed (or dropped-and-re-added) column could answer MIN/MAX
+    // from another field's envelope.
+    if (FwSchemaLog.read(path).exists(l =>
+      l.specs.length > 1 || l.hasMapping)) return false
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -2271,7 +2411,12 @@ private[sources] class FwHistoryTable(dataSchema: StructType, path: String)
         s"GraftFixedWidthHistory $path metadata-only"
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+        // bytes→records arithmetic needs the PHYSICAL head row length:
+        // on a column-mapped table the user's logical spec is narrower
+        // than the bytes on disk
+        val rowLen = FwSchemaLog.read(path)
+          .map(l => FixedWidth.widths(l.headSchema).sum + 1L)
+          .getOrElse(FixedWidth.widths(dataSchema).sum + 1L)
         val dir = new java.io.File(path)
         val ops = FwVersions.readOps(path)
         val manifest = FwVersions.read(path)

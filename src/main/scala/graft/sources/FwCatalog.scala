@@ -195,7 +195,11 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
     // `ADD COLUMNS (a, b)` fully applies or fully fails — applying
     // per-change against a pre-ALTER spec snapshot would half-evolve
     // the schema log when a later column is rejected.
-    val adds = changes.map {
+    sealed trait Op
+    final case class AddOp(colSpec: String) extends Op
+    final case class RenameOp(from: String, to: String) extends Op
+    final case class DropOp(name: String) extends Op
+    val ops: Seq[Op] = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "fixedwidth: ADD COLUMN supports top-level columns only")
@@ -217,24 +221,64 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new IllegalArgumentException(
             "fixedwidth: ADD COLUMN needs its layout width — declare " +
               s"it as COMMENT 'width=<n>' (column $name)"))
-        s"$name:$tpe:$width"
+        AddOp(s"$name:$tpe:$width")
+      // RENAME/DROP COLUMN are metadata-only through the schema log's
+      // column mapping (the Delta column-mapping discipline): logical
+      // names move, byte offsets never do — no data file is touched
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "fixedwidth: RENAME COLUMN supports top-level columns only")
+        RenameOp(rn.fieldNames().head, rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "fixedwidth: DROP COLUMN supports top-level columns only")
+        DropOp(del.fieldNames().head)
       case other =>
         throw new UnsupportedOperationException(
           s"fixedwidth: unsupported ALTER ($other) — offsets make " +
-            "renames/drops/type changes a rewrite, not metadata; only " +
-            "ADD COLUMN evolves in place")
+            "type changes a rewrite, not metadata; ADD/RENAME/DROP " +
+            "COLUMN evolve in place")
     }
     val path = fw.dataPath
     val baseSpec = fw.tableProps.getOrElse("schema",
       throw new IllegalStateException(s"table $ident has no spec"))
-    // the final spec must parse (duplicate names, bad widths) BEFORE
-    // any log append happens
-    val finalSpec = (baseSpec +: adds).mkString(",")
-    FixedWidth.parseSchema(finalSpec)
-    adds.foldLeft(baseSpec) { (spec, colSpec) =>
-      FwSchemaLog.addColumn(path, spec, colSpec)
-      s"$spec,$colSpec"
+    // dry-run the whole batch against the logical spec so a bad later
+    // change rejects BEFORE any log mutation
+    ops.foldLeft(FixedWidth.parseSchema(baseSpec).fieldNames.toVector) {
+      (names, op) => op match {
+        case AddOp(cs) =>
+          val n = cs.split(":").head
+          require(!names.contains(n),
+            s"fixedwidth: column $n already exists")
+          names :+ n
+        case RenameOp(from, to) =>
+          val i = names.indexOf(from)
+          require(i >= 0, s"fixedwidth: no column $from to rename")
+          require(!names.contains(to),
+            s"fixedwidth: column $to already exists")
+          names.updated(i, to)
+        case DropOp(n) =>
+          require(names.contains(n), s"fixedwidth: no column $n to drop")
+          require(names.size > 1,
+            s"fixedwidth: cannot drop the last column $n")
+          names.filterNot(_ == n)
+      }
     }
+    if (ops.exists(op => !op.isInstanceOf[AddOp]))
+      FwSchemaLog.ensureLog(path, baseSpec)
+    ops.foldLeft(baseSpec) { (spec, op) =>
+      op match {
+        case AddOp(colSpec) =>
+          FwSchemaLog.addColumn(path, spec, colSpec)
+        case RenameOp(from, to) =>
+          FwSchemaLog.renameColumn(path, from, to)
+        case DropOp(name) =>
+          FwSchemaLog.dropColumn(path, name)
+      }
+      FixedWidth.specOf(FwSchemaLog.read(path).get.logicalHead)
+    }
+    val finalSpec =
+      FixedWidth.specOf(FwSchemaLog.read(path).get.logicalHead)
     val replaced = new FwTable(FixedWidth.parseSchema(finalSpec),
       fw.tableProps + ("schema" -> finalSpec))
     tables.put(ident, replaced)

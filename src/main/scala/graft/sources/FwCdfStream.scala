@@ -126,6 +126,7 @@ private[sources] object FwCdf {
     // their own prefix layout (per-file record length from the schema
     // log) and the missing trailing columns surface as NULL, exactly
     // like batch reads of the same files
+    FwSchemaLog.requireUnmapped(path, "readChangeFeed")
     val log = FwSchemaLog.requireHead(path, declared)
     val headRowLen = FixedWidth.widths(declared).sum + 1L
     def rowLenOf(name: String): Long =

@@ -258,6 +258,7 @@ object FwMaintenance {
     require(curve != "hilbert" || cols.size == 2,
       "the hilbert curve is 2-D; use morton for 1 or 3 columns")
     requireFlat(path, "optimize zorder")
+    FwSchemaLog.requireUnmapped(path, "optimize zorder")
     cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -621,6 +622,7 @@ object FwMaintenance {
     requireFlat(path, "deleteByKeysMoR")
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "deleteByKeysMoR")
+    FwSchemaLog.requireUnmapped(path, "deleteByKeysMoR")
     val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
@@ -1096,6 +1098,7 @@ object FwMaintenance {
       keyCol: String): MergeReport = {
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "merge")
+    FwSchemaLog.requireUnmapped(path, "merge")
     requireFlat(path, "merge")
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
@@ -1220,6 +1223,7 @@ object FwMaintenance {
     requireFlat(path, "deleteByKeys")
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "deleteByKeys")
+    FwSchemaLog.requireUnmapped(path, "deleteByKeys")
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
     val planVersion = FwVersions.currentMax(path)

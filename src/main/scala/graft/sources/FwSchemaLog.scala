@@ -21,7 +21,23 @@ import org.apache.spark.sql.types.StructType
   * correctly through the same per-file resolution.
   */
 object FwSchemaLog {
-  final case class Log(specs: Vector[String], fileSv: Map[String, Int]) {
+  /** Reserved name prefix for physically-present-but-dropped fields in
+    * the [[Log.physicalized]] layout; user columns may not use it.
+    */
+  val DroppedPrefix = "__fw_dropped_"
+
+  /** `mapping`, when present, is the COLUMN-MAPPING layer (the Delta
+    * column-mapping discipline): the user-visible LOGICAL schema is an
+    * ordered list of (logicalName, physicalFieldIndex) over the head
+    * physical layout. RENAME COLUMN changes a logical name in place;
+    * DROP COLUMN removes an entry — both metadata-only, because byte
+    * offsets belong to the PHYSICAL fields, which stay append-only
+    * forever (a dropped field keeps occupying its bytes in every file,
+    * old and new; honest fixed-width trade-off, reclaimed only by a
+    * full rewrite). None = identity (the table never renamed/dropped).
+    */
+  final case class Log(specs: Vector[String], fileSv: Map[String, Int],
+      mapping: Option[Vector[(String, Int)]] = None) {
     val head: Int = specs.length
     private val schemas: Vector[StructType] =
       specs.map(FixedWidth.parseSchema)
@@ -35,6 +51,45 @@ object FwSchemaLog {
     /** True when every name in `files` parses at the head layout. */
     def uniformOver(files: Iterable[String]): Boolean =
       files.forall(svOf(_) == head)
+
+    def hasMapping: Boolean = mapping.isDefined
+
+    /** The user-visible schema: mapped fields in mapping order, each
+      * carrying its PHYSICAL field's type and width under its logical
+      * name. Identity (= [[headSchema]]) when no mapping exists.
+      */
+    def logicalHead: StructType = mapping match {
+      case None => headSchema
+      case Some(m) => StructType(m.map { case (n, pi) =>
+        headSchema.fields(pi).copy(name = n) })
+    }
+
+    /** The LAYOUT schema every scan/write runs on: the full physical
+      * head (every field's true byte offsets), with logical names
+      * substituted on mapped fields and reserved `__fw_dropped_<i>`
+      * names on dropped ones — so required-column/filter name lookups
+      * resolve while offsets stay physical. Old files remain strict
+      * PREFIXES of this layout (dataCols), exactly as before mapping.
+      */
+    def physicalized: StructType = mapping match {
+      case None => headSchema
+      case Some(m) =>
+        val byPhys = m.map { case (n, pi) => pi -> n }.toMap
+        StructType(headSchema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(name = byPhys.getOrElse(i, s"$DroppedPrefix$i")) })
+    }
+
+    /** For writers on a mapped table: physical slot -> index of the
+      * logical input field that feeds it, or -1 for a dropped field
+      * (rendered NULL — all-spaces — in every new record).
+      */
+    def writeSlotMap: Array[Int] = {
+      val m = mapping.getOrElse(
+        return Array.tabulate(headSchema.length)(identity))
+      val byPhys = m.zipWithIndex.map { case ((_, pi), li) => pi -> li }
+        .toMap
+      Array.tabulate(headSchema.length)(i => byPhys.getOrElse(i, -1))
+    }
   }
 
   def fileFor(path: String): java.io.File =
@@ -67,7 +122,16 @@ object FwSchemaLog {
         }.toMap
         case _ => Map.empty[String, Int]
       }
-      Some(Log(specs, files))
+      val mapping = doc \ "mapping" match {
+        case JArray(es) => Some(es.map {
+          case JArray(List(JString(n), JInt(pi))) => (n, pi.toInt)
+          case JArray(List(JString(n), JLong(pi))) => (n, pi.toInt)
+          case other => throw new IllegalArgumentException(
+            s"bad _fw_schemas.json mapping entry: $other")
+        }.toVector)
+        case _ => None
+      }
+      Some(Log(specs, files, mapping))
     }
   }
 
@@ -75,10 +139,17 @@ object FwSchemaLog {
   private[sources] def write(path: String, log: Log): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val doc = ("versions" -> log.specs) ~
+    val base = ("versions" -> log.specs) ~
       ("files" -> log.fileSv.toSeq.sortBy(_._1).map {
         case (n, sv) => n -> sv
       }.toMap)
+    val doc = log.mapping match {
+      case Some(m) => base ~ ("mapping" -> m.map {
+        case (n, pi) => Seq(org.json4s.JString(n),
+          org.json4s.JInt(pi)): Seq[org.json4s.JValue]
+      })
+      case None => base
+    }
     val target = fileFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
@@ -110,17 +181,21 @@ object FwSchemaLog {
     FwVersions.withLock(path) {
       val existing = read(path)
       existing.foreach { log =>
-        require(specEq(log.specs.last, currentSpec),
+        // on a mapped table the caller's "current" is the LOGICAL head
+        require(specEq(FixedWidth.specOf(log.logicalHead), currentSpec),
           s"FixedWidth: currentSpec does not match the evolved head " +
-            s"schema '${log.specs.last}'")
+            s"schema '${FixedWidth.specOf(log.logicalHead)}'")
       }
       val newSpec = s"$currentSpec,$colSpec"
       val widened = FixedWidth.parseSchema(newSpec) // validates shape
       val cur = FixedWidth.parseSchema(currentSpec)
       require(widened.length == cur.length + 1,
         s"FixedWidth: colSpec must describe exactly one column: $colSpec")
-      require(!cur.fieldNames.contains(widened.fields.last.name),
-        s"FixedWidth: column ${widened.fields.last.name} already exists")
+      val newName = widened.fields.last.name
+      require(!cur.fieldNames.contains(newName),
+        s"FixedWidth: column $newName already exists")
+      require(!newName.startsWith(DroppedPrefix),
+        s"FixedWidth: '$DroppedPrefix' is a reserved name prefix")
       val oldHead = existing.map(_.head).getOrElse(1)
       val oldSpecs = existing.map(_.specs).getOrElse(Vector(currentSpec))
       // stamp everything known now at the old head
@@ -130,9 +205,93 @@ object FwSchemaLog {
       val prior = existing.map(_.fileSv).getOrElse(Map.empty)
       val stamped = prior ++
         known.filterNot(prior.contains).map(_ -> oldHead)
-      write(path, Log(oldSpecs :+ newSpec, stamped))
+      // the PHYSICAL head always appends, mapping or not; on a mapped
+      // table the new logical entry points at the new physical slot —
+      // a previously-dropped field of the same name stays dropped
+      // (Delta semantics: re-ADD never resurrects old data). Physical
+      // field names stay unique: a re-ADD colliding with a retired
+      // physical name gets a suffixed physical name (invisible to
+      // users — the mapping owns the logical name).
+      val physHead = oldSpecs.last
+      val physFields = FixedWidth.parseSchema(physHead)
+      val physIdx = physFields.length
+      val physName =
+        if (!physFields.fieldNames.contains(newName)) newName
+        else s"$newName${DroppedPrefix}r$physIdx"
+      val Array(_, tpeStr, wStr) = colSpec.trim.split(":")
+      val physSpec = s"$physHead,$physName:$tpeStr:$wStr"
+      FixedWidth.parseSchema(physSpec) // validate the widened layout
+      val newMapping = existing.flatMap(_.mapping)
+        .map(m => m :+ ((newName, physIdx)))
+      write(path, Log(oldSpecs :+ physSpec, stamped, newMapping))
     }
   }
+
+  /** Metadata-only RENAME COLUMN: the logical name changes, the
+    * physical field (and every byte on disk) stays. Introduces the
+    * mapping layer on first use.
+    */
+  def renameColumn(path: String, from: String, to: String): Unit =
+    FwVersions.withLock(path) {
+      val log = ensureMapped(path)
+      val m = log.mapping.get
+      val idx = m.indexWhere(_._1 == from)
+      require(idx >= 0, s"FixedWidth: no column $from to rename")
+      require(!m.exists(_._1 == to),
+        s"FixedWidth: column $to already exists")
+      require(!to.startsWith(DroppedPrefix),
+        s"FixedWidth: '$DroppedPrefix' is a reserved name prefix")
+      write(path, log.copy(mapping =
+        Some(m.updated(idx, (to, m(idx)._2)))))
+    }
+
+  /** Metadata-only DROP COLUMN: the logical entry disappears; the
+    * physical field keeps occupying its bytes in every file (old AND
+    * new — writers render it NULL), reclaimed only by a full rewrite.
+    * A later ADD COLUMN of the same name is a NEW physical field; the
+    * dropped data never resurfaces.
+    */
+  def dropColumn(path: String, name: String): Unit =
+    FwVersions.withLock(path) {
+      val log = ensureMapped(path)
+      val m = log.mapping.get
+      require(m.exists(_._1 == name),
+        s"FixedWidth: no column $name to drop")
+      require(m.size > 1,
+        s"FixedWidth: cannot drop the last column $name")
+      write(path, log.copy(mapping = Some(m.filterNot(_._1 == name))))
+    }
+
+  /** Current log with the mapping layer materialized (identity over
+    * the physical head when the table never renamed/dropped before).
+    * Caller holds the commit lock. The table must have a declared spec
+    * on record — callers pass it via [[ensureLog]] when absent.
+    */
+  private def ensureMapped(path: String): Log = {
+    val log = read(path).getOrElse(throw new IllegalArgumentException(
+      s"FixedWidth: no schema log at $path — rename/drop need the " +
+        "table's spec on record; create it via ensureLog(path, spec)"))
+    if (log.hasMapping) log
+    else log.copy(mapping = Some(
+      log.headSchema.fieldNames.zipWithIndex.toVector))
+  }
+
+  /** Seed the schema log for a table that never evolved (so rename/
+    * drop have a physical baseline on record). Stamps nothing: every
+    * existing file already IS the head layout.
+    */
+  def ensureLog(path: String, currentSpec: String): Unit =
+    FwVersions.withLock(path) {
+      read(path) match {
+        case Some(log) =>
+          require(specEq(FixedWidth.specOf(log.logicalHead), currentSpec),
+            s"FixedWidth: currentSpec does not match the evolved head " +
+              s"schema '${FixedWidth.specOf(log.logicalHead)}'")
+        case None =>
+          FixedWidth.parseSchema(currentSpec) // validate
+          write(path, Log(Vector(currentSpec), Map.empty))
+      }
+    }
 
   /** Guard for operations that slice records at the head layout (COW
     * merge/delete ordinal matching, streaming offsets): they are only
@@ -170,22 +329,54 @@ object FwSchemaLog {
       FixedWidth.widths(sa).sameElements(FixedWidth.widths(sb))
   }
 
-  /** Read-side validation: a scan's declared schema must be the head
-    * once a log exists (reading an evolved table with a stale schema
-    * would silently mis-slice the new files).
+  /** Structural schema equality: names, types, widths. */
+  private[sources] def structEq(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sameElements(
+      b.fields.map(f => (f.name, f.dataType))) &&
+      FixedWidth.widths(a).sameElements(FixedWidth.widths(b))
+
+  /** LAYOUT validation for the scan/write machinery: the schema every
+    * internal reader/writer runs on must be the head LAYOUT — the
+    * physical head, with the mapping's logical names applied when one
+    * exists ([[Log.physicalized]]). A logical schema reaching a
+    * mapped table's byte-level machinery fails HERE, loudly, before it
+    * can mis-slice a record.
     */
   private[sources] def requireHead(path: String,
       schema: StructType): Option[Log] = {
     val log = read(path)
     log.foreach { l =>
-      val head = l.headSchema
-      require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
-        head.fields.map(f => (f.name, f.dataType))) &&
-        FixedWidth.widths(schema).sameElements(FixedWidth.widths(head)),
-        s"FixedWidth: table at $path has evolved to " +
-          s"'${l.specs.last}'; reads and writes must carry the head " +
-          "schema")
+      require(structEq(schema, l.physicalized),
+        s"FixedWidth: table at $path has evolved to layout " +
+          s"'${FixedWidth.specOf(l.physicalized)}'; reads and writes " +
+          "must carry the head schema")
     }
     log
   }
+
+  /** BOUNDARY validation: what a USER must declare for this table —
+    * the logical head (after renames/drops), or the plain head when no
+    * mapping exists.
+    */
+  private[sources] def requireLogicalHead(path: String,
+      schema: StructType): Option[Log] = {
+    val log = read(path)
+    log.foreach { l =>
+      require(structEq(schema, l.logicalHead),
+        s"FixedWidth: table at $path has evolved; declare its current " +
+          s"schema '${FixedWidth.specOf(l.logicalHead)}'")
+    }
+    log
+  }
+
+  /** Gate for operations not yet mapping-aware (COW DML, keyed MoR
+    * deletes, clustered rewrite, change feed): they run on tables that
+    * never renamed/dropped a column.
+    */
+  private[sources] def requireUnmapped(path: String, op: String): Unit =
+    read(path).foreach(l => require(!l.hasMapping,
+      s"FixedWidth $op at $path: the table has renamed or dropped " +
+        "columns (column mapping); this operation is not " +
+        "mapping-aware yet — run it before renaming/dropping, or " +
+        "rewrite the table"))
 }

@@ -167,6 +167,124 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.table("fwse7.ns.t").count() === 3L)
   }
 
+  test("RENAME COLUMN is metadata-only: reads resolve the new name, " +
+      "stale reads refuse, appends keep working") {
+    val dir = Files.createTempDirectory("fwse8").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5), (2L, 2.5)).toDF("id", "score"),
+      "overwrite")
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fw"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq
+    FwSchemaLog.ensureLog(dir, specV1)
+    FwSchemaLog.renameColumn(dir, "score", "pts")
+    val specR = "id:long:4,pts:double:10"
+    assert(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fw"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq ===
+      before, "rename must not touch a data file")
+    val rows = read(dir, specR).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)), "values survive under the new name")
+    val stale = intercept[Exception] { read(dir, specV1).count() }
+    assert(chainHas(stale, "declare its current schema"))
+    write(dir, specR, Seq((3L, 3.5)).toDF("id", "pts"), "append")
+    assert(read(dir, specR).count() === 3L)
+    assert(read(dir, specR).filter(col("pts") > 3.0).count() === 1L)
+  }
+
+  test("DROP COLUMN hides the field (bytes stay); appends render it " +
+      "NULL; re-ADD is a fresh column — old values never resurface") {
+    val dir = Files.createTempDirectory("fwse9").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5), (2L, 2.5)).toDF("id", "score"),
+      "overwrite")
+    FwSchemaLog.ensureLog(dir, specV1)
+    FwSchemaLog.dropColumn(dir, "score")
+    val specD = "id:long:4"
+    val rows = read(dir, specD).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.head.length === 1, "dropped column is gone from reads")
+    // appends write the physical hole as NULL and read back fine
+    write(dir, specD, Seq(Tuple1(3L)).toDF("id"), "append")
+    assert(read(dir, specD).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // re-ADD of the same name: a NEW physical field, all NULL
+    FwSchemaLog.addColumn(dir, specD, "score:double:8")
+    val specRe = "id:long:4,score:double:8"
+    val re = read(dir, specRe).orderBy("id").collect()
+    assert(re.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(re.forall(_.isNullAt(1)),
+      "re-added column must NOT resurrect dropped values")
+    write(dir, specRe, Seq((4L, 44.0)).toDF("id", "score"), "append")
+    val re2 = read(dir, specRe).orderBy("id").collect()
+    assert(re2.count(_.isNullAt(1)) === 3 && re2.last.getDouble(1) === 44.0)
+    // min/max over the mix is exact (agg pushdown declined, row scan)
+    assert(read(dir, specRe).agg(
+      org.apache.spark.sql.functions.min(col("score"))).head.getDouble(0)
+      === 44.0)
+  }
+
+  test("time travel reads pre-rename/drop snapshots under the CURRENT " +
+      "logical schema") {
+    val dir = Files.createTempDirectory("fwse10").toFile.getAbsolutePath
+    write(dir, specV1, Seq((1L, 1.5)).toDF("id", "score"), "overwrite")
+    write(dir, specV1, Seq((2L, 2.5)).toDF("id", "score"), "append")
+    FwSchemaLog.ensureLog(dir, specV1)
+    FwSchemaLog.renameColumn(dir, "score", "pts")
+    FwSchemaLog.dropColumn(dir, "pts")
+    val specD = "id:long:4"
+    val v1 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specD).option("versionAsOf", "1").load(dir)
+      .collect()
+    assert(v1.map(_.getLong(0)).toSeq === Seq(1L) && v1.head.length === 1,
+      "the v1 snapshot reads through the current mapping")
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specD).option("versionAsOf", "2").load(dir)
+      .count() === 2L)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME/DROP COLUMN through the " +
+      "catalog; not-mapping-aware ops refuse loudly") {
+    val dir = Files.createTempDirectory("fwse11").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwse11",
+      classOf[FwCatalog].getName)
+    spark.sql(s"""CREATE TABLE fwse11.ns.t (id BIGINT, score DOUBLE)
+      OPTIONS (path '$dir', widths '4,10')""")
+    spark.sql("INSERT INTO fwse11.ns.t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE fwse11.ns.t RENAME COLUMN score TO pts")
+    assert(spark.sql("SELECT pts FROM fwse11.ns.t ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq === Seq(1.5, 2.5))
+    spark.sql("INSERT INTO fwse11.ns.t VALUES (3, 3.5)")
+    assert(spark.table("fwse11.ns.t").count() === 3L)
+    spark.sql("ALTER TABLE fwse11.ns.t DROP COLUMN pts")
+    assert(spark.table("fwse11.ns.t").columns.toSeq === Seq("id"))
+    assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // gates: row-level DML, change feed, clustered rewrite
+    val eu = intercept[Exception] {
+      spark.sql("UPDATE fwse11.ns.t SET id = 9 WHERE id = 1")
+    }
+    assert(chainHas(eu, "column mapping") ||
+      chainHas(eu, "not supported yet"))
+    val ec = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", "id:long:4")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(dir).count()
+    }
+    assert(chainHas(ec, "not mapping-aware"))
+    val ez = intercept[Exception] {
+      spark.sql("CALL fwse11.optimize(tbl => 'ns.t', " +
+        "target_bytes => 1024, zorder_by => 'id')").collect()
+    }
+    assert(chainHas(ez, "not mapping-aware"))
+    // bin-pack compaction stays available (physical-level, safe)
+    val r = spark.sql(
+      "CALL fwse11.optimize(tbl => 'ns.t', target_bytes => 1048576)")
+      .collect()(0)
+    assert(r.getInt(2) <= r.getInt(1))
+    assert(spark.table("fwse11.ns.t").count() === 3L)
+  }
+
   private def chainHas(t: Throwable, s: String): Boolean = {
     var cur = t
     while (cur != null) {
