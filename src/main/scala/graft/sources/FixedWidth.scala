@@ -188,17 +188,15 @@ private[sources] class FwTable(tableSchema: StructType,
     * deletion-vector path and only genuinely row-level statements pay
     * the rewrite.
     */
+  // The column-mapping gate lives in the operation's scan builder,
+  // NOT here: Spark's RewriteDeleteFromTable builds this op at
+  // ANALYSIS time even for keyed deletes that the optimizer later
+  // routes to the metadata-delete path — throwing here would break
+  // mapping-aware `DELETE FROM t WHERE k = …`.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    if (mappedLog.isDefined)
-      throw new UnsupportedOperationException(
-        "FixedWidth: UPDATE/MERGE/row-level DELETE on a table with " +
-          "renamed or dropped columns (column mapping) is not " +
-          "supported yet — run the DML before renaming/dropping, or " +
-          "rewrite the table")
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     FwRowLevelOperation.builderFor(declared, properties, info)
-  }
   // For writes (and external-metadata reads) Spark hands getTable the
   // DATAFRAME's schema, which has no width metadata — the layout truth
   // is always the `schema` option.
@@ -394,8 +392,10 @@ private[sources] class FwTable(tableSchema: StructType,
     plan match {
       case None => FwMaintenance.truncateRetain(path)
       case Some((keyCol, keys)) =>
+        // `layout` (not `declared`): the ordinal scan slices records,
+        // so a column-mapped table needs the physicalized schema
         FwMaintenance.deleteKeySetMoR(
-          org.apache.spark.sql.SparkSession.active, path, declared,
+          org.apache.spark.sql.SparkSession.active, path, layout,
           keys, keyCol)
     }
     ()
@@ -418,10 +418,6 @@ private[sources] class FwTable(tableSchema: StructType,
     if (predicates.length != 1) return None
     if (predicates.head.name() == "ALWAYS_TRUE"
       || predicates.head.describe() == "TRUE") return Some(None)
-    // keyed MoR deletes locate ordinals by slicing records — not
-    // mapping-aware yet; declining here routes the statement to the
-    // row-level op, whose gate refuses loudly
-    if (mappedLog.isDefined) return None
     def norm(dt: DataType, v: Any): Option[Any] = (dt, v) match {
       case (_, null) => None
       case (LongType, n: java.lang.Long) => Some(n.longValue)

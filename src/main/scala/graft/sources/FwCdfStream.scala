@@ -125,10 +125,16 @@ private[sources] object FwCdf {
     // every commit at the HEAD layout — pre-evolution files parse at
     // their own prefix layout (per-file record length from the schema
     // log) and the missing trailing columns surface as NULL, exactly
-    // like batch reads of the same files
-    FwSchemaLog.requireUnmapped(path, "readChangeFeed")
-    val log = FwSchemaLog.requireHead(path, declared)
-    val headRowLen = FixedWidth.widths(declared).sum + 1L
+    // like batch reads of the same files. Column-mapped tables
+    // (RENAME/DROP) work too: `declared` is the LOGICAL head; data
+    // files read at the PHYSICALIZED layout (each partition carries
+    // its layout spec), change-data files at the logical layout they
+    // were materialized in.
+    val log = FwSchemaLog.requireLogicalHead(path, declared)
+    val layout = log.map(_.physicalized).getOrElse(declared)
+    val layoutSpec = FixedWidth.specOf(layout)
+    val logicalSpec = FixedWidth.specOf(declared)
+    val headRowLen = FixedWidth.widths(layout).sum + 1L
     def rowLenOf(name: String): Long =
       log.map(_.rowLenOf(name)).getOrElse(headRowLen)
     def dataColsOf(name: String): Int =
@@ -172,15 +178,20 @@ private[sources] object FwCdf {
         // Change data materialized BEFORE an ADD COLUMN is stored at
         // the then-head layout — its recorded spec sidecar resolves
         // the prefix width, and the reader NULL-backfills the rest.
+        // change-data files are stored at the LOGICAL layout of their
+        // materialization moment, which must be a (name, width) prefix
+        // of the current logical head — true across ADD COLUMN, and
+        // across mapping as long as the range's change data predates
+        // no rename/drop (else: refuse, re-materialize after rewrite)
         val cdCols = FwChangeData.spec(path, v) match {
           case Some(s) =>
             val stored = FixedWidth.parseSchema(s)
             require(stored.length <= declared.length &&
-              stored.fieldNames.sameElements(
-                declared.fieldNames.take(stored.length)),
+              FwSchemaLog.structEq(stored, StructType(
+                declared.fields.take(stored.length))),
               s"FixedWidth readChangeFeed: change data of version $v " +
                 s"was materialized at layout '$s', which is not a " +
-                "prefix of the table's head schema")
+                "prefix of the table's current schema")
             stored.length
           case None => declared.length // pre-sidecar data: head layout
         }
@@ -191,7 +202,8 @@ private[sources] object FwCdf {
             val n = f.length() / cdRowLen
             if (n > 0)
               Some(FwCdfPartition(f.getPath, Array((0L, n)), ct, v,
-                if (cdCols == declared.length) -1 else cdCols))
+                if (cdCols == declared.length) -1 else cdCols,
+                logicalSpec))
             else None
           }
         }
@@ -204,7 +216,7 @@ private[sources] object FwCdf {
             (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
           if (hi > lo)
             Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
-              "insert", v, dataColsOf(name)))
+              "insert", v, dataColsOf(name), layoutSpec))
           else None
         }
         val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
@@ -213,7 +225,7 @@ private[sources] object FwCdf {
             .flatMap(_._2).distinct.sorted
           if (ords.isEmpty) None
           else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
-            "delete", v, dataColsOf(name)))
+            "delete", v, dataColsOf(name), layoutSpec))
         }
         inserts ++ deletes
       }
@@ -251,9 +263,14 @@ private[sources] object FwCdfOffset {
 /** One file's contribution to a micro-batch: contiguous record runs
   * plus the change tag and the commit version they belong to.
   */
+/** `layoutSpec`: the spec the FILE's bytes are laid out in — the
+  * physicalized table layout for data files, the materialization-time
+  * logical layout for change-data files. `dataCols` counts the LEADING
+  * layout fields physically present (-1 = all).
+  */
 private[sources] case class FwCdfPartition(file: String,
     runs: Array[(Long, Long)], changeType: String, version: Long,
-    dataCols: Int = -1)
+    dataCols: Int = -1, layoutSpec: String = null)
     extends InputPartition
 
 private[sources] class FwCdfMicroBatchStream(declared: StructType,
@@ -299,6 +316,12 @@ private[sources] class FwCdfReader(declared: StructType,
     part: FwCdfPartition) extends PartitionReader[InternalRow] {
   private val ct = UTF8String.fromString(part.changeType)
   private val types = declared.fields.map(_.dataType)
+  // the file's byte layout may be wider than the declared output (a
+  // column-mapped table's physicalized layout); the inner reader
+  // projects the declared (logical) fields out of it by name
+  private val layout =
+    if (part.layoutSpec == null) declared
+    else FixedWidth.parseSchema(part.layoutSpec)
   private var runIdx = 0
   private var cur: FwReader = _
 
@@ -308,7 +331,7 @@ private[sources] class FwCdfReader(declared: StructType,
         if (runIdx >= part.runs.length) return false
         val (s, n) = part.runs(runIdx)
         runIdx += 1
-        cur = new FwReader(declared, declared.fieldNames, Array.empty,
+        cur = new FwReader(layout, declared.fieldNames, Array.empty,
           FwPartition(part.file, s, n, Array.empty, part.dataCols))
       }
       if (cur.next()) return true

@@ -622,12 +622,26 @@ object FwMaintenance {
     requireFlat(path, "deleteByKeysMoR")
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "deleteByKeysMoR")
-    FwSchemaLog.requireUnmapped(path, "deleteByKeysMoR")
+    // column mapping: callers pass the LOGICAL schema; the ordinal
+    // scan below slices records, so it must run on the physicalized
+    // LAYOUT (the key column keeps its logical name there)
+    val schema0 = FwSchemaLog.read(path).filter(_.hasMapping) match {
+      case Some(l) =>
+        if (FwSchemaLog.structEq(schema, l.physicalized)) schema
+        else {
+          require(FwSchemaLog.structEq(schema, l.logicalHead),
+            s"FixedWidth deleteByKeysMoR at $path: declare the " +
+              s"table's current schema " +
+              s"'${FixedWidth.specOf(l.logicalHead)}'")
+          l.physicalized
+        }
+      case None => schema
+    }
     val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val ki = schema.fieldNames.indexOf(keyCol)
+    val ki = schema0.fieldNames.indexOf(keyCol)
     require(ki >= 0, s"delete key $keyCol is not a table column")
-    val keyType = schema.fields(ki).dataType
+    val keyType = schema0.fields(ki).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"delete key must be integral or string, got $keyType")
     require(keySet.nonEmpty, "delete with an empty key set is a no-op")
@@ -636,7 +650,7 @@ object FwMaintenance {
     val touched = pruneTouched(files, keyCol,
       keyType == StringType, keySet)
     val bc = spark.sparkContext.broadcast(keySet)
-    val rowLen = FixedWidth.widths(schema).sum + 1
+    val rowLen = FixedWidth.widths(schema0).sum + 1
     // already-voided ordinals are not deleted again (rowsDeleted stays
     // the count of rows that actually stopped existing)
     val plans = touched.map(f => MergePlan(f.getPath, f.length(),
@@ -644,7 +658,7 @@ object FwMaintenance {
     val found: Array[(String, Array[Long])] =
       if (plans.isEmpty) Array.empty
       else spark.sparkContext.parallelize(plans, plans.size)
-        .map(p => (p.file, matchOrdinals(schema, ki, p, bc.value)))
+        .map(p => (p.file, matchOrdinals(schema0, ki, p, bc.value)))
         .collect()
     val withHits = found.filter(_._2.nonEmpty)
 

@@ -59,8 +59,14 @@ private[sources] final class FwRowLevelOperation(schema: StructType,
       .column(FwTable.FileColumn))
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // COW rewrites rows at the declared schema — not mapping-aware
+    // yet. Gated here (scan planning) rather than at op construction:
+    // the analyzer builds this op even for keyed DELETEs that the
+    // optimizer later answers via the metadata path.
+    FwSchemaLog.requireUnmapped(path, s"row-level $cmd (COW)")
     new FwCowScanBuilder(schema, path, this)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(schema.fieldNames),
       s"row-level write schema ${info.schema().fieldNames.mkString(",")}" +

@@ -369,9 +369,10 @@ object FwSchemaLog {
     log
   }
 
-  /** Gate for operations not yet mapping-aware (COW DML, keyed MoR
-    * deletes, clustered rewrite, change feed): they run on tables that
-    * never renamed/dropped a column.
+  /** Gate for operations not yet mapping-aware (COW DML/merge, the
+    * clustered rewrite): they run on tables that never renamed/dropped
+    * a column. Reads, appends, streaming, keyed MoR deletes and the
+    * change feed are all mapping-aware and need no gate.
     */
   private[sources] def requireUnmapped(path: String, op: String): Unit =
     read(path).foreach(l => require(!l.hasMapping,

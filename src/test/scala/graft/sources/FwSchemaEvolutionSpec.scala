@@ -259,19 +259,28 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.table("fwse11.ns.t").columns.toSeq === Seq("id"))
     assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
-    // gates: row-level DML, change feed, clustered rewrite
+    // the change feed is mapping-aware: the whole history reads at
+    // the CURRENT logical schema
+    def cdf() = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", "id:long:4")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dir)
+      .select("_change_type", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(cdf() === Seq(("insert", 1L, 1L), ("insert", 1L, 2L),
+      ("insert", 2L, 3L)))
+    // keyed MoR deletes are mapping-aware (ordinal scan runs on the
+    // physicalized layout) and stream as CDF deletes
+    spark.sql("DELETE FROM fwse11.ns.t WHERE id = 2")
+    assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(cdf().contains(("delete", 3L, 2L)))
+    // gates that remain: row-level COW DML and the clustered rewrite
     val eu = intercept[Exception] {
       spark.sql("UPDATE fwse11.ns.t SET id = 9 WHERE id = 1")
     }
     assert(chainHas(eu, "column mapping") ||
       chainHas(eu, "not supported yet"))
-    val ec = intercept[Exception] {
-      spark.read.format("graft.sources.FixedWidth")
-        .option("schema", "id:long:4")
-        .option("readChangeFeed", "true").option("startingVersion", "1")
-        .load(dir).count()
-    }
-    assert(chainHas(ec, "not mapping-aware"))
     val ez = intercept[Exception] {
       spark.sql("CALL fwse11.optimize(tbl => 'ns.t', " +
         "target_bytes => 1024, zorder_by => 'id')").collect()
@@ -282,7 +291,8 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
       "CALL fwse11.optimize(tbl => 'ns.t', target_bytes => 1048576)")
       .collect()(0)
     assert(r.getInt(2) <= r.getInt(1))
-    assert(spark.table("fwse11.ns.t").count() === 3L)
+    assert(spark.table("fwse11.ns.t").count() === 2L,
+      "the MoR delete above holds through compaction")
   }
 
   private def chainHas(t: Throwable, s: String): Boolean = {
