@@ -588,6 +588,9 @@ private[sources] class FwMappedRowWriter(
   }
 
   override def write(row: InternalRow): Unit = inner.write(expand(row))
+  // the COW ReplaceData path routes metadata separately from the row
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    inner.write(metadata, expand(row))
   override def commit(): WriterCommitMessage = inner.commit()
   override def abort(): Unit = inner.abort()
   override def close(): Unit = inner.close()

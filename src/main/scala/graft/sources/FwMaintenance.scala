@@ -258,7 +258,14 @@ object FwMaintenance {
     require(curve != "hilbert" || cols.size == 2,
       "the hilbert curve is 2-D; use morton for 1 or 3 columns")
     requireFlat(path, "optimize zorder")
-    FwSchemaLog.requireUnmapped(path, "optimize zorder")
+    // column mapping: callers pass the LOGICAL schema; the rewrite's
+    // OUTPUT must be the physicalized layout (dropped fields written
+    // NULL) so the published files slice correctly in the table
+    val mapLog = FwSchemaLog.read(path).filter(_.hasMapping)
+    mapLog.foreach(l => require(FwSchemaLog.structEq(schema, l.logicalHead),
+      s"FixedWidth optimize zorder at $path: declare the table's " +
+        s"current schema '${FixedWidth.specOf(l.logicalHead)}'"))
+    val outLayout = mapLog.map(_.physicalized).getOrElse(schema)
     cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -316,12 +323,19 @@ object FwMaintenance {
     }
     var filesAfter = 0
     try {
-      df.withColumn("_fw_zkey", zkey)
+      val sorted = df.withColumn("_fw_zkey", zkey)
         .repartitionByRange(nFiles, col("_fw_zkey"))
         .sortWithinPartitions("_fw_zkey")
         .drop("_fw_zkey")
-        .write.format("graft.sources.FixedWidth")
-        .option("schema", spec).mode("overwrite")
+      // mapped tables: pad the logical rows out to the physical layout
+      val logicalNames = schema.fieldNames.toSet
+      val out =
+        if (mapLog.isEmpty) sorted
+        else sorted.select(outLayout.fields.map(f =>
+          if (logicalNames.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      out.write.format("graft.sources.FixedWidth")
+        .option("schema", FixedWidth.specOf(outLayout)).mode("overwrite")
         .save(tmpDir.getAbsolutePath)
       val dir = new java.io.File(path)
       val version = FwVersions.withLock(path) {

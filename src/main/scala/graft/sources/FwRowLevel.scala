@@ -58,15 +58,25 @@ private[sources] final class FwRowLevelOperation(schema: StructType,
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .column(FwTable.FileColumn))
 
+  // Column mapping: Spark plans the operation at the LOGICAL schema
+  // (`schema`); the byte-level scan and write below run on the
+  // physicalized layout, translating at the boundary exactly like the
+  // ordinary read/write paths. Resolved lazily at first plan, not at
+  // op construction (the analyzer builds this op even for keyed
+  // DELETEs the optimizer answers via the metadata path).
+  private[sources] lazy val mapLog: Option[FwSchemaLog.Log] =
+    FwSchemaLog.read(path).filter(_.hasMapping)
+  private[sources] lazy val layout: StructType = mapLog.map { l =>
+    require(FwSchemaLog.structEq(schema, l.logicalHead),
+      s"FixedWidth: table at $path has renamed/dropped columns; " +
+        s"declare its current schema " +
+        s"'${FixedWidth.specOf(l.logicalHead)}'")
+    l.physicalized
+  }.getOrElse(schema)
+
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = {
-    // COW rewrites rows at the declared schema — not mapping-aware
-    // yet. Gated here (scan planning) rather than at op construction:
-    // the analyzer builds this op even for keyed DELETEs that the
-    // optimizer later answers via the metadata path.
-    FwSchemaLog.requireUnmapped(path, s"row-level $cmd (COW)")
+      options: CaseInsensitiveStringMap): ScanBuilder =
     new FwCowScanBuilder(schema, path, this)
-  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(schema.fieldNames),
       s"row-level write schema ${info.schema().fieldNames.mkString(",")}" +
@@ -168,8 +178,9 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     // schema evolution: each file parses at ITS layout (missing
     // trailing columns NULL); replacements write the head layout, so
-    // a COW pass doubles as the old-file upgrade path
-    val log = FwSchemaLog.requireHead(path, schema)
+    // a COW pass doubles as the old-file upgrade path. On a mapped
+    // table the layout is the physicalized head (op.layout).
+    val log = FwSchemaLog.requireHead(path, op.layout)
     val all = FwFiles.listAt(path, None, None)
     // zone-map pruning decides which files get REWRITTEN: a pruned
     // file keeps its identity (and is not retired); a kept file is
@@ -182,7 +193,7 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
     op.scannedFiles = kept.map(_.file.getName).toSeq
     kept.flatMap { lf =>
       val rowLen = log.map(_.rowLenOf(lf.file.getName))
-        .getOrElse(FixedWidth.widths(schema).sum + 1L)
+        .getOrElse(FixedWidth.widths(op.layout).sum + 1L)
       val dataCols = log.map(_.dataColsOf(lf.file.getName)).getOrElse(-1)
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
@@ -203,8 +214,10 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // no record-level filtering: the ReplaceData plan re-applies the
-    // condition row-side and must see every row of every kept file
-    val base = new FwReaderFactory(schema, schema.fieldNames, Array.empty)
+    // condition row-side and must see every row of every kept file.
+    // Layout for byte offsets, logical names for the projected output.
+    val base = new FwReaderFactory(op.layout, schema.fieldNames,
+      Array.empty)
     if (wantFile)
       new FwFileAppendReaderFactory(base, schema.fields.map(_.dataType))
     else base
@@ -224,13 +237,24 @@ private[sources] final class FwCowBatchWrite(schema: StructType,
     "-w" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    new FwCowWriterFactory(schema, path,
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val inner = new FwCowWriterFactory(op.layout, path,
       // CHECK constraints bind on the driver and gate the COW write
       // exactly like a batch append: an UPDATE/MERGE assigning a
-      // violating value must abort, not publish
+      // violating value must abort, not publish (bound against the
+      // layout — constraint names are logical, present there)
       FwConstraints.read(path).map(c =>
-        (c.name, c.expr, FwConstraints.bind(schema, c.expr))), writeTag)
+        (c.name, c.expr, FwConstraints.bind(op.layout, c.expr))),
+      writeTag)
+    // column mapping: the rewrite's rows arrive at the LOGICAL arity;
+    // expand to the physical layout (dropped fields render NULL —
+    // their pre-rewrite bytes are logically dead anyway)
+    op.mapLog match {
+      case Some(l) =>
+        new FwMappedWriterFactory(inner, op.layout, l.writeSlotMap)
+      case None => inner
+    }
+  }
 
   private def tmps(m: WriterCommitMessage): Seq[String] = m match {
     case FwCommitMessage(t) => Seq(t)

@@ -369,10 +369,10 @@ object FwSchemaLog {
     log
   }
 
-  /** Gate for operations not yet mapping-aware (COW DML/merge, the
-    * clustered rewrite): they run on tables that never renamed/dropped
-    * a column. Reads, appends, streaming, keyed MoR deletes and the
-    * change feed are all mapping-aware and need no gate.
+  /** Gate for operations not yet mapping-aware (the FwMaintenance
+    * merge/deleteByKeys convenience APIs — SQL UPDATE/MERGE/DELETE all
+    * go through mapping-aware paths): they run on tables that never
+    * renamed/dropped a column.
     */
   private[sources] def requireUnmapped(path: String, op: String): Unit =
     read(path).foreach(l => require(!l.hasMapping,

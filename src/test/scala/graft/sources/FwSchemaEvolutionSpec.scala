@@ -275,24 +275,29 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
     assert(cdf().contains(("delete", 3L, 2L)))
-    // gates that remain: row-level COW DML and the clustered rewrite
-    val eu = intercept[Exception] {
-      spark.sql("UPDATE fwse11.ns.t SET id = 9 WHERE id = 1")
-    }
-    assert(chainHas(eu, "column mapping") ||
-      chainHas(eu, "not supported yet"))
-    val ez = intercept[Exception] {
-      spark.sql("CALL fwse11.optimize(tbl => 'ns.t', " +
-        "target_bytes => 1024, zorder_by => 'id')").collect()
-    }
-    assert(chainHas(ez, "not mapping-aware"))
+    // row-level COW UPDATE is mapping-aware too: the rewrite reads at
+    // the physicalized layout and pads replacement rows back out to it
+    spark.sql("UPDATE fwse11.ns.t SET id = 9 WHERE id = 1")
+    assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 9L))
+    // the COW commit's eagerly-materialized change data (stored at the
+    // LOGICAL layout) streams through the mapped change feed
+    assert(cdf().filter(_._2 == 4L).sorted === Seq(
+      ("delete", 4L, 1L), ("insert", 4L, 9L)))
+    // ... and so is the clustered rewrite
+    val rz = spark.sql("CALL fwse11.optimize(tbl => 'ns.t', " +
+      "target_bytes => 1024, zorder_by => 'id')").collect()(0)
+    assert(rz.getInt(2) >= 1)
+    assert(spark.sql("SELECT id FROM fwse11.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 9L),
+      "clustering must not change the rows of a mapped table")
     // bin-pack compaction stays available (physical-level, safe)
     val r = spark.sql(
       "CALL fwse11.optimize(tbl => 'ns.t', target_bytes => 1048576)")
       .collect()(0)
     assert(r.getInt(2) <= r.getInt(1))
     assert(spark.table("fwse11.ns.t").count() === 2L,
-      "the MoR delete above holds through compaction")
+      "the MoR delete and UPDATE above hold through compaction")
   }
 
   private def chainHas(t: Throwable, s: String): Boolean = {
