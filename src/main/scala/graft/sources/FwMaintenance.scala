@@ -1126,8 +1126,19 @@ object FwMaintenance {
       keyCol: String): MergeReport = {
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "merge")
-    FwSchemaLog.requireUnmapped(path, "merge")
     requireFlat(path, "merge")
+    // column mapping: callers pass the LOGICAL schema and logical
+    // update rows; the rewrite slices and renders at the physicalized
+    // layout, padding each replacement row out to physical arity
+    // (dropped fields render NULL)
+    val mapLog = FwSchemaLog.read(path).filter(_.hasMapping)
+    mapLog.foreach(l => require(
+      FwSchemaLog.structEq(schema, l.logicalHead),
+      s"FixedWidth merge at $path: declare the table's current " +
+        s"schema '${FixedWidth.specOf(l.logicalHead)}'"))
+    val layout = mapLog.map(_.physicalized).getOrElse(schema)
+    val slotMap: Array[Int] = mapLog.map(_.writeSlotMap)
+      .getOrElse(Array.tabulate(schema.length)(identity))
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
     val planVersion = FwVersions.currentMax(path)
@@ -1135,6 +1146,7 @@ object FwMaintenance {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val ki = schema.fieldNames.indexOf(keyCol)
     require(ki >= 0, s"merge key $keyCol is not a table column")
+    val kiPhys = layout.fieldNames.indexOf(keyCol)
     val keyType = schema.fields(ki).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"merge key must be integral or string, got $keyType")
@@ -1147,9 +1159,10 @@ object FwMaintenance {
       s"merge updates must be unique per key; duplicate: ${dup.toSeq}")
 
     // the delta side: collected + broadcast (the broadcast-join
-    // smallness contract); values normalized to the writer's types
+    // smallness contract); values normalized to the writer's types,
+    // padded to PHYSICAL arity
     val upRows: Map[Any, Seq[Any]] = aligned.collect().map { r =>
-      val vals = schema.fields.indices.map(i => r.get(i))
+      val vals = slotMap.map(li => if (li < 0) null else r.get(li))
       normKey(r.get(ki)) -> vals.toSeq
     }.toMap
     require(upRows.nonEmpty, "merge with an empty update set is a no-op")
@@ -1165,7 +1178,7 @@ object FwMaintenance {
     val results: Array[MergeResult] =
       if (plans.isEmpty) Array.empty
       else spark.sparkContext.parallelize(plans, plans.size)
-        .map(p => rewriteFile(schema, ki, p, bc.value))
+        .map(p => rewriteFile(layout, kiPhys, p, bc.value))
         .collect()
 
     val matchedKeys = results.flatMap(_.matched).toSet
@@ -1209,10 +1222,10 @@ object FwMaintenance {
         java.util.UUID.randomUUID().toString.take(8) + ".fw"
       val tmp = new java.io.File(dir, name + ".tmp")
       java.nio.file.Files.write(tmp.toPath,
-        FixedWidthWriter.render(schema, inserts))
+        FixedWidthWriter.render(layout, inserts))
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        statsOfRows(schema, inserts), tmp.length())
+        statsOfRows(layout, inserts), tmp.length())
       val target = new java.io.File(dir, name)
       require(tmp.renameTo(target), s"could not publish $tmp -> $target")
       val sTmp = new java.io.File(
@@ -1251,15 +1264,21 @@ object FwMaintenance {
     requireFlat(path, "deleteByKeys")
     FwVersions.requireCommitSlot(path, None)
     FwSchemaLog.requireUniform(path, "deleteByKeys")
-    FwSchemaLog.requireUnmapped(path, "deleteByKeys")
+    // column mapping: the rewrite slices at the physicalized layout
+    val mapLog = FwSchemaLog.read(path).filter(_.hasMapping)
+    mapLog.foreach(l => require(
+      FwSchemaLog.structEq(schema, l.logicalHead),
+      s"FixedWidth deleteByKeys at $path: declare the table's " +
+        s"current schema '${FixedWidth.specOf(l.logicalHead)}'"))
+    val layout = mapLog.map(_.physicalized).getOrElse(schema)
     // optimistic concurrency: version this plan reads, re-checked
     // under the commit lock before anything publishes
     val planVersion = FwVersions.currentMax(path)
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val ki = schema.fieldNames.indexOf(keyCol)
+    val ki = layout.fieldNames.indexOf(keyCol)
     require(ki >= 0, s"delete key $keyCol is not a table column")
-    val keyType = schema.fields(ki).dataType
+    val keyType = layout.fields(ki).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"delete key must be integral or string, got $keyType")
     val keySet: Set[Any] = keys.select(col(keyCol)).distinct().collect()
@@ -1279,7 +1298,7 @@ object FwMaintenance {
     val results: Array[MergeResult] =
       if (plans.isEmpty) Array.empty
       else spark.sparkContext.parallelize(plans, plans.size)
-        .map(p => rewriteFile(schema, ki, p, bc.value))
+        .map(p => rewriteFile(layout, ki, p, bc.value))
         .collect()
 
     val dir = new java.io.File(path)

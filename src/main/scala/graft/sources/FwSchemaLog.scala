@@ -369,15 +369,4 @@ object FwSchemaLog {
     log
   }
 
-  /** Gate for operations not yet mapping-aware (the FwMaintenance
-    * merge/deleteByKeys convenience APIs — SQL UPDATE/MERGE/DELETE all
-    * go through mapping-aware paths): they run on tables that never
-    * renamed/dropped a column.
-    */
-  private[sources] def requireUnmapped(path: String, op: String): Unit =
-    read(path).foreach(l => require(!l.hasMapping,
-      s"FixedWidth $op at $path: the table has renamed or dropped " +
-        "columns (column mapping); this operation is not " +
-        "mapping-aware yet — run it before renaming/dropping, or " +
-        "rewrite the table"))
 }

@@ -223,6 +223,39 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
       === 44.0)
   }
 
+  test("FwMaintenance merge and deleteByKeys translate logical rows " +
+      "to the physicalized layout on a mapped table") {
+    val dir = Files.createTempDirectory("fwse12").toFile.getAbsolutePath
+    val specWide = "id:long:4,tag:string:5,score:double:10"
+    write(dir, specWide, Seq((1L, "a", 1.5), (2L, "b", 2.5),
+      (3L, "c", 3.5)).toDF("id", "tag", "score"), "overwrite")
+    FwSchemaLog.ensureLog(dir, specWide)
+    FwSchemaLog.renameColumn(dir, "score", "pts")
+    FwSchemaLog.dropColumn(dir, "tag")
+    // logical = (id, pts); physical keeps the dropped tag hole
+    val specM = "id:long:4,pts:double:10"
+    val schemaM = FixedWidth.parseSchema(specM)
+    // merge on the mapped table: update key 2, insert key 9 — the
+    // replacement rows pad the dropped field's physical hole NULL
+    FwMaintenance.merge(spark, dir, schemaM,
+      Seq((2L, 22.0), (9L, 99.0)).toDF("id", "pts"), "id")
+    val rows = read(dir, specM).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 1.5), (2L, 22.0), (3L, 3.5), (9L, 99.0)),
+      "merge updates/inserts land under the mapping")
+    // stale logical schema refuses
+    val e = intercept[Exception] {
+      FwMaintenance.merge(spark, dir, FixedWidth.parseSchema(specWide),
+        Seq((1L, "x", 0.0)).toDF("id", "tag", "score"), "id")
+    }
+    assert(chainHas(e, "declare the table's current schema"))
+    // COW key delete on the mapped table
+    FwMaintenance.deleteByKeys(spark, dir, schemaM,
+      Seq(Tuple1(3L)).toDF("id"), "id")
+    assert(read(dir, specM).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 9L))
+  }
+
   test("time travel reads pre-rename/drop snapshots under the CURRENT " +
       "logical schema") {
     val dir = Files.createTempDirectory("fwse10").toFile.getAbsolutePath
