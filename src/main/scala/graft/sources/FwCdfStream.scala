@@ -62,6 +62,10 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
         "startingTimestamp are mutually exclusive")
     val endingVersion =
       Option(options.get("endingVersion")).map(_.toLong)
+    val endingTimestamp = Option(options.get("endingTimestamp"))
+    require(endingVersion.isEmpty || endingTimestamp.isEmpty,
+      "FixedWidth readChangeFeed: endingVersion and endingTimestamp " +
+        "are mutually exclusive")
     // A wall-clock start resolves to the NEWEST version committed at
     // or before it (the timestampAsOf discipline, q373) — that
     // version's own changes are included, matching startingVersion's
@@ -71,6 +75,9 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
     // manifest's commit stamps.
     def resolvedStart: Option[Long] = startingVersion.orElse(
       startingTimestamp.map(s =>
+        FwVersions.resolveTimestamp(path, FwTable.parseTs(s))))
+    def resolvedEnd: Option[Long] = endingVersion.orElse(
+      endingTimestamp.map(s =>
         FwVersions.resolveTimestamp(path, FwTable.parseTs(s))))
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
@@ -89,16 +96,16 @@ private[sources] class FwCdfTable(declared: StructType, path: String)
                 "explicit startingVersion or startingTimestamp (a " +
                 "batch read of 'changes since the stream started' " +
                 "has no meaning)"))
-          val to = endingVersion.getOrElse(FwVersions.currentMax(path))
+          val to = resolvedEnd.getOrElse(FwVersions.currentMax(path))
           FwCdf.partitionsBetween(declared, path, from - 1, to)
         }
         override def createReaderFactory(): PartitionReaderFactory =
           new FwCdfReaderFactory(declared)
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream = {
-          require(endingVersion.isEmpty,
-            "FixedWidth readChangeFeed: endingVersion is batch-only; " +
-              "a stream follows the live head")
+          require(endingVersion.isEmpty && endingTimestamp.isEmpty,
+            "FixedWidth readChangeFeed: endingVersion/endingTimestamp " +
+              "are batch-only; a stream follows the live head")
           new FwCdfMicroBatchStream(declared, path, resolvedStart)
         }
       }

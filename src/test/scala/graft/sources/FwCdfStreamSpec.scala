@@ -286,6 +286,22 @@ class FwCdfStreamSpec extends AnyFunSuite {
         .collect()
     }
     assert(both.getMessage.contains("mutually exclusive"))
+    // endingTimestamp bounds a batch range the same way (newest
+    // version at-or-before), and refuses on a stream
+    assert(spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("endingTimestamp", ts(1L).toString).load(dir)
+      .select("_change_type", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().toSeq.sorted ===
+      Seq(("insert", 1L, 1L)), "a pin at v1's instant ends at v1")
+    val eBoth = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "2")
+        .option("endingTimestamp", ts(1L).toString).load(dir).collect()
+    }
+    assert(eBoth.getMessage.contains("mutually exclusive"))
     // streaming: a wall-clock start replays from the resolved version
     val (q, sink) = startStream(dir,
       Map("startingTimestamp" -> ts(1L).toString))
