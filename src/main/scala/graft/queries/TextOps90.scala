@@ -75,8 +75,11 @@ object TextOps90 {
           .filter(col("u") =!= col("v")).unionAll(b0).distinct()
         topK(score(cand), 5)
       }
-      val bBase = nnd(base, nBase).persist()
-      bBase.count()
+      // eager localCheckpoint (the d19/d27 lesson): each leg executes
+      // ONCE and its lineage collapses to a checkpoint scan, so the
+      // final audit plan costs exactly its legs instead of re-counting
+      // the whole build per reference
+      val bBase = nnd(base, nBase).localCheckpoint(true)
       // coarse routing layer: a deterministic ~1/7 slice of the base
       val centers = base.filter(col("vec_id") % 7 === 1)
         .select(col("vec_id").as("v"))
@@ -87,8 +90,7 @@ object TextOps90 {
         seeds.join(bBase.select(col("u").as("v"), col("v").as("w")), "v")
           .select(col("u"), col("w").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-      val newEdges = topK(score(seedCands), 5).persist()
-      newEdges.count()
+      val newEdges = topK(score(seedCands), 5).localCheckpoint(true)
       // ONE local refinement round over the touched neighborhoods
       val g2 = bBase.unionAll(newEdges)
         .unionAll(newEdges.select(col("v").as("u"), col("u").as("v")))
@@ -99,11 +101,10 @@ object TextOps90 {
         .select(col("u"), col("y").as("v"))
         .filter(col("u") =!= col("v"))
         .unionAll(newEdges).distinct()
-      val incFresh = topK(score(refineCand), 5).persist()
-      incFresh.count()
+      val incFresh = topK(score(refineCand), 5).localCheckpoint(true)
       // the audit baseline: a FULL one-round rebuild over base+fresh
-      val bFull = nnd(e, nAll).filter(col("u") % 10 === 0).persist()
-      bFull.count()
+      val bFull = nnd(e, nAll).filter(col("u") % 10 === 0)
+        .localCheckpoint(true)
       // exact ground truth on the whole new-node panel
       val exact = topK(fresh
         .select(col("vec_id").as("u"), col("embedding").as("ue"))
@@ -111,8 +112,7 @@ object TextOps90 {
           col("u") =!= col("v"))
         .select(col("u"), col("v"),
           round(VectorOps.cosine(col("ue"), col("ve")), 6).as("cos")), 5)
-        .persist()
-      exact.count()
+        .localCheckpoint(true)
       val possible = exact.agg(count(lit(1)).as("possible"))
       val hSeed = newEdges.intersect(exact)
         .agg(count(lit(1)).as("hits_seed"))
