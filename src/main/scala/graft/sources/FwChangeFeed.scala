@@ -176,48 +176,58 @@ object FwChangeData {
       .changesBetween(spark, path, spec, v - 1, v)
       .persist()
     try {
-      Seq("delete", "insert").foreach { ct =>
-        // A pre-marker single-file layout entry here can only be a
-        // torn attempt by an OLDER build (the marker gates all reads);
-        // remove it so changeFiles never prefers it over the parts.
-        new java.io.File(d, s"v$v-$ct.fw").delete()
-        val target = new java.io.File(d, s"v$v-$ct.d")
-        if (!target.isDirectory) {
-          // Parts land as the write tasks produced them — NO
-          // coalesce(1): a 100 TB UPDATE's delta is terabytes, and one
-          // task writing (then every reader re-reading) a single file
-          // is the bottleneck. The reader plans one partition per part.
-          // Unique tmp dir per attempt: two readers may materialize the
-          // same version concurrently; both compute identical content,
-          // and the dir rename publishes exactly one of them.
-          val tmpDir = new java.io.File(d, s"v$v-$ct-" +
-            java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-          delta.filter(org.apache.spark.sql.functions
-              .col("_change_type") === ct)
-            .drop("_change_type")
-            .write.format("graft.sources.FixedWidth")
-            .option("schema", spec).mode("overwrite")
-            .save(tmpDir.getAbsolutePath)
-          // keep only data parts — the sink's manifest/sidecar files
-          // describe a standalone table, not a change-data fragment
-          tmpDir.listFiles().foreach { p =>
-            if (!p.getName.endsWith(".fw")) deleteEntry(p)
+      // EXPENSIVE phase, lock-free: compute the delta and write each
+      // change-type's part files into a uniquely-named tmp dir. Parts
+      // land as the write tasks produced them — NO coalesce(1): a
+      // 100 TB UPDATE's delta is terabytes, and one task writing
+      // (then every reader re-reading) a single file is the
+      // bottleneck. The reader plans one partition per part.
+      val tmpDirs = Seq("delete", "insert").map { ct =>
+        val tmpDir = new java.io.File(d, s"v$v-$ct-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+        delta.filter(org.apache.spark.sql.functions
+            .col("_change_type") === ct)
+          .drop("_change_type")
+          .write.format("graft.sources.FixedWidth")
+          .option("schema", spec).mode("overwrite")
+          .save(tmpDir.getAbsolutePath)
+        // keep only data parts — the sink's manifest/sidecar files
+        // describe a standalone table, not a change-data fragment
+        tmpDir.listFiles().foreach { p =>
+          if (!p.getName.endsWith(".fw")) deleteEntry(p)
+        }
+        ct -> tmpDir
+      }
+      // CHEAP publication phase, under the COMMIT LOCK — the same lock
+      // every mutator of `_fw_changes/` holds (vacuum's dropBelow,
+      // rollback's dropAbove, concurrent materializers):
+      //  - a concurrent materializer already won → discard ours
+      //    (identical content, and never mutate marker-published dirs);
+      //  - version v vanished (ROLLED BACK mid-compute) → abort: a
+      //    later commit reusing the number must not inherit stale rows;
+      //  - otherwise sweep any UNMARKED torn leftovers (theirs or an
+      //    older build's single-file layout), move the fresh dirs in,
+      //    record the layout spec, and publish the marker LAST.
+      // Readers gate on the marker and nothing mutates marked state,
+      // so they can never observe a half-published version.
+      FwVersions.withLock(path) {
+        if (exists(path, v)) {
+          tmpDirs.foreach { case (_, t) => deleteEntry(t) }
+        } else {
+          require(FwVersions.read(path).exists(_._1 == v),
+            s"version $v disappeared (rolled back?) while its change " +
+              "data materialized; not publishing")
+          tmpDirs.foreach { case (ct, tmpDir) =>
+            new java.io.File(d, s"v$v-$ct.fw").delete()
+            val target = new java.io.File(d, s"v$v-$ct.d")
+            deleteEntry(target)
+            java.nio.file.Files.move(tmpDir.toPath, target.toPath)
           }
-          try java.nio.file.Files.move(tmpDir.toPath, target.toPath)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.DirectoryNotEmptyException =>
-              // concurrent materializer won the publish; identical
-              // content, so simply discard this attempt
-              deleteEntry(tmpDir)
-          }
+          java.nio.file.Files.write(specFile(path, v).toPath,
+            spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          marker(path, v).createNewFile()
         }
       }
-      // record the layout BEFORE the marker publishes the pair: a
-      // reader that sees the marker must be able to resolve the spec
-      java.nio.file.Files.write(specFile(path, v).toPath,
-        spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      marker(path, v).createNewFile()
     } finally delta.unpersist(false)
   }
 }
