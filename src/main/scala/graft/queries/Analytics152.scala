@@ -192,15 +192,26 @@ object Analytics152 {
       val src = t(spark, dir, "supplier")
         .filter(col("s_suppkey") <= FwFixtureMaxKey)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      // v1: evens; v2: odds; v3: merge-on-read delete of %10==4
+      // v1: evens; v2: odds; v3: merge-on-read delete of %10==4.
+      // The three pins below distinguish commits by WALL-CLOCK, so the
+      // fixture must guarantee strictly increasing commit stamps — on
+      // a fast run two commits can land in the same millisecond and
+      // ts(3)-1 would then resolve past v2 (or refuse entirely)
+      def waitPastCommit(v: Long): Unit = {
+        val t = graft.sources.FwMaintenance
+          .commitTimestamps(base.toString)(v)
+        while (System.currentTimeMillis() <= t) Thread.sleep(1L)
+      }
       src.filter(col("s_suppkey") % 2 === 0)
         .repartition(2)
         .write.format("graft.sources.FixedWidth")
         .option("schema", FwSchema).mode("overwrite").save(base.toString)
+      waitPastCommit(1L)
       src.filter(col("s_suppkey") % 2 =!= 0)
         .repartition(2)
         .write.format("graft.sources.FixedWidth")
         .option("schema", FwSchema).mode("append").save(base.toString)
+      waitPastCommit(2L)
       val schema = graft.sources.FixedWidth.parseSchema(FwSchema)
       graft.sources.FwMaintenance.deleteByKeysMoR(spark, base.toString,
         schema, src.filter(col("s_suppkey") % 10 === 4)

@@ -1242,7 +1242,10 @@ private[sources] class FwDataWriter(schema: StructType, path: String,
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
         stats, tmp.length(),
-        if (sortedOk && sortedIdx >= 0) sortedBy else None)
+        if (sortedOk && sortedIdx >= 0) sortedBy else None,
+        // the write layout IS the physical head for mapped tables
+        // (requireHead), so field position = physical slot
+        schema.fieldNames.zipWithIndex.toMap)
     }
     FwCommitMessage(tmp.getPath)
   }
@@ -1345,6 +1348,10 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     * one tree listing and zero record IO.
     */
   private def partGroupByOk(aggregation: Aggregation): Boolean =
+    // mapping is a flat-table layer (ensureMapped refuses k=v layouts);
+    // a hand-built mapped+partitioned log must not answer from
+    // name-keyed sidecars whose names may be retired
+    !FwSchemaLog.read(path).exists(_.hasMapping) &&
     partitionBy.exists { pcol =>
       val groupOnP = aggregation.groupByExpressions.toSeq match {
         case Seq(e) => e.references().toSeq match {
@@ -1392,11 +1399,12 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     // schema-evolved tables mix record lengths; the metadata COUNT's
     // bytes/rowLen arithmetic would be wrong — decline, the row scan
     // (which IS per-file-layout-aware) answers instead. Column-mapped
-    // tables decline too: old sidecars key stats by RETIRED names, so
-    // a renamed (or dropped-and-re-added) column could answer MIN/MAX
-    // from another field's envelope.
-    if (FwSchemaLog.read(path).exists(l =>
-      l.specs.length > 1 || l.hasMapping)) return false
+    // (rename/drop-only) tables DO answer: every sidecar lookup below
+    // resolves through the mapping (`_phys`), so a renamed column reads
+    // its own physical envelope and legacy name-keyed sidecars void the
+    // pushdown instead of answering from a possibly-retired name.
+    val aggLog = FwSchemaLog.read(path)
+    if (aggLog.exists(_.specs.length > 1)) return false
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
@@ -1412,7 +1420,8 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     val needsStats = aggregation.aggregateExpressions
       .exists(!_.isInstanceOf[CountStar])
     if (!needsStats) return true
-    val allStats = listed.map(lf => FwStats.read(lf.file, lf.bytes))
+    val allStats = listed.map(lf =>
+      FwStats.readMapped(lf.file, lf.bytes, aggLog))
     // every file needs a (non-stale) sidecar, and per MIN/MAX column:
     //  - integral columns need exact-Long entries (a legacy double
     //    entry may be rounded beyond 2^53 — decline, scan normally);
@@ -1587,17 +1596,22 @@ private[sources] class FwBucketScan(fullSchema: StructType,
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
+    // mapping never applies to bucketed layouts (ensureMapped refuses),
+    // but resolve through it anyway: a hand-built log then disables
+    // name-keyed pruning instead of matching retired names
+    val mapLog = FwSchemaLog.read(path)
     val computed = kept.map { case (id, files) =>
       // the bucket column is in the records, so ordinary zone maps
       // prune files within a bucket too
       val fs = files.map(_._2).filter { f =>
-        FwStats.read(f) match {
+        FwStats.readMapped(f, f.length(), mapLog) match {
           case Some(st) => FwStats.mayMatch(st, pushed ++ runtime)
           case None => true
         }
       }.map { f =>
         val n = f.length() / rowLen
-        val (lo, hi) = FwStats.sortedCol(f, f.length()) match {
+        val (lo, hi) = FwStats.sortedColMapped(f, f.length(),
+            mapLog) match {
           case Some(c) => FwSeek.narrow(fullSchema, f.getPath, n,
             rowLen, c, pushed)
           case None => (0L, n)
@@ -1674,7 +1688,10 @@ private[sources] class FwAggScan(fullSchema: StructType,
     val rowLen = FixedWidth.widths(fullSchema).sum + 1L
     val files = FwFiles.listAt(path, versionAsOf, changesFrom)
     val count = files.map(_.bytes / rowLen).sum
-    val allStats = files.flatMap(lf => FwStats.read(lf.file, lf.bytes))
+    // same mapping-aware view the pushdown gate validated coverage on
+    val aggLog = FwSchemaLog.read(path)
+    val allStats = files.flatMap(lf =>
+      FwStats.readMapped(lf.file, lf.bytes, aggLog))
     // Exact per-type extremes: integral answers stay in the Long domain
     // end to end (the pushdown gate already declined any column whose
     // sidecars are not exact-integral / NaN-free).
@@ -1932,9 +1949,12 @@ private[sources] class FwPartScan(fullSchema: StructType,
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
     val rowLen = FixedWidth.widths(dataSchema).sum + 1L
+    // see the bucketed groups: mapping is flat-only, the resolve is
+    // defense against hand-built mapped+partitioned logs
+    val mapLog = FwSchemaLog.read(path)
     val computed = kept.map { case (vs, files) =>
       val fs = files.map(_._2).filter { f =>
-        FwStats.read(f) match {
+        FwStats.readMapped(f, f.length(), mapLog) match {
           case Some(st) => FwStats.mayMatch(st, dataFilters.toArray)
           case None => true
         }
@@ -1942,7 +1962,8 @@ private[sources] class FwPartScan(fullSchema: StructType,
         // sort certificates narrow each file to its matching window,
         // exactly like the flat scan
         val n = f.length() / rowLen
-        val (lo, hi) = FwStats.sortedCol(f, f.length()) match {
+        val (lo, hi) = FwStats.sortedColMapped(f, f.length(),
+            mapLog) match {
           case Some(c) => FwSeek.narrow(dataSchema, f.getPath, n,
             rowLen, c, dataFilters.toArray)
           case None => (0L, n)
@@ -2998,14 +3019,39 @@ private[sources] object FwStats {
     * narrowing.
     */
   private val SortedKey = "_sorted"
+  /** Reserved top-level key: column name -> PHYSICAL field index at
+    * sidecar write time. Column mapping (RENAME/DROP) changes logical
+    * names while physical slots stay append-only forever, so on a
+    * mapped table every stats lookup resolves through this map —
+    * name-only lookups could match a RETIRED name's envelope after a
+    * rename chain reuses it (silent wrong pruning). Sidecars written
+    * before this key exist; on a mapped table they are simply ignored
+    * (no pruning, no metadata answers — conservative, never wrong).
+    */
+  private val PhysKey = "_phys"
 
   def write(path: String, stats: Map[String, FwColStats],
-      dataLen: Long, sortedBy: Option[String] = None): Unit = {
+      dataLen: Long, sortedBy: Option[String] = None,
+      phys: Map[String, Int] = null): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
+    // stamp the physical index of every column this sidecar names (the
+    // stats plus the sort certificate); a column the caller's layout
+    // does not know stays unstamped and the read-side coverage check
+    // voids the sidecar under mapping rather than guessing
+    val physEntries: List[(String, org.json4s.JValue)] =
+      if (phys == null) Nil
+      else {
+        val named = stats.keySet ++ sortedBy
+        val covered = named.toSeq.sorted.flatMap(n =>
+          phys.get(n).map(i => n -> (org.json4s.JInt(i): org.json4s.JValue)))
+        if (covered.isEmpty) Nil
+        else List(PhysKey -> org.json4s.JObject(covered.toList))
+      }
     val base = org.json4s.JObject(
       List(LenKey -> org.json4s.JLong(dataLen)) ++
-        sortedBy.map(c => SortedKey -> org.json4s.JString(c)))
+        sortedBy.map(c => SortedKey -> org.json4s.JString(c)) ++
+        physEntries)
     val obj = stats.toSeq.sortBy(_._1).foldLeft(base) {
       case (o, (c, FwIntStats(lo, hi))) =>
         // exact JSON integers: JLong round-trips any Long bit-for-bit,
@@ -3047,6 +3093,83 @@ private[sources] object FwStats {
       }
     } catch { case _: Exception => None }
   }
+
+  /** The sidecar's `_phys` map (column name at write time -> physical
+    * field index), honoring the `_len` staleness rule. None = legacy
+    * sidecar with no physical keying.
+    */
+  private def physMap(dataFile: java.io.File,
+      expectedLen: Long): Option[Map[String, Int]] = {
+    val f = new java.io.File(sidecarFor(dataFile.getPath))
+    if (!f.isFile) None
+    else try {
+      import org.json4s._
+      jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) match {
+        case JObject(fields) =>
+          val m = fields.toMap
+          val stale = m.get(LenKey).exists {
+            case JInt(n) => n.toLong != expectedLen
+            case JLong(n) => n != expectedLen
+            case _ => true
+          }
+          if (stale) None
+          else m.get(PhysKey).collect {
+            case JObject(es) => es.collect {
+              case (n, JInt(i)) => n -> i.toInt
+              case (n, JLong(i)) => n -> i.toInt
+            }.toMap
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Sidecar stats RE-KEYED to the table's CURRENT logical names
+    * through the schema log's column mapping. On an unmapped table
+    * this is exactly [[read]]. On a mapped table a stats entry resolves
+    * name-at-write-time -> physical index (`_phys`) -> current logical
+    * name; entries for DROPPED physical slots disappear (no logical
+    * name can reference them), and the re-key preserves the
+    * absence-means-all-NULL contract (a column physically absent from
+    * an old file, or all-NULL when written, has no entry either way).
+    * A legacy sidecar with no `_phys`, or one whose `_phys` does not
+    * cover every stats entry, returns None under mapping — the file
+    * neither prunes nor answers metadata aggregates, because its names
+    * may be RETIRED logical names a later rename chain reused.
+    */
+  def readMapped(dataFile: java.io.File, expectedLen: Long,
+      log: Option[FwSchemaLog.Log]): Option[Map[String, FwColStats]] =
+    log.filter(_.hasMapping) match {
+      case None => read(dataFile, expectedLen)
+      case Some(l) =>
+        for {
+          raw <- read(dataFile, expectedLen)
+          phys <- physMap(dataFile, expectedLen)
+          if raw.keySet.forall(phys.contains)
+          logicalOf = l.mapping.get.map { case (n, pi) => pi -> n }.toMap
+        } yield raw.flatMap { case (n, st) =>
+          logicalOf.get(phys(n)).map(_ -> st)
+        }
+    }
+
+  /** [[sortedCol]] resolved through the column mapping: the returned
+    * name is the CURRENT logical name of the physical field the file
+    * is sorted on (None when the field was dropped, or on a legacy
+    * sidecar that cannot prove which physical field it certified).
+    */
+  def sortedColMapped(dataFile: java.io.File, expectedLen: Long,
+      log: Option[FwSchemaLog.Log]): Option[String] =
+    log.filter(_.hasMapping) match {
+      case None => sortedCol(dataFile, expectedLen)
+      case Some(l) =>
+        for {
+          s <- sortedCol(dataFile, expectedLen)
+          phys <- physMap(dataFile, expectedLen)
+          pi <- phys.get(s)
+          cur <- l.mapping.get.collectFirst { case (n, p) if p == pi => n }
+        } yield cur
+    }
 
   /** Sidecar strings are capped at this many chars (the Parquet
     * column-index convention): unbounded-width values must not bloat a
@@ -3108,7 +3231,7 @@ private[sources] object FwStats {
           } // legacy sidecars without _len are accepted as-is
           if (stale) None
           else Some(fields.collect {
-            case (c, o: JObject) if c != LenKey =>
+            case (c, o: JObject) if c != LenKey && c != PhysKey =>
               val cm = o.obj.toMap
               def dbl(k: String): Option[Double] = cm.get(k).flatMap {
                 case JDouble(d) => Some(d)
@@ -3327,8 +3450,11 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     val eff = effectiveFilters
     val (kept, skipped) =
       if (eff.isEmpty) (all, Array.empty[FwListedFile])
-      else all.partition(lf => FwStats.read(lf.file, lf.bytes)
-        .forall(stats => FwStats.mayMatch(stats, eff)))
+      // mapping-aware: stats re-key to current logical names through
+      // _phys, so a renamed column never prunes on a retired name's
+      // envelope (legacy sidecars on a mapped table simply don't prune)
+      else all.partition(lf => FwStats.readMapped(lf.file, lf.bytes,
+        schemaLog).forall(stats => FwStats.mayMatch(stats, eff)))
     FixedWidth.lastSkippedFiles = skipped.length
     FixedWidth.lastSeekSkippedRecords = 0L
     kept.flatMap { lf =>
@@ -3344,7 +3470,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
       // predicate can touch (the reader still evaluates every filter,
       // so narrowing only ever has to be not-too-narrow, and the
       // search is exact on a non-decreasing column)
-      val (lo, hi) = FwStats.sortedCol(lf.file, lf.bytes) match {
+      val (lo, hi) = FwStats.sortedColMapped(lf.file, lf.bytes,
+          schemaLog) match {
         case Some(col) => FwSeek.narrow(fullSchema, lf.file.getPath,
           n, rowLen, col, eff)
         case None => (0L, n)

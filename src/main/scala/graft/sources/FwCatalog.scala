@@ -243,11 +243,20 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
     val baseSpec = fw.tableProps.getOrElse("schema",
       throw new IllegalStateException(s"table $ident has no spec"))
     // dry-run the whole batch against the logical spec so a bad later
-    // change rejects BEFORE any log mutation
+    // change rejects BEFORE any log mutation — this fold must carry
+    // EVERY validation the apply phase performs (reserved prefix,
+    // colSpec shape/width), or a late rejection would leave the log
+    // half-evolved, violating the fully-applies-or-fully-fails contract
     ops.foldLeft(FixedWidth.parseSchema(baseSpec).fieldNames.toVector) {
       (names, op) => op match {
         case AddOp(cs) =>
-          val n = cs.split(":").head
+          val parsed = FixedWidth.parseSchema(cs) // shape/type/width
+          require(parsed.length == 1,
+            s"fixedwidth: colSpec must describe exactly one column: $cs")
+          val n = parsed.fieldNames.head
+          require(!n.startsWith(FwSchemaLog.DroppedPrefix),
+            s"fixedwidth: '${FwSchemaLog.DroppedPrefix}' is a " +
+              "reserved name prefix")
           require(!names.contains(n),
             s"fixedwidth: column $n already exists")
           names :+ n
@@ -256,6 +265,9 @@ class FwCatalog extends TableCatalog with SupportsNamespaces
           require(i >= 0, s"fixedwidth: no column $from to rename")
           require(!names.contains(to),
             s"fixedwidth: column $to already exists")
+          require(!to.startsWith(FwSchemaLog.DroppedPrefix),
+            s"fixedwidth: '${FwSchemaLog.DroppedPrefix}' is a " +
+              "reserved name prefix")
           names.updated(i, to)
         case DropOp(n) =>
           require(names.contains(n), s"fixedwidth: no column $n to drop")

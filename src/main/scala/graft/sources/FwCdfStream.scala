@@ -200,7 +200,20 @@ private[sources] object FwCdf {
                 s"was materialized at layout '$s', which is not a " +
                 "prefix of the table's current schema")
             stored.length
-          case None => declared.length // pre-sidecar data: head layout
+          case None =>
+            // no recorded spec: only safe when the table never evolved
+            // (then every layout in history IS the head). On an evolved
+            // table this change data may have been materialized by an
+            // older build at a NARROWER then-head — assuming the
+            // current head would mis-slice every record.
+            require(!FwSchemaLog.read(path).exists(l =>
+              l.specs.length > 1 || l.hasMapping),
+              s"FixedWidth readChangeFeed: change data of version $v " +
+                "records no layout spec and the table has evolved — " +
+                "its record length is ambiguous. Re-materialize the " +
+                "change data (re-run the producing operation on this " +
+                "build) or read the range from the file deltas")
+            declared.length
         }
         val cdRowLen = FixedWidth.widths(declared)
           .take(cdCols).map(_.toLong).sum + 1L

@@ -422,8 +422,16 @@ object FwMaintenance {
       }
     } finally out.close()
 
+    // inputs may carry sidecars written at different mapping epochs
+    // (pre-rename names vs post-rename): re-key every one to CURRENT
+    // logical names through _phys before merging, so the merged
+    // envelope never unions two different physical columns that
+    // happened to share a name across epochs. A legacy sidecar on a
+    // mapped table reads as None and poisons the group statless —
+    // conservative, never wrong.
+    val mapLog = FwSchemaLog.read(dir)
     val stats = g.inputs.map { case (p, len) =>
-      FwStats.read(new java.io.File(p), len)
+      FwStats.readMapped(new java.io.File(p), len, mapLog)
     }
     val merged: Option[Map[String, FwColStats]] =
       if (stats.exists(_.isEmpty)) None // a statless input: unknown rows
@@ -438,7 +446,7 @@ object FwMaintenance {
     // and seek narrowing keeps working on the compacted file
     val sortedBy: Option[String] = merged.flatMap { _ =>
       val certs = g.inputs.map { case (p, len) =>
-        FwStats.sortedCol(new java.io.File(p), len)
+        FwStats.sortedColMapped(new java.io.File(p), len, mapLog)
       }
       certs.head.filter(c => certs.forall(_.contains(c))).filter { c =>
         val envs = stats.flatten.map(_.get(c))
@@ -450,9 +458,12 @@ object FwMaintenance {
       }
     }
     merged.foreach { m =>
+      // merged stats carry CURRENT logical names; their physical slots
+      // come from the physicalized head (logical name -> its slot)
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        m, tmp.length(), sortedBy)
+        m, tmp.length(), sortedBy,
+        mapLog.map(_.physicalized.fieldNames.zipWithIndex.toMap).orNull)
     }
     GroupResult(tmp.getPath, merged.isDefined, g.sv)
   }
@@ -639,7 +650,8 @@ object FwMaintenance {
     // column mapping: callers pass the LOGICAL schema; the ordinal
     // scan below slices records, so it must run on the physicalized
     // LAYOUT (the key column keeps its logical name there)
-    val schema0 = FwSchemaLog.read(path).filter(_.hasMapping) match {
+    val mapLog = FwSchemaLog.read(path).filter(_.hasMapping)
+    val schema0 = mapLog match {
       case Some(l) =>
         if (FwSchemaLog.structEq(schema, l.physicalized)) schema
         else {
@@ -662,7 +674,7 @@ object FwMaintenance {
 
     val files = FwFiles.list(path)
     val touched = pruneTouched(files, keyCol,
-      keyType == StringType, keySet)
+      keyType == StringType, keySet, mapLog)
     val bc = spark.sparkContext.broadcast(keySet)
     val rowLen = FixedWidth.widths(schema0).sum + 1
     // already-voided ordinals are not deleted again (rowsDeleted stays
@@ -1169,7 +1181,7 @@ object FwMaintenance {
 
     val files = FwFiles.list(path)
     val touched = pruneTouched(files, keyCol,
-      keyType == StringType, upRows.keySet)
+      keyType == StringType, upRows.keySet, mapLog)
 
     val bc = spark.sparkContext.broadcast(
       upRows.view.mapValues(v => Some(v): Option[Seq[Any]]).toMap)
@@ -1225,7 +1237,8 @@ object FwMaintenance {
         FixedWidthWriter.render(layout, inserts))
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        statsOfRows(layout, inserts), tmp.length())
+        statsOfRows(layout, inserts), tmp.length(),
+        phys = layout.fieldNames.zipWithIndex.toMap)
       val target = new java.io.File(dir, name)
       require(tmp.renameTo(target), s"could not publish $tmp -> $target")
       val sTmp = new java.io.File(
@@ -1290,7 +1303,7 @@ object FwMaintenance {
 
     val files = FwFiles.list(path)
     val touched = pruneTouched(files, keyCol,
-      keyType == StringType, keySet)
+      keyType == StringType, keySet, mapLog)
     val bc = spark.sparkContext.broadcast(
       keySet.map(k => k -> (None: Option[Seq[Any]])).toMap)
     val plans = touched.map(f => MergePlan(f.getPath, f.length(),
@@ -1358,7 +1371,8 @@ object FwMaintenance {
     * conservative. Statless files never prune.
     */
   private def pruneTouched(files: Array[java.io.File], keyCol: String,
-      stringKey: Boolean, keys: Set[Any]): Array[java.io.File] = {
+      stringKey: Boolean, keys: Set[Any],
+      mapLog: Option[FwSchemaLog.Log]): Array[java.io.File] = {
     val longKeys: Seq[Long] =
       if (stringKey) Seq.empty
       else keys.map(_.asInstanceOf[Long]).toSeq
@@ -1366,7 +1380,10 @@ object FwMaintenance {
       if (stringKey) keys.map(_.asInstanceOf[String]).toSeq
       else Seq.empty
     files.filter { f =>
-      FwStats.read(f) match {
+      // keyCol is a LOGICAL name: resolve the sidecar through the
+      // column mapping (a retired-name envelope must not skip a file
+      // whose live keys actually match)
+      FwStats.readMapped(f, f.length(), mapLog) match {
         case Some(stats) =>
           stats.get(keyCol) match {
             case Some(FwIntStats(lo, hi)) if !stringKey =>
@@ -1475,7 +1492,8 @@ object FwMaintenance {
     if (updated > 0)
       FwStats.write(
         FwStats.sidecarFor(tmp.getPath.stripSuffix(".tmp")) + ".tmp",
-        acc.result(), tmp.length())
+        acc.result(), tmp.length(),
+        phys = schema.fieldNames.zipWithIndex.toMap)
     MergeResult(tmp.getPath, matched.result(), updated, copied)
   }
 

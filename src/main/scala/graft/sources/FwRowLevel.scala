@@ -186,9 +186,12 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
     // file keeps its identity (and is not retired); a kept file is
     // read in full — every record, no seek narrowing (non-matching
     // rows must be copied into the replacement)
+    // mapping-aware pruning: a file skipped here is NOT rewritten, so a
+    // retired-name envelope match would silently miss rows the DML must
+    // touch — resolve through _phys, legacy sidecars never prune
     val kept =
       if (prune.isEmpty) all
-      else all.filter(lf => FwStats.read(lf.file, lf.bytes)
+      else all.filter(lf => FwStats.readMapped(lf.file, lf.bytes, log)
         .forall(stats => FwStats.mayMatch(stats, prune)))
     op.scannedFiles = kept.map(_.file.getName).toSeq
     kept.flatMap { lf =>

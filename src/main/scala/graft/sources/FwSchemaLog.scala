@@ -268,6 +268,15 @@ object FwSchemaLog {
     * on record — callers pass it via [[ensureLog]] when absent.
     */
   private def ensureMapped(path: String): Log = {
+    // same flat-table contract as ADD COLUMN: partitioned/bucketed
+    // layouts keep sidecars whose `_phys` indices are relative to the
+    // pcol-less data schema — a mapping over them would resolve stats
+    // against the wrong slots
+    require(!Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .exists(d => d.isDirectory && d.getName.contains("=")),
+      s"FixedWidth: RENAME/DROP COLUMN are flat-table operations; " +
+        s"$path holds a partitioned or bucketed layout")
     val log = read(path).getOrElse(throw new IllegalArgumentException(
       s"FixedWidth: no schema log at $path — rename/drop need the " +
         "table's spec on record; create it via ensureLog(path, spec)"))

@@ -333,6 +333,109 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
       "the MoR delete and UPDATE above hold through compaction")
   }
 
+  test("an ALTER batch fully applies or fully fails: a bad LATER " +
+      "change rejects before any log mutation") {
+    val dir = Files.createTempDirectory("fwse15").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.fwse15",
+      classOf[FwCatalog].getName)
+    spark.sql(s"""CREATE TABLE fwse15.ns.t (id BIGINT, score DOUBLE)
+      OPTIONS (path '$dir', widths '4,10')""")
+    spark.sql("INSERT INTO fwse15.ns.t VALUES (1, 1.5)")
+    // second column uses the reserved prefix: the whole batch must
+    // reject with the FIRST column not added either
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE fwse15.ns.t ADD COLUMNS (" +
+        "x BIGINT COMMENT 'width=4', " +
+        "__fw_dropped_bad BIGINT COMMENT 'width=4')")
+    }
+    assert(chainHas(e, "reserved name prefix"))
+    assert(spark.table("fwse15.ns.t").columns.toSeq ===
+      Seq("id", "score"), "no half-applied batch")
+    assert(FwSchemaLog.read(dir).forall(_.specs.length == 1),
+      "the schema log must not carry the batch's first column")
+    // a later width-less ADD rejects the batch the same way
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE fwse15.ns.t ADD COLUMNS (" +
+        "y BIGINT COMMENT 'width=4', z BIGINT)")
+    }
+    assert(chainHas(e2, "width"))
+    assert(spark.table("fwse15.ns.t").columns.toSeq === Seq("id", "score"))
+    assert(FwSchemaLog.read(dir).forall(_.specs.length == 1))
+  }
+
+  test("zone maps survive a rename chain that reuses a retired name: " +
+      "stats resolve by physical slot, never by stale name") {
+    val dir = Files.createTempDirectory("fwse13").toFile.getAbsolutePath
+    val spec0 = "a:long:4,c:long:4"
+    // file 1: a in [1,3], c in [101,103]; file 2: a in [11,13], c in
+    // [111,113]
+    write(dir, spec0, Seq((1L, 101L), (2L, 102L), (3L, 103L))
+      .toDF("a", "c"), "overwrite")
+    write(dir, spec0, Seq((11L, 111L), (12L, 112L), (13L, 113L))
+      .toDF("a", "c"), "append")
+    FwSchemaLog.ensureLog(dir, spec0)
+    // retire 'a', then REUSE it for the column that was 'c'
+    FwSchemaLog.renameColumn(dir, "a", "b")
+    FwSchemaLog.renameColumn(dir, "c", "a")
+    val spec1 = "b:long:4,a:long:4"
+    // a name-keyed lookup would read old-'a's envelope [1,3]/[11,13]
+    // for the filter on new-'a' and prune BOTH files for value 102 —
+    // silently losing the matching row
+    val hit = read(dir, spec1).filter(col("a") === 102L).collect()
+    assert(hit.map(_.getLong(0)).toSeq === Seq(2L),
+      "the rename chain must not lose rows to stale-name pruning")
+    // ... and pruning still WORKS through the mapping: file 2's
+    // re-keyed envelope for new-'a' is [111,113], excluded exactly
+    assert(FixedWidth.lastSkippedFiles === 1,
+      "the re-keyed envelope should prune the non-matching file")
+    // a legacy sidecar (no _phys) on a mapped table never prunes —
+    // conservative, still correct
+    val f1 = FwFiles.list(dir).minBy(_.getName)
+    FwStats.write(FwStats.sidecarFor(f1.getPath),
+      Map("a" -> FwIntStats(1L, 3L), "c" -> FwIntStats(101L, 103L)),
+      f1.length())
+    val hit2 = read(dir, spec1).filter(col("a") === 102L).collect()
+    assert(hit2.map(_.getLong(1)).toSeq === Seq(102L),
+      "a legacy name-keyed sidecar must not prune under mapping")
+  }
+
+  test("metadata-only MIN/MAX answers on a mapped table through the " +
+      "physical-slot re-key; legacy sidecars decline it") {
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = Files.createTempDirectory("fwse14").toFile.getAbsolutePath
+    val spec0 = "id:long:4,score:long:6"
+    write(dir, spec0, Seq((1L, 10L), (2L, 20L)).toDF("id", "score"),
+      "overwrite")
+    write(dir, spec0, Seq((3L, 30L)).toDF("id", "score"), "append")
+    FwSchemaLog.ensureLog(dir, spec0)
+    FwSchemaLog.renameColumn(dir, "score", "pts")
+    val spec1 = "id:long:4,pts:long:6"
+    val df = read(dir, spec1).agg(min(col("pts")).as("lo"),
+      max(col("pts")).as("hi"))
+    assert(df.collect().head.toSeq === Seq(10L, 30L))
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"renamed MIN/MAX should stay metadata-only: " +
+        FixedWidth.lastScanSummary)
+    // rename chain reusing the retired name: MIN/MAX of new-'score'
+    // (physically the old 'id') must answer from ID'S envelope
+    FwSchemaLog.renameColumn(dir, "id", "key")
+    FwSchemaLog.renameColumn(dir, "pts", "score")
+    val spec2 = "key:long:4,score:long:6"
+    assert(read(dir, spec2).agg(min(col("key")), max(col("score")))
+      .collect().head.toSeq === Seq(1L, 30L))
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"))
+    // a legacy (no _phys) sidecar voids the metadata answer: the row
+    // scan takes over, result stays exact
+    val f1 = FwFiles.list(dir).minBy(_.getName)
+    FwStats.write(FwStats.sidecarFor(f1.getPath),
+      Map("id" -> FwIntStats(1L, 2L), "score" -> FwIntStats(10L, 20L)),
+      f1.length())
+    assert(read(dir, spec2).agg(max(col("score"))).collect()
+      .head.getLong(0) === 30L)
+    assert(!FixedWidth.lastScanSummary.contains("pushed-agg"),
+      "a legacy sidecar under mapping must decline the pushdown")
+  }
+
   private def chainHas(t: Throwable, s: String): Boolean = {
     var cur = t
     while (cur != null) {
