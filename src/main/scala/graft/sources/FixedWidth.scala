@@ -1396,21 +1396,24 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
     // are the one shape they CAN answer without record IO
     if (partitionBy.isDefined) return partGroupByOk(aggregation)
     if (bucketBy.isDefined) return false // dirs carry no value ranges
-    // schema-evolved tables mix record lengths; the metadata COUNT's
-    // bytes/rowLen arithmetic would be wrong — decline, the row scan
-    // (which IS per-file-layout-aware) answers instead. Column-mapped
-    // (rename/drop-only) tables DO answer: every sidecar lookup below
-    // resolves through the mapping (`_phys`), so a renamed column reads
-    // its own physical envelope and legacy name-keyed sidecars void the
-    // pushdown instead of answering from a possibly-retired name.
-    val aggLog = FwSchemaLog.read(path)
-    if (aggLog.exists(_.specs.length > 1)) return false
     val shapesOk = aggregation.groupByExpressions.isEmpty &&
       pushed.isEmpty && aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(e =>
         e.isInstanceOf[CountStar] || minMaxColumn(e).isDefined)
     if (!shapesOk) return false
     val listed = FwFiles.listAt(path, versionAsOf, changesFrom)
+    // the metadata COUNT's bytes/rowLen arithmetic, and every sidecar
+    // consulted below, assume the HEAD layout — any listed file at an
+    // older spec version (in-era prefix or pre-reorg era) declines the
+    // pushdown; the row scan, which IS per-file-layout-aware, answers
+    // instead. Column-mapped (rename/drop-only) tables DO answer:
+    // sidecar lookups resolve through the mapping (`_phys`), so a
+    // renamed column reads its own physical envelope and legacy
+    // name-keyed sidecars void the pushdown rather than answering from
+    // a possibly-retired name.
+    val aggLog = FwSchemaLog.read(path)
+    if (aggLog.exists(l =>
+      !l.uniformOver(listed.map(_.file.getName)))) return false
     // a file with an applicable deletion vector cannot answer from
     // metadata: its byte count overstates COUNT(*) and a deleted
     // record could have held the MIN/MAX — stand down, scan normally
@@ -3448,18 +3451,26 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
     // zone-map pruning: a file whose sidecar ranges exclude the pushed
     // filters is skipped before a single byte of it is read
     val eff = effectiveFilters
+    // pre-REORG-era files (pinned reads only — a reorg rewrites every
+    // live file) never consult sidecars: their stats names and _phys
+    // indices belong to a retired era's layout
+    def translated(lf: FwListedFile) =
+      schemaLog.flatMap(_.fileTranslation(lf.file.getName))
     val (kept, skipped) =
       if (eff.isEmpty) (all, Array.empty[FwListedFile])
       // mapping-aware: stats re-key to current logical names through
       // _phys, so a renamed column never prunes on a retired name's
       // envelope (legacy sidecars on a mapped table simply don't prune)
-      else all.partition(lf => FwStats.readMapped(lf.file, lf.bytes,
-        schemaLog).forall(stats => FwStats.mayMatch(stats, eff)))
+      else all.partition(lf => translated(lf).isDefined ||
+        FwStats.readMapped(lf.file, lf.bytes,
+          schemaLog).forall(stats => FwStats.mayMatch(stats, eff)))
     FixedWidth.lastSkippedFiles = skipped.length
     FixedWidth.lastSeekSkippedRecords = 0L
     kept.flatMap { lf =>
       val rowLen = rowLenFor(lf.file.getName)
-      val dataCols = dataColsFor(lf.file.getName)
+      val trans = translated(lf)
+      val dataCols =
+        if (trans.isDefined) -1 else dataColsFor(lf.file.getName)
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
         s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
@@ -3469,9 +3480,12 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
       // the scan of a billion-record file to exactly the rows a range
       // predicate can touch (the reader still evaluates every filter,
       // so narrowing only ever has to be not-too-narrow, and the
-      // search is exact on a non-decreasing column)
-      val (lo, hi) = FwStats.sortedColMapped(lf.file, lf.bytes,
-          schemaLog) match {
+      // search is exact on a non-decreasing column). Cross-era files
+      // skip it (their sort certificates name a retired era's fields).
+      val (lo, hi) =
+        (if (trans.isDefined) None
+         else FwStats.sortedColMapped(lf.file, lf.bytes,
+           schemaLog)) match {
         case Some(col) => FwSeek.narrow(fullSchema, lf.file.getPath,
           n, rowLen, col, eff)
         case None => (0L, n)
@@ -3485,7 +3499,8 @@ private[sources] class FwScan(fullSchema: StructType, required: StructType,
         val slice =
           if (dv.isEmpty) Array.empty[Long]
           else dv.filter(o => o >= start && o < start + cnt)
-        FwPartition(lf.file.getPath, start, cnt, slice, dataCols)
+        FwPartition(lf.file.getPath, start, cnt, slice, dataCols,
+          trans.map(_._1).orNull, trans.map(_._2).orNull)
       }
     }.toArray[InputPartition]
   }
@@ -3663,9 +3678,17 @@ private[sources] class FwMicroBatchStream(fullSchema: StructType,
   * this file (-1 = all): files written before a metadata-only ADD
   * COLUMN parse at their own prefix layout, missing columns are NULL.
   */
+/** `fileLayout`/`fieldMap`: set for files from a PRE-REORG era, whose
+  * records are NOT a byte-prefix of the current head (REORG APPLY
+  * PURGE removed dropped fields from the middle of the record).
+  * `fileLayout` is the file's OWN layout spec and `fieldMap(i)` the
+  * file field holding head field `i` (-1 = absent, reads NULL). When
+  * null, prefix semantics via `dataCols` apply as before.
+  */
 private[sources] case class FwPartition(file: String, startRecord: Long,
     numRecords: Long, deleted: Array[Long] = Array.empty,
-    dataCols: Int = -1)
+    dataCols: Int = -1, fileLayout: String = null,
+    fieldMap: Array[Int] = null)
     extends InputPartition
 
 private[sources] class FwReaderFactory(fullSchema: StructType,
@@ -3712,15 +3735,33 @@ private[sources] class FwFileAppendReaderFactory(
 private[sources] class FwReader(fullSchema: StructType,
     requiredNames: Array[String], pushed: Array[Filter], part: FwPartition)
     extends PartitionReader[InternalRow] {
-  private val widths = FixedWidth.widths(fullSchema)
-  private val offsets = widths.scanLeft(0)(_ + _)
-  // schema evolution: a pre-evolution file holds only the first
-  // `dataCols` fields — its records are the PREFIX layout; absent
-  // trailing fields read as NULL
-  private val presentCols =
-    if (part.dataCols < 0) fullSchema.length else part.dataCols
-  private val recLen = offsets(presentCols)
-  private val rowLen = recLen + 1
+  // per-head-field byte location inside THIS file's records:
+  // (offset, width), width -1 = field absent (reads NULL).
+  // - prefix path (fileLayout == null): a pre-evolution file holds the
+  //   first `dataCols` fields, trailing fields are absent;
+  // - translated path: a pre-REORG file follows its OWN layout and
+  //   `fieldMap` names the file field holding each head field
+  private val (fieldOff, fieldW, rowLen) =
+    if (part.fileLayout == null) {
+      val widths = FixedWidth.widths(fullSchema)
+      val offsets = widths.scanLeft(0)(_ + _)
+      val presentCols =
+        if (part.dataCols < 0) fullSchema.length else part.dataCols
+      (Array.tabulate(fullSchema.length)(i =>
+        if (i < presentCols) offsets(i) else -1),
+        Array.tabulate(fullSchema.length)(i =>
+          if (i < presentCols) widths(i) else -1),
+        offsets(presentCols) + 1)
+    } else {
+      val fs = FixedWidth.parseSchema(part.fileLayout)
+      val fw = FixedWidth.widths(fs)
+      val fo = fw.scanLeft(0)(_ + _)
+      (Array.tabulate(fullSchema.length) { i =>
+        val j = part.fieldMap(i); if (j < 0) -1 else fo(j)
+      }, Array.tabulate(fullSchema.length) { i =>
+        val j = part.fieldMap(i); if (j < 0) -1 else fw(j)
+      }, fo(fs.length) + 1)
+    }
 
   private def refs(f: Filter): Set[String] = f.references.toSet
   private val neededNames: Set[String] =
@@ -3779,10 +3820,10 @@ private[sources] class FwReader(fullSchema: StructType,
   override def close(): Unit = raf.close()
 
   private def parseField(i: Int): Any = {
-    if (i >= presentCols) return null
-    val start = offsets(i)
+    if (fieldW(i) < 0) return null
+    val start = fieldOff(i)
     var a = start
-    var b = start + widths(i)
+    var b = start + fieldW(i)
     while (a < b && buf(a) == ' ') a += 1
     while (b > a && buf(b - 1) == ' ') b -= 1
     if (a == b) null

@@ -146,6 +146,10 @@ private[sources] object FwCdf {
       log.map(_.rowLenOf(name)).getOrElse(headRowLen)
     def dataColsOf(name: String): Int =
       log.map(_.dataColsOf(name)).getOrElse(-1)
+    // pre-REORG-era files replay through position translation — their
+    // records are not byte-prefixes of the current head layout
+    def transOf(name: String): Option[(String, Array[Int])] =
+      log.flatMap(_.fileTranslation(name))
     if (b <= a) return Array.empty
     val manifests: Map[Long, Map[String, Long]] = FwVersions.read(path)
       .map { case (v, files) => v -> files.toMap }.toMap
@@ -234,18 +238,26 @@ private[sources] object FwCdf {
           val hi = (if (len < 0) f.length() else len) / rowLen
           val lo = prev.get(name).map(l =>
             (if (l < 0) 0L else l) / rowLen).getOrElse(0L)
-          if (hi > lo)
+          if (hi > lo) {
+            val tr = transOf(name)
             Some(FwCdfPartition(f.getPath, Array((lo, hi - lo)),
-              "insert", v, dataColsOf(name), layoutSpec))
-          else None
+              "insert", v,
+              if (tr.isDefined) -1 else dataColsOf(name), layoutSpec,
+              tr.map(_._1).orNull, tr.map(_._2).orNull))
+          } else None
         }
         val deletes = curr.keysIterator.toSeq.sorted.flatMap { name =>
           val f = new java.io.File(dir, name)
           val ords = FwDv.read(f.getPath).filter(_._1 == v)
             .flatMap(_._2).distinct.sorted
           if (ords.isEmpty) None
-          else Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
-            "delete", v, dataColsOf(name), layoutSpec))
+          else {
+            val tr = transOf(name)
+            Some(FwCdfPartition(f.getPath, runsOf(ords.toArray),
+              "delete", v,
+              if (tr.isDefined) -1 else dataColsOf(name), layoutSpec,
+              tr.map(_._1).orNull, tr.map(_._2).orNull))
+          }
         }
         inserts ++ deletes
       }
@@ -290,7 +302,8 @@ private[sources] object FwCdfOffset {
   */
 private[sources] case class FwCdfPartition(file: String,
     runs: Array[(Long, Long)], changeType: String, version: Long,
-    dataCols: Int = -1, layoutSpec: String = null)
+    dataCols: Int = -1, layoutSpec: String = null,
+    fileLayout: String = null, fieldMap: Array[Int] = null)
     extends InputPartition
 
 private[sources] class FwCdfMicroBatchStream(declared: StructType,
@@ -352,7 +365,8 @@ private[sources] class FwCdfReader(declared: StructType,
         val (s, n) = part.runs(runIdx)
         runIdx += 1
         cur = new FwReader(layout, declared.fieldNames, Array.empty,
-          FwPartition(part.file, s, n, Array.empty, part.dataCols))
+          FwPartition(part.file, s, n, Array.empty, part.dataCols,
+            part.fileLayout, part.fieldMap))
       }
       if (cur.next()) return true
       cur.close()

@@ -921,6 +921,106 @@ object FwMaintenance {
     RollbackReport(all.size - retained.size, removed)
   }
 
+  final case class ReorgReport(version: Option[Long], filesBefore: Int,
+      filesAfter: Int, bytesBefore: Long, bytesAfter: Long,
+      purgedFields: Int)
+
+  /** REORG (APPLY PURGE) — physically reclaim dropped columns. DROP
+    * COLUMN is metadata-only: the dropped field keeps occupying its
+    * bytes in every file, old and new, readable through time-travel
+    * pins — which is exactly wrong for a PII drop. This pass rewrites
+    * every live file at the PURGED layout (the logical head: dropped
+    * physical fields gone, logical names/order become the new physical
+    * head), collapses the column mapping to identity over it, and
+    * commits the rewrite as one snapshot under optimistic concurrency.
+    * Rows are identical — the change feed sees a zero-row diff, like
+    * compaction. Version pins from before the reorg keep reading the
+    * RETAINED originals at their recorded layouts through the schema
+    * log's era translation ([[FwSchemaLog.Log.fileTranslation]]);
+    * vacuuming those pins is what finally erases the purged bytes.
+    *
+    * Scale shape: one distributed read of the live bytes, one
+    * distributed write at the narrower layout (no shuffle at all),
+    * per-task zone-map sidecars. The only driver work is the manifest
+    * commit.
+    */
+  def reorg(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): ReorgReport = {
+    requireFlat(path, "reorg")
+    val log = FwSchemaLog.read(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"FixedWidth reorg at $path: the table has no schema log — " +
+          "no renames/drops on record, nothing to purge"))
+    require(log.hasMapping,
+      s"FixedWidth reorg at $path: the table carries no column " +
+        "mapping — nothing to purge")
+    require(FwSchemaLog.structEq(schema, log.logicalHead),
+      s"FixedWidth reorg at $path: declare the table's current " +
+        s"schema '${FixedWidth.specOf(log.logicalHead)}'")
+    FwVersions.requireCommitSlot(path, None)
+    val planVersion = FwVersions.currentMax(path)
+    val live = FwFiles.list(path)
+    val bytesBefore = live.map(_.length()).sum
+    val purgedSpec = FixedWidth.specOf(log.logicalHead)
+    val purgedFields = log.headSchema.length - log.mapping.get.length
+    val spec = FixedWidth.specOf(schema)
+    val reader = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec)
+    // pin the read at the planned snapshot: a concurrent commit makes
+    // the publish-phase version re-check abort instead of purging a
+    // half-seen live set. The logical read is mapping-aware and
+    // materializes deletion vectors away, exactly like a COW pass.
+    val df = (if (planVersion >= 1)
+      reader.option("versionAsOf", planVersion.toString) else reader)
+      .load(path)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val tmpDir = new java.io.File(path, s"_fw_reorg_$uid")
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(nuke)
+      f.delete()
+    }
+    var filesAfter = 0
+    var bytesAfter = 0L
+    try {
+      // the write runs at the PURGED spec: the logical schema IS,
+      // structurally, the new physical head
+      df.write.format("graft.sources.FixedWidth")
+        .option("schema", purgedSpec).mode("overwrite")
+        .save(tmpDir.getAbsolutePath)
+      val dir = new java.io.File(path)
+      val version = FwVersions.withLock(path) {
+        FwVersions.requireVersion(path, planVersion, "reorg")
+        // the stamp set must predate the new files: everything known
+        // NOW was written at a pre-reorg layout
+        val knownBefore: Set[String] =
+          (FwFiles.listPhysical(path).map(_.getName) ++
+            FwVersions.read(path).flatMap(_._2.map(_._1))).toSet
+        val parts = tmpDir.listFiles()
+          .filter(_.getName.endsWith(".fw")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val target = new java.io.File(dir, f"reorg-$i%05d-$uid.fw")
+          val sc = new java.io.File(FwStats.sidecarFor(f.getPath))
+          if (sc.isFile)
+            require(sc.renameTo(new java.io.File(
+              FwStats.sidecarFor(target.getPath))),
+              s"could not publish sidecar of $f")
+          require(f.renameTo(target), s"could not publish $f -> $target")
+          bytesAfter += target.length()
+        }
+        filesAfter = parts.length
+        val replaced = retireInputs(path, live.map(_.getPath).toSeq)
+        val v = FwVersions.commitSnapshotLocked(path, replaced, "reorg")
+        // log transition LAST, still under the lock: new head = purged
+        // spec, mapping collapses, pre-reorg files stamped at their era
+        FwSchemaLog.applyReorg(path, knownBefore)
+        v
+      }
+      ReorgReport(Some(version), live.length, filesAfter,
+        bytesBefore, bytesAfter, purgedFields)
+    } finally nuke(tmpDir)
+  }
+
   private def requireFlat(path: String, op: String): Unit =
     require(partitionDirs(path).isEmpty,
       s"FixedWidth $op is a flat-table operation for now; $path holds " +

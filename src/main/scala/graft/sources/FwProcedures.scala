@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object FwProcedures {
   val names: Seq[String] = Seq("optimize", "vacuum", "rollback",
     "clone", "truncate", "add_constraint", "drop_constraint",
-    "publish", "tag", "restore")
+    "publish", "tag", "restore", "reorg")
 
   def load(cat: FwCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -46,6 +46,7 @@ private[sources] object FwProcedures {
       case "publish" => Some(new PublishProcedure(cat))
       case "tag" => Some(new TagProcedure(cat))
       case "restore" => Some(new RestoreProcedure(cat))
+      case "reorg" => Some(new ReorgProcedure(cat))
       case _ => None
     }
 
@@ -127,6 +128,35 @@ private[sources] object FwProcedures {
         result(out, Seq(r.committedVersion.orNull, r.filesBefore,
           r.filesAfter, r.filesAfter, r.bytesRewritten))
       }
+    }
+  }
+
+  /** `CALL fw.reorg(tbl)` → REORG APPLY (PURGE): rewrite every live
+    * file without the dropped physical fields and collapse the column
+    * mapping to identity — the pass that makes DROP COLUMN's bytes
+    * actually reclaimable (pre-reorg pins still read the retained
+    * originals; vacuum finishes the erasure).
+    */
+  private final class ReorgProcedure(cat: FwCatalog)
+      extends FwProcedure(cat) {
+    override def name(): String = "reorg"
+    override def description(): String =
+      "rewrite live files at the purged layout (APPLY PURGE) so " +
+        "dropped columns stop occupying bytes; commits one snapshot"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("tbl", StringType))
+    private val out = StructType(Seq(
+      StructField("committed_version", LongType),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("bytes_before", LongType, nullable = false),
+      StructField("bytes_after", LongType, nullable = false),
+      StructField("purged_fields", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (path, schema) = resolve(input.getUTF8String(0).toString)
+      val r = FwMaintenance.reorg(spark, path, schema)
+      result(out, Seq(r.version.orNull, r.filesBefore, r.filesAfter,
+        r.bytesBefore, r.bytesAfter, r.purgedFields))
     }
   }
 

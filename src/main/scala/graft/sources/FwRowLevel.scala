@@ -191,13 +191,20 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
     // touch — resolve through _phys, legacy sidecars never prune
     val kept =
       if (prune.isEmpty) all
-      else all.filter(lf => FwStats.readMapped(lf.file, lf.bytes, log)
-        .forall(stats => FwStats.mayMatch(stats, prune)))
+      else all.filter(lf =>
+        log.exists(_.fileTranslation(lf.file.getName).isDefined) ||
+          FwStats.readMapped(lf.file, lf.bytes, log)
+            .forall(stats => FwStats.mayMatch(stats, prune)))
     op.scannedFiles = kept.map(_.file.getName).toSeq
     kept.flatMap { lf =>
       val rowLen = log.map(_.rowLenOf(lf.file.getName))
         .getOrElse(FixedWidth.widths(op.layout).sum + 1L)
-      val dataCols = log.map(_.dataColsOf(lf.file.getName)).getOrElse(-1)
+      // pre-REORG-era files (live again only after a rollback across
+      // the reorg) translate head positions instead of prefix-parsing
+      val trans = log.flatMap(_.fileTranslation(lf.file.getName))
+      val dataCols =
+        if (trans.isDefined) -1
+        else log.map(_.dataColsOf(lf.file.getName)).getOrElse(-1)
       val n = lf.bytes / rowLen
       require(lf.bytes % rowLen == 0,
         s"FixedWidth: ${lf.file.getPath} length ${lf.bytes} is not a " +
@@ -210,7 +217,8 @@ private[sources] final class FwCowScan(schema: StructType, path: String,
         val slice =
           if (dv.isEmpty) Array.empty[Long]
           else dv.filter(o => o >= start && o < start + cnt)
-        FwPartition(lf.file.getPath, start, cnt, slice, dataCols)
+        FwPartition(lf.file.getPath, start, cnt, slice, dataCols,
+          trans.map(_._1).orNull, trans.map(_._2).orNull)
       }
     }.toArray[InputPartition]
   }

@@ -36,8 +36,20 @@ object FwSchemaLog {
     * old and new; honest fixed-width trade-off, reclaimed only by a
     * full rewrite). None = identity (the table never renamed/dropped).
     */
+  /** `reorgs` records every REORG (APPLY PURGE) boundary: an entry
+    * `(sv, m)` says spec version `sv` is a REWRITTEN physical head —
+    * not an append — whose field `j` holds field `m(j)` of the
+    * immediately-preceding head layout (`specs(sv-2)`). Files from
+    * before a boundary are NOT byte-prefixes of the current head (the
+    * purge removed dropped fields from the MIDDLE of the record);
+    * pinned reads of them translate head positions through the
+    * boundary maps ([[Log.fileTranslation]]) instead of prefix
+    * arithmetic. Within an era the append-only prefix invariant holds
+    * exactly as before.
+    */
   final case class Log(specs: Vector[String], fileSv: Map[String, Int],
-      mapping: Option[Vector[(String, Int)]] = None) {
+      mapping: Option[Vector[(String, Int)]] = None,
+      reorgs: Vector[(Int, Vector[Int])] = Vector.empty) {
     val head: Int = specs.length
     private val schemas: Vector[StructType] =
       specs.map(FixedWidth.parseSchema)
@@ -53,6 +65,34 @@ object FwSchemaLog {
       files.forall(svOf(_) == head)
 
     def hasMapping: Boolean = mapping.isDefined
+
+    /** First spec version of the CURRENT era: files at sv >= this are
+      * byte-prefixes of the head layout; older files need
+      * [[fileTranslation]].
+      */
+    def eraStart: Int = reorgs.lastOption.map(_._1).getOrElse(1)
+
+    /** For a file from a PRE-REORG era: its own layout spec plus, per
+      * head field, the index of the file field holding it (-1 when
+      * the column was added after the file was written). None for
+      * current-era files — plain prefix semantics apply to them.
+      */
+    def fileTranslation(fileName: String): Option[(String, Array[Int])] = {
+      val sv = svOf(fileName)
+      if (sv >= eraStart) None
+      else {
+        // walk the boundaries newest-first down to the file's era;
+        // each map sends a head position into the previous era's head
+        var idx = Array.tabulate(headSchema.length)(identity)
+        reorgs.reverseIterator.foreach { case (r, m) =>
+          if (r > sv) idx = idx.map(j => if (j < 0) -1 else m(j))
+        }
+        // within its era the file is a PREFIX of that era's head
+        val fileCols = schemas(sv - 1).length
+        Some((specs(sv - 1),
+          idx.map(j => if (j >= 0 && j < fileCols) j else -1)))
+      }
+    }
 
     /** The user-visible schema: mapped fields in mapping order, each
       * carrying its PHYSICAL field's type and width under its logical
@@ -131,7 +171,21 @@ object FwSchemaLog {
         }.toVector)
         case _ => None
       }
-      Some(Log(specs, files, mapping))
+      def int(v: JValue): Int = v match {
+        case JInt(i) => i.toInt
+        case JLong(i) => i.toInt
+        case other => throw new IllegalArgumentException(
+          s"bad _fw_schemas.json reorg entry: $other")
+      }
+      val reorgs = doc \ "reorgs" match {
+        case JArray(es) => es.map {
+          case JArray(List(sv, JArray(m))) => (int(sv), m.map(int).toVector)
+          case other => throw new IllegalArgumentException(
+            s"bad _fw_schemas.json reorg entry: $other")
+        }.toVector
+        case _ => Vector.empty[(Int, Vector[Int])]
+      }
+      Some(Log(specs, files, mapping, reorgs))
     }
   }
 
@@ -143,13 +197,21 @@ object FwSchemaLog {
       ("files" -> log.fileSv.toSeq.sortBy(_._1).map {
         case (n, sv) => n -> sv
       }.toMap)
-    val doc = log.mapping match {
+    val withMapping = log.mapping match {
       case Some(m) => base ~ ("mapping" -> m.map {
         case (n, pi) => Seq(org.json4s.JString(n),
           org.json4s.JInt(pi)): Seq[org.json4s.JValue]
       })
       case None => base
     }
+    val doc =
+      if (log.reorgs.isEmpty) withMapping
+      else withMapping ~ ("reorgs" -> log.reorgs.map { case (sv, m) =>
+        Seq(org.json4s.JInt(sv),
+          org.json4s.JArray(m.map(i =>
+            org.json4s.JInt(i): org.json4s.JValue).toList))
+          : Seq[org.json4s.JValue]
+      })
     val target = fileFor(path)
     val tmp = new java.io.File(target.getPath + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
@@ -261,6 +323,30 @@ object FwSchemaLog {
         s"FixedWidth: cannot drop the last column $name")
       write(path, log.copy(mapping = Some(m.filterNot(_._1 == name))))
     }
+
+  /** The REORG (APPLY PURGE) log transition — called under the commit
+    * lock AFTER the rewritten live files are published. Every file
+    * known before the rewrite is stamped at the pre-reorg head (pinned
+    * reads keep their recorded layouts), the PURGED spec — the logical
+    * head, i.e. the physical head minus dropped fields, under the
+    * current logical names — becomes the new physical head, the
+    * mapping collapses away (logical names ARE the physical names
+    * now), and the era boundary map (new head position -> pre-reorg
+    * physical position) is appended for cross-era translation.
+    */
+  private[sources] def applyReorg(path: String,
+      knownBefore: Set[String]): Unit = {
+    val log = read(path).getOrElse(throw new IllegalStateException(
+      s"FixedWidth reorg: no schema log at $path"))
+    val m = log.mapping.getOrElse(throw new IllegalStateException(
+      s"FixedWidth reorg: table at $path carries no column mapping"))
+    val purgedSpec = FixedWidth.specOf(log.logicalHead)
+    val purgeMap = m.map(_._2)
+    val stamped = log.fileSv ++
+      knownBefore.filterNot(log.fileSv.contains).map(_ -> log.head)
+    write(path, Log(log.specs :+ purgedSpec, stamped, None,
+      log.reorgs :+ ((log.specs.length + 1, purgeMap))))
+  }
 
   /** Current log with the mapping layer materialized (identity over
     * the physical head when the table never renamed/dropped before).

@@ -436,6 +436,78 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
       "a legacy sidecar under mapping must decline the pushdown")
   }
 
+  test("REORG APPLY PURGE physically reclaims dropped columns: live " +
+      "bytes shrink, rows hold, old pins read, purged data is GONE " +
+      "from every live file") {
+    import org.apache.spark.sql.functions.max
+    val dir = Files.createTempDirectory("fwse16").toFile.getAbsolutePath
+    val spec0 = "id:long:4,ssn:string:11,score:double:10"
+    write(dir, spec0, Seq((1L, "111-22-3333", 1.5),
+      (2L, "444-55-6666", 2.5)).toDF("id", "ssn", "score"), "overwrite")
+    write(dir, spec0, Seq((3L, "777-88-9999", 3.5))
+      .toDF("id", "ssn", "score"), "append")
+    FwSchemaLog.ensureLog(dir, spec0)
+    FwSchemaLog.renameColumn(dir, "score", "pts")
+    FwSchemaLog.dropColumn(dir, "ssn")
+    val specL = "id:long:4,pts:double:10"
+    val bytesBefore = FwFiles.list(dir).map(_.length()).sum
+    val r = FwMaintenance.reorg(spark, dir, FixedWidth.parseSchema(specL))
+    assert(r.purgedFields === 1 && r.version.isDefined)
+    assert(r.bytesAfter < r.bytesBefore,
+      s"purge must shrink live bytes: ${r.bytesAfter} vs ${r.bytesBefore}")
+    assert(r.bytesBefore === bytesBefore)
+    // rows identical under the logical schema
+    val rows = read(dir, specL).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // the purged PII is gone from EVERY live file's bytes
+    FwFiles.list(dir).foreach { f =>
+      val bytes = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(!bytes.contains("-"), // all three SSNs carry dashes
+        s"live file ${f.getName} still carries purged bytes")
+    }
+    // mapping collapsed to identity; a post-reorg append works at the
+    // purged layout and the metadata MIN/MAX answers again
+    assert(FwSchemaLog.read(dir).exists(l =>
+      !l.hasMapping && l.eraStart === l.head))
+    write(dir, specL, Seq((4L, 4.5)).toDF("id", "pts"), "append")
+    assert(read(dir, specL).agg(max(col("pts"))).head.getDouble(0) === 4.5)
+    assert(FixedWidth.lastScanSummary.contains("pushed-agg"),
+      s"post-reorg MIN/MAX should be metadata-only: " +
+        FixedWidth.lastScanSummary)
+    // pre-reorg pins read the RETAINED originals through the era
+    // translation, under the CURRENT logical schema — and filters on
+    // translated positions stay exact
+    val v2 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specL).option("versionAsOf", "2").load(dir)
+    assert(v2.orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)),
+      "pre-reorg pins must read retained files at their recorded layout")
+    assert(v2.filter(col("pts") > 2.0).count() === 2L)
+    val v1 = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specL).option("versionAsOf", "1").load(dir)
+    assert(v1.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // a reorg on an unmapped table refuses (nothing to purge)
+    val e = intercept[Exception] {
+      FwMaintenance.reorg(spark, dir, FixedWidth.parseSchema(specL))
+    }
+    assert(chainHas(e, "no column mapping"))
+    // and the CDF still replays the WHOLE history — pre-reorg appends
+    // through the era translation, the reorg commit itself as zero
+    // rows (rows identical, like compaction)
+    val cdf = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", specL).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+      .select("_change_type", "_commit_version", "id", "pts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(cdf === Seq(("insert", 1L, 1L), ("insert", 1L, 2L),
+      ("insert", 2L, 3L), ("insert", 4L, 4L)),
+      s"CDF across the reorg must be exactly the inserts: $cdf")
+  }
+
   private def chainHas(t: Throwable, s: String): Boolean = {
     var cur = t
     while (cur != null) {
