@@ -99,6 +99,62 @@ object Analytics160 {
           col("bytes_shrunk"), col("purged_gone"), col("purged_fields"))
         .orderBy("pin", "s_nationkey")
     }),
+    // SCHEMA EVOLUTION OVER A HIVE-PARTITIONED LAYOUT: metadata-only
+    // ADD COLUMN stamps every existing file under its `k=v` directory
+    // (relative keys — bare names can collide across dirs), appends
+    // land at the widened head (including a brand-new partition dir),
+    // and one read spans the mix: old files parse at their own record
+    // length with the new column NULL, new files carry real values,
+    // and partition pruning still prunes exactly. The oracle replays
+    // both commit classes with explicit NULLs; the pruning contract
+    // pins as a boolean.
+    "q397_fw_partitioned_evolution" -> ((spark, dir) => {
+      val base = Tables.freshFwBase("graft_fw_partevo", dir)
+      val src = t(spark, dir, "supplier")
+        .filter(col("s_suppkey") <= FwFixtureMaxKey)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      val spec1 = "s_suppkey:long:8,s_nationkey:int:4,s_acctbal:double:24"
+      val spec2 = spec1 + ",s_tier:string:6"
+      src.write.format("graft.sources.FixedWidth")
+        .option("schema", spec1).option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(base.toString)
+      graft.sources.FwSchemaLog.addColumn(base.toString, spec1,
+        "s_tier:string:6")
+      // the append lands at the widened head, in a NEW partition dir
+      src.filter(col("s_suppkey") % 10 === 9)
+        .select((col("s_suppkey") + 600000L).as("s_suppkey"),
+          lit(77).as("s_nationkey"), lit(7.0).as("s_acctbal"),
+          lit("gold").as("s_tier"))
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", spec2).option("partitionBy", "s_nationkey")
+        .mode("append").save(base.toString)
+      def rd = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec2).option("partitionBy", "s_nationkey")
+        .load(base.toString)
+      val dirs = Option(new java.io.File(base.toString).listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("s_nationkey="))
+      val nk7 = rd.filter(col("s_nationkey") === 7).count()
+      val prunedExactly =
+        graft.sources.FixedWidth.lastPrunedPartitions == dirs - 1
+      // the pruned single-directory read must see exactly the fixture's
+      // nk=7 rows (the evolved append went to nk=77)
+      val nk7Expected = src.filter(col("s_nationkey") === 7).count()
+      rd.groupBy(col("s_tier"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(round(s_acctbal, 2) as decimal(18,2))"))
+            .cast("double").as("sum_bal"),
+          min(col("s_suppkey")).as("min_key"),
+          max(col("s_suppkey")).as("max_key"),
+          sum(when(col("s_nationkey") === 7, 1L).otherwise(0L))
+            .as("n_nk7"))
+        .withColumn("pruned_exactly", lit(prunedExactly))
+        .withColumn("nk7_stable", lit(nk7 == nk7Expected))
+        .select(col("s_tier"), col("n_rows"), col("sum_bal"),
+          col("min_key"), col("max_key"), col("n_nk7"),
+          col("pruned_exactly"), col("nk7_stable"))
+        .orderBy("s_tier")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -120,5 +176,26 @@ object Analytics160 {
         TRUE AS bytes_shrunk, TRUE AS purged_gone,
         CAST(1 AS INT) AS purged_fields
       FROM legs GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // both commit classes replayed with explicit NULL back-fill for
+    // the pre-evolution partition files; the pruning contracts pin TRUE
+    "q397_fw_partitioned_evolution" -> """
+      WITH s AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        WHERE s_suppkey <= 100000),
+      evolved AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+          CAST(NULL AS VARCHAR) AS s_tier FROM s
+        UNION ALL
+        SELECT s_suppkey + 600000, 77, 7.0, 'gold'
+        FROM s WHERE s_suppkey % 10 = 9)
+      SELECT s_tier, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_bal,
+        min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        CAST(sum(CASE WHEN s_nationkey = 7 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_nk7,
+        TRUE AS pruned_exactly, TRUE AS nk7_stable
+      FROM evolved GROUP BY 1 ORDER BY 1""",
   )
 }

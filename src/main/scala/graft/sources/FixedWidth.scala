@@ -1350,8 +1350,14 @@ private[sources] class FwScanBuilder(fullSchema: StructType, path: String,
   private def partGroupByOk(aggregation: Aggregation): Boolean =
     // mapping is a flat-table layer (ensureMapped refuses k=v layouts);
     // a hand-built mapped+partitioned log must not answer from
-    // name-keyed sidecars whose names may be retired
-    !FwSchemaLog.read(path).exists(_.hasMapping) &&
+    // name-keyed sidecars whose names may be retired. And the
+    // per-directory COUNT arithmetic (file bytes / head record length)
+    // assumes every file is head-layout — a partitioned table evolved
+    // by ADD COLUMN declines until its old files are rewritten.
+    !FwSchemaLog.read(path).exists(l => l.hasMapping ||
+      !l.uniformOver(partitionBy.toSeq.flatMap(p =>
+        FwFiles.listPartitioned(path, p).map { case (_, f) =>
+          s"${f.getParentFile.getName}/${f.getName}" }))) &&
     partitionBy.exists { pcol =>
       val groupOnP = aggregation.groupByExpressions.toSeq match {
         case Seq(e) => e.references().toSeq match {
@@ -1551,7 +1557,7 @@ private[sources] class FwBucketScan(fullSchema: StructType,
   private val bType =
     fullSchema.fields(fullSchema.fieldNames.indexOf(bcol)).dataType
   @volatile private var runtime: Array[Filter] = Array.empty
-  @volatile private var cachedGroups: Seq[(Int, Seq[(String, Long, Long)])] = _
+  @volatile private var cachedGroups: Seq[(Int, Seq[(String, Long, Long, Int)])] = _
 
   /** Bucket ids a filter on the bucket column confines the scan to;
     * None = cannot confine. Only equality shapes map to buckets (a
@@ -1584,7 +1590,7 @@ private[sources] class FwBucketScan(fullSchema: StructType,
     case _ => None
   }
 
-  private def groups: Seq[(Int, Seq[(String, Long, Long)])] = {
+  private def groups: Seq[(Int, Seq[(String, Long, Long, Int)])] = {
     val cached = cachedGroups
     if (cached != null) return cached
     FixedWidth.lastSeekSkippedRecords = 0L
@@ -1598,11 +1604,13 @@ private[sources] class FwBucketScan(fullSchema: StructType,
       allowed.forall(_.contains(id))
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
-    val rowLen = FixedWidth.widths(fullSchema).sum + 1L
-    // mapping never applies to bucketed layouts (ensureMapped refuses),
-    // but resolve through it anyway: a hand-built log then disables
-    // name-keyed pruning instead of matching retired names
-    val mapLog = FwSchemaLog.read(path)
+    // schema evolution: bucket files stamp under `<dir>/<name>` and
+    // parse at THEIR spec version (bucket records carry every field,
+    // so the full-schema prefix arithmetic applies directly); a stale
+    // declared schema refuses loudly here
+    val mapLog = FwSchemaLog.requireHead(path, fullSchema)
+    val headRowLen = FixedWidth.widths(fullSchema).sum + 1L
+    def keyOf(f: java.io.File) = s"${f.getParentFile.getName}/${f.getName}"
     val computed = kept.map { case (id, files) =>
       // the bucket column is in the records, so ordinary zone maps
       // prune files within a bucket too
@@ -1612,6 +1620,9 @@ private[sources] class FwBucketScan(fullSchema: StructType,
           case None => true
         }
       }.map { f =>
+        val rowLen = mapLog.map(_.rowLenOf(keyOf(f)))
+          .getOrElse(headRowLen)
+        val dataCols = mapLog.map(_.dataColsOf(keyOf(f))).getOrElse(-1)
         val n = f.length() / rowLen
         val (lo, hi) = FwStats.sortedColMapped(f, f.length(),
             mapLog) match {
@@ -1620,7 +1631,10 @@ private[sources] class FwBucketScan(fullSchema: StructType,
           case None => (0L, n)
         }
         FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
-        (f.getPath, lo, hi - lo)
+        (f.getPath, lo, hi - lo,
+          if (mapLog.exists(_.svOf(keyOf(f)) != mapLog.get.head))
+            dataCols
+          else -1)
       }.toVector
       (id, fs)
     }
@@ -1874,7 +1888,7 @@ private[sources] class FwPartScan(fullSchema: StructType,
   private val dataSchema =
     StructType(fullSchema.fields.filter(_.name != pcol))
   @volatile private var runtime: Array[Filter] = Array.empty
-  @volatile private var cachedGroups: Seq[(Any, Seq[(String, Long, Long)])] = _
+  @volatile private var cachedGroups: Seq[(Any, Seq[(String, Long, Long, Int)])] = _
 
   private def conjuncts(f: Filter): Seq[Filter] = f match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -1939,7 +1953,7 @@ private[sources] class FwPartScan(fullSchema: StructType,
     }
   }
 
-  private def groups: Seq[(Any, Seq[(String, Long, Long)])] = {
+  private def groups: Seq[(Any, Seq[(String, Long, Long, Int)])] = {
     val cached = cachedGroups
     if (cached != null) return cached
     FixedWidth.lastSeekSkippedRecords = 0L
@@ -1951,10 +1965,14 @@ private[sources] class FwPartScan(fullSchema: StructType,
       pFilters.forall(f => evalP(v, f))
     }
     FixedWidth.lastPrunedPartitions = all.size - kept.size
-    val rowLen = FixedWidth.widths(dataSchema).sum + 1L
-    // see the bucketed groups: mapping is flat-only, the resolve is
-    // defense against hand-built mapped+partitioned logs
-    val mapLog = FwSchemaLog.read(path)
+    // schema evolution: partitioned files stamp under `<dir>/<name>`
+    // and parse at THEIR spec version; the partition column is not in
+    // the records, so the per-file DATA layout is that version's spec
+    // minus pcol (removing the same field keeps the prefix property).
+    // A stale declared schema refuses loudly here.
+    val mapLog = FwSchemaLog.requireHead(path, fullSchema)
+    val headRowLen = FixedWidth.widths(dataSchema).sum + 1L
+    def keyOf(f: java.io.File) = s"${f.getParentFile.getName}/${f.getName}"
     val computed = kept.map { case (vs, files) =>
       val fs = files.map(_._2).filter { f =>
         FwStats.readMapped(f, f.length(), mapLog) match {
@@ -1962,6 +1980,11 @@ private[sources] class FwPartScan(fullSchema: StructType,
           case None => true
         }
       }.map { f =>
+        val fileData = mapLog.map(l => StructType(
+          l.layoutAt(l.svOf(keyOf(f))).fields.filter(_.name != pcol)))
+        val rowLen = fileData
+          .map(fd => FixedWidth.widths(fd).sum + 1L)
+          .getOrElse(headRowLen)
         // sort certificates narrow each file to its matching window,
         // exactly like the flat scan
         val n = f.length() / rowLen
@@ -1972,7 +1995,10 @@ private[sources] class FwPartScan(fullSchema: StructType,
           case None => (0L, n)
         }
         FixedWidth.lastSeekSkippedRecords += n - (hi - lo)
-        (f.getPath, lo, hi - lo)
+        (f.getPath, lo, hi - lo,
+          if (mapLog.exists(_.svOf(keyOf(f)) != mapLog.get.head))
+            fileData.map(_.length).getOrElse(-1)
+          else -1)
       }.toVector
       (parseP(vs), fs)
     }
@@ -2030,7 +2056,7 @@ private[sources] class FwPartScan(fullSchema: StructType,
   * windows when a sort certificate let the planner binary-search.
   */
 private[sources] case class FwPartValuePartition(value: Any,
-    files: Seq[(String, Long, Long)]) extends InputPartition
+    files: Seq[(String, Long, Long, Int)]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](value match {
@@ -2080,9 +2106,9 @@ private[sources] class FwPartReaderFactory(dataSchema: StructType,
           true
         } else if (fileIt.hasNext) {
           if (inner != null) inner.close()
-          val (f, startRec, numRec) = fileIt.next()
+          val (f, startRec, numRec, dataCols) = fileIt.next()
           inner = new FwReader(dataSchema, innerRequired, dataFilters,
-            FwPartition(f, startRec, numRec))
+            FwPartition(f, startRec, numRec, Array.empty, dataCols))
           advance()
         } else false
 

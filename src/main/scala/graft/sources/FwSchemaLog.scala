@@ -60,6 +60,8 @@ object FwSchemaLog {
     def rowLenOf(fileName: String): Long = lens(svOf(fileName) - 1)
     def dataColsOf(fileName: String): Int =
       schemas(svOf(fileName) - 1).length
+    /** The full table layout at spec version `sv` (1-based). */
+    def layoutAt(sv: Int): StructType = schemas(sv - 1)
     /** True when every name in `files` parses at the head layout. */
     def uniformOver(files: Iterable[String]): Boolean =
       files.forall(svOf(_) == head)
@@ -232,14 +234,6 @@ object FwSchemaLog {
       colSpec: String): Unit = {
     require(new java.io.File(path).isDirectory,
       s"no FixedWidth table at $path")
-    // flat-table contract: partitioned/bucketed layouts keep files in
-    // `<k>=<v>` subdirectories the stamp pass does not walk — evolving
-    // one would leave old files head-parsed (silent mis-slicing)
-    require(!Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .exists(d => d.isDirectory && d.getName.contains("=")),
-      s"FixedWidth: ADD COLUMN is a flat-table operation; $path holds " +
-        "a partitioned or bucketed layout")
     FwVersions.withLock(path) {
       val existing = read(path)
       existing.foreach { log =>
@@ -260,9 +254,21 @@ object FwSchemaLog {
         s"FixedWidth: '$DroppedPrefix' is a reserved name prefix")
       val oldHead = existing.map(_.head).getOrElse(1)
       val oldSpecs = existing.map(_.specs).getOrElse(Vector(currentSpec))
-      // stamp everything known now at the old head
+      // stamp everything known now at the old head. Partitioned and
+      // bucketed layouts keep their files in `<k>=<v>` subdirectories;
+      // those stamp under the RELATIVE key `<dir>/<name>` (bare names
+      // can collide across partition directories — two writes from
+      // different Spark apps may reuse a (partitionId, taskId) pair),
+      // and their scans look files up by the same relative key.
+      val partitioned: Seq[String] =
+        Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty).toSeq
+          .filter(d => d.isDirectory && d.getName.contains("="))
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".fw"))
+            .map(f => s"${d.getName}/${f.getName}"))
       val known: Set[String] =
-        (FwFiles.listPhysical(path).map(_.getName) ++
+        (FwFiles.listPhysical(path).map(_.getName) ++ partitioned ++
           FwVersions.read(path).flatMap(_._2.map(_._1))).toSet
       val prior = existing.map(_.fileSv).getOrElse(Map.empty)
       val stamped = prior ++

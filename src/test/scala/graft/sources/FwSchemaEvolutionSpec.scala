@@ -125,16 +125,25 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(rows(2).getLong(2) === 30L && rows(2).getString(3) === "x")
   }
 
-  test("ADD COLUMN refuses partitioned and bucketed layouts") {
+  test("RENAME/DROP COLUMN (the mapping layer) stay flat-table; ADD " +
+      "COLUMN on a bucketed layout works") {
     val dir = Files.createTempDirectory("fwse6").toFile.getAbsolutePath
     Seq((1L, 1.5)).toDF("id", "score").repartition(1)
       .write.format("graft.sources.FixedWidth")
       .option("schema", specV1).option("bucketBy", "id")
       .option("buckets", "2").mode("overwrite").save(dir)
+    // ADD COLUMN evolves k=v layouts since round 12 (stamp pass walks
+    // the dirs); the MAPPING layer is still flat-only — its sidecar
+    // _phys indices would be ambiguous over pcol-less data records
+    FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
     val e = intercept[IllegalArgumentException] {
-      FwSchemaLog.addColumn(dir, specV1, "bonus:long:6")
+      FwSchemaLog.renameColumn(dir, "score", "pts")
     }
     assert(e.getMessage.contains("flat-table"))
+    val e2 = intercept[IllegalArgumentException] {
+      FwSchemaLog.dropColumn(dir, "score")
+    }
+    assert(e2.getMessage.contains("flat-table"))
   }
 
   test("multi-column ALTER is atomic: all columns land, and a bad " +
@@ -506,6 +515,82 @@ class FwSchemaEvolutionSpec extends AnyFunSuite {
     assert(cdf === Seq(("insert", 1L, 1L), ("insert", 1L, 2L),
       ("insert", 2L, 3L), ("insert", 4L, 4L)),
       s"CDF across the reorg must be exactly the inserts: $cdf")
+  }
+
+  test("ADD COLUMN evolves a hive-partitioned layout: old files stamp " +
+      "under their partition dir and parse at their own width; " +
+      "pruning and the pcol injection hold over the mix") {
+    val dir = Files.createTempDirectory("fwse17").toFile.getAbsolutePath
+    val spec1 = "id:long:4,nk:int:3,score:double:10"
+    val spec2 = spec1 + ",bonus:long:6"
+    Seq((1L, 1, 1.5), (2L, 1, 2.5), (3L, 2, 3.5))
+      .toDF("id", "nk", "score")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec1).option("partitionBy", "nk")
+      .mode("overwrite").save(dir)
+    FwSchemaLog.addColumn(dir, spec1, "bonus:long:6")
+    // the stamp pass walked the k=v dirs: every old file is recorded
+    // under its RELATIVE key
+    val log = FwSchemaLog.read(dir).get
+    assert(log.fileSv.keySet.forall(_.contains("/")) &&
+      log.fileSv.nonEmpty, s"relative stamps expected: ${log.fileSv}")
+    // appends land at the widened head, in their partition dirs
+    Seq((4L, 2, 4.5, 40L), (5L, 3, 5.5, 50L))
+      .toDF("id", "nk", "score", "bonus")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("partitionBy", "nk")
+      .mode("append").save(dir)
+    def rd = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("partitionBy", "nk").load(dir)
+    val all = rd.orderBy("id").collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(all.take(3).forall(_.isNullAt(3)), "old rows: bonus NULL")
+    assert(all.drop(3).map(_.getLong(3)).toSeq === Seq(40L, 50L))
+    // filters over the mix stay exact, including on the new column
+    assert(rd.filter(col("bonus") > 0).count() === 2L)
+    assert(rd.filter(col("bonus").isNull).count() === 3L)
+    assert(rd.filter(col("score") > 2.0).count() === 4L)
+    // partition pruning still prunes over the evolved mix
+    assert(rd.filter(col("nk") === 2).count() === 2L)
+    assert(FixedWidth.lastPrunedPartitions === 2,
+      "nk=1 and nk=3 should be pruned")
+    // a stale declared schema refuses loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec1).option("partitionBy", "nk").load(dir)
+        .count()
+    }
+    assert(chainHas(e, "must carry the head schema"))
+    // the grouped metadata aggregate declines on the mixed layout and
+    // the row scan stays exact
+    assert(rd.groupBy("nk").count().orderBy("nk").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 2L), (2, 2L), (3, 1L)))
+  }
+
+  test("ADD COLUMN evolves a bucketed layout the same way") {
+    val dir = Files.createTempDirectory("fwse18").toFile.getAbsolutePath
+    val spec1 = "id:long:4,score:double:10"
+    val spec2 = spec1 + ",bonus:long:6"
+    Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)).toDF("id", "score")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec1).option("bucketBy", "id")
+      .option("buckets", "4").mode("overwrite").save(dir)
+    FwSchemaLog.addColumn(dir, spec1, "bonus:long:6")
+    Seq((4L, 4.5, 40L)).toDF("id", "score", "bonus")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("bucketBy", "id")
+      .option("buckets", "4").mode("append").save(dir)
+    def rd = spark.read.format("graft.sources.FixedWidth")
+      .option("schema", spec2).option("bucketBy", "id")
+      .option("buckets", "4").load(dir)
+    val all = rd.orderBy("id").collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(all.take(3).forall(_.isNullAt(2)))
+    assert(all.last.getLong(2) === 40L)
+    // bucket confinement still routes an equality probe over the mix
+    assert(rd.filter(col("id") === 4L).count() === 1L)
+    assert(rd.filter(col("bonus").isNull).count() === 3L)
   }
 
   private def chainHas(t: Throwable, s: String): Boolean = {
