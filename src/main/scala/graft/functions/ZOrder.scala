@@ -43,6 +43,20 @@ object ZOrder {
   def z2(x: Column, y: Column): Column =
     spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
 
+  /** A string's first-6-UTF-8-bytes rank as a non-negative long
+    * (48 bits): the value is LEFT-ALIGNED (short strings zero-pad on
+    * the right — hex + rpad — so "b" still ranks above "aa"), which
+    * makes rank order agree with byte-lexicographic order on the
+    * prefix. That is exactly what a ZORDER quantizer needs: strings
+    * sharing a 6-byte prefix land in the same cell, and the per-file
+    * string zone maps (truncate-and-increment bounds) carry the
+    * pruning correctness regardless of rank ties. Built entirely from
+    * codegen'd built-ins — no UDF.
+    */
+  def stringRank48(c: Column): Column =
+    conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 6)), 12, "0"),
+      16, 10).cast("long")
+
   /** The same spread ladder as ANSI SQL text (for DuckDB oracles). The
     * operand expression is substituted textually, so keep it short.
     */

@@ -155,6 +155,56 @@ object Analytics160 {
           col("pruned_exactly"), col("nk7_stable"))
         .orderBy("s_tier")
     }),
+    // STRING ZORDER KEYS: the q394 quantizer extended with a 6-byte
+    // left-aligned prefix rank (ZOrder.stringRank48, codegen'd
+    // built-ins only) so `zorder_by` accepts string columns; pruning
+    // correctness rides on q365's truncate-and-increment string zone
+    // maps, the rank only buys locality. A py-striped table (string
+    // predicates prune nothing) is clustered on (sx, py) and the same
+    // sx range predicate then skips most files.
+    "q398_fw_zorder_string" -> ((spark, dir) => {
+      val base = Tables.freshFwBase("graft_fw_zstr", dir)
+      val spec = "k:long:8,sx:string:6,py:long:4"
+      val pts = t(spark, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        format_string("D%04d", pmod(col("o_custkey"), lit(4096L)))
+          .as("sx"),
+        pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")), lit(4096)).cast("long")
+          .as("py"))
+      pts.repartitionByRange(4, col("py")).sortWithinPartitions("py")
+        .write.format("graft.sources.FixedWidth")
+        .option("schema", spec).mode("overwrite").save(base.toString)
+      def scanSx(): (Long, Int) = {
+        val n = spark.read.format("graft.sources.FixedWidth")
+          .option("schema", spec).load(base.toString)
+          .filter(col("sx") >= "D0100" && col("sx") <= "D0250").count()
+        (n, graft.sources.FixedWidth.lastSkippedFiles)
+      }
+      val (_, skippedBefore) = scanSx()
+      spark.conf.set("spark.sql.catalog.fwzsq",
+        "graft.sources.FwCatalog")
+      spark.sql("DROP TABLE IF EXISTS fwzsq.ns.zstr")
+      spark.sql(s"""CREATE TABLE fwzsq.ns.zstr (k BIGINT, sx STRING,
+        py BIGINT) OPTIONS (path '${base.toString}', widths '8,6,4')""")
+      val liveBytes = new java.io.File(base.toString).listFiles()
+        .filter(_.getName.endsWith(".fw")).map(_.length()).sum
+      val report = spark.sql("CALL fwzsq.optimize(tbl => 'ns.zstr', " +
+        s"target_bytes => ${liveBytes / 16 + 1}, " +
+        "zorder_by => 'sx,py')").collect()(0)
+      val (nAfter, skippedAfter) = scanSx()
+      spark.read.format("graft.sources.FixedWidth")
+        .option("schema", spec).load(base.toString)
+        .filter(col("sx") >= "D0100" && col("sx") <= "D0250")
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+          min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
+          min(col("py")).as("min_py"), max(col("py")).as("max_py"))
+        .withColumn("rows_stable",
+          lit(nAfter).cast("long") === col("n_rows"))
+        .withColumn("no_prune_before_call", lit(skippedBefore == 0))
+        .withColumn("prunes_after_call",
+          lit(skippedAfter >= report.getInt(2) / 3))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -197,5 +247,23 @@ object Analytics160 {
           AS BIGINT) AS n_nk7,
         TRUE AS pruned_exactly, TRUE AS nk7_stable
       FROM evolved GROUP BY 1 ORDER BY 1""",
+
+    // the string-keyed clustered rewrite must neither add, drop, nor
+    // alter a row; the oracle recomputes the sx-slice straight from
+    // orders and pins all three layout contracts TRUE
+    "q398_fw_zorder_string" -> """
+      WITH pts AS (
+        SELECT o_orderkey AS k,
+          printf('D%04d', CAST(o_custkey % 4096 AS BIGINT)) AS sx,
+          CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+            AS BIGINT) % 4096 AS BIGINT) AS py
+        FROM orders)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        min(sx) AS min_sx, max(sx) AS max_sx,
+        min(py) AS min_py, max(py) AS max_py,
+        TRUE AS rows_stable, TRUE AS no_prune_before_call,
+        TRUE AS prunes_after_call
+      FROM pts WHERE sx >= 'D0100' AND sx <= 'D0250'""",
   )
 }

@@ -270,8 +270,10 @@ object FwMaintenance {
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"ZORDER BY column $c is not in the table schema"))
-      require(f.dataType.isInstanceOf[NumericType] || f.dataType == DateType,
-        s"ZORDER BY supports numeric and date columns; " +
+      require(f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == DateType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+        s"ZORDER BY supports numeric, date and string columns; " +
           s"$c is ${f.dataType.simpleString}")
     }
     FwVersions.requireCommitSlot(path, None)
@@ -290,20 +292,51 @@ object FwMaintenance {
       .load(path)
     def asD(c: String) = schema(schema.fieldIndex(c)).dataType match {
       case DateType => unix_date(col(c)).cast("double")
+      // strings quantize on their first-6-byte left-aligned rank (48
+      // bits, exact in a double): prefix-close strings land in the
+      // same cell; pruning correctness stays with the per-file string
+      // zone maps (q365's truncate-and-increment bounds), not the rank
+      case org.apache.spark.sql.types.StringType =>
+        graft.functions.ZOrder.stringRank48(col(c)).cast("double")
       case _ => col(c).cast("double")
     }
     val aggs = cols.flatMap(c =>
       Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c")))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    // string keys quantize by RANK QUANTILE, not min-max scaling: the
+    // 6-byte rank is byte-weighted (one high-byte step dwarfs every
+    // lower byte), so a linear scale collapses most keys into a sliver
+    // of the cell range and the curve stops separating them. One
+    // approxQuantile pass per string column yields 255 equal-frequency
+    // cut points (the Delta range-partition-id device); the cell is
+    // then "boundaries at or below my rank", a codegen'd
+    // higher-order-function count — no UDF, no shuffle.
+    val strQuantiles: Map[String, Array[Double]] = cols.filter(c =>
+      schema(schema.fieldIndex(c)).dataType ==
+        org.apache.spark.sql.types.StringType).map { c =>
+      val cuts = df.select(asD(c).as("__fw_rank")).na.drop()
+        .stat.approxQuantile("__fw_rank",
+          (1 to 255).map(_ / 256.0).toArray, 0.001)
+      c -> cuts.distinct.sorted
+    }.toMap
     val scaled: Seq[org.apache.spark.sql.Column] =
       cols.zipWithIndex.map { case (c, i) =>
-        if (mm.isNullAt(2 * i)) lit(0L)
-        else {
-          val mn = mm.getDouble(2 * i)
-          val mx = mm.getDouble(2 * i + 1)
-          if (mx <= mn) lit(0L)
-          else least(floor((coalesce(asD(c), lit(mn)) - lit(mn))
-            / lit(mx - mn) * 65535.0), lit(65535.0)).cast("long")
+        strQuantiles.get(c) match {
+          case Some(cuts) if cuts.nonEmpty =>
+            val arr = array(cuts.map(b => lit(b)).toSeq: _*)
+            val r = coalesce(asD(c), lit(cuts.head - 1.0))
+            (size(filter(arr, b => b <= r)).cast("long") *
+              lit(65535L / (cuts.length + 1))).cast("long")
+          case Some(_) => lit(0L) // all-null string column
+          case None =>
+            if (mm.isNullAt(2 * i)) lit(0L)
+            else {
+              val mn = mm.getDouble(2 * i)
+              val mx = mm.getDouble(2 * i + 1)
+              if (mx <= mn) lit(0L)
+              else least(floor((coalesce(asD(c), lit(mn)) - lit(mn))
+                / lit(mx - mn) * 65535.0), lit(65535.0)).cast("long")
+            }
         }
       }
     val zkey = (curve, scaled) match {

@@ -112,6 +112,59 @@ class ZOrderLayoutSpec extends AnyFunSuite {
       .contains("hilbert curve is 2-D"))
   }
 
+  test("stringRank48 agrees with byte-lexicographic order of 6-byte " +
+      "prefixes (left-aligned: 'b' ranks above 'aa')") {
+    import spark.implicits._
+    val vals = Seq("", "a", "aa", "ab", "azzzzzz", "b", "ba", "zz",
+      "k0042", "k00421", "é")
+    val ranked = vals.toDF("s")
+      .select(col("s"), ZOrder.stringRank48(col("s")).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def pref(s: String): Array[Byte] =
+      s.getBytes("UTF-8").take(6).padTo(6, 0.toByte)
+    for (a <- vals; b <- vals) {
+      val cmp = java.util.Arrays.compareUnsigned(pref(a), pref(b))
+      if (cmp < 0) assert(ranked(a) < ranked(b),
+        s"'$a' must rank below '$b': ${ranked(a)} vs ${ranked(b)}")
+      if (cmp == 0) assert(ranked(a) === ranked(b))
+    }
+  }
+
+  test("CALL fw.optimize(zorder_by) accepts a STRING key: prefix-rank " +
+      "quantization + string zone maps prune on the string predicate") {
+    spark.conf.set("spark.sql.catalog.fwzs", classOf[FwCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("fwzstr")
+      .toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS fwzs.ns.g")
+    spark.sql(s"""CREATE TABLE fwzs.ns.g (s STRING, y BIGINT)
+      OPTIONS (path '$dir', widths '6,4')""")
+    // 64 string keys x 64 y values, laid out as y-stripes: every
+    // file's s envelope is full-range, nothing prunes on s
+    spark.range(0, 4096)
+      .select(format_string("k%04d", col("id") % 64).as("s"),
+        (col("id") / 64).cast("long").as("y"))
+      .repartitionByRange(4, col("y")).sortWithinPartitions("y", "s")
+      .write.format("graft.sources.FixedWidth")
+      .option("schema", "s:string:6,y:long:4").mode("append").save(dir)
+    def scanS(): (Long, Int) = {
+      val n = spark.read.format("graft.sources.FixedWidth")
+        .option("schema", "s:string:6,y:long:4").load(dir)
+        .filter(col("s") >= "k0000" && col("s") <= "k0007").count()
+      (n, FixedWidth.lastSkippedFiles)
+    }
+    val (n0, skipped0) = scanS()
+    assert(n0 === 512L && skipped0 === 0,
+      s"y-stripes must not prune on s, got $skipped0")
+    val r = spark.sql("CALL fwzs.optimize(tbl => 'ns.g', " +
+      "target_bytes => 2816, zorder_by => 's,y')").collect()(0)
+    assert(r.getInt(2) >= 12, s"~16 clustered files: $r")
+    val (n1, skipped1) = scanS()
+    assert(n1 === 512L, "clustering must not change the rows")
+    assert(skipped1 >= 10,
+      s"string tiles bound s: expected >=10 of ${r.getInt(2)} files " +
+        s"pruned, got $skipped1")
+  }
+
   test("z3 column expression matches the bit-by-bit reference") {
     val probes = Seq((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
       (65535, 65535, 65535), (12345, 54321, 4096), (511, 512, 513))
