@@ -312,6 +312,53 @@ class FwCdfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a readStream with startingTimestamp resumes at exactly the " +
+      "version the batch resolution picks; pre-history refuses on the " +
+      "stream too") {
+    val dir = freshTable(Seq((1L, "a", 1.0))) // v1
+    // the pins below distinguish commits by wall-clock: force strictly
+    // increasing stamps so ts(2)'s pin cannot tie with v1
+    def waitPast(v: Long): Unit = {
+      val t = FwMaintenance.commitTimestamps(dir)(v)
+      while (System.currentTimeMillis() <= t) Thread.sleep(1L)
+    }
+    waitPast(1L)
+    append(dir, Seq((2L, "b", 2.0))) // v2
+    waitPast(2L)
+    append(dir, Seq((3L, "c", 3.0))) // v3
+    val ts = FwMaintenance.commitTimestamps(dir)
+    def batch(pin: String) = spark.read
+      .format("graft.sources.FixedWidth")
+      .option("schema", spec).option("readChangeFeed", "true")
+      .option("startingTimestamp", pin).load(dir)
+      .select("_change_type", "_commit_version", "id", "name")
+      .as[(String, Long, Long, String)].collect().toSeq.sorted
+    // parity at EVERY pin: the stream's replay equals the batch's
+    for (v <- 1L to 3L) {
+      val pin = ts(v).toString
+      val (q, sink) = startStream(dir,
+        Map("startingTimestamp" -> pin))
+      try {
+        q.processAllAvailable()
+        assert(drain(sink) === batch(pin),
+          s"stream at pin ts($v) must equal the batch resolution")
+        assert(drain(sink).map(_._2).min === v,
+          s"pin ts($v) must resume at version $v")
+      } finally q.stop()
+    }
+    // pre-history wall-clock refuses on the stream exactly like batch
+    val e = intercept[Exception] {
+      val (q, _) = startStream(dir,
+        Map("startingTimestamp" -> (ts(1L) - 1000).toString))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("no version at or before")),
+      s"stream pre-history pin must refuse: ${chain(e)}")
+  }
+
   test("without startingVersion the stream tails only commits after " +
       "it started") {
     val dir = freshTable(Seq((1L, "a", 1.0)))
