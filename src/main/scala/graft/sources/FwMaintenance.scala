@@ -463,8 +463,15 @@ object FwMaintenance {
     // mapped table reads as None and poisons the group statless —
     // conservative, never wrong.
     val mapLog = FwSchemaLog.read(dir)
+    // a PRE-REORG-era input (live again only after rollback/restore
+    // across a reorg) carries sidecar names and _phys indices from a
+    // retired era's layout: treat it as statless — the group's merged
+    // sidecar must never union two eras' envelopes under one name
+    def eraSafe(f: java.io.File): Boolean =
+      !mapLog.exists(_.fileTranslation(f.getName).isDefined)
     val stats = g.inputs.map { case (p, len) =>
-      FwStats.readMapped(new java.io.File(p), len, mapLog)
+      val f = new java.io.File(p)
+      if (eraSafe(f)) FwStats.readMapped(f, len, mapLog) else None
     }
     val merged: Option[Map[String, FwColStats]] =
       if (stats.exists(_.isEmpty)) None // a statless input: unknown rows
@@ -479,7 +486,9 @@ object FwMaintenance {
     // and seek narrowing keeps working on the compacted file
     val sortedBy: Option[String] = merged.flatMap { _ =>
       val certs = g.inputs.map { case (p, len) =>
-        FwStats.sortedColMapped(new java.io.File(p), len, mapLog)
+        val f = new java.io.File(p)
+        if (eraSafe(f)) FwStats.sortedColMapped(f, len, mapLog)
+        else None
       }
       certs.head.filter(c => certs.forall(_.contains(c))).filter { c =>
         val envs = stats.flatten.map(_.get(c))
