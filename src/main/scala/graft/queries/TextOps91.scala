@@ -30,6 +30,10 @@ import graft.functions.VectorOps
   */
 object TextOps91 {
   import Tables.t
+  import TextOps83.{emb, score, topK, undirected, descend, exactPanel,
+    cosSql, duckInit, duckRound, duckExact, Rounds, Ef, Hops, K, Probes}
+
+  private val EntryK = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s45_centroid_routed_insert" -> ((spark, dir) => {
@@ -147,6 +151,83 @@ object TextOps91 {
           (col("hits_inc") >= col("hits_seed")).as("refinement_improved"),
           ((col("hits_inc") - col("hits_full")) / col("possible") >=
             -0.15).as("recall_close_to_rebuild"))
+    }),
+    // s46: the s41 hierarchical search with its routing layer made
+    // CONSTANT-SIZE — 16 IVF centroid medoids replace the vec_id % 16
+    // corpus slice (n/16 nodes, linear in the corpus). Routing cost
+    // per probe drops from O(n/16) to O(16) at ANY corpus size; the
+    // walk, graph, ef, hop budget and probe panel are IDENTICAL to
+    // s41, and the audit pins centroid-routed recall within 0.15 of
+    // the same walk from md5-random entries.
+    "s46_centroid_routed_search" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val n = e.count()
+      val graph =
+        undirected(descend(spark, e, n, Rounds).last).localCheckpoint(true)
+      // constant-size routing layer: 16 IVF centroids -> medoid nodes
+      val cent = graft.operators.AnnIvf.buildCentroids(
+        e, "vec_id", "embedding", nCentroids = 16, lloydIters = 1)
+      val centDf = cent.map { case (id, em) =>
+        (id.asInstanceOf[Long], em.toSeq) }.toSeq
+        .toDF("centroid_id", "c_emb")
+      val owned = graft.operators.AnnIvf.assign(
+        e, cent, "vec_id", "embedding", nearest = 1)
+      val wMed = Window.partitionBy("centroid_id")
+        .orderBy(col("cm").desc, col("vec_id").asc)
+      val medoids = owned
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(centDf), "centroid_id")
+        .select(col("centroid_id"), col("vec_id"),
+          round(VectorOps.cosine(col("embedding"), col("c_emb")), 6)
+            .as("cm"))
+        .withColumn("rk", row_number().over(wMed))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("v")).distinct()
+      val probeIds = e.filter(col("vec_id") < Probes)
+        .select(col("vec_id").as("u"))
+      val routed = medoids.crossJoin(broadcast(probeIds))
+        .filter(col("u") =!= col("v"))
+      val entries = topK(EntryK)(score(e)(routed))
+      // the s39/s41 walk, verbatim, from the centroid-routed entries
+      def walk(start: DataFrame): DataFrame =
+        (1 to Hops).foldLeft(
+          topK(Ef)(score(e)(start)).localCheckpoint(true)) { (f, _) =>
+          val nb = f.as("f").join(graph.as("g"), col("f.v") === col("g.u"))
+            .select(col("f.u").as("u"), col("g.v").as("v"))
+            .unionAll(f).distinct()
+          topK(Ef)(score(e)(nb)).localCheckpoint(true)
+        }
+      val answer = topK(K)(
+        score(e)(walk(entries)).filter(col("u") =!= col("v")))
+      // baseline: the SAME walk from md5-random entries (s39)
+      val slots = e.select(col("vec_id").as("v"),
+        pmod(graft.functions.Md5Pack(
+          concat(lit("nnd_"), col("vec_id"))), lit(n)).as("slot"))
+      val randomEntries = e.filter(col("vec_id") < Probes)
+        .select(col("vec_id").as("u"),
+          explode(expr("sequence(1, 8)")).as("j"))
+        .select(col("u"), pmod(graft.functions.Md5Pack(
+          concat_ws("_", lit("s39"), col("u"), col("j"))),
+          lit(n)).as("slot"))
+        .join(slots, "slot").select("u", "v").distinct()
+      val answerRandom = topK(K)(
+        score(e)(walk(randomEntries)).filter(col("u") =!= col("v")))
+      val exact = exactPanel(e).persist()
+      exact.count()
+      val possible = exact.agg(count(lit(1)).as("possible"))
+      val hits = answer.intersect(exact)
+        .agg(count(lit(1)).as("hits_routed"))
+      val hitsR = answerRandom.intersect(exact)
+        .agg(count(lit(1)).as("hits_random"))
+      hits.crossJoin(broadcast(hitsR)).crossJoin(broadcast(possible))
+        .select(lit(n).as("n_nodes"), lit(16L).as("n_centers"),
+          col("possible"), col("hits_routed"),
+          (col("hits_routed") / col("possible")).as("recall_routed"),
+          col("hits_random"),
+          (col("hits_random") / col("possible")).as("recall_random"),
+          ((col("hits_routed") - col("hits_random")) / col("possible")
+            >= -0.15).as("routing_close_to_random"))
     }),
   )
 
@@ -332,6 +413,147 @@ object TextOps91 {
          |  (CAST(hits_inc AS DOUBLE) - hits_full) / possible >= -0.15
          |    AS recall_close_to_rebuild
          |FROM hits, nb, na""".stripMargin
+    },
+
+    "s46_centroid_routed_search" -> {
+      val rounds = (1 to Rounds).map(duckRound).mkString(",\n")
+      val entryDraw = Tables.duckMd5Pack(
+        "'s39_' || CAST(u AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+      // cosine of a corpus row against a centroid mean (no precomputed
+      // norm on the centroid side)
+      def cosVC(v: String, c: String) =
+        s"""list_dot_product($v.emb, $c.c_emb) /
+           |      ($v.nrm * sqrt(list_dot_product($c.c_emb, $c.c_emb)))""".stripMargin
+      def hops(prefix: String) = (1 to Hops).map { h =>
+        s"""${prefix}n$h AS (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT f.u AS u, g.v AS v
+           |    FROM ${prefix}f${h - 1} f JOIN gs g ON f.v = g.u
+           |    UNION ALL SELECT u, v FROM ${prefix}f${h - 1})),
+           |${prefix}sn$h AS (
+           |  SELECT c.u, c.v, ${cosSql("a", "b")} AS cos
+           |  FROM ${prefix}n$h c JOIN e a ON a.vec_id = c.u
+           |  JOIN e b ON b.vec_id = c.v),
+           |${prefix}f$h AS MATERIALIZED (
+           |  SELECT u, v FROM (
+           |    SELECT u, v, row_number() OVER (PARTITION BY u
+           |      ORDER BY cos DESC, v) AS rank FROM ${prefix}sn$h)
+           |  WHERE rank <= $Ef)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckInit,
+         |$rounds,
+         |gs AS MATERIALIZED (
+         |  SELECT u, v FROM b$Rounds
+         |  UNION SELECT v AS u, u AS v FROM b$Rounds),
+         |probes AS (SELECT vec_id AS u FROM e WHERE vec_id < $Probes),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, emb AS c_emb
+         |  FROM e
+         |  ORDER BY ${Tables.duckMd5Pack("CAST(vec_id AS VARCHAR)")}
+         |  LIMIT 16),
+         |assigned0 AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosVC("v", "c")} DESC, c.centroid_id) AS rn
+         |  FROM e v CROSS JOIN cent c),
+         |memc AS (
+         |  SELECT a.centroid_id,
+         |    unnest(range(1, len(v.emb) + 1)) AS pos,
+         |    unnest(v.emb) AS comp
+         |  FROM assigned0 a JOIN e v ON a.vec_id = v.vec_id
+         |  WHERE a.rn = 1),
+         |refined AS (
+         |  SELECT centroid_id, pos,
+         |    round(CAST(sum(CAST(comp AS DECIMAL(25,10))) AS DOUBLE)
+         |      / count(*), 6) AS m
+         |  FROM memc GROUP BY centroid_id, pos),
+         |rcent AS (
+         |  SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+         |  FROM refined GROUP BY centroid_id),
+         |owned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosVC("v", "c")} DESC, c.centroid_id) AS rn
+         |    FROM e v CROSS JOIN rcent c)
+         |  WHERE rn = 1),
+         |up AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT centroid_id, vec_id AS v FROM (
+         |      SELECT o.centroid_id, o.vec_id,
+         |        row_number() OVER (PARTITION BY o.centroid_id
+         |          ORDER BY round(${cosVC("b", "c")}, 6) DESC,
+         |            o.vec_id) AS rk
+         |      FROM owned o JOIN e b ON b.vec_id = o.vec_id
+         |      JOIN rcent c ON c.centroid_id = o.centroid_id)
+         |    WHERE rk = 1)),
+         |routeds AS (
+         |  SELECT p.u, c.v, ${cosSql("a", "b")} AS cos
+         |  FROM probes p CROSS JOIN up c
+         |  JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = c.v
+         |  WHERE p.u <> c.v),
+         |ent AS (
+         |  SELECT u, v, cos FROM (
+         |    SELECT u, v, cos, row_number() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v) AS rank FROM routeds)
+         |  WHERE rank <= $EntryK),
+         |hf0 AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v) AS rank FROM ent)
+         |  WHERE rank <= $Ef),
+         |${hops("h")},
+         |hans AS (
+         |  SELECT u, v FROM (
+         |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u
+         |      ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rank
+         |    FROM hf$Hops c JOIN e a ON a.vec_id = c.u
+         |    JOIN e b ON b.vec_id = c.v WHERE c.u <> c.v)
+         |  WHERE rank <= $K),
+         |rent AS (
+         |  SELECT DISTINCT d.u, s.v
+         |  FROM (SELECT u, $entryDraw % nn.n AS slot FROM (
+         |          SELECT vec_id AS u, unnest(range(1, 9)) AS j
+         |          FROM e WHERE vec_id < $Probes), nn) d
+         |  JOIN slots s USING (slot)),
+         |rsent AS (
+         |  SELECT c.u, c.v, ${cosSql("a", "b")} AS cos
+         |  FROM rent c JOIN e a ON a.vec_id = c.u
+         |  JOIN e b ON b.vec_id = c.v),
+         |rf0 AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v) AS rank FROM rsent)
+         |  WHERE rank <= $Ef),
+         |${hops("r")},
+         |rans AS (
+         |  SELECT u, v FROM (
+         |    SELECT c.u, c.v, row_number() OVER (PARTITION BY c.u
+         |      ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rank
+         |    FROM rf$Hops c JOIN e a ON a.vec_id = c.u
+         |    JOIN e b ON b.vec_id = c.v WHERE c.u <> c.v)
+         |  WHERE rank <= $K),
+         |$duckExact
+         |SELECT
+         |  (SELECT n FROM nn) AS n_nodes,
+         |  CAST(16 AS BIGINT) AS n_centers,
+         |  (SELECT count(*) FROM ex) AS possible,
+         |  (SELECT count(*) FROM (SELECT u, v FROM hans
+         |     INTERSECT SELECT u, v FROM ex)) AS hits_routed,
+         |  CAST((SELECT count(*) FROM (SELECT u, v FROM hans
+         |     INTERSECT SELECT u, v FROM ex)) AS DOUBLE)
+         |    / (SELECT count(*) FROM ex) AS recall_routed,
+         |  (SELECT count(*) FROM (SELECT u, v FROM rans
+         |     INTERSECT SELECT u, v FROM ex)) AS hits_random,
+         |  CAST((SELECT count(*) FROM (SELECT u, v FROM rans
+         |     INTERSECT SELECT u, v FROM ex)) AS DOUBLE)
+         |    / (SELECT count(*) FROM ex) AS recall_random,
+         |  (CAST((SELECT count(*) FROM (SELECT u, v FROM hans
+         |     INTERSECT SELECT u, v FROM ex)) AS DOUBLE)
+         |   - (SELECT count(*) FROM (SELECT u, v FROM rans
+         |     INTERSECT SELECT u, v FROM ex)))
+         |    / (SELECT count(*) FROM ex) >= -0.15
+         |    AS routing_close_to_random""".stripMargin
     },
   )
 }
