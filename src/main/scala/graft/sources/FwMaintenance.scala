@@ -319,14 +319,35 @@ object FwMaintenance {
           (1 to 255).map(_ / 256.0).toArray, 0.001)
       c -> cuts.distinct.sorted
     }.toMap
+    // Rank each string key ONCE in an explicit projected column, and
+    // find "boundaries at or below my rank" by a nested-CaseWhen BINARY
+    // SEARCH over the literal cut points (depth log2(256) = 8 branches
+    // per row). Two prior formulations were measured and rejected on
+    // this table shape (150k rows, q398): size(filter(array(cuts), ...))
+    // runs the interpreted HOF path (ArrayFilter is CodegenFallback) 255
+    // elements per row — 2 stages x ~21s of task time; a flat when-sum
+    // whole-stage-codegens but still evaluates all 255 branches per row
+    // — ~1.8s per pass. The binary search evaluates 8 and costs ~0.26s
+    // per pass. Both passes (range sampling + shuffle map) pay it.
+    val dfR = strQuantiles.keys.foldLeft(df) { (d, c) =>
+      d.withColumn(s"_fw_zrank_$c", asD(c))
+    }
     val scaled: Seq[org.apache.spark.sql.Column] =
       cols.zipWithIndex.map { case (c, i) =>
         strQuantiles.get(c) match {
           case Some(cuts) if cuts.nonEmpty =>
-            val arr = array(cuts.map(b => lit(b)).toSeq: _*)
-            val r = coalesce(asD(c), lit(cuts.head - 1.0))
-            (size(filter(arr, b => b <= r)).cast("long") *
-              lit(65535L / (cuts.length + 1))).cast("long")
+            val r = coalesce(col(s"_fw_zrank_$c"), lit(cuts.head - 1.0))
+            // returns |{j : cuts(j) <= r}| — identical to the linear
+            // count, in ceil(log2(n+1)) comparisons
+            def cntLe(lo: Int, hi: Int): org.apache.spark.sql.Column =
+              if (lo == hi) lit(lo.toLong)
+              else {
+                val mid = (lo + hi + 1) / 2
+                when(lit(cuts(mid - 1)) <= r, cntLe(mid, hi))
+                  .otherwise(cntLe(lo, mid - 1))
+              }
+            val cnt = cntLe(0, cuts.length)
+            (cnt * lit(65535L / (cuts.length + 1))).cast("long")
           case Some(_) => lit(0L) // all-null string column
           case None =>
             if (mm.isNullAt(2 * i)) lit(0L)
@@ -356,10 +377,11 @@ object FwMaintenance {
     }
     var filesAfter = 0
     try {
-      val sorted = df.withColumn("_fw_zkey", zkey)
+      val sorted = dfR.withColumn("_fw_zkey", zkey)
         .repartitionByRange(nFiles, col("_fw_zkey"))
         .sortWithinPartitions("_fw_zkey")
-        .drop("_fw_zkey")
+        .drop("_fw_zkey" +:
+          strQuantiles.keys.map(c => s"_fw_zrank_$c").toSeq: _*)
       // mapped tables: pad the logical rows out to the physical layout
       val logicalNames = schema.fieldNames.toSet
       val out =

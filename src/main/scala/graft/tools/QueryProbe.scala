@@ -41,6 +41,7 @@ object QueryProbe {
     @volatile var shufWrite = 0L
     @volatile var shufRead = 0L
     val jobStart = mutable.Map[Int, Long]()
+    val stageDetail = mutable.ArrayBuffer[(Int, String, Int, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStart.synchronized { jobStart(js.jobId) = js.time }
@@ -55,6 +56,10 @@ object QueryProbe {
         taskMs += sc.stageInfo.taskMetrics.executorRunTime
         shufWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         shufRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+        stageDetail.synchronized {
+          stageDetail += ((sc.stageInfo.stageId, sc.stageInfo.name.take(60),
+            sc.stageInfo.numTasks, sc.stageInfo.taskMetrics.executorRunTime))
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -64,12 +69,17 @@ object QueryProbe {
       val its = (1 to iters).map { i =>
         jobs = 0; stages = 0; tasks = 0; jobMs = 0; taskMs = 0
         shufWrite = 0; shufRead = 0
+        stageDetail.synchronized(stageDetail.clear())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e6
         spark.catalog.clearCache()
         // let listener events drain before reading the counters
         Thread.sleep(400)
+        if (i == iters && sys.env.contains("PROBE_STAGES"))
+          stageDetail.synchronized(stageDetail.sortBy(-_._4).take(15)
+            .foreach { case (id, nm, tk, ms) =>
+              println(f"  STAGE $id%5d ${ms / 1000.0}%8.3fs tasks=$tk%-4d $nm") })
         (wall, jobs, stages, tasks, jobMs, taskMs, shufRead)
       }
       its.zipWithIndex.foreach { case ((wall, j, st, tk, jm, tm, sr), i) =>
