@@ -14,6 +14,17 @@ object Bench {
       // frees those only after a GC proves the RDDs unreachable —
       // default 30min never fires inside a suite, so force it often
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // AQE coalescing keeps its parallelism-first default, but the
+      // 1 MiB min-partition-size FLOOR is an I/O calibration: when a
+      // stage's per-core shuffle share is under the floor, the floor
+      // wins and compute-bound post-shuffle work (windows, object
+      // aggregates, array kernels) collapses onto a handful of tasks —
+      // d11's verify stage measured 14s over 4 tasks at sf0.1. 64k
+      // keeps such stages core-wide here and is inert wherever
+      // per-core shuffle bytes exceed it (any production-scale stage);
+      // parameterized so a cluster profile can restore the I/O floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Light warmup: session + codegen paths of one query, untimed, so the

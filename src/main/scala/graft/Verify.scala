@@ -15,6 +15,11 @@ object Verify {
       // free localCheckpoint blocks across the 600-query sweep (see
       // the same setting in Bench: clearCache() alone cannot)
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // same engine posture as Bench (see the rationale there): results
+      // must be partition-count invariant, and verifying under the same
+      // AQE floor the bench runs with proves it against the oracle
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

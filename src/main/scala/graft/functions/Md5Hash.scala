@@ -42,6 +42,36 @@ object Md5Hash {
     val h2 = ((a & 0xfL) << 56) | (b >>> 8) // nibbles 15..29
     ((h1 % P) << 31) | (h2 % P)
   }
+
+  /** [[pack]] applied to every element of an array<string>; null
+    * elements map to null. Returns an UnsafeArrayData when null-free.
+    */
+  def packArr(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = pack(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = pack(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }
 
 /** Catalyst expression wrapping [[Md5Hash.pack]] (codegen calls the static
@@ -71,4 +101,37 @@ case class Md5Pack(child: Expression) extends UnaryExpression {
 object Md5Pack {
   def apply(c: Column): Column =
     graftbridge.column(Md5Pack(graftbridge.expression(c)))
+}
+
+/** Element-wise [[Md5Hash.pack]] over an array<string> — one JVM loop
+  * per row, no interpreted higher-order function (`transform` with a
+  * non-trivial lambda is CodegenFallback, the same trap shingleArr
+  * closes). Null elements stay null; element order is preserved.
+  */
+case class Md5PackArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType)
+  }
+  override def prettyName: String = "md5_pack_arr"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash.packArr(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Md5Hash.packArr($s)")
+
+  override protected def withNewChildInternal(c: Expression): Md5PackArr =
+    copy(child = c)
+}
+
+object Md5PackArr {
+  def apply(c: Column): Column =
+    graftbridge.column(Md5PackArr(graftbridge.expression(c)))
 }

@@ -90,15 +90,28 @@ object PrefixSimilarityJoin {
       .union(cand.select(col("b_id").as(idCol))).distinct()
     // Candidate sets are re-derived (and re-shingled) by BOTH verify
     // join branches without the persist; the frame is candidate-bounded.
-    val candSets = sets.join(candIds, Seq(idCol), "left_semi").persist()
+    // The verify intersects 8-byte Md5Pack element hashes, not the raw
+    // token strings: string array_intersect + array_union hashed every
+    // UTF8String element per candidate pair and was measured at ~12s of
+    // d11's task time at sf0.1 vs ~1.5s for the long-array form. The
+    // union size is derived from the (distinct-element, per the API
+    // contract) set sizes as |a|+|b|-|a∩b| instead of materializing the
+    // union array. Same collision caveat as the prefix keys above: a
+    // 2^-62 element-hash collision could perturb one pair's jaccard;
+    // strict string equivalence would re-verify hashed-equal pairs on
+    // the raw tokens.
+    val candSets = sets.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), size(col(setCol)).as("_n"),
+        graft.functions.Md5PackArr(col(setCol)).as("_hs"))
+      .persist()
     val inter: Column = size(array_intersect(col("_a"), col("_b")))
-    val uni: Column = size(array_union(col("_a"), col("_b")))
     cand
-      .join(candSets.select(col(idCol).as("a_id"), col(setCol).as("_a")),
-        "a_id")
-      .join(candSets.select(col(idCol).as("b_id"), col(setCol).as("_b")),
-        "b_id")
-      .select(col("a_id"), col("b_id"), (inter / uni).as("jaccard"))
+      .join(candSets.select(col(idCol).as("a_id"), col("_hs").as("_a"),
+        col("_n").as("_na")), "a_id")
+      .join(candSets.select(col(idCol).as("b_id"), col("_hs").as("_b"),
+        col("_n").as("_nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (inter / (col("_na") + col("_nb") - inter)).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 }
