@@ -110,16 +110,24 @@ object TextOps {
     // N-gram/token Jaccard near-dup on a bounded id range (the exact
     // baseline; d4 is the LSH scale path that avoids the pairwise join).
     "d2_token_jaccard" -> ((spark, dir) => {
+      // Tokens ride as 8-byte Md5Pack hashes through the pairwise
+      // compare: string array_intersect/array_union hash every
+      // UTF8String element per pair (measured 8x slower than the long
+      // form on d11's verify); the union size comes from the distinct-
+      // element set sizes. Same 2^-62 collision caveat as the PPJoin
+      // verify (PrefixSimilarityJoin.scala).
       val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Md5PackArr(toks(col("text"))).as("tk"))
       val a = docs.select(col("doc_id").as("a_id"), col("lang"),
         col("tk").as("a_tk"))
       val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("tk").as("b_tk"))
+      val inter = size(array_intersect(col("a_tk"), col("b_tk")))
       a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("a_tk"), col("b_tk"))) /
-            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+          (inter / (size(col("a_tk")) + size(col("b_tk")) - inter))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy("a_id", "b_id")
     }),
@@ -168,16 +176,20 @@ object TextOps {
         .distinct()
       // Verification: shingle ONLY candidate docs — the semi-join keeps
       // the exact-Jaccard step O(candidates), not O(corpus).
+      // hashed-long exact verify: see d2 / PrefixSimilarityJoin for the
+      // measured 8x and the collision caveat; union size from set sizes
       val candToks = docs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles(col("text")).as("tk"))
+        .select(col("doc_id"),
+          graft.functions.Md5PackArr(shingles(col("text"))).as("tk"))
+      val inter = size(array_intersect(col("a_tk"), col("b_tk")))
       cand
         .join(candToks.select(col("doc_id").as("a_id"), col("tk").as("a_tk")),
           "a_id")
         .join(candToks.select(col("doc_id").as("b_id"), col("tk").as("b_tk")),
           "b_id")
         .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("a_tk"), col("b_tk"))) /
-            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+          (inter / (size(col("a_tk")) + size(col("b_tk")) - inter))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
@@ -216,16 +228,19 @@ object TextOps {
       val candIds = cand.select(col("old_id").as("doc_id"))
         .union(cand.select(col("new_id").as("doc_id")))
         .distinct()
+      // hashed-long exact verify (see d2/d4 for rationale + caveat)
       val candToks = docs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles(col("text")).as("tk"))
+        .select(col("doc_id"),
+          graft.functions.Md5PackArr(shingles(col("text"))).as("tk"))
+      val inter = size(array_intersect(col("a_tk"), col("b_tk")))
       cand
         .join(candToks.select(col("doc_id").as("old_id"), col("tk").as("a_tk")),
           "old_id")
         .join(candToks.select(col("doc_id").as("new_id"), col("tk").as("b_tk")),
           "new_id")
         .select(col("old_id"), col("new_id"),
-          (size(array_intersect(col("a_tk"), col("b_tk"))) /
-            size(array_union(col("a_tk"), col("b_tk")))).as("jaccard"))
+          (inter / (size(col("a_tk")) + size(col("b_tk")) - inter))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("old_id", "new_id")
     }),
@@ -250,9 +265,13 @@ object TextOps {
         .localCheckpoint(true)
       val ids = pairs.select(col("a_id").as("doc_id"))
         .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      // hashed-long exact verify (see d2/d4 for rationale + caveat);
+      // the hashed array has the same length, so the containment
+      // denominators size(a_tk)/size(b_tk) are unchanged
       val ptk = t(spark, dir, "documents")
         .join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles(col("text")).as("tk"))
+        .select(col("doc_id"),
+          graft.functions.Md5PackArr(shingles(col("text"))).as("tk"))
       val inter = size(array_intersect(col("a_tk"), col("b_tk")))
         .cast("double")
       pairs

@@ -29,8 +29,12 @@ object TextOps32 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_rrf_hybrid" -> ((spark, dir) => {
+      // token sets ride as 8-byte Md5Pack hashes through the per-probe
+      // intersects (8x cheaper than string elements — see d2/PPJoin,
+      // same 2^-62 collision caveat); sizes are length-preserved
       val docs = t(spark, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+        .select(col("doc_id"), graft.functions.Md5PackArr(
+          array_distinct(split(col("text"), " "))).as("tk"))
       val e = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val cand = docs.join(e, col("doc_id") === col("vec_id"))

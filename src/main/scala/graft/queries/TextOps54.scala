@@ -74,7 +74,10 @@ object TextOps54 {
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("k"),
-          expr("array_distinct(split(text, ' '))").as("toks"))
+          // hashed token sets for the window-pair jaccard (see
+          // d2/PPJoin: 8x over string elements, 2^-62 collision caveat)
+          graft.functions.Md5PackArr(
+            expr("array_distinct(split(text, ' '))")).as("toks"))
       val ranked = graft.operators.GlobalPrefixSum
         .withRunningTotalBy(docs.withColumn("one", lit(1L)),
           struct(col("k"), col("doc_id")), "one", "rnk")
@@ -94,7 +97,9 @@ object TextOps54 {
         .select(col("a_id"), col("b_id"),
           (col("rb") - col("ra")).as("rank_dist"),
           round(size(array_intersect(col("ta"), col("tb"))).cast("double")
-            / size(array_union(col("ta"), col("tb"))).cast("double"), 6)
+            / (size(col("ta")) + size(col("tb"))
+              - size(array_intersect(col("ta"), col("tb"))))
+              .cast("double"), 6)
             .as("jaccard"))
         .withColumn("is_match", col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")

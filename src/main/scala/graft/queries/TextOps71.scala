@@ -66,10 +66,15 @@ object TextOps71 {
       val pairs = TextOps.queries("d4_minhash_pairs")(spark, dir)
         .select(col("a_id"), col("b_id"))
         .localCheckpoint(true)
+      // shingles ride as 8-byte Md5Pack hashes through the distinct,
+      // the checkpoint, and both pair-expansion joins (8x cheaper than
+      // UTF8String elements, 2^-62 collision caveat — see PPJoin);
+      // only counts ever reach the output
       val sh = t(spark, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
-          explode(graft.functions.ShinglesOf(split(col("text"), " "), 3))
+          explode(graft.functions.Md5PackArr(
+            graft.functions.ShinglesOf(split(col("text"), " "), 3)))
             .as("sg"))
         .distinct()
         .localCheckpoint(true) // both sides of the pair expansion
