@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -205,6 +205,26 @@ object SketchOps {
       if (c > topBigram) topBigram = c
     }
     Array(nTokens, nTypes, repTokens, topBigram, nBigrams)
+  }
+
+  /** Merge-walk intersection of two sorted duplicate-free long arrays
+    * (see [[SortedLongIntersect]]). Returns ascending order — identical
+    * to array_intersect's first-argument order on sorted inputs.
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 }
 
@@ -531,4 +551,47 @@ case class CharNgramsOf(child: Expression, n: Int) extends UnaryExpression {
 object CharNgramsOf {
   def apply(s: Column, n: Int): Column =
     graftbridge.column(CharNgramsOf(graftbridge.expression(s), n))
+}
+
+/** Intersection of two SORTED, duplicate-free long arrays by a single
+  * merge walk — O(|a|+|b|) with zero per-row allocation beyond the
+  * result. The built-in array_intersect builds an OpenHashSet per ROW
+  * (q372's edge-iterator pays it once per edge over two O(sqrt m)
+  * adjacency arrays — measured as the query's dominant stage); when
+  * both inputs are ascending the merge walk returns the identical
+  * array (array_intersect preserves first-argument order, which for a
+  * sorted input is ascending too). Callers must guarantee sortedness
+  * and distinctness — outputs of sort_array over distinct members.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchOps.sortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersect =
+    copy(left = l, right = r)
+}
+
+object SortedLongIntersect {
+  def apply(a: Column, b: Column): Column =
+    graftbridge.column(SortedLongIntersect(
+      graftbridge.expression(a), graftbridge.expression(b)))
 }

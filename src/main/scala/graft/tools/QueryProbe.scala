@@ -63,8 +63,12 @@ object QueryProbe {
         shufWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         shufRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
         stageDetail.synchronized {
-          stageDetail += ((sc.stageInfo.stageId, sc.stageInfo.name.take(60),
-            sc.stageInfo.numTasks, sc.stageInfo.taskMetrics.executorRunTime))
+          val m = sc.stageInfo.taskMetrics
+          stageDetail += ((sc.stageInfo.stageId,
+            f"r=${m.shuffleReadMetrics.totalBytesRead / 1048576}%dMB " +
+              f"w=${m.shuffleWriteMetrics.bytesWritten / 1048576}%dMB " +
+              sc.stageInfo.name.take(44),
+            sc.stageInfo.numTasks, m.executorRunTime))
         }
       }
     }

@@ -81,6 +81,27 @@ object SProbe {
           TextOps83.topK(10)(sc(nb)).localCheckpoint(true)
         }
       }
+      // round-structure variants over b3 (the last build frame)
+      val b = bs.last
+      def roundFrom(g: org.apache.spark.sql.DataFrame) = {
+        val cand = g.as("g1").join(g.as("g2"), col("g1.v") === col("g2.u"))
+          .select(col("g1.u").as("u"), col("g2.v").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionAll(b.select("u", "v")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+        sc(cand).withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val gD = TextOps83.undirected(b)
+      val uv = b.select("u", "v")
+      val gA = uv.unionAll(uv.select(col("v").as("u"), col("u").as("v")))
+      println(s"  SPROBE g sizes: distinct=${gD.count()} all=${gA.count()}")
+      time("round: undirected inline (current)")(roundFrom(gD))
+      time("round: undirected checkpointed")(
+        roundFrom(gD.localCheckpoint(true)))
+      time("round: no-distinct undirected")(roundFrom(gA))
       val exact = time("exactPanel persist+count") {
         val x = TextOps83.exactPanel(e).persist()
         x.count(); x
