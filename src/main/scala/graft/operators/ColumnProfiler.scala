@@ -27,7 +27,19 @@ object ColumnProfiler {
   private def ident(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profile(df0: DataFrame, exact: Boolean = true): DataFrame = {
+    // The exact-distinct Expand fans every input row out |columns|
+    // times BEFORE the partial aggregate, so the map side carries the
+    // census's real work; a small single-file batch scans as one or two
+    // partitions and serializes it (q77 measured 4.3s of task time over
+    // 5 tasks at sf0.1). Spread a narrow input across the cores first —
+    // CONDITIONAL, like the TextOps shingle spread: an input that
+    // already has enough splits (the 100 TB ingestion batch) passes
+    // through untouched, so no corpus-sized shuffle is ever added.
+    val target = df0.sparkSession.sparkContext.defaultParallelism
+    val df =
+      if (df0.rdd.getNumPartitions < target) df0.repartition(target)
+      else df0
     val fields = df.schema.fields
     require(fields.nonEmpty, "ColumnProfiler.profile: input has no columns")
     val aggs = fields.flatMap { f =>

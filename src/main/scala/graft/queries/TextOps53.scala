@@ -149,13 +149,19 @@ object TextOps53 {
     }),
 
     // Second principal component via deflation — s29's power iteration
-    // on C' = C − λ1·v1·v1ᵀ (Hotelling deflation). Both chains run on
-    // the same one-row exact-moment frame; each unrolled iteration ends
-    // in an eager localCheckpoint (without it CollapseProject inlines
-    // the whole previous chain into every matvec — s29's 6 iterations
-    // survive, 13 do not). Output: λ2, its variance share, the v1·v2
-    // orthogonality witness (≈0 by construction), and the sign-fixed
-    // second component.
+    // on C' = C − λ1·v1·v1ᵀ (Hotelling deflation). The ONLY data-sized
+    // work is the one exact-moment aggregation; the covariance is an
+    // 8×8 constant, so both power chains now run as plain driver
+    // doubles over the collected one-row frame — the MLlib posture
+    // (distributed Gramian, driver eigensolve). The former expression-
+    // chain formulation spent ~26 eager-checkpoint jobs on a ONE-ROW
+    // frame (measured 3.85 s at sf0.1, >80% scheduling). Every driver
+    // operation mirrors the old rendered expression left-to-right
+    // (left-associated sums, same divides, scala BigDecimal round —
+    // the same call catalyst's Round makes for DoubleType), so the
+    // doubles replay bit-for-bit; the oracle gate pins it. Output: λ2,
+    // its variance share, the v1·v2 orthogonality witness (≈0 by
+    // construction), and the sign-fixed second component.
     "s31_pca_two" -> ((spark, dir) => {
       def xi(i: Int): String =
         s"CAST(round(CAST(embedding[$i] AS DOUBLE), 8) AS DECIMAL(12,8))"
@@ -164,69 +170,72 @@ object TextOps53 {
           (0 until D).map(i => sum(expr(xi(i))).as(s"s_$i")) ++
           (for (i <- 0 until D; j <- i until D)
             yield sum(expr(s"${xi(i)} * ${xi(j)}")).as(s"p_${i}_$j"))
-      var fr = t(spark, dir, "embeddings")
+      val mrow = t(spark, dir, "embeddings")
         .filter(col("embedding").isNotNull)
         .agg(aggs.head, aggs.tail: _*)
-      for (i <- 0 until D; j <- i until D)
-        fr = fr.withColumn(s"c_${i}_$j", expr(
-          s"""(CAST(p_${i}_$j AS DOUBLE)
-             | - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE)
-             |   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)""".stripMargin))
-      fr = fr.localCheckpoint(true)
-      def chain(vp: String, c: (Int, Int) => String,
-          orthoTo: Option[String] = None): Unit = {
-        for (i <- 0 until D)
-          fr = fr.withColumn(s"${vp}0_$i", expr("1.0 / sqrt(8.0)"))
-        for (tt <- 1 to T) {
-          for (i <- 0 until D)
-            fr = fr.withColumn(s"${vp}w${tt}_$i",
-              expr(matvecWith(i, s"$vp${tt - 1}", c)))
-          val wc: Int => String = orthoTo match {
-            case None => i => s"${vp}w${tt}_$i"
-            case Some(u) =>
-              fr = fr.withColumn(s"${vp}d$tt", expr(
-                (0 until D).map(i => s"${u}_$i * ${vp}w${tt}_$i")
-                  .mkString(" + ")))
-              for (i <- 0 until D)
-                fr = fr.withColumn(s"${vp}o${tt}_$i",
-                  expr(s"${vp}w${tt}_$i - ${vp}d$tt * ${u}_$i"))
-              i => s"${vp}o${tt}_$i"
-          }
-          fr = fr.withColumn(s"${vp}nrm$tt", expr("sqrt(" +
-            (0 until D).map(i => s"${wc(i)} * ${wc(i)}")
-              .mkString(" + ") + ")"))
-          for (i <- 0 until D)
-            fr = fr.withColumn(s"$vp${tt}_$i",
-              expr(s"${wc(i)} / ${vp}nrm$tt"))
-          fr = fr.localCheckpoint(true)
-        }
+        .head() // one row: 1 + 8 + 36 scalars, constant at any scale
+      val n = mrow.getLong(0)
+      require(n > 0, "s31: no embeddings")
+      val nd = n.toDouble
+      val s = Array.tabulate(D)(i => mrow.getDecimal(1 + i).doubleValue)
+      val cM = Array.ofDim[Double](D, D)
+      var idx = 1 + D
+      for (i <- 0 until D; j <- i until D) {
+        val pd = mrow.getDecimal(idx).doubleValue
+        idx += 1
+        val c = (pd - s(i) * s(j) / nd) / nd
+        cM(i)(j) = c; cM(j)(i) = c
       }
-      chain("u", cn)
-      for (i <- 0 until D)
-        fr = fr.withColumn(s"r_$i", expr(matvecWith(i, s"u$T", cn)))
-      fr = fr.withColumn("lam1", expr(
-          (0 until D).map(i => s"u${T}_$i * r_$i").mkString(" + ")))
-        .localCheckpoint(true)
-      for (i <- 0 until D; j <- i until D)
-        fr = fr.withColumn(s"e_${i}_$j",
-          expr(s"${cn(i, j)} - lam1 * u${T}_$i * u${T}_$j"))
-      fr = fr.localCheckpoint(true)
-      chain("z", en, orthoTo = Some(s"u$T"))
-      for (i <- 0 until D)
-        fr = fr.withColumn(s"r2_$i", expr(matvecWith(i, s"z$T", en)))
-      val lam2 = (0 until D).map(i => s"z${T}_$i * r2_$i").mkString(" + ")
-      val ortho = (0 until D).map(i => s"u${T}_$i * z${T}_$i")
-        .mkString(" + ")
-      val trace = (0 until D).map(i => s"c_${i}_$i").mkString(" + ")
-      fr.select(
-        Seq(col("n").as("n_vectors"),
-          round(col("lam1"), 6).as("lambda1"),
-          round(expr(lam2), 6).as("lambda2"),
-          round(expr(s"($lam2) / ($trace)"), 6).as("share2"),
-          round(expr(ortho), 6).as("ortho")) ++
-          (0 until D).map(i => round(expr(
-            s"CASE WHEN z${T}_0 < 0 THEN -z${T}_$i ELSE z${T}_$i END"), 6)
-            .as(s"v2_$i")): _*)
+      def matvecD(m: Array[Array[Double]], v: Array[Double])
+          : Array[Double] =
+        Array.tabulate(D) { i =>
+          var acc = m(i)(0) * v(0)
+          for (j <- 1 until D) acc += m(i)(j) * v(j)
+          acc
+        }
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        var acc = a(0) * b(0)
+        for (i <- 1 until D) acc += a(i) * b(i)
+        acc
+      }
+      def chainD(m: Array[Array[Double]],
+          orthoTo: Option[Array[Double]]): Array[Double] = {
+        var v = Array.fill(D)(1.0 / math.sqrt(8.0))
+        for (_ <- 1 to T) {
+          val w = matvecD(m, v)
+          val wc = orthoTo match {
+            case None => w
+            case Some(u) =>
+              val d = dotD(u, w)
+              Array.tabulate(D)(i => w(i) - d * u(i))
+          }
+          val nrm = math.sqrt(dotD(wc, wc))
+          v = wc.map(_ / nrm)
+        }
+        v
+      }
+      val u = chainD(cM, None)
+      val lam1 = dotD(u, matvecD(cM, u))
+      // upper-triangle value mirrored BOTH ways, like the en() accessor
+      // ((lam1*u_i)*u_j and (lam1*u_j)*u_i can differ in the last ulp)
+      val eM = Array.ofDim[Double](D, D)
+      for (i <- 0 until D; j <- i until D) {
+        val e = cM(i)(j) - lam1 * u(i) * u(j)
+        eM(i)(j) = e; eM(j)(i) = e
+      }
+      val z = chainD(eM, Some(u))
+      val lam2 = dotD(z, matvecD(eM, z))
+      val ortho = dotD(u, z)
+      var trace = cM(0)(0)
+      for (i <- 1 until D) trace += cM(i)(i)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val v2 = Array.tabulate(D)(i => r6(if (z(0) < 0) -z(i) else z(i)))
+      import spark.implicits._
+      Seq((n, r6(lam1), r6(lam2), r6(lam2 / trace), r6(ortho),
+          v2(0), v2(1), v2(2), v2(3), v2(4), v2(5), v2(6), v2(7)))
+        .toDF(Seq("n_vectors", "lambda1", "lambda2", "share2", "ortho") ++
+          (0 until D).map(i => s"v2_$i"): _*)
     }),
 
     // NDCG@10 retrieval-quality audit — the graded complement of s4's

@@ -50,7 +50,10 @@ object TextOps76 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t64_wordpiece_encode" -> ((spark, dir) => {
-      val words = wordCounts(spark, dir)
+      // the corpus tokenize+count pipeline feeds THREE consumers (two
+      // vocab passes + the encode scan); persist the vocab-bounded
+      // count frame so the corpus regexp/explode/agg runs once
+      val words = wordCounts(spark, dir).persist()
       // corpus-derived vocab: top-k n-grams by position-weighted
       // frequency; a constant-size collect (≤25 strings), inlined below
       def topGrams(n: Int, k: Int): Seq[String] = words
