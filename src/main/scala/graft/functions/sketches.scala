@@ -207,6 +207,22 @@ object SketchOps {
     Array(nTokens, nTypes, repTokens, topBigram, nBigrams)
   }
 
+  /** ALL codepoint n-gram windows of a string, position order, with
+    * multiplicity (see [[CharNgramsAllOf]]).
+    */
+  def charNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return EmptyArr
+    val len = s.numChars()
+    if (len < n) return EmptyArr
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i + n <= len) {
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Merge-walk intersection of two sorted duplicate-free long arrays
     * (see [[SortedLongIntersect]]). Returns ascending order — identical
     * to array_intersect's first-argument order on sorted inputs.
@@ -594,4 +610,42 @@ object SortedLongIntersect {
   def apply(a: Column, b: Column): Column =
     graftbridge.column(SortedLongIntersect(
       graftbridge.expression(a), graftbridge.expression(b)))
+}
+
+/** ALL character n-grams of a string in position order, WITH
+  * multiplicity — the language-model counterpart of [[CharNgramsOf]]
+  * (which dedups per row and is therefore wrong for frequency LMs).
+  * One fused loop per row: the transform(sequence(...)) + substring
+  * formulation runs its lambda through the interpreted HOF path per
+  * window (t54's corpus bigram extraction measured as the query's
+  * dominant map cost). Strings shorter than n (and NULLs via the null-
+  * safe wrapper) yield an empty array.
+  */
+case class CharNgramsAllOf(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams_all_of"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.charNgramsAll(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.SketchOps.charNgramsAll($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): CharNgramsAllOf =
+    copy(child = c)
+}
+
+object CharNgramsAllOf {
+  def apply(s: Column, n: Int): Column =
+    graftbridge.column(CharNgramsAllOf(graftbridge.expression(s), n))
 }

@@ -25,12 +25,21 @@ object TextOps60 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t54_char_lm_langid" -> ((spark, dir) => {
-      val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
+      // conditional spread (the TextOps shingle device): both corpus
+      // bigram explodes otherwise run on the single-file scan's one
+      // partition; identity when the input already has enough splits
+      val docs0 = t(spark, dir, "documents").filter(col("text").isNotNull)
+      val target = spark.sparkContext.defaultParallelism
+      val docs =
+        if (docs0.rdd.getNumPartitions < target) docs0.repartition(target)
+        else docs0
       // bigrams WITH multiplicity (CharNgramsOf dedups — wrong for an
-      // LM): plain transform over positions, codegen'd builtins only
+      // LM): the transform(sequence(...)) formulation ran its lambda
+      // through the interpreted HOF path per window (ArrayTransform is
+      // CodegenFallback); CharNgramsAllOf is the fused codegen'd loop
+      // with identical output (position order, multiplicity kept)
       def bigrams(c: org.apache.spark.sql.Column) =
-        expr(s"transform(sequence(1, length(${c.toString}) - 1), " +
-          s"i -> substring(${c.toString}, i, 2))")
+        graft.functions.CharNgramsAllOf(c, 2)
       val trainBg = docs.filter(col("doc_id") % 2 === 0)
         .select(col("lang"), explode(bigrams(col("text"))).as("bg"))
       val counts = trainBg.groupBy("lang", "bg")
