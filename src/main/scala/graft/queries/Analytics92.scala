@@ -95,56 +95,72 @@ object Analytics92 {
     }),
 
     "q261_betweenness" -> ((spark, dir) => {
+      // Same constant-bound argument as q262: the sparse nation graph
+      // is ≤ 25 nodes at any corpus scale, so after the distributed
+      // fact-table condense the all-pairs BFS, the σ layers, and the
+      // nodes³ composition run on the driver over the collected edge
+      // list (previously ~10 Spark rounds of ≤625-row frames plus a
+      // triple self-join — measured 2.5 s of mostly scheduling at
+      // sf0.1). Arithmetic mirrors the old expressions exactly: integer
+      // σ sums, per-term round-to-9dp then DECIMAL(18,9) (exact,
+      // order-free sums), final round to 6dp.
       val edges = Analytics89.sparseNationEdges(spark, dir)
-        .localCheckpoint(true)
-      val sym = edges
-        .union(edges.select(col("b").as("a"), col("a").as("b")))
-      val dist = graft.operators.BfsHops.allPairs(edges, "a", "b")
-        .localCheckpoint(true)
-      val diam = dist.agg(max(col("dist"))).head().getLong(0).toInt
-      // σ(s,s) = 1; layer d sums the layer-(d−1) σ of t's neighbors
-      var layer = dist.filter(col("dist") === 0)
-        .select(col("src"), col("node"), lit(1L).as("sigma"))
-        .localCheckpoint(true)
-      var sig = layer
-      for (d <- 1 to diam) {
-        layer = layer
-          .join(sym, col("node") === col("a"))
-          .select(col("src"), col("b").as("node"), col("sigma"))
-          .join(dist.filter(col("dist") === d)
-            .select(col("src"), col("node")), Seq("src", "node"),
-            "left_semi")
-          .groupBy("src", "node").agg(sum(col("sigma")).as("sigma"))
-          .localCheckpoint(true)
-        sig = sig.union(layer)
+        .select(col("a").cast("int"), col("b").cast("int")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val adj = nodes.map(x => x ->
+        (edges.collect { case (a, b) if a == x => b } ++
+          edges.collect { case (a, b) if b == x => a }).toArray).toMap
+      // all-pairs BFS hop distances over the undirected graph
+      val dist = scala.collection.mutable.Map[(Int, Int), Int]()
+      for (s <- nodes) {
+        dist((s, s)) = 0
+        var frontier = List(s)
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(adj(_))
+            .filter(t2 => !dist.contains((s, t2))).distinct
+          frontier.foreach(t2 => dist((s, t2)) = d)
+        }
       }
-      val sd = sig.join(dist, Seq("src", "node"))
-        .select(col("src"), col("node"), col("sigma"), col("dist"))
-        .localCheckpoint(true)
+      // σ(s,t): layered DP — layer-d σ sums the layer-(d−1) σ of t's
+      // neighbors (exact integers)
+      val sigma = scala.collection.mutable.Map[(Int, Int), Long]()
+      nodes.foreach(s => sigma((s, s)) = 1L)
+      val diam = if (dist.isEmpty) 0 else dist.values.max
+      for (d <- 1 to diam; s <- nodes; t2 <- nodes
+           if dist.get((s, t2)).contains(d)) {
+        var acc = 0L
+        adj(t2).foreach { y =>
+          if (dist.get((s, y)).contains(d - 1)) acc += sigma((s, y))
+        }
+        sigma((s, t2)) = acc
+      }
       // compose s→v→t where the hop counts add up; each unordered
-      // {s, t} pair counted once via s < t
-      val terms = sd.as("sv")
-        .join(sd.as("vt"), col("sv.node") === col("vt.src"))
-        .join(sd.as("st"),
-          col("sv.src") === col("st.src") &&
-            col("vt.node") === col("st.node"))
-        .filter(col("sv.src") < col("vt.node") &&
-          col("sv.node") =!= col("sv.src") &&
-          col("sv.node") =!= col("vt.node") &&
-          col("sv.dist") + col("vt.dist") === col("st.dist"))
-        .select(col("sv.node").as("v"),
-          expr("""cast(round(cast(sv.sigma * vt.sigma as double)
-                 |  / cast(st.sigma as double), 9) as decimal(18,9))"""
-            .stripMargin).as("term"))
-      val per = terms.groupBy("v").agg(sum(col("term")).as("b"))
-      dist.select(col("src").as("v")).distinct()
-        .join(per, Seq("v"), "left")
-        .join(broadcast(t(spark, dir, "nation")
+      // {s, t} pair counted once via s < t; per-term round-then-DECIMAL
+      // exactly as the former expression chain rendered it
+      def term9(x: Double): BigDecimal = BigDecimal(BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val per = scala.collection.mutable.Map[Int, BigDecimal]()
+      for (((s, v), dsv) <- dist; ((v2, t2), dvt) <- dist
+           if v2 == v && s < t2 && v != s && v != t2 &&
+             dist.get((s, t2)).contains(dsv + dvt)) {
+        val x = (sigma((s, v)) * sigma((v, t2))).toDouble /
+          sigma((s, t2)).toDouble
+        per(v) = per.getOrElse(v, BigDecimal(0)) + term9(x)
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      val bDf = nodes.toSeq
+        .map(v => (v, r6(per.get(v).map(_.toDouble).getOrElse(0.0))))
+        .toDF("v", "betweenness")
+      bDf.join(broadcast(t(spark, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("v") === col("n_nationkey"))
-        .select(col("n_name"),
-          round(coalesce(col("b"), lit(0)).cast("double"), 6)
-            .as("betweenness"))
+        .select(col("n_name"), col("betweenness"))
         .orderBy("n_name")
     }),
   )
